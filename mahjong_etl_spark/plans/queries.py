@@ -1,0 +1,569 @@
+"""Relational query plane — the SURVEY.md §2.3 capability inventory.
+
+The reference delegates all querying to Athena over its partitioned
+star schema (reference README.md:2; layout contract reference
+scrape.py:613-622).  This module is that SQL plane re-expressed as
+idiomatic Spark DataFrame code over the driver's star-schema tables.
+Capability -> query mapping:
+
+- partition-pruned / pushed-down scans ........ every query (filters
+  reach the parquet scan; verified in tests/test_plans.py)
+- FK equi-joins, broadcast dims ............... q3, q5, top_customers
+- semi / anti joins ........................... customers_semi / _anti
+- group-by aggregation ........................ q1, orders_by_month
+- rollup (grouping sets) ...................... lineitem_rollup
+- ordered-event window functions .............. events_user_gaps,
+  events_top3_per_user
+- top-k / ranking ............................. top_customers,
+  customer_rank_by_nation
+- decimal aggregation ......................... decimal_revenue
+- set ops ..................................... segment_set_ops
+- date handling ............................... orders_by_month, events_hourly
+- string functions ............................ part_string_stats
+- array UNNEST ................................ embedding_dim_stats
+- JSON functions .............................. events_json_stats
+- distinct / approx ........................... event_user_stats (exact),
+  events_approx_quantiles (rows-only: approx by design)
+
+Oracle/Spark parity conventions are documented in ``registry.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Aggregation / scan plane
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: filtered scan + hash aggregate.
+
+    The shipdate filter is pushed into the parquet scan; the aggregate
+    runs partial (map-side) then final — zero extra shuffles beyond the
+    single groupBy exchange.
+    """
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: dim-filtered multi-join + agg + deterministic top-k.
+
+    customer (filtered) is broadcast to both joins; lineitem, the only
+    big fact, is scanned once with the shipdate predicate pushed down.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        l.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style snowflake join: one big fact, four broadcast dims.
+
+    Only ``lineitem`` shuffles (for the final groupBy); every dim join
+    is a broadcast-hash join so the fact table streams through map-side.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "top_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(o_totalprice), 2) AS total_spend,
+           count(*)                    AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k ranking: join + agg + deterministic ORDER BY ... LIMIT.
+
+    Spark plans this as TakeOrderedAndProject — no full sort of the
+    aggregate output, only a per-partition top-k then a driver merge.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "customer_rank_by_nation",
+    oracle="""
+    SELECT n_nationkey, c_custkey, acctbal, rnk FROM (
+        SELECT c_nationkey AS n_nationkey, c_custkey,
+               round(c_acctbal, 2) AS acctbal,
+               rank() OVER (PARTITION BY c_nationkey
+                            ORDER BY round(c_acctbal, 2) DESC, c_custkey) AS rnk
+        FROM customer
+    ) WHERE rnk <= 3
+    """,
+)
+def customer_rank_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function partitioned by a dimension key."""
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey"),
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    w = Window.partitionBy("n_nationkey").orderBy(F.desc("acctbal"), F.asc("c_custkey"))
+    return c.withColumn("rnk", F.rank().over(w)).where(F.col("rnk") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins and set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_with_big_orders_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def customers_with_big_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: hands with a win, customers with a big order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "customers_without_orders_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: hands without a win, customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "segment_set_ops",
+    oracle="""
+    WITH seg AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+         big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+    SELECT 'seg_and_big' AS bucket, count(*) AS n FROM (SELECT k FROM seg INTERSECT SELECT k FROM big)
+    UNION ALL
+    SELECT 'seg_not_big' AS bucket, count(*) AS n FROM (SELECT k FROM seg EXCEPT SELECT k FROM big)
+    UNION ALL
+    SELECT 'seg_or_big'  AS bucket, count(*) AS n FROM (SELECT k FROM seg UNION SELECT k FROM big)
+    """,
+)
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION across two key sets."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    seg = c.where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    big = o.where(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("k")).distinct()
+
+    def one(bucket: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(bucket).alias("bucket"), "n")
+
+    return (
+        one("seg_and_big", seg.intersect(big))
+        .unionAll(one("seg_not_big", seg.subtract(big)))
+        .unionAll(one("seg_or_big", seg.union(big).distinct()))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date, decimal, rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_by_month",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*)                       AS n_orders,
+           round(sum(o_totalprice), 2)    AS total,
+           round(avg(o_totalprice), 4)    AS avg_price
+    FROM orders GROUP BY month
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing + aggregation (the reference's dt= partition idiom)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "decimal_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue_exact,
+           CAST(sum(CAST(l_quantity      AS DECIMAL(18,1))) AS DECIMAL(18,1)) AS qty_exact
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal aggregation (reference game_scores.point is
+    decimal128(4,1), reference scrape.py:57)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue_exact"),
+        F.sum(F.col("l_quantity").cast("decimal(18,1)"))
+        .cast("decimal(18,1)")
+        .alias("qty_exact"),
+    )
+
+
+@query(
+    "lineitem_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*)                    AS n,
+           round(sum(l_quantity), 2)   AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP grouping sets."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-event analytics (the reference's actions.seq plane)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_gaps",
+    oracle="""
+    SELECT user_id,
+           count(*)                                            AS n_events,
+           round(avg(gap_us) / 1000000.0, 3)                   AS avg_gap_sec
+    FROM (
+        SELECT user_id,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() over an ordered per-entity event stream (reference
+    actions.seq analytics, reference scrape.py:118)."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        e.withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("gap_us") / 1000000.0, 3).alias("avg_gap_sec"),
+        )
+    )
+
+
+@query(
+    "events_top3_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def events_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number() top-n-per-group over the event log."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+@query(
+    "events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 3) AS total_value
+    FROM events GROUP BY hour, event_type
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch mirror of streaming.events)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+    )
+
+
+@query(
+    "event_user_stats",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events,
+           round(avg(value), 4)    AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def event_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation per group."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@query("events_approx_quantiles", oracle=None, bench=False)
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct + approx percentiles — approximate by
+    design, so no exact oracle (driver records rows-only).  At 100 TB
+    these sketch aggregates are the only affordable option; exact
+    counterparts are in event_user_stats."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.percentile_approx("value", 0.5), 4).alias("p50_value"),
+        F.round(F.percentile_approx("value", 0.99), 4).alias("p99_value"),
+    )
+
+
+@query(
+    "events_json_stats",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*)             AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY k_bucket
+    """,
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strings and arrays
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_string_stats",
+    oracle="""
+    SELECT p_type,
+           count(*)                                                   AS n_parts,
+           sum(CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END)       AS n_red,
+           sum(CASE WHEN regexp_matches(p_name, '^(small|large) ')
+                    THEN 1 ELSE 0 END)                                AS n_sized,
+           round(avg(length(p_name)), 4)                              AS avg_name_len,
+           min(upper(p_brand))                                        AS first_brand
+    FROM part GROUP BY p_type
+    """,
+)
+def part_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / regexp / length / case string functions (the reference's
+    tile-string query idiom, reference scrape.py:238-259)."""
+    p = load(spark, sf_dir, "part")
+    return p.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.when(F.col("p_name").like("%red%"), 1).otherwise(0)).alias("n_red"),
+        F.sum(F.when(F.col("p_name").rlike("^(small|large) "), 1).otherwise(0)).alias("n_sized"),
+        F.round(F.avg(F.length("p_name")), 4).alias("avg_name_len"),
+        F.min(F.upper("p_brand")).alias("first_brand"),
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT pos,
+           round(avg(val), 6)         AS avg_val,
+           round(min(val), 6)         AS min_val,
+           round(max(val), 6)         AS max_val,
+           round(stddev_samp(val), 6) AS std_val
+    FROM (
+        SELECT unnest(range(len(embedding))) AS pos,
+               unnest(embedding)             AS val
+        FROM embeddings
+    )
+    GROUP BY pos
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array UNNEST (posexplode) + per-position statistics over the
+    embedding vectors (reference's 136-tile wall-array idiom)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg("val"), 6).alias("avg_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+            F.round(F.stddev_samp("val"), 6).alias("std_val"),
+        )
+    )

@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
+config block is what we would ship to a 1000-executor cluster — only
+``master`` and memory sizing change. Rationale per setting:
+
+- ``spark.sql.adaptive.enabled``: AQE re-plans at runtime — coalesces
+  tiny post-shuffle partitions, converts sort-merge joins to broadcast
+  when the built side turns out small, and splits skewed partitions.
+  At 100 TB skewed keys are a certainty; AQE skew-join is the first
+  line of defense (salting in operators is the second).
+- ``spark.sql.shuffle.partitions``: 32 locally (== cores).  On a real
+  cluster this would be ~2-3x total cores; AQE coalescing makes the
+  exact number less critical than it was pre-3.0.
+- Arrow: every pandas_udf / mapInPandas boundary moves data via Arrow
+  batches instead of pickled rows (~10-100x).
+- ``timeZone=UTC``: the reference stores dates as UTC midnight
+  (reference main.py:23); all timestamp semantics are pinned UTC so
+  results do not depend on the host zone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "mahjong-etl-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # dims (region/nation/customer/supplier at test SF) should always
+        # broadcast; 64 MiB is still far below executor memory at scale.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,57 @@
+"""Loaders for the driver's synthetic star-schema tables.
+
+``/root/testdata/sf*/{name}.parquet`` — TPC-H-ish tables plus
+``events`` (ordered event log), ``documents`` (text corpus) and
+``embeddings`` (vector table).  See TESTDATA.md / FIXTURES.md §3.
+
+Parquet scans are left fully declarative so Catalyst applies column
+pruning and predicate pushdown (verify with ``.explain("formatted")``:
+``PushedFilters`` / ``ReadSchema`` must reflect the query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables: always broadcastable in joins.
+DIM_TABLES = {"region", "nation", "supplier", "customer", "part"}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects ([PARQUET_TYPE_ILLEGAL]).  Read nanos as a
+    raw long (legacy conf, runtime-settable so it also works under the
+    driver's own session) and truncate to a microsecond timestamp —
+    lossless here: every value has zero sub-microsecond part (checked
+    against the source data), matching what DuckDB reads natively.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql access."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,28 @@
+"""Every registry query with an oracle must hash-match DuckDB —
+the local mirror of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from mahjong_etl_spark.plans.registry import registry
+
+from .oracle import compare
+
+_REG = registry()
+_WITH_ORACLE = sorted(name for name, q in _REG.items() if q.oracle is not None)
+_ROWS_ONLY = sorted(name for name, q in _REG.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_parity(spark, sf_dir, name):
+    q = _REG[name]
+    compare(q.spark_fn(spark, sf_dir), q.oracle, sf_dir)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    q = _REG[name]
+    df = q.spark_fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
