@@ -1,1 +1,355 @@
-"""Deduplication operators (filled in incrementally)."""
+"""Deduplication operators for large text corpora.
+
+Five strategies, each a ``queries()`` entry over the ``documents``
+table, ordered by cost/accuracy trade-off:
+
+1. exact (hash-groupBy)                       -> dedup_exact
+2. normalized exact                           -> dedup_normalized
+3. exact n-gram Jaccard via inverted index    -> dedup_ngram_jaccard
+4. MinHash + LSH banding                      -> dedup_minhash_lsh
+5. SimHash + chunk blocking                   -> dedup_simhash
+
+Scale notes (the 100 TB story):
+- Nothing here does a cross join.  Pairwise strategies generate
+  candidates through an equi-join (shared shingle / LSH band / simhash
+  chunk), so cost is proportional to true collisions, not n².
+- The inverted-index join (3) is exact but vulnerable to hot shingles
+  (a shingle shared by k docs yields k² candidate rows).  At scale,
+  drop shingles above a document-frequency cap — stop-shingles carry
+  no dedup signal (``max_shingle_df``); MinHash (4) caps the blowup by
+  construction (band width is fixed).
+- MinHash banding (b=16 bands × r=4 rows = 64 hashes) has its S-curve
+  threshold at (1/b)^(1/r) = 0.5; pairs with true Jaccard >= 0.85 are
+  found with probability > 1 - 1e-9, so at the 0.5 verify threshold
+  used here recall is effectively exact for real near-dups.
+- SimHash blocking is exact for hamming <= 3 by pigeonhole: 4 chunks
+  of 16 bits, <= 3 differing bits => at least one chunk matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import duckdb_shingles_sql, shingles_expr
+from ..plans.registry import query
+from ..sources.tables import load
+
+NUM_HASHES = 64
+BANDS = 16
+ROWS_PER_BAND = 4
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4
+HAMMING_MAX = 3
+
+
+# ---------------------------------------------------------------------------
+# 1-2: exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical payloads by hash; one shuffle keyed on the hash.
+
+    At 100 TB the groupBy key is the 128-bit digest, never the payload,
+    so shuffle volume is ~32 bytes/doc regardless of document size.
+    """
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on the raw text."""
+    return exact_dup_groups(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_normalized",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY norm_hash
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after whitespace/case normalization."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.groupBy(F.md5(norm).alias("norm_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3: exact n-gram Jaccard via inverted-index join
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(df: DataFrame, n: int = 3) -> DataFrame:
+    return df.select("doc_id", shingles_expr(n).alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with word-``n``-gram Jaccard >= threshold.
+
+    Inverted-index formulation: explode shingles, self-equi-join on the
+    shingle, count common shingles per pair, then
+    ``J = common / (|A| + |B| - common)``.  Exact (any pair above a
+    positive threshold shares >= 1 shingle) with no cross join.
+    ``max_shingle_df`` drops hot shingles before the join — the skew
+    guard for web-scale corpora (slightly relaxes exactness, documented
+    trade-off).
+    """
+    sh = shingle_sets(df, n)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    if max_shingle_df is not None:
+        hot = ex.groupBy("s").count().where(F.col("count") > max_shingle_df).select("s")
+        ex = ex.join(hot, "s", "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {duckdb_shingles_sql(3)} AS shingles FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(common::DOUBLE / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# 4: MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, h0..h{k-1}) minhash signature via k seeded xxhash64
+    min-aggregates over the exploded shingle set — one shuffle, k
+    map-side partial mins, no UDFs."""
+    ex = shingle_sets(df, n).select("doc_id", F.explode("shingles").alias("s"))
+    return ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    Candidates = pairs agreeing on at least one band (equi-join on
+    (band, band_hash) — shuffle cost ∝ docs × bands, never n²).  Each
+    candidate is then verified against the true shingle sets, so
+    precision is exact; recall follows the LSH S-curve (see module
+    docstring).
+    """
+    sig = minhash_signatures(df, n, bands * rows_per_band)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                "bh"
+            ),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = shingle_sets(df, n)
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (approximate candidate generation —
+    no SQL oracle; tests/test_dedup.py asserts exact agreement with
+    dedup_ngram_jaccard on the planted duplicates)."""
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# 5: SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from whitespace tokens.
+
+    bit_j(doc) = sign( Σ_tokens ±1 ) where the ±1 is bit j of
+    xxhash64(token); occurrences weight naturally (explode keeps
+    duplicates).  64 conditional-sum aggregates in one groupBy."""
+    tok = df.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = F.xxhash64(F.col("w"))
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        simhash = term if simhash is None else simhash.bitwiseOR(term)
+    return sums.select("doc_id", simhash.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """Pairs with SimHash hamming distance <= hamming_max.
+
+    Blocking on 16-bit chunks is *exact* for hamming <= 3 (pigeonhole:
+    4 chunks, <= 3 flipped bits => one chunk untouched), so this is a
+    full-recall near-dup scan with equi-join cost.
+    """
+    sig = simhash_signatures(df)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+        )
+        for c in range(SIMHASH_CHUNKS)
+    ]
+    blocks = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("e")
+    ).select("doc_id", "simhash", F.col("e.c").alias("c"), F.col("e.chunk").alias("chunk"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= hamming_max)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3; xxhash64-based signature
+    has no DuckDB equivalent — rows-only check; tests assert the
+    planted near-identical pairs are found)."""
+    return simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-based near-dup (cosine) — see operators/similarity.py for
+# the shared cosine machinery; registered here as a dedup query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+    bench=False,  # O(n²) by design; the scale path is similarity.ann_lsh
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4).
+
+    Brute-force pairwise at test scale to stay oracle-exact; at 100 TB
+    the same verify step runs only on ANN/LSH candidates
+    (see similarity.ann_lsh_topk).
+    """
+    from .similarity import cosine_expr, with_norm
+
+    e = with_norm(load(spark, sf_dir, "embeddings"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_expr("a", "b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

@@ -1,1 +1,206 @@
-"""Text-analysis operators (filled in incrementally)."""
+"""Text-analysis operators over the ``documents`` table.
+
+Everything is JVM-side expression work (split / filter / transform /
+aggregate higher-order functions) — no Python UDFs, so the operators
+stay inside whole-stage codegen and scale linearly with one scan.
+
+- language-ID: deterministic stopword/CJK-script heuristic
+- quality scoring: token counts, uniqueness, stopword ratio
+- token counting: whitespace + a BPE-ish regex segmentation
+- document fingerprinting: polynomial rolling hash over codepoints
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources.tables import load
+
+# language marker words (deterministic heuristic, mirrored in oracle SQL)
+_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+_STOP = ("the", "a", "of", "and", "in")
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+FP_MOD = 2147483647
+
+
+def _in_list(arr, words: tuple[str, ...]):
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter({arr}, t -> t IN ({lst})))")
+
+
+def _sql_in_list(arr: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({arr}, t -> t IN ({lst})))"
+
+
+# ---------------------------------------------------------------------------
+# Language ID
+# ---------------------------------------------------------------------------
+
+
+def lang_scores(df: DataFrame) -> DataFrame:
+    toks = "split(text, ' ')"
+    out = df.withColumn("has_cjk", F.col("text").rlike("[\\u4e00-\\u9fff]"))
+    for lang, words in _MARKERS.items():
+        out = out.withColumn(f"s_{lang}", _in_list(toks, words))
+    return out
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Predict language: CJK script wins outright, else argmax of
+    marker-word hits with fixed precedence en > de > es > fr on ties."""
+    s = lang_scores(df)
+    pred = (
+        F.when(F.col("has_cjk"), F.lit("zh"))
+        .when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), F.lit("de"))
+        .when(F.col("s_es") >= F.col("s_fr"), F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return s.withColumn("lang_pred", pred)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS has_cjk,
+               {_sql_in_list("string_split(text, ' ')", _MARKERS["en"])} AS s_en,
+               {_sql_in_list("string_split(text, ' ')", _MARKERS["de"])} AS s_de,
+               {_sql_in_list("string_split(text, ' ')", _MARKERS["es"])} AS s_es,
+               {_sql_in_list("string_split(text, ' ')", _MARKERS["fr"])} AS s_fr
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           count(*) AS n_docs
+    FROM scored GROUP BY lang, lang_pred
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion counts: labeled lang x predicted lang."""
+    d = lang_id(load(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id, n_chars,
+           len(toks)                                             AS n_tokens,
+           len(list_distinct(toks))                              AS n_uniq_tokens,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS uniq_ratio,
+           round({_sql_in_list("toks", _STOP)}::DOUBLE / len(toks), 6) AS stopword_ratio,
+           round((n_chars - len(toks) + 1)::DOUBLE / len(toks), 6)     AS avg_token_len
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token counts, uniqueness,
+    stopword ratio, mean token length — one scan, zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        F.round(n_uniq.cast("double") / n_tok, 6).alias("uniq_ratio"),
+        F.round(
+            _in_list("split(text, ' ')", _STOP).cast("double") / n_tok, 6
+        ).alias("stopword_ratio"),
+        F.round((F.col("n_chars") - n_tok + 1).cast("double") / n_tok, 6).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT source,
+           count(*)                                                  AS n_docs,
+           sum(len(string_split(text, ' ')))                         AS ws_tokens,
+           sum(len(regexp_extract_all(text, '{_BPE_RE}')))           AS bpe_ish_tokens,
+           sum(length(text))                                         AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens and a
+    BPE-ish regex segmentation (letters / digits / other)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("ws_tokens"),
+        F.sum(F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)"))).alias(
+            "bpe_ish_tokens"
+        ),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_expr(text_col: str = "text"):
+    """Polynomial rolling hash h = (h*31 + codepoint) mod (2^31 - 1)
+    over the document's characters — a portable, order-sensitive
+    fingerprint (same value in the DuckDB oracle)."""
+    return F.expr(
+        f"aggregate(filter(split({text_col}, ''), c -> c != ''),"
+        f"          cast(0 AS long),"
+        f"          (h, c) -> (h * 31 + ascii(c)) % {FP_MOD})"
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+               (h, c) -> (h * 31 + c) % {FP_MOD}
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document order-sensitive rolling-hash fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_expr().alias("fingerprint"))
