@@ -1,0 +1,179 @@
+"""The batch ETL pipeline: XML logs -> 9 Hive-partitioned tables.
+
+Topology (the Spark rebuild of reference main.py:18-33 +
+scrape.py:612-668):
+
+  binaryFile scan -> mapInPandas(parse_game)  [one row per game,
+      nine array<struct> columns]            -> persist()
+    -> per-game offset window (deterministic kyoku_id minting)
+    -> 9x (explode -> finalize ids -> write partitionBy("dt"))
+
+Design points:
+- ONE parse per XML: the parsed DataFrame is persisted before the
+  9-way fanout; without it each table write would re-scan and re-parse
+  every file (correctness-neutral, 9x slower — SURVEY §7 hard parts).
+- Deterministic surrogate keys: the reference threads a per-date
+  counter across games in OS file-listing order (irreproducible).  We
+  define the order as game_id-ascending within a date: a window over
+  the per-game dataframe (one row per game — tiny) yields each game's
+  kyoku offset, and ``kyoku_id = days*100000 + offset + kyoku_local``.
+  Same id space, stable across runs and cluster sizes.
+- Layout contract: ``{out}/{table}/dt=YYYY-MM-DD/*.parquet`` — same
+  directories the reference writes (scrape.py:613-622); Spark emits
+  part-file names, which Athena/Spark SQL readers never depend on.
+  Multiple part files per partition are allowed (at 100 TB one file
+  per table-date would be the bottleneck, not a feature); dynamic
+  partition overwrite keeps daily re-runs idempotent per date.
+- The parser crosses the Python-worker boundary, so the package is
+  shipped via addPyFile first (see shipping.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from ..schemas import TABLE_SCHEMAS
+
+_EPOCH = datetime.date(1970, 1, 1)
+
+# kyoku-scoped tables and the name of their final id column
+_KYOKU_KEYED = {
+    "kyokus": "id",
+    "haipais": "kyoku_id",
+    "agaris": "kyoku_id",
+    "actions": "kyoku_id",
+    "nagares": "kyoku_id",
+}
+
+
+def _localized(table: str) -> StructType:
+    """Table schema with the minted id column replaced by the parser's
+    local ordinal (kyoku_local, nullable for pre-INIT rows)."""
+    key = _KYOKU_KEYED.get(table)
+    fields = []
+    for f in TABLE_SCHEMAS[table].fields:
+        if key is not None and f.name == key:
+            fields.append(StructField("kyoku_local", IntegerType(), True))
+        else:
+            fields.append(f)
+    return StructType(fields)
+
+
+PARSED_GAME_SCHEMA = StructType(
+    [
+        StructField("dt", StringType()),
+        StructField("days", LongType()),
+        StructField("game_id", StringType()),
+        StructField("n_kyokus", IntegerType()),
+    ]
+    + [StructField(t, ArrayType(_localized(t))) for t in TABLE_SCHEMAS]
+)
+
+
+def _parse_batches(compat: bool):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mahjong_etl_spark.operators.mahjong_parse import parse_game
+
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for path_date, game_id, content in zip(
+                pdf["dt_raw"], pdf["game_id"], pdf["content"]
+            ):
+                d = datetime.datetime.strptime(path_date, "%Y%m%d").date()
+                tables = parse_game(bytes(content), game_id, d, compat=compat)
+                rows.append(
+                    {
+                        "dt": d.isoformat(),
+                        "days": (d - _EPOCH).days,
+                        "game_id": game_id,
+                        "n_kyokus": len(tables["kyokus"]),
+                        **tables,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def parse_logs(spark: SparkSession, log_dir: str, compat: bool = True) -> DataFrame:
+    """Scan + parse: one output row per game (see PARSED_GAME_SCHEMA)."""
+    from ..shipping import ensure_shipped
+    from ..sources.xml_source import scan_logs
+
+    ensure_shipped(spark)
+    scan = scan_logs(spark, log_dir).select("dt_raw", "game_id", "content")
+    return scan.mapInPandas(_parse_batches(compat), schema=PARSED_GAME_SCHEMA)
+
+
+def _with_offsets(parsed: DataFrame) -> DataFrame:
+    """Per-game kyoku-ordinal offset: running total of preceding games'
+    hand counts within the date, games ordered by game_id."""
+    w = (
+        Window.partitionBy("dt")
+        .orderBy("game_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return parsed.select("dt", "game_id", "days", "n_kyokus").withColumn(
+        "kyoku_offset", F.coalesce(F.sum("n_kyokus").over(w), F.lit(0))
+    )
+
+
+def table_df(parsed: DataFrame, offsets: DataFrame, table: str) -> DataFrame:
+    """Explode one table out of the parsed-games DataFrame and mint
+    final kyoku ids (0 for pre-INIT rows, matching the reference's
+    initial kyoku_id)."""
+    ex = parsed.select("dt", "days", "game_id", F.explode(table).alias("r"))
+    key = _KYOKU_KEYED.get(table)
+    if key is None:
+        return ex.select("dt", "r.*")
+    ex = ex.join(F.broadcast(offsets.select("dt", "game_id", "kyoku_offset")), ["dt", "game_id"])
+    minted = F.when(F.col("r.kyoku_local").isNull(), F.lit(0)).otherwise(
+        F.col("days") * 100000 + F.col("kyoku_offset") + F.col("r.kyoku_local")
+    )
+    cols = [
+        minted.alias(key) if f.name == key else F.col(f"r.{f.name}")
+        for f in TABLE_SCHEMAS[table].fields
+    ]
+    return ex.select(F.col("dt"), *cols)
+
+
+def run_etl(
+    spark: SparkSession,
+    log_dir: str,
+    out_dir: str,
+    compat: bool = True,
+) -> dict[str, int]:
+    """Full pipeline; returns row counts per table."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    parsed = parse_logs(spark, log_dir, compat).persist()
+    try:
+        offsets = _with_offsets(parsed)
+        counts: dict[str, int] = {}
+        for table in TABLE_SCHEMAS:
+            df = table_df(parsed, offsets, table)
+            # agaris/nagares may be empty for a date — Spark simply
+            # writes no partition directory (the reference skips the
+            # file too, scrape.py:651-660)
+            df.write.mode("overwrite").partitionBy("dt").parquet(
+                f"{out_dir}/{table}"
+            )
+            counts[table] = spark.read.parquet(f"{out_dir}/{table}").count()
+        return counts
+    finally:
+        parsed.unpersist()
