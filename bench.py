@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline query set and print ONE JSON
+line ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": scale}``.
+
+Inputs come from ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]``.  Each query is executed to completion
+(collect) once after a session warm-up; timings are wall-clock
+per-query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from mahjong_etl_spark.plans.registry import registry
+    from mahjong_etl_spark.session import get_spark
+
+    spark = get_spark("mahjong-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    reg = {n: q for n, q in registry().items() if q.bench}
+
+    # warm-up: JVM + parquet footer caches, one tiny job
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(reg):
+        t0 = time.perf_counter()
+        reg[name].spark_fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

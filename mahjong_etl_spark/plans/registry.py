@@ -56,6 +56,7 @@ def registry() -> dict[str, Query]:
     from ..operators import (  # noqa: F401
         dedup,
         multimodal,
+        sessionize,
         similarity,
         text_analysis,
     )

@@ -1,0 +1,91 @@
+"""Structured Streaming over the events table.
+
+The reference is pure batch, but its daily-archive loop is a de-facto
+micro-batch ingestion pattern (SURVEY §1.1); this module is the
+streaming surface a production deployment would use:
+
+- ``stream_events``: file-source readStream with an explicit schema
+  (streaming sources cannot infer) — new parquet files landing in the
+  directory become micro-batches.
+- ``hourly_counts``: watermarked tumbling-window aggregation; late
+  events beyond the 1-hour watermark are dropped deterministically.
+- ``run_hourly_available_now``: drains everything currently in the
+  source with Trigger.AvailableNow into a memory sink and returns the
+  result — the batch-equivalent execution used by tests to prove the
+  streaming plan computes exactly what the batch plan does.
+
+At scale the same code runs continuously: the file source tracks
+processed files in the checkpoint, the watermark bounds state size,
+and the windowed aggregate shuffles once per micro-batch on
+(window, event_type).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# physical schema of events.parquet with ts read as raw nanos
+# (see sources/tables.load_events for the TIMESTAMP(NANOS) story)
+_EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def hourly_counts(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_hourly_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly_counts(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
