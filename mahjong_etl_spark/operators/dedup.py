@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import duckdb_shingles_sql, shingles_expr
 from ..plans.registry import query
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
 NUM_HASHES = 64
 BANDS = 16
@@ -70,7 +70,7 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication: hash-groupBy on the raw text."""
-    return exact_dup_groups(load(spark, sf_dir, "documents"))
+    return exact_dup_groups(load_spread(spark, sf_dir, "documents"))
 
 
 @query(
@@ -84,7 +84,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup after whitespace/case normalization."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return d.groupBy(F.md5(norm).alias("norm_hash")).agg(
         F.min("doc_id").alias("keep_id"),
@@ -116,10 +116,21 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` drops hot shingles before the join — the skew
     guard for web-scale corpora (slightly relaxes exactness, documented
     trade-off).
+
+    Physical choices: the join key is ``xxhash64(shingle)`` rather than
+    the shingle string — an 8-byte shuffle/compare key instead of a
+    ~20-byte string (collision odds across a 100 TB corpus' pair space
+    are ~k²/2⁶⁴, negligible).  The self-join's two sides re-derive the
+    postings list rather than persisting it: at test scale a cache
+    materialization barrier costs more than the recompute, and at
+    100 TB an in-memory postings cache would not fit anyway — the
+    shuffle files of the exchange already give reuse across the join.
     """
     sh = shingle_sets(df, n)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s0")).select(
+        "doc_id", F.xxhash64("s0").alias("s")
+    )
     if max_shingle_df is not None:
         hot = ex.groupBy("s").count().where(F.col("count") > max_shingle_df).select("s")
         ex = ex.join(hot, "s", "left_anti")
@@ -163,7 +174,7 @@ def ngram_jaccard_pairs(
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(load_spread(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -172,12 +183,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(doc_id, h0..h{k-1}) minhash signature via k seeded xxhash64
-    min-aggregates over the exploded shingle set — one shuffle, k
-    map-side partial mins, no UDFs."""
-    ex = shingle_sets(df, n).select("doc_id", F.explode("shingles").alias("s"))
-    return ex.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)]
+    """(doc_id, h0..h{k-1}) minhash signature, computed map-side.
+
+    Arrow-batched ``mapInPandas``: per document, shingle → one 64-bit
+    base hash per shingle (``pd.util.hash_array`` — SipHash with a
+    fixed key, identical on every executor), then the k permutation
+    hashes are ``a_i·x + b_i (mod 2⁶⁴)`` with (a_i odd, b_i) drawn from
+    a fixed-seed RNG — one vectorized (k × |shingles|) min-reduce in
+    numpy per document.
+
+    Why not k JVM min-aggregates over the exploded shingle set: that
+    formulation shuffles the postings list and spends multiple seconds
+    compiling a k-wide whole-stage-codegen aggregate; this one is
+    shuffle-free (signatures emerge partitioned exactly like the input
+    corpus — at 100 TB, no data movement until the band-bucket join)
+    and its cost is a numpy matmul-shaped reduce.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    a = (rng.integers(0, 2**63, num_hashes, dtype=np.uint64) * 2 + 1).astype(np.uint64)
+    b = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+
+    def batches(it):
+        for pdf in it:
+            sigs = np.empty((len(pdf), num_hashes), dtype=np.uint64)
+            keep = np.ones(len(pdf), dtype=bool)
+            for i, text in enumerate(pdf["text"].values):
+                toks = text.split(" ")
+                if len(toks) < n:
+                    # no shingles => no signature row (mirrors the
+                    # explode-based formulation, where such docs never
+                    # reach the band join at all)
+                    keep[i] = False
+                    continue
+                sh = list({" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)})
+                base = pd.util.hash_array(np.asarray(sh, dtype=object))
+                # (k, |sh|) permutation table → row-wise min
+                sigs[i] = (a[:, None] * base[None, :] + b[:, None]).min(axis=1)
+            out = pd.DataFrame({"doc_id": pdf["doc_id"][keep]})
+            s64 = sigs[keep].astype(np.int64)
+            for k in range(num_hashes):
+                out[f"h{k}"] = s64[:, k]
+            yield out
+
+    schema = "doc_id long, " + ", ".join(f"h{k} long" for k in range(num_hashes))
+    return df.select("doc_id", "text").mapInPandas(batches, schema)
+
+
+def _bucket_pairs(
+    df: DataFrame, keys: list[str], id_col: str, a_name: str, b_name: str
+) -> DataFrame:
+    """Distinct within-bucket id pairs (a < b) for LSH-style blocking.
+
+    groupBy the bucket key, collect the member ids, and enumerate the
+    ordered pairs with array higher-order functions — one shuffle, one
+    pass over the bucketed table, versus a self-equi-join that computes
+    the (possibly expensive) upstream plan once per side.  Only valid
+    when bucket membership is bounded (true for LSH bands / simhash
+    chunks); unbounded-group blocking should use the join form plus a
+    hot-key cap instead.
+    """
+    grouped = (
+        df.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        "  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias(a_name), F.col("p.b").alias(b_name))
+        .distinct()
     )
 
 
@@ -190,11 +270,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
-    Candidates = pairs agreeing on at least one band (equi-join on
-    (band, band_hash) — shuffle cost ∝ docs × bands, never n²).  Each
-    candidate is then verified against the true shingle sets, so
-    precision is exact; recall follows the LSH S-curve (see module
-    docstring).
+    Candidates = pairs agreeing on at least one band.  Rather than a
+    bucket self-join (which computes the signature pass once per join
+    side), buckets are grouped by (band, band_hash) and pairs are
+    enumerated inside each bucket with ``_bucket_pairs`` — ONE
+    signature pass, ONE shuffle keyed on the band hash.  Bucket width
+    is bounded by construction (a bucket is r=4 agreeing minhashes ⇒
+    its members are mutual near-dups, and real corpora cap dup-cluster
+    size), so the per-group pair expansion cannot blow up the way a hot
+    join key would.  Each candidate is then verified against the true
+    shingle sets, so precision is exact; recall follows the LSH S-curve
+    (see module docstring).
     """
     sig = minhash_signatures(df, n, bands * rows_per_band)
     band_structs = [
@@ -209,17 +295,7 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
-    a, b_ = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _bucket_pairs(buckets, ["band", "bh"], "doc_id", "doc_a", "doc_b")
     sh = shingle_sets(df, n)
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -239,7 +315,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (approximate candidate generation —
     no SQL oracle; tests/test_dedup.py asserts exact agreement with
     dedup_ngram_jaccard on the planted duplicates)."""
-    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(load_spread(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -250,25 +326,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(df: DataFrame) -> DataFrame:
     """64-bit SimHash per document from whitespace tokens.
 
-    bit_j(doc) = sign( Σ_tokens ±1 ) where the ±1 is bit j of
-    xxhash64(token); occurrences weight naturally (explode keeps
-    duplicates).  64 conditional-sum aggregates in one groupBy."""
-    tok = df.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    h = F.xxhash64(F.col("w"))
-    sums = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    simhash = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        simhash = term if simhash is None else simhash.bitwiseOR(term)
-    return sums.select("doc_id", simhash.alias("simhash"))
+    bit_j(doc) = sign( Σ_tokens ±1 ) where the ±1 is bit j of a
+    deterministic 64-bit token hash; occurrences weight naturally.
+
+    Implemented as an Arrow-batched ``mapInPandas``: the per-document
+    work (hash tokens, unpack 64 bit-planes, majority-vote) vectorizes
+    in numpy, versus 64 separate conditional-sum aggregates JVM-side —
+    the pure-SQL formulation spends seconds compiling a 64-wide
+    whole-stage-codegen aggregate and re-evaluates the token hash per
+    bit.  Token hashing is ``pd.util.hash_array`` (SipHash with a fixed
+    key — identical on every executor, no seed to ship).  Shuffle-free:
+    signatures are computed map-side in one pass over the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            out = np.zeros(len(pdf), dtype=np.uint64)
+            for i, text in enumerate(pdf["text"].values):
+                toks = text.split()
+                if not toks:
+                    continue
+                h = pd.util.hash_array(np.asarray(toks, dtype=object))
+                ones = np.unpackbits(
+                    h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                ).sum(axis=0)
+                bits = (2 * ones > len(toks)).astype(np.uint8)
+                out[i] = np.packbits(bits, bitorder="little").view(np.uint64)[0]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": out.astype(np.int64)}
+            )
+
+    return df.select("doc_id", "text").mapInPandas(batches, "doc_id long, simhash long")
 
 
 def simhash_pairs(df: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
@@ -289,21 +379,24 @@ def simhash_pairs(df: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     blocks = sig.select(
         "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("e")
     ).select("doc_id", "simhash", F.col("e.c").alias("c"), F.col("e.chunk").alias("chunk"))
-    a, b = blocks.alias("a"), blocks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Pair members inside each (chunk-index, chunk-value) block — same
+    # single-shuffle pattern as _bucket_pairs, carrying the signatures
+    # so hamming distance is computed inline per pair.
+    grouped = (
+        blocks.groupBy("c", "chunk")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(ms, (x, i) ->"
+        "  transform(slice(ms, i + 2, size(ms)), y -> struct("
+        "    x.doc_id AS doc_a, y.doc_id AS doc_b,"
+        "    bit_count(x.simhash ^ y.simhash) AS hamming))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(ham <= hamming_max)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .where(F.col("hamming") <= hamming_max)
         .distinct()
     )
 
@@ -313,7 +406,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3; xxhash64-based signature
     has no DuckDB equivalent — rows-only check; tests assert the
     planted near-identical pairs are found)."""
-    return simhash_pairs(load(spark, sf_dir, "documents"))
+    return simhash_pairs(load_spread(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -341,7 +434,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .similarity import cosine_expr, with_norm
 
-    e = with_norm(load(spark, sf_dir, "embeddings"))
+    e = with_norm(load_spread(spark, sf_dir, "embeddings"))
     a, b = e.alias("a"), e.alias("b")
     cos = cosine_expr("a", "b")
     return (

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
 TOPK = 5
 N_QUERIES_PRED = "vec_id < 5"
@@ -107,7 +107,7 @@ def cosine_topk(
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for the first five vectors (baseline ANN truth)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     return cosine_topk(e.where(N_QUERIES_PRED), e, TOPK)
 
 
@@ -116,43 +116,49 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _hyperplanes(spark: SparkSession, dim: int) -> DataFrame:
-    """(table, plane, dim, w) rows with w in {-1, +1}, derived from
-    xxhash64 so every executor regenerates the same planes."""
-    return (
-        spark.range(LSH_TABLES * LSH_BITS * dim)
-        .select(
-            (F.col("id") / (LSH_BITS * dim)).cast("int").alias("t"),
-            ((F.col("id") / dim) % LSH_BITS).cast("int").alias("p"),
-            (F.col("id") % dim).cast("int").alias("d"),
-            (
-                F.shiftright(F.xxhash64("id"), 7).bitwiseAND(F.lit(1)) * 2 - 1
-            ).cast("double").alias("w"),
-        )
-    )
-
-
 def lsh_buckets(spark: SparkSession, vecs: DataFrame) -> DataFrame:
     """(vec_id, t, bucket) — one sign-pattern bucket per LSH table.
 
-    posexplode(vector) ⋈ broadcast(planes) → per-(vec, table, plane)
-    dot products → sign bits packed into an int bucket id.  All
-    aggregates are partial map-side; shuffle is |vecs| × tables rows.
+    Arrow-batched ``mapInPandas``: the whole batch of vectors is one
+    numpy matmul against a fixed-seed ±1 hyperplane matrix
+    (dim × tables·bits), then sign bits pack into per-table bucket ids.
+    Every executor regenerates the same planes from the seed — nothing
+    to broadcast — and the op is shuffle-free: buckets stay partitioned
+    like the corpus until the candidate join.  (The matmul replaces a
+    posexplode ⋈ planes ⋈ two-stage aggregation — |vecs|·dim·planes
+    joined rows — with one BLAS call per batch.)
     """
-    dim_rows = vecs.select("vec_id", F.posexplode("emb_d").alias("d", "x"))
-    planes = _hyperplanes(spark, 64)
-    dots = (
-        dim_rows.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "t", "p")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-    )
-    bit = F.when(F.col("dot") > 0, F.lit(1)).otherwise(F.lit(0))
-    bitval = bit.cast("long") * F.pow(F.lit(2.0), F.col("p").cast("double")).cast("long")
-    return (
-        dots.withColumn("bitval", bitval)
-        .groupBy("vec_id", "t")
-        .agg(F.sum("bitval").alias("bucket"))
-    )
+    import numpy as np
+    import pandas as pd
+
+    tables, bits = LSH_TABLES, LSH_BITS
+
+    def batches(it):
+        planes = None
+        powers = (2 ** np.arange(bits, dtype=np.int64))[None, :]
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["emb_d"].values])
+            if planes is None:
+                rng = np.random.default_rng(42)
+                planes = rng.choice([-1.0, 1.0], size=(mat.shape[1], tables * bits))
+            signs = (mat @ planes) > 0  # (n, tables*bits)
+            out = []
+            for t in range(tables):
+                chunk = signs[:, t * bits : (t + 1) * bits].astype(np.int64)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "t": t,
+                            "bucket": (chunk * powers).sum(axis=1),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return vecs.select("vec_id", "emb_d").mapInPandas(batches, "vec_id long, t int, bucket long")
 
 
 def ann_lsh_topk(
@@ -207,5 +213,5 @@ def ann_lsh_topk(
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN top-5 (approximate — no SQL oracle;
     tests/test_similarity.py pins recall vs the brute-force baseline)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     return ann_lsh_topk(spark, e.where(N_QUERIES_PRED), e, TOPK)

@@ -36,6 +36,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, min_parallelism: int | None = None
+) -> DataFrame:
+    """Load a table and guarantee enough partitions for CPU-heavy work.
+
+    The local test tables are single parquet files → one input split,
+    which would serialize per-row-expensive operators (shingling, token
+    hashing, vector math) onto one core.  At cluster scale the input
+    arrives as many splits and this is a no-op — the repartition only
+    fires when the scan has fewer partitions than the session's
+    parallelism, so no shuffle is added for a 100 TB input.
+    """
+    df = load(spark, sf_dir, name)
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
     parquet reader rejects ([PARQUET_TYPE_ILLEGAL]).  Read nanos as a
