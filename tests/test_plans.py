@@ -1,0 +1,82 @@
+"""Physical-plan hygiene for the query plane (SURVEY §4).
+
+Whether a query is *fast at 100 TB* is decided by its plan shape, not
+its output: filters must reach the parquet scan, scans must read only
+the referenced columns, small sides must broadcast, aggregates must
+combine map-side, and top-k must not globally sort.  These tests pin
+those shapes so a refactor that silently de-optimizes a plan fails CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mahjong_etl_spark.plans.registry import registry
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def _run(reg, name, spark, sf_dir):
+    return reg[name].spark_fn(spark, sf_dir)
+
+
+def test_q1_filter_pushdown_and_partial_agg(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "q1_pricing_summary", spark, sf_dir))
+    # shipdate predicate reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # two-phase aggregate: a partial (map-side) hash agg before the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_q1_column_pruning(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "q1_pricing_summary", spark, sf_dir))
+    # the scan must NOT read columns q1 never references
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+    assert "l_comment" not in plan
+
+
+def test_q5_broadcasts_every_dim(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "q5_nation_revenue", spark, sf_dir))
+    # five dim joins, all broadcast — the fact table never shuffles for a join
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    # the only exchange is the final groupBy hash partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semi_anti_join_strategies(reg, spark, sf_dir):
+    semi = plan_of(_run(reg, "customers_with_big_orders_semi", spark, sf_dir))
+    anti = plan_of(_run(reg, "customers_without_orders_anti", spark, sf_dir))
+    assert "LeftSemi" in semi and "SortMergeJoin" not in semi
+    assert "LeftAnti" in anti and "SortMergeJoin" not in anti
+
+
+def test_top_customers_no_global_sort(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "top_customers", spark, sf_dir))
+    # ORDER BY ... LIMIT k plans as per-partition top-k + driver merge,
+    # never a full sort of the aggregate output
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no standalone global Sort node
+
+
+def test_scan_only_queries_have_no_shuffle(reg, spark, sf_dir):
+    # pure per-row derivations: one scan, zero exchanges
+    for name in ["text_quality", "text_fingerprint"]:
+        plan = plan_of(_run(reg, name, spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} should be shuffle-free"
+
+
+def test_whole_stage_codegen_covers_q1(reg, spark, sf_dir):
+    df = _run(reg, "q1_pricing_summary", spark, sf_dir)
+    df.collect()  # AQE shows codegen spans only in the executed final plan
+    # "*(n) " prefixes mark whole-stage-codegen stages in the plan string;
+    # filter, projection and both aggregate phases must all be inside one
+    assert "*(1) HashAggregate" in plan_of(df) and "*(1) Filter" in plan_of(df)
