@@ -1,0 +1,123 @@
+"""Command-line surface — parity with the reference's three CLIs.
+
+reference               -> here
+--------------------------------------------------------------------
+python extractor.py ... -> python -m mahjong_etl_spark extract ...
+python main.py ...      -> python -m mahjong_etl_spark etl ...
+python random_pailist.py-> python -m mahjong_etl_spark walls ...
+(Athena, external)      -> python -m mahjong_etl_spark sql ...
+
+Flag names mirror the reference where one exists (reference
+extractor.py:70-78, main.py:10-15, random_pailist.py:19-26); the
+``sql`` subcommand replaces the reference's out-of-repo Athena step
+with an in-engine Spark SQL runner over the written tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+
+
+def _spark(app: str):
+    from .session import get_spark
+
+    return get_spark(app)
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    from .sources.extractor import (
+        daily_log_ids,
+        fetch_logs,
+        filter_archives_by_date,
+        scan_archive_index,
+    )
+
+    names = scan_archive_index(include_old=args.old)
+    names = filter_archives_by_date(names, args.date)
+    ids = daily_log_ids(names)
+    n = fetch_logs(ids, args.output_dir)
+    print(f"wrote {n} logs across {len(ids)} dates under {args.output_dir}")
+    return 0
+
+
+def cmd_etl(args: argparse.Namespace) -> int:
+    from .plans.etl import run_etl
+
+    spark = _spark("mahjong-etl")
+    counts = run_etl(
+        spark, args.log_dir, args.output_dir, compat=not args.no_compat
+    )
+    for table, n in counts.items():
+        print(f"{table}: {n} rows")
+    return 0
+
+
+def cmd_walls(args: argparse.Namespace) -> int:
+    from .sources.paiyama import write_walls
+
+    spark = _spark("mahjong-walls")
+    dt = datetime.datetime.strptime(args.date, "%Y%m%d").date()
+    write_walls(spark, args.num, dt, args.output_dir, seed=args.seed)
+    print(f"wrote {args.num} walls for dt={dt.isoformat()} under {args.output_dir}")
+    return 0
+
+
+def cmd_sql(args: argparse.Namespace) -> int:
+    from .plans.catalog import register_tables
+
+    spark = _spark("mahjong-sql")
+    registered = register_tables(spark, args.data_dir)
+    if not registered:
+        print(f"no tables found under {args.data_dir}", file=sys.stderr)
+        return 1
+    sql = args.query or sys.stdin.read()
+    df = spark.sql(sql)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mahjong_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="fetch Tenhou logs (S1-S4)")
+    ex.add_argument("--old", action="store_true", help="include the ?old archive index")
+    ex.add_argument("-O", "--output-dir", required=True)
+    ex.add_argument("-d", "--date", default=None, help="YYYYMMDD filter")
+    ex.set_defaults(fn=cmd_extract)
+
+    et = sub.add_parser("etl", help="XML logs -> 9 partitioned parquet tables")
+    et.add_argument("-L", "--log-dir", required=True)
+    et.add_argument("-O", "--output-dir", required=True)
+    et.add_argument(
+        "--no-compat",
+        action="store_true",
+        help="fix the reference's discard/meld-id bugs instead of reproducing them",
+    )
+    et.set_defaults(fn=cmd_etl)
+
+    wa = sub.add_parser("walls", help="synthetic paiyama generator")
+    wa.add_argument("-n", "--num", type=int, required=True)
+    wa.add_argument("-O", "--output-dir", required=True)
+    wa.add_argument("-d", "--date", required=True, help="YYYYMMDD")
+    wa.add_argument("--seed", type=int, default=0)
+    wa.set_defaults(fn=cmd_walls)
+
+    sq = sub.add_parser("sql", help="Spark SQL over the written tables")
+    sq.add_argument("-D", "--data-dir", required=True)
+    sq.add_argument("-q", "--query", default=None, help="SQL (default: stdin)")
+    sq.add_argument("--limit", type=int, default=100)
+    sq.set_defaults(fn=cmd_sql)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,61 @@
+"""CLI parity tests — in-process (reusing the session fixture's JVM;
+get_spark is a getOrCreate so the CLI binds to the same session)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from mahjong_etl_spark.cli import main
+
+FIXTURE_LOGS = "tests/fixtures/logs"
+
+
+@pytest.fixture(scope="module")
+def cli_out(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("cli_parquet")
+    rc = main(["etl", "-L", FIXTURE_LOGS, "-O", str(out)])
+    assert rc == 0
+    yield str(out)
+    shutil.rmtree(str(out), ignore_errors=True)
+
+
+def test_cli_etl_writes_all_tables(cli_out, capsys):
+    import glob
+
+    for table in ["games", "rules", "kyokus", "haipais", "actions"]:
+        assert glob.glob(f"{cli_out}/{table}/dt=*/*.parquet"), table
+
+
+def test_cli_walls(spark, tmp_path, capsys):
+    rc = main(["walls", "-n", "7", "-O", str(tmp_path), "-d", "20240105", "--seed", "1"])
+    assert rc == 0
+    df = spark.read.parquet(f"{tmp_path}/paiyamas")
+    assert df.count() == 7
+    # every wall is a permutation of 0..135
+    from pyspark.sql import functions as F
+
+    bad = df.where(
+        F.expr("array_sort(pai_ids) <> transform(sequence(0,135), x -> cast(x AS long))")
+    ).count()
+    assert bad == 0
+
+
+def test_cli_sql(cli_out, capsys):
+    rc = main(
+        [
+            "sql",
+            "-D",
+            cli_out,
+            "-q",
+            "SELECT count(*) AS n FROM kyokus JOIN games ON kyokus.game_id = games.id",
+        ]
+    )
+    assert rc == 0
+    assert "5" in capsys.readouterr().out  # 5 kyokus across the fixtures
+
+
+def test_cli_sql_empty_dir(tmp_path, capsys):
+    rc = main(["sql", "-D", str(tmp_path), "-q", "SELECT 1"])
+    assert rc == 1

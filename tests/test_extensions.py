@@ -54,3 +54,31 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert len(exact) > 0
     recall = len(ann & exact) / len(exact)
     assert recall >= 0.6, f"ANN recall too low: {recall}"
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF ANN (16 clusters, nprobe=6) must recover >= 60% of the
+    exact top-5, same contract as the LSH variant."""
+    from mahjong_etl_spark.operators.similarity import similarity_ann_ivf
+
+    exact = {
+        (r.q_id, r.neighbor_id) for r in similarity_topk_bruteforce(spark, sf_dir).collect()
+    }
+    ann = {(r.q_id, r.neighbor_id) for r in similarity_ann_ivf(spark, sf_dir).collect()}
+    assert len(exact) > 0
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    """The coarse quantizer must be identical across runs (seedless
+    hash sampling + fixed Lloyd rounds)."""
+    import numpy as np
+
+    from mahjong_etl_spark.operators.similarity import train_ivf_centroids, with_norm
+    from mahjong_etl_spark.sources.tables import load_spread
+
+    c = with_norm(load_spread(spark, sf_dir, "embeddings"))
+    c1 = train_ivf_centroids(c, 8, iters=1)
+    c2 = train_ivf_centroids(c, 8, iters=1)
+    assert np.allclose(c1, c2)

@@ -1,0 +1,60 @@
+"""salted_join must be semantics-preserving and actually spread hot keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mahjong_etl_spark.functions.skew import salted_join
+
+
+def _skewed_frames(spark):
+    # 10k rows, 90% on key 0 — the pathological shuffle-join shape
+    big = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim_"), F.col("id")).alias("name")
+    )
+    return big, small
+
+
+def test_salted_join_matches_plain_join(spark):
+    big, small = _skewed_frames(spark)
+    plain = big.join(small, "k").select("k", "payload", "name")
+    salted = salted_join(big, small, "k", num_salts=8).select("k", "payload", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left(spark):
+    big, small = _skewed_frames(spark)
+    plain = big.join(small, "k", "left").select("k", "payload", "name")
+    salted = salted_join(big, small, "k", num_salts=4, how="left").select(
+        "k", "payload", "name"
+    )
+    assert sorted(map(tuple, plain.collect()), key=str) == sorted(
+        map(tuple, salted.collect()), key=str
+    )
+
+
+def test_salt_actually_spreads_hot_key(spark):
+    big, _ = _skewed_frames(spark)
+    salted = big.withColumn(
+        "salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8))
+    )
+    spread = (
+        salted.where(F.col("k") == 0).groupBy("salt").count().collect()
+    )
+    # the hot key's rows land on every salt, none holding > 1/4 of them
+    assert len(spread) == 8
+    assert max(r["count"] for r in spread) < 9000 / 4
+
+
+def test_salt_deterministic_across_recompute(spark):
+    big, _ = _skewed_frames(spark)
+    salted = big.withColumn(
+        "salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8))
+    )
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, salted.collect()))  # recompute, no cache
+    assert a == b
