@@ -117,27 +117,33 @@ def ngram_jaccard_pairs(
     guard for web-scale corpora (slightly relaxes exactness, documented
     trade-off).
 
-    Physical choices: the join key is ``xxhash64(shingle)`` rather than
-    the shingle string — an 8-byte shuffle/compare key instead of a
+    Physical choices: the postings key is ``xxhash64(shingle)`` rather
+    than the shingle string — an 8-byte shuffle key instead of a
     ~20-byte string (collision odds across a 100 TB corpus' pair space
-    are ~k²/2⁶⁴, negligible).  The self-join's two sides re-derive the
-    postings list rather than persisting it: at test scale a cache
-    materialization barrier costs more than the recompute, and at
-    100 TB an in-memory postings cache would not fit anyway — the
-    shuffle files of the exchange already give reuse across the join.
+    are ~k²/2⁶⁴, negligible) — and co-occurrence counting groups the
+    postings by shingle and enumerates pairs within each group (the
+    same blocking→in-bucket-pairs shape as the LSH operators) instead
+    of self-joining the postings list, which would re-derive the
+    shingle pass once per join side.  One shingle pass, two shuffles
+    (by shingle, then by pair).  A shingle shared by k docs still
+    yields k²/2 pair rows — ``max_shingle_df`` is the hot-key cap.
     """
     sh = shingle_sets(df, n)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s0")).select(
         "doc_id", F.xxhash64("s0").alias("s")
     )
+    postings = ex.groupBy("s").agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
     if max_shingle_df is not None:
-        hot = ex.groupBy("s").count().where(F.col("count") > max_shingle_df).select("s")
-        ex = ex.join(hot, "s", "left_anti")
-    a, b = ex.alias("a"), ex.alias("b")
+        postings = postings.where(F.size("ids") <= max_shingle_df)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        "  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+    )
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.where(F.size("ids") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
