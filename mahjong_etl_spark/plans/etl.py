@@ -38,6 +38,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -81,6 +82,10 @@ PARSED_GAME_SCHEMA = StructType(
         StructField("days", LongType()),
         StructField("game_id", StringType()),
         StructField("n_kyokus", IntegerType()),
+        # quarantine channel: non-null => the game failed to parse and
+        # contributes no table rows (one bad log among billions must
+        # not fail the job — it lands in {out}/_corrupt instead)
+        StructField("error", StringType(), True),
     ]
     + [StructField(t, ArrayType(_localized(t))) for t in TABLE_SCHEMAS]
 )
@@ -90,19 +95,25 @@ def _parse_batches(compat: bool):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mahjong_etl_spark.operators.mahjong_parse import parse_game
 
+        empty = {t: [] for t in TABLE_SCHEMAS}
         for pdf in batches:
             rows: list[dict[str, Any]] = []
             for path_date, game_id, content in zip(
                 pdf["dt_raw"], pdf["game_id"], pdf["content"]
             ):
                 d = datetime.datetime.strptime(path_date, "%Y%m%d").date()
-                tables = parse_game(bytes(content), game_id, d, compat=compat)
+                try:
+                    tables = parse_game(bytes(content), game_id, d, compat=compat)
+                    err = None
+                except Exception as e:  # noqa: BLE001 — quarantined, not swallowed
+                    tables, err = empty, f"{type(e).__name__}: {e}"
                 rows.append(
                     {
                         "dt": d.isoformat(),
                         "days": (d - _EPOCH).days,
                         "game_id": game_id,
                         "n_kyokus": len(tables["kyokus"]),
+                        "error": err,
                         **tables,
                     }
                 )
@@ -163,17 +174,34 @@ def run_etl(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     parsed = parse_logs(spark, log_dir, compat).persist()
     try:
-        offsets = _with_offsets(parsed)
-        counts: dict[str, int] = {}
+        corrupt = parsed.where(F.col("error").isNotNull()).select(
+            "dt", "game_id", "error"
+        )
+        # write-if-nonempty, like the reference's conditional agaris/
+        # nagares files; counted first so operators can alert on it
+        n_corrupt = corrupt.count()
+        if n_corrupt:
+            corrupt.write.mode("overwrite").partitionBy("dt").parquet(
+                f"{out_dir}/_corrupt"
+            )
+        good = parsed.where(F.col("error").isNull())
+        offsets = _with_offsets(good)
+        counts: dict[str, int] = {"_corrupt": n_corrupt}
         for table in TABLE_SCHEMAS:
-            df = table_df(parsed, offsets, table)
+            df = table_df(good, offsets, table)
             # agaris/nagares may be empty for a date — Spark simply
             # writes no partition directory (the reference skips the
             # file too, scrape.py:651-660)
             df.write.mode("overwrite").partitionBy("dt").parquet(
                 f"{out_dir}/{table}"
             )
-            counts[table] = spark.read.parquet(f"{out_dir}/{table}").count()
+            try:
+                counts[table] = spark.read.parquet(f"{out_dir}/{table}").count()
+            except AnalysisException:
+                # a table with zero rows everywhere writes no part files
+                # (e.g. agaris when no game has a win) — schema inference
+                # on the empty directory fails, and the count is simply 0
+                counts[table] = 0
         return counts
     finally:
         parsed.unpersist()

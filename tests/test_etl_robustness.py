@@ -1,0 +1,74 @@
+"""ETL robustness: corrupt-input quarantine and volume behavior."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from mahjong_etl_spark.plans.etl import run_etl
+
+FIXTURES = "tests/fixtures/logs"
+
+
+def test_corrupt_xml_quarantined_not_fatal(spark, tmp_path):
+    logs = tmp_path / "logs"
+    shutil.copytree(FIXTURES, logs)
+    (logs / "20240102" / "broken.xml").write_bytes(b"<mjloggm><UNCLOSED")
+    # NB zero-byte files produce no binaryFile record at all (source
+    # skips them); junk bytes exercise the quarantine path instead
+    (logs / "20240103" / "junk.xml").write_bytes(b"\x00\x01not-xml")
+
+    out = tmp_path / "out"
+    counts = run_etl(spark, str(logs), str(out))
+
+    # the 4 good games still produce their full output
+    assert counts["games"] == 4 and counts["kyokus"] == 5
+    assert counts["_corrupt"] == 2
+    bad = spark.read.parquet(f"{out}/_corrupt")
+    rows = {r.game_id: r for r in bad.collect()}
+    assert set(rows) == {"broken", "junk"}
+    assert "ParseError" in rows["broken"].error and rows["junk"].error
+    assert glob.glob(f"{out}/_corrupt/dt=2024-01-02/*.parquet")
+
+
+def test_etl_at_volume_unique_keys(spark, tmp_path):
+    """Replicate one fixture game 300x across 3 dates: minted kyoku
+    ids must stay unique and per-date-dense, and the pipeline is one
+    parse pass (throughput printed as the BASELINE.md proxy)."""
+    src = open(f"{FIXTURES}/20240102/g1minimal.xml", "rb").read()
+    logs = tmp_path / "logs"
+    n_per_date, dates = 100, ["20240110", "20240111", "20240112"]
+    for d in dates:
+        (logs / d).mkdir(parents=True)
+        for i in range(n_per_date):
+            (logs / d / f"g{i:04d}.xml").write_bytes(src)
+
+    out = tmp_path / "out"
+    t0 = time.perf_counter()
+    counts = run_etl(spark, str(logs), str(out))
+    wall = time.perf_counter() - t0
+    n_games = n_per_date * len(dates)
+    print(f"\nETL volume proxy: {n_games} games in {wall:.1f}s "
+          f"({n_games / wall:.0f} games/sec)")
+
+    assert counts["games"] == n_games
+    # g1minimal has 1 kyoku -> one kyoku row per game, all ids unique
+    k = spark.read.parquet(f"{out}/kyokus")
+    assert k.count() == n_games
+    assert k.select("id").distinct().count() == n_games
+    # ids are dense per date: days*100000 + 0..n-1
+    per_date = (
+        k.withColumn("ordinal", F.col("id") % 100000)
+        .groupBy("dt")
+        .agg(F.min("ordinal").alias("lo"), F.max("ordinal").alias("hi"))
+        .collect()
+    )
+    for r in per_date:
+        assert (r.lo, r.hi) == (0, n_per_date - 1)
+    # haipais joinable to kyokus across the whole output
+    h = spark.read.parquet(f"{out}/haipais")
+    joined = h.join(k, h.kyoku_id == k.id).count()
+    assert joined == h.count()
