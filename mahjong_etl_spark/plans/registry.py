@@ -52,7 +52,7 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 
 def registry() -> dict[str, Query]:
     """Import all query-defining modules, return the full registry."""
-    from . import queries  # noqa: F401
+    from . import mahjong_queries, queries  # noqa: F401
     from ..operators import (  # noqa: F401
         dedup,
         multimodal,
