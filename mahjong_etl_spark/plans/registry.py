@@ -54,6 +54,7 @@ def registry() -> dict[str, Query]:
     """Import all query-defining modules, return the full registry."""
     from . import mahjong_queries, queries  # noqa: F401
     from ..operators import (  # noqa: F401
+        asof,
         dedup,
         multimodal,
         sessionize,

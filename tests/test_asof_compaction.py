@@ -1,0 +1,86 @@
+"""Unit tests for the as-of join operator and partition compaction."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from mahjong_etl_spark.operators.asof import asof_join
+from mahjong_etl_spark.plans.compaction import compact_table, partition_stats
+
+
+def _ts(s: str):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "c1"),
+            (1, _ts("2024-01-01 12:00:00"), "c2"),
+            (2, _ts("2024-01-01 09:00:00"), "c3"),  # before any right row
+            (3, _ts("2024-01-01 10:00:00"), "c4"),  # key with no right rows
+        ],
+        "k long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), "r-early"),
+            (1, _ts("2024-01-01 12:00:00"), "r-simultaneous"),
+            (2, _ts("2024-01-01 11:00:00"), "r-late"),
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    out = {
+        (r.k, r.ev): r.tag_asof
+        for r in asof_join(left, right, on="k", ts="ts").collect()
+    }
+    assert out == {
+        (1, "c1"): "r-early",  # latest at-or-before 10:00
+        (1, "c2"): "r-simultaneous",  # equal ts matches
+        (2, "c3"): None,  # right row exists but only later
+        (3, "c4"): None,  # no right rows for the key
+    }
+
+
+def test_asof_join_one_shuffle(spark):
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_micros(F.col("id") * 1000000).alias("ts"),
+        F.col("id").alias("ev"),
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_micros(F.col("id") * 4000000).alias("ts"),
+        F.col("id").alias("tag"),
+    )
+    df = asof_join(left, right, on="k", ts="ts")
+    df.collect()
+    # AQE renders Final + Initial plans; count exchanges in the final only
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # exactly one hash exchange (the per-key window); no join operator
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    root = str(tmp_path)
+    df = spark.range(2000).select(
+        F.lit("2024-01-02").alias("dt"), F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    # fragment the partition into many small files
+    df.repartition(16).write.partitionBy("dt").parquet(f"{root}/t")
+    before = partition_stats(root, "t")["2024-01-02"]
+    assert before[0] == 16
+
+    rewritten = compact_table(spark, root, "t", target_file_bytes=10**9)
+    assert rewritten == {"2024-01-02": 1}
+    after = partition_stats(root, "t")["2024-01-02"]
+    assert after[0] == 1
+
+    back = spark.read.parquet(f"{root}/t")
+    assert back.count() == 2000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(2000))
+    # idempotent: a second pass finds nothing to do
+    assert compact_table(spark, root, "t", target_file_bytes=10**9) == {}
