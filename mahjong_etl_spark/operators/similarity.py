@@ -251,13 +251,17 @@ def train_ivf_centroids(corpus: DataFrame, k: int = IVF_CLUSTERS, iters: int = I
     of smallest xxhash64(vec_id) (a seedless, cluster-size-independent
     pseudo-random sample), then ``iters`` Lloyd rounds.
 
-    Each round is two distributed passes — a map-side numpy assignment
-    and a per-(cluster, dim) mean via posexplode + groupBy — and moves
-    only k×dim floats to the driver.  At 100 TB one would train on a
-    fixed-size sample instead of the full corpus; the shape of the
-    computation is identical.
+    Each round is ONE distributed pass: the Arrow batch that assigns
+    vectors to their nearest centroid also accumulates the per-cluster
+    (sum-vector, count) partials in numpy and emits only those — a
+    partitions × k × dim row shuffle instead of joining the corpus back
+    to its assignments and posexploding every vector (corpus × dim
+    rows).  The driver sees k×dim floats per round.  At 100 TB one
+    would train on a fixed-size sample instead of the full corpus; the
+    shape of the computation is identical.
     """
     import numpy as np
+    import pandas as pd
 
     seed_rows = (
         corpus.select("vec_id", "emb_d")
@@ -267,17 +271,46 @@ def train_ivf_centroids(corpus: DataFrame, k: int = IVF_CLUSTERS, iters: int = I
     )
     centroids = np.asarray([r.emb_d for r in seed_rows], dtype=np.float64)
     for _ in range(iters):
-        assigned = _assign_clusters(corpus, centroids)
-        means = (
-            corpus.join(assigned, "vec_id")
-            .select("cluster", F.posexplode("emb_d").alias("d", "x"))
+        cent = centroids
+        half_sq = 0.5 * (cent * cent).sum(axis=1)
+
+        def partials(it):
+            sums = np.zeros_like(cent)
+            counts = np.zeros(len(cent), dtype=np.int64)
+            seen = False
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["emb_d"].values]
+                )
+                cl = (mat @ cent.T - half_sq).argmax(axis=1)
+                np.add.at(sums, cl, mat)
+                counts += np.bincount(cl, minlength=len(cent))
+            if not seen:
+                return
+            c_idx, d_idx = np.nonzero(np.ones_like(sums, dtype=bool))
+            yield pd.DataFrame(
+                {
+                    "cluster": c_idx.astype("int32"),
+                    "d": d_idx.astype("int32"),
+                    "s": sums[c_idx, d_idx],
+                    "n": counts[c_idx],
+                }
+            )
+
+        agg = (
+            corpus.select("emb_d")
+            .mapInPandas(partials, "cluster int, d int, s double, n long")
             .groupBy("cluster", "d")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .where(F.col("n") > 0)
             .collect()
         )
         nxt = centroids.copy()  # empty clusters keep their previous centroid
-        for r in means:
-            nxt[r.cluster, r.d] = r.m
+        for r in agg:
+            nxt[r.cluster, r.d] = r.s / r.n
         centroids = nxt
     return centroids
 

@@ -506,6 +506,75 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_user_type_pivot",
+    oracle="""
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
+           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per event type, counts per user.
+
+    The pivot values are declared explicitly, so Spark skips the extra
+    distinct-values job and plans a single hash aggregate — same
+    one-shuffle shape as a plain groupBy.
+    """
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+    )
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+@query(
+    "events_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+               AS mov_avg,
+           sum(CAST(round(value, 3) AS DECIMAL(18,3)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_sum
+    FROM events
+    """,
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding and cumulative window frames (ROWS BETWEEN) over the
+    per-user event stream — the moving-aggregate counterpart of the
+    lag()/row_number() queries above.
+
+    The running sum goes through DECIMAL so the result is
+    summation-order-independent — double prefix sums drift in the last
+    bits between engines (DuckDB aggregates window frames via a segment
+    tree, Spark sequentially).
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(base.rowsBetween(-6, 0)), 4).alias("mov_avg"),
+        F.sum(F.round("value", 3).cast("decimal(18,3)"))
+        .over(base.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Strings and arrays
 # ---------------------------------------------------------------------------
