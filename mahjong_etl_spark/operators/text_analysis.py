@@ -188,6 +188,66 @@ def fingerprint_expr(text_col: str = "text"):
     )
 
 
+# ---------------------------------------------------------------------------
+# Heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_top_terms",
+    oracle="""
+    SELECT term, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE term != ''
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 20
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 terms by document-token frequency.
+
+    explode → partial count map-side → one shuffle on the term → final
+    count → TakeOrderedAndProject (per-partition top-k, driver merge —
+    never a full sort).  At 100 TB the same plan holds; if even the
+    distinct-term aggregate is too hot, the sketch-based
+    events_approx_quantiles idiom (count-min / approx_top_k) is the
+    fallback.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT least(floor(value / 25)::INTEGER, 19) AS bucket,
+           count(*)                              AS n,
+           round(min(value), 3)                  AS lo,
+           round(max(value), 3)                  AS hi
+    FROM events GROUP BY bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 buckets of 25, top-clamped) over the
+    event value distribution — the binning idiom for profiling a column
+    at scale: one scan, one tiny aggregate."""
+    e = load(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25).cast("int"), F.lit(19))
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 3).alias("lo"),
+        F.round(F.max("value"), 3).alias("hi"),
+    )
+
+
 @query(
     "text_fingerprint",
     oracle=f"""

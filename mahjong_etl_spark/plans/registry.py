@@ -57,6 +57,7 @@ def registry() -> dict[str, Query]:
         asof,
         dedup,
         multimodal,
+        rangejoin,
         sessionize,
         similarity,
         text_analysis,
