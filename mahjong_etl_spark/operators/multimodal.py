@@ -111,6 +111,114 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZE_TARGET = 64  # fake resize: resample payload to 64 "pixels"
+FRAME_STRIDE = 4  # fake frame-sample: every 4th frame
+
+
+def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """'Resize' each payload to ``target`` samples by nearest-neighbor
+    resampling of the payload bytes (the deterministic stand-in for a
+    real image resize — same mapInPandas shape, same batch contract).
+    Emits a checksum so the oracle can verify the resample exactly.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_sum = [], []
+            for p in pdf["payload"]:
+                n = len(p)
+                if n == 0:
+                    out_payload.append(b"")
+                    out_sum.append(0)
+                    continue
+                resized = bytes(p[(i * n) // target % n] for i in range(target))
+                out_payload.append(resized)
+                out_sum.append(sum(resized))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "resized": out_payload,
+                    "resized_sum": out_sum,
+                }
+            )
+
+    return media.mapInPandas(
+        _resize, "media_id long, kind string, resized binary, resized_sum long"
+    )
+
+
+def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling: video payloads fan out to one row per sampled
+    frame (every ``stride``-th of the fake decode's n_frames); images
+    and audio pass through as a single frame 0.  The per-row fanout
+    inside mapInPandas is the real shape a video pipeline needs —
+    output row count is data-dependent, not 1:1.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                n = len(p)
+                n_frames = (n % 24 + 1) if kind == "video" else 1
+                for fi in range(0, n_frames, stride):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    sums.append((p[(fi * 7) % n] + fi) if n else 0)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_checksum": sums}
+            )
+
+    return media.mapInPandas(_frames, "media_id long, frame_idx int, frame_checksum long")
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS kind,
+           list_sum([ascii(substr(text,
+                     ((i * length(text)) // {RESIZE_TARGET}) % length(text) + 1, 1))
+                     for i in range({RESIZE_TARGET})]) AS resized_sum
+    FROM documents
+    """,
+    bench=False,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing check: the oracle recomputes the nearest-
+    neighbor byte resample in SQL and must match the mapInPandas
+    checksum exactly."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return resize_media(media_table(docs)).select("media_id", "kind", "resized_sum")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, CASE WHEN doc_id % 3 = 2
+                                     THEN length(text) % 24 + 1 ELSE 1 END,
+                       {FRAME_STRIDE})) AS INTEGER) AS frame_idx
+    FROM documents
+    """,
+    bench=False,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fanout check: row multiset (media_id, frame_idx)
+    must equal the SQL range-unnest — proves the data-dependent fanout
+    inside mapInPandas."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return sample_frames(media_table(docs)).select("media_id", "frame_idx")
+
+
 @query(
     "multimodal_features",
     oracle="""

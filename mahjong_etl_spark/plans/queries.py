@@ -521,19 +521,19 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: one column per event type, counts per user.
 
-    The pivot values are declared explicitly, so Spark skips the extra
-    distinct-values job and plans a single hash aggregate — same
-    one-shuffle shape as a plain groupBy.
+    Written as conditional aggregation rather than ``.pivot()``: with
+    the value set declared, both are semantically identical, but
+    ``.pivot()`` plans TWO exchanges ((user, type) pre-aggregate, then
+    pivotfirst by user) while the CASE form is a single partial+final
+    aggregate over one exchange — verified in tests/test_plans.py.
     """
     e = load(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    piv = (
-        e.groupBy("user_id")
-        .pivot("event_type", types)
-        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
-    )
-    return piv.select(
-        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+    return e.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+            for t in types
+        ]
     )
 
 

@@ -74,6 +74,50 @@ def test_scan_only_queries_have_no_shuffle(reg, spark, sf_dir):
         assert "Exchange" not in plan, f"{name} should be shuffle-free"
 
 
+def test_q19_disjunction_pushed_to_both_scans(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "q19_disjunctive_revenue", spark, sf_dir))
+    # Catalyst extracts the single-side conjuncts of the OR-of-ANDs:
+    # the quantity range reaches the lineitem scan and the type/size
+    # disjunction reaches the part scan
+    assert "PushedFilters" in plan
+    assert "Or(" in plan.split("PushedFilters")[1]
+    assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+
+
+def test_q18_having_semi_join_broadcasts(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "q18_large_orders", spark, sf_dir))
+    # the HAVING aggregate output broadcasts back as a semi join, so
+    # orders is filtered before the big fact join
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_decorrelated_scalar_broadcasts(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "q17_small_qty_revenue", spark, sf_dir))
+    # both the filtered part dim and the per-partkey aggregate join
+    # broadcast — lineitem itself is never exchanged for a join
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_hash_join(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "events_attribution_window", spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_pivot_is_single_aggregate_pass(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "events_user_type_pivot", spark, sf_dir))
+    # declared pivot values => no extra distinct-values job; one
+    # partial+final aggregate pair over a single exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_top_terms_no_global_sort(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "text_top_terms", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+
+
 def test_whole_stage_codegen_covers_q1(reg, spark, sf_dir):
     df = _run(reg, "q1_pricing_summary", spark, sf_dir)
     df.collect()  # AQE shows codegen spans only in the executed final plan
