@@ -473,6 +473,28 @@ def event_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_price_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(max(o_totalprice), 4)                 AS p_max
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the exact counterpart
+    of events_approx_quantiles' sketches — affordable because the
+    group count is tiny; at 100 TB the sketch path is the default)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.max("o_totalprice"), 4).alias("p_max"),
+    )
+
+
 @query("events_approx_quantiles", oracle=None, bench=False)
 def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct + approx percentiles — approximate by

@@ -55,6 +55,39 @@ def test_left_join_keeps_unmatched(spark):
     assert {(r.purchase_id, r.n) for r in got.collect()} == {(1001, 1), (1002, 0)}
 
 
+def test_property_matches_naive_join(spark):
+    """Binned join == naive cross-join + filter on pseudo-random data
+    spanning many bin boundaries (deterministic generation, no seed to
+    ship — the point is coverage of edge alignments, not randomness)."""
+    rows_l, rows_r = [], []
+    for i in range(80):
+        u = i % 5
+        # timestamps scattered across +/- bin edges (3600s bins)
+        t = (i * 977) % 14400
+        rows_l.append((u, 1000 + i, _ts(0) + datetime.timedelta(seconds=t)))
+        rows_r.append((u, i, _ts(0) + datetime.timedelta(seconds=(t * 7 + i * 13) % 14400)))
+    left = spark.createDataFrame(rows_l, "user_id long, purchase_id long, p_ts timestamp")
+    right = spark.createDataFrame(rows_r, "user_id long, view_id long, v_ts timestamp")
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in time_window_join(
+            left, right, ["user_id"], "p_ts", "v_ts", 3600
+        ).collect()
+    }
+    naive = {
+        (r.purchase_id, r.view_id)
+        for r in left.withColumnRenamed("user_id", "lu")
+        .crossJoin(right)
+        .where(
+            (F.col("lu") == F.col("user_id"))
+            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 3600 SECONDS"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+        )
+        .collect()
+    }
+    assert got == naive and len(naive) > 0
+
+
 def test_plan_is_equi_join(spark):
     left = spark.range(10).select(
         F.col("id").alias("user_id"),
