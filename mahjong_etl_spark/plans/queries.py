@@ -628,6 +628,33 @@ def part_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One ANSI-neutral SQL text executed verbatim by BOTH engines: the
+# E4 lifecycle (SQL string -> Catalyst over registered views) proven
+# with zero translation — what "swap Athena for Spark SQL" means.
+_ROUNDTRIP_SQL = """
+    SELECT r_name,
+           count(*)                  AS n_customers,
+           round(sum(c_acctbal), 2)  AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY r_name
+"""
+
+
+@query("sql_text_roundtrip", oracle=_ROUNDTRIP_SQL)
+def sql_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same SQL string this query declares as its oracle is run
+    through ``spark.sql`` over registered views — character-for-
+    character dialect compatibility on the ANSI core, the contract an
+    Athena user migrating to this engine relies on."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ROUNDTRIP_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Subquery plane: EXISTS-aggregates, correlated scalars, HAVING,
 # disjunctive pushdown.  The reference's Athena surface (Presto SQL)
