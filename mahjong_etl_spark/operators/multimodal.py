@@ -179,9 +179,9 @@ def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                            ELSE 'video' END AS kind,
-           list_sum([ascii(substr(text,
+           CAST(list_sum([ascii(substr(text,
                      ((i * length(text)) // {RESIZE_TARGET}) % length(text) + 1, 1))
-                     for i in range({RESIZE_TARGET})]) AS resized_sum
+                     for i in range({RESIZE_TARGET})]) AS BIGINT) AS resized_sum
     FROM documents
     """,
     bench=False,

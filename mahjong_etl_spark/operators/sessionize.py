@@ -56,8 +56,8 @@ GAP_SEC = 1800
     ),
     numbered AS (
         SELECT user_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_num
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
         FROM flagged
     )
     SELECT user_id, session_num,

@@ -82,7 +82,7 @@ def cosine_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
-        .select("q_id", "neighbor_id", "cosine", "rnk")
+        .select("q_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -205,7 +205,7 @@ def ann_lsh_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
-        .select("q_id", "neighbor_id", "cosine", "rnk")
+        .select("q_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -379,7 +379,7 @@ def ann_ivf_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
-        .select("q_id", "neighbor_id", "cosine", "rnk")
+        .select("q_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
     )
 
 

@@ -130,8 +130,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "n_chars",
-        n_tok.alias("n_tokens"),
-        n_uniq.alias("n_uniq_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_uniq_tokens"),
         F.round(n_uniq.cast("double") / n_tok, 6).alias("uniq_ratio"),
         F.round(
             _in_list("split(text, ' ')", _STOP).cast("double") / n_tok, 6
@@ -152,9 +152,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source,
            count(*)                                                  AS n_docs,
-           sum(len(string_split(text, ' ')))                         AS ws_tokens,
-           sum(len(regexp_extract_all(text, '{_BPE_RE}')))           AS bpe_ish_tokens,
-           sum(length(text))                                         AS total_chars
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)         AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}')))
+                AS BIGINT)                                           AS bpe_ish_tokens,
+           CAST(sum(length(text)) AS BIGINT)                         AS total_chars
     FROM documents GROUP BY source
     """,
 )
@@ -240,7 +241,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     event value distribution — the binning idiom for profiling a column
     at scale: one scan, one tiny aggregate."""
     e = load(spark, sf_dir, "events")
-    bucket = F.least(F.floor(F.col("value") / 25).cast("int"), F.lit(19))
+    bucket = F.least(F.floor(F.col("value") / 25).cast("long"), F.lit(19).cast("long"))
     return e.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("value"), 3).alias("lo"),

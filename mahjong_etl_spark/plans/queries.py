@@ -532,11 +532,11 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_user_type_pivot",
     oracle="""
     SELECT user_id,
-           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
-           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
     FROM events GROUP BY user_id
     """,
 )
@@ -566,9 +566,10 @@ def events_user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
                AS mov_avg,
-           sum(CAST(round(value, 3) AS DECIMAL(18,3)))
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           CAST(sum(CAST(round(value, 3) AS DECIMAL(18,3)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,3))
                AS run_sum
     FROM events
     """,
@@ -593,6 +594,7 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(base.rowsBetween(-6, 0)), 4).alias("mov_avg"),
         F.sum(F.round("value", 3).cast("decimal(18,3)"))
         .over(base.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,3)")
         .alias("run_sum"),
     )
 
@@ -607,9 +609,10 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_type,
            count(*)                                                   AS n_parts,
-           sum(CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END)       AS n_red,
-           sum(CASE WHEN regexp_matches(p_name, '^(small|large) ')
-                    THEN 1 ELSE 0 END)                                AS n_sized,
+           CAST(sum(CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END)
+                AS BIGINT)                                            AS n_red,
+           CAST(sum(CASE WHEN regexp_matches(p_name, '^(small|large) ')
+                    THEN 1 ELSE 0 END) AS BIGINT)                     AS n_sized,
            round(avg(length(p_name)), 4)                              AS avg_name_len,
            min(upper(p_brand))                                        AS first_brand
     FROM part GROUP BY p_type
@@ -965,7 +968,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return (
         e.select(F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("pos")
+        .groupBy(F.col("pos").cast("long").alias("pos"))
         .agg(
             F.round(F.avg("val"), 6).alias("avg_val"),
             F.round(F.min("val"), 6).alias("min_val"),
