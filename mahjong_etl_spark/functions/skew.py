@@ -32,6 +32,15 @@ def salted_join(
     num_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # The small side is replicated num_salts times; for right/full
+        # outer joins every unmatched small-side row would surface as
+        # num_salts duplicate null-extended rows.  Only join types
+        # where unmatched small-side rows are dropped are safe.
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt_col = "__salt"
     while salt_col in big.columns or salt_col in small.columns:

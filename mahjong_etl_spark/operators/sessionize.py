@@ -116,8 +116,14 @@ def _session_fn(
         start_us = last_us = None
         n = 0
     closed: list[tuple[int, int, float]] = []
-    for pdf in pdfs:
-        for ts_us in pdf.sort_values("ts_us")["ts_us"]:
+    # Concatenate ALL Arrow chunks for this group before sorting: one
+    # user's micro-batch data can span multiple chunks, and sorting
+    # each chunk independently would process events out of global time
+    # order (spurious session splits / wrong durations).
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        all_ts = pd.concat(chunks)
+        for ts_us in all_ts.sort_values("ts_us")["ts_us"]:
             ts_us = int(ts_us)
             if last_us is not None and ts_us - last_us > GAP_SEC * 1_000_000:
                 closed.append((user_id, n, round((last_us - start_us) / 1e6, 3)))

@@ -92,16 +92,17 @@ def scan_archive_index(
 
 
 def filter_archives_by_date(names: Iterable[str], date: str | None) -> list[str]:
-    """Keep daily archives whose embedded YYYYMMDD matches ``date``
-    (None keeps everything) — reference extractor.py:33-40.  This is
-    the listing-time analogue of partition pruning: prune BEFORE any
-    per-archive fetch."""
+    """Keep daily archives whose embedded YYYYMMDD starts with ``date``
+    (None keeps everything) — reference extractor.py:33-40, which uses
+    ``startswith`` so a prefix like '202401' selects a whole month.
+    This is the listing-time analogue of partition pruning: prune
+    BEFORE any per-archive fetch."""
     out = []
     for n in names:
         m = _DATE_RE.search(os.path.basename(n))
         if m is None:
             continue
-        if date is None or m.group(1) == date:
+        if date is None or m.group(1).startswith(date):
             out.append(n)
     return out
 

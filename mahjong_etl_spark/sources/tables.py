@@ -59,15 +59,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
     parquet reader rejects ([PARQUET_TYPE_ILLEGAL]).  Read nanos as a
     raw long (legacy conf, runtime-settable so it also works under the
-    driver's own session) and truncate to a microsecond timestamp —
-    lossless here: every value has zero sub-microsecond part (checked
-    against the source data), matching what DuckDB reads natively.
+    driver's own session) and floor-truncate to a microsecond
+    timestamp.  The source values DO carry sub-microsecond parts, so
+    this drops real nanosecond precision — exactly the same floor
+    truncation a Python client sees when DuckDB converts TIMESTAMP_NS
+    to datetime.  Integer division (``div``) is essential: a
+    double-precision ``/ 1000`` has 256 ns ulp at 2024-epoch
+    magnitudes and lands on the wrong microsecond for ~12% of rows.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -55,9 +55,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # Integer division, not `/ 1000`: double division has 256 ns ulp at
+    # 2024-epoch magnitudes and truncates to the wrong microsecond.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_counts(events: DataFrame) -> DataFrame:

@@ -80,6 +80,18 @@ def test_filter_archives_by_date():
     assert filter_archives_by_date(["nodate.html.gz"], None) == []
 
 
+def test_filter_archives_by_date_prefix():
+    # Reference extractor.py:38 uses startswith: a YYYYMM prefix
+    # selects the whole month, a YYYY prefix the whole year.
+    names = parse_archive_index(INDEX_BODY)
+    month = filter_archives_by_date(names, "202401")
+    assert month == [n for n in names if "202401" in n]
+    assert len(month) >= 2
+    assert filter_archives_by_date(names, "2023") == [
+        n for n in names if "2023123" in n
+    ]
+
+
 def test_extract_log_ids():
     assert extract_log_ids(_gz(DAILY_HTML)) == [
         "2024010211gm-0001",

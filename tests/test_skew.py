@@ -58,3 +58,14 @@ def test_salt_deterministic_across_recompute(spark):
     a = sorted(map(tuple, salted.collect()))
     b = sorted(map(tuple, salted.collect()))  # recompute, no cache
     assert a == b
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    big, small = _skewed_frames(spark)
+    # Replicating the small side num_salts times would surface every
+    # unmatched small-side row as num_salts null-extended duplicates.
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)
