@@ -100,17 +100,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-style: dim-filtered multi-join + agg + deterministic top-k.
 
-    customer (filtered) is broadcast to both joins; lineitem, the only
-    big fact, is scanned once with the shipdate predicate pushed down.
+    lineitem, the only big fact, is scanned once with the shipdate
+    predicate pushed down.  No broadcast hints: orders and customer are
+    fact-scaled at 100 TB (a date-filtered orders is still TBs), so a
+    forced hint would make Spark attempt the broadcast and OOM instead
+    of demoting.  Joining l⋈o⋈c left-deep keeps every build side a
+    bare filtered scan, so the stats-based planner broadcasts them at
+    test SF on its own (a join-result build side would defeat the size
+    estimate), and AQE demotes to shuffle joins at scale.
     """
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
     l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
     return (
-        l.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
-            l.l_orderkey == F.col("o_orderkey"),
-        )
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -144,10 +148,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-style snowflake join: one big fact, four broadcast dims.
+    """TPC-H-Q5-style snowflake join: one big fact, bounded dims hinted.
 
-    Only ``lineitem`` shuffles (for the final groupBy); every dim join
-    is a broadcast-hash join so the fact table streams through map-side.
+    Broadcast hints ONLY on true dimension tables (supplier, nation,
+    region — bounded cardinality at any scale).  orders and customer
+    are fact-scaled at 100 TB, so their joins carry no hint: AQE
+    broadcasts them at test SF and falls back to shuffle joins at
+    scale instead of OOMing on a forced broadcast.
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(
@@ -158,8 +165,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(
             F.broadcast(s),
             (F.col("l_suppkey") == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey),
@@ -196,7 +203,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
@@ -725,8 +732,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q7-style: symmetric nation-pair join with a disjunctive
     cross-dimension predicate, year bucketing.
 
-    All dims broadcast; the nation-pair disjunction is applied after the
-    two broadcast nation joins so lineitem still streams map-side only.
+    True dims (supplier, nation×2) broadcast; orders/customer joins are
+    unhinted (fact-scaled at 100 TB — AQE broadcasts them at test SF).
+    The nation-pair disjunction is applied after the two broadcast
+    nation joins.
     """
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
@@ -740,8 +749,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) & (F.col("cust_nation") == "FRANCE")
     return (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair)
@@ -804,8 +813,10 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     own group's average.
 
     Decorrelated into a per-partkey average aggregate joined back to
-    lineitem.  The aggregate output is one row per partkey (dim-sized),
-    so it broadcasts; lineitem is scanned twice but never shuffled.
+    lineitem.  The filtered part table broadcasts (1/25 of a dim); the
+    per-partkey aggregate does NOT carry a hint — its cardinality is
+    |part|, which is fact-scaled at 100 TB, so AQE decides (broadcast
+    at test SF, shuffle join at scale).
     """
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
@@ -814,7 +825,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(cut), l.l_partkey == F.col("a_partkey"))
+        .join(cut, l.l_partkey == F.col("a_partkey"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -840,9 +851,10 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18-style: HAVING on an aggregate feeding an IN subquery.
 
-    The HAVING aggregate output (few keys) broadcasts back as a
-    left-semi join, so the big three-way join only materializes
-    qualifying orders.
+    The HAVING aggregate output feeds a left-semi join, so the big
+    three-way join only materializes qualifying orders.  No hint on it:
+    its size is selectivity-dependent (fact-derived), so AQE picks
+    broadcast only when the qualifying set is actually small.
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
@@ -854,8 +866,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy(
             "c_custkey",

@@ -43,13 +43,35 @@ def test_q1_column_pruning(reg, spark, sf_dir):
     assert "l_comment" not in plan
 
 
-def test_q5_broadcasts_every_dim(reg, spark, sf_dir):
+def test_q5_fact_scan_never_shuffles_at_test_scale(reg, spark, sf_dir):
+    # The pinned property is scale-safe: at test SF every dim side is
+    # small, so stats/AQE pick broadcast joins and the ONLY shuffle is
+    # the final groupBy.  We deliberately do NOT pin a broadcast-join
+    # count — only true dims (supplier/nation/region) carry hints, and
+    # fact-derived sides (orders, customer) must be free to demote to
+    # shuffle joins at 100 TB instead of OOMing on a forced broadcast.
     plan = plan_of(_run(reg, "q5_nation_revenue", spark, sf_dir))
-    # five dim joins, all broadcast — the fact table never shuffles for a join
-    assert plan.count("BroadcastHashJoin") == 5
     assert "SortMergeJoin" not in plan
-    # the only exchange is the final groupBy hash partitioning
+    # no shuffle exchange between the lineitem scan and the aggregate
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_no_unconditional_broadcast_hints_on_fact_sides():
+    # Source-level guard: F.broadcast() may only wrap true dimension
+    # tables (region/nation/supplier), gated small tables (filtered
+    # part), or scalar/one-row aggregates.  Fact-scaled inputs (orders,
+    # customer, lineitem-derived aggregates) must stay hint-free so AQE
+    # can demote at scale.  This greps the query-plane source for
+    # broadcast() call sites and whitelists the allowed variables.
+    import re
+    import inspect
+
+    from mahjong_etl_spark.plans import queries
+
+    src = inspect.getsource(queries)
+    hinted = re.findall(r"F\.broadcast\((\w+)", src)
+    allowed = {"s", "n", "r", "n1", "n2", "p", "avg_bal", "qa"}
+    assert set(hinted) <= allowed, f"unexpected broadcast hints: {set(hinted) - allowed}"
 
 
 def test_semi_anti_join_strategies(reg, spark, sf_dir):
