@@ -42,6 +42,18 @@ JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4
 HAMMING_MAX = 3
+# Max bucket members that enumerate all-pairs; members beyond the cap
+# link to the bucket representative only.  Bounds per-bucket work at
+# cap²/2 pairs and per-row state at cap ids even when a boilerplate
+# page is duplicated 10⁶ times in a web corpus.
+BUCKET_CAP = 256
+# Default document-frequency cap for the inverted-index Jaccard join:
+# a shingle shared by k docs yields k²/2 candidate rows, and shingles
+# this common carry no dedup signal (boilerplate).  Slightly relaxes
+# exactness for pairs whose ONLY shared shingles are stop-shingles —
+# the documented trade-off for not letting one hot key dominate the
+# shuffle at 100 TB.
+MAX_SHINGLE_DF = 1000
 
 
 # ---------------------------------------------------------------------------
@@ -179,8 +191,17 @@ def ngram_jaccard_pairs(
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
-    return ngram_jaccard_pairs(load_spread(spark, sf_dir, "documents"))
+    """Word-3-gram Jaccard near-dup pairs (threshold 0.5).
+
+    Ships with the hot-shingle cap ON (``MAX_SHINGLE_DF``): exact for
+    every pair that shares at least one shingle with document frequency
+    <= 1000, which at test SF means exact, period (df can't exceed the
+    corpus size).  At 100 TB the cap is what keeps one boilerplate
+    shingle from dominating the postings shuffle.
+    """
+    return ngram_jaccard_pairs(
+        load_spread(spark, sf_dir, "documents"), max_shingle_df=MAX_SHINGLE_DF
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -239,20 +260,45 @@ def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = NUM_HASHES) 
 
 
 def _bucket_pairs(
-    df: DataFrame, keys: list[str], id_col: str, a_name: str, b_name: str
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    a_name: str,
+    b_name: str,
+    cap: int = BUCKET_CAP,
 ) -> DataFrame:
-    """Distinct within-bucket id pairs (a < b) for LSH-style blocking.
+    """Distinct within-bucket id pairs (a < b) for LSH-style blocking,
+    with bounded per-bucket expansion.
 
-    groupBy the bucket key, collect the member ids, and enumerate the
-    ordered pairs with array higher-order functions — one shuffle, one
-    pass over the bucketed table, versus a self-equi-join that computes
-    the (possibly expensive) upstream plan once per side.  Only valid
-    when bucket membership is bounded (true for LSH bands / simhash
-    chunks); unbounded-group blocking should use the join form plus a
-    hot-key cap instead.
+    The first ``cap`` members of each bucket (by id order) enumerate
+    all pairs; every member beyond the cap emits ONE pair against the
+    bucket representative (the smallest id).  So a mega-duplicate
+    bucket of k members costs cap²/2 + (k − cap) pair rows instead of
+    k²/2, no single collected array exceeds ``cap`` ids, and the
+    cluster stays fully CONNECTED through the representative — union-
+    find / connected-components downstream still recovers the whole
+    duplicate cluster, and candidate verification (exact Jaccard /
+    hamming) keeps precision exact.  What is lost beyond the cap is
+    only pair-level completeness BETWEEN non-representative members.
+
+    Physical shape: one exchange on the bucket key, reused by both the
+    window (rank + representative) and the capped collect_list —
+    Spark's ReuseExchange collapses the two branches onto one shuffle.
+    The window sort spills to disk, so a 10⁶-member bucket never has
+    to fit in executor memory.
     """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    ranked = df.select(
+        *keys,
+        id_col,
+        F.row_number().over(w).alias("__rk"),
+        F.first(id_col).over(w).alias("__rep"),
+    )
     grouped = (
-        df.groupBy(*keys)
+        ranked.where(F.col("__rk") <= cap)
+        .groupBy(*keys)
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") > 1)
     )
@@ -260,11 +306,14 @@ def _bucket_pairs(
         "flatten(transform(ids, (x, i) ->"
         "  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
     )
-    return (
+    in_bucket = (
         grouped.select(F.explode(pairs).alias("p"))
         .select(F.col("p.a").alias(a_name), F.col("p.b").alias(b_name))
-        .distinct()
     )
+    overflow = ranked.where(F.col("__rk") > cap).select(
+        F.col("__rep").alias(a_name), F.col(id_col).alias(b_name)
+    )
+    return in_bucket.unionByName(overflow).distinct()
 
 
 def minhash_lsh_pairs(
@@ -372,7 +421,9 @@ def simhash_pairs(df: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
 
     Blocking on 16-bit chunks is *exact* for hamming <= 3 (pigeonhole:
     4 chunks, <= 3 flipped bits => one chunk untouched), so this is a
-    full-recall near-dup scan with equi-join cost.
+    full-recall near-dup scan with equi-join cost — up to BUCKET_CAP
+    members per block; beyond the cap, members are checked against the
+    block representative only (bounded expansion, connectivity kept).
     """
     sig = simhash_signatures(df)
     chunk_structs = [
@@ -386,10 +437,25 @@ def simhash_pairs(df: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
         "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("e")
     ).select("doc_id", "simhash", F.col("e.c").alias("c"), F.col("e.chunk").alias("chunk"))
     # Pair members inside each (chunk-index, chunk-value) block — same
-    # single-shuffle pattern as _bucket_pairs, carrying the signatures
-    # so hamming distance is computed inline per pair.
+    # capped single-shuffle pattern as _bucket_pairs, carrying the
+    # signatures so hamming distance is computed inline per pair.
+    # Members beyond BUCKET_CAP link to the block representative only
+    # (bounded expansion; cluster connectivity preserved).
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c", "chunk").orderBy("doc_id")
+    ranked = blocks.select(
+        "doc_id",
+        "simhash",
+        "c",
+        "chunk",
+        F.row_number().over(w).alias("__rk"),
+        F.first("doc_id").over(w).alias("__rep_id"),
+        F.first("simhash").over(w).alias("__rep_sig"),
+    )
     grouped = (
-        blocks.groupBy("c", "chunk")
+        ranked.where(F.col("__rk") <= BUCKET_CAP)
+        .groupBy("c", "chunk")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms"))
         .where(F.size("ms") > 1)
     )
@@ -399,9 +465,17 @@ def simhash_pairs(df: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
         "    x.doc_id AS doc_a, y.doc_id AS doc_b,"
         "    bit_count(x.simhash ^ y.simhash) AS hamming))))"
     )
-    return (
+    in_block = (
         grouped.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")
+    )
+    overflow = ranked.where(F.col("__rk") > BUCKET_CAP).select(
+        F.col("__rep_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.bit_count(F.col("__rep_sig").bitwiseXOR(F.col("simhash"))).alias("hamming"),
+    )
+    return (
+        in_block.unionByName(overflow)
         .where(F.col("hamming") <= hamming_max)
         .distinct()
     )

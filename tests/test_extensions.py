@@ -82,3 +82,74 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     c1 = train_ivf_centroids(c, 8, iters=1)
     c2 = train_ivf_centroids(c, 8, iters=1)
     assert np.allclose(c1, c2)
+
+
+def test_bucket_cap_bounds_mega_cluster(spark):
+    """A boilerplate page duplicated 5000x lands every copy in the same
+    LSH bucket.  With BUCKET_CAP the job must (a) complete with bounded
+    per-bucket expansion — cap²/2 + (k − cap) pairs, NOT k²/2 ≈ 12.5M —
+    and (b) still report the cluster fully connected through the
+    bucket representative."""
+    from mahjong_etl_spark.operators.dedup import (
+        BUCKET_CAP,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    k = 5000
+    docs = spark.range(k).selectExpr(
+        "id AS doc_id",
+        "'the quick brown fox jumps over the lazy dog again and again "
+        "and then some more boilerplate text repeated verbatim' AS text",
+    )
+
+    pairs = minhash_lsh_pairs(docs)
+    n_pairs = pairs.count()
+    # bounded: far below the uncapped k²/2, at least the rep-links
+    assert n_pairs >= k - 1, "cluster must stay connected via representative"
+    assert n_pairs <= BANDS_UPPER_BOUND(k), f"pair expansion not bounded: {n_pairs}"
+
+    # connectivity: union-find over the emitted pairs recovers ONE
+    # cluster containing every doc
+    parent = list(range(k))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(int(r.doc_a)), find(int(r.doc_b))
+        if ra != rb:
+            parent[ra] = rb
+    roots = {find(i) for i in range(k)}
+    assert len(roots) == 1, f"cluster fragmented into {len(roots)} components"
+
+    sim = simhash_pairs(docs)
+    n_sim = sim.count()
+    assert k - 1 <= n_sim <= BANDS_UPPER_BOUND(k)
+
+
+def BANDS_UPPER_BOUND(k):
+    # per bucket: cap²/2 in-bucket + (k-cap) rep links; 16 bands (or 4
+    # simhash chunks) can each contribute, but pairs are distinct —
+    # the loose bound below is still ~100x under the uncapped k²/2.
+    from mahjong_etl_spark.operators.dedup import BUCKET_CAP
+
+    return BUCKET_CAP * BUCKET_CAP // 2 + (k - BUCKET_CAP) + BUCKET_CAP * BUCKET_CAP
+
+
+def test_hot_shingle_cap_drops_stop_shingle(spark):
+    """Two docs whose ONLY shared shingle exceeds max_shingle_df must
+    not pair through it — the documented exactness trade-off."""
+    from mahjong_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 30 docs all containing the hot shingle "aaa bbb ccc"; docs 0/1
+    # share ONLY that shingle (rest of their text differs completely)
+    rows = [(i, f"aaa bbb ccc unique{i} filler{i} words{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(docs, threshold=0.01, max_shingle_df=10)
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01, max_shingle_df=None)
+    assert capped.count() == 0, "hot shingle should be dropped by the df cap"
+    assert uncapped.count() > 0, "without the cap the hot shingle pairs everything"
