@@ -236,7 +236,7 @@ def customer_rank_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).alias("acctbal"),
     )
     w = Window.partitionBy("n_nationkey").orderBy(F.desc("acctbal"), F.asc("c_custkey"))
-    return c.withColumn("rnk", F.rank().over(w)).where(F.col("rnk") <= 3)
+    return c.withColumn("rnk", F.rank().over(w).cast("long")).where(F.col("rnk") <= 3)
 
 
 # ---------------------------------------------------------------------------
