@@ -64,28 +64,58 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def parse_image_header(payload: bytes) -> tuple[int, int] | None:
+    """Real (width, height) from a PNG or GIF header — pure Python, no
+    imaging library needed.
+
+    PNG: 8-byte signature, then the IHDR chunk must come first
+    (length + "IHDR" at offsets 8..16, big-endian u32 width/height at
+    16..24).  GIF: "GIF87a"/"GIF89a", little-endian u16 logical-screen
+    width/height at offsets 6..10.  Returns None for anything else —
+    the caller falls back to the deterministic stub.
+    """
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return (w, h)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return (w, h)
+    return None
+
+
 def decode_payload(payload: bytes, kind: str) -> dict:
     """Decode one media payload into features.
 
-    Real decode path is stubbed: the libraries are absent here, and
-    raising keeps the contract honest instead of silently faking.
-    The deterministic fallback derives every feature arithmetically
-    from the bytes so tests (and the SQL oracle) can verify the
-    mapInPandas plumbing end-to-end.
+    Decode ladder:
+    1. Real header parse for PNG/GIF (pure Python, always available) —
+       width/height come from the actual file header.
+    2. Full pixel decode is gated on the imaging library and stubbed
+       honestly (raise, don't silently fake) since it is absent here.
+    3. Deterministic arithmetic fallback for everything else, so tests
+       and the SQL oracle can verify the mapInPandas plumbing
+       end-to-end on synthetic payloads.
     """
-    try:  # pragma: no cover - libs absent in this environment
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError("real image decode not wired yet")
-    except ImportError:
-        pass
     n = len(payload)
     checksum = (payload[0] * 1000003 + payload[-1] * 31 + n) if n else 0
+    real_dims = parse_image_header(payload) if kind == "image" else None
+    if real_dims is not None:
+        width, height = real_dims
+    else:
+        try:  # pragma: no cover - libs absent in this environment
+            import PIL.Image  # noqa: F401
+
+            raise NotImplementedError("real pixel decode not wired yet")
+        except ImportError:
+            pass
+        width = n % 640 + 1
+        height = (n * 31) % 480 + 1
     return {
         "n_bytes": n,
         "checksum": checksum,
-        "width": n % 640 + 1,
-        "height": (n * 31) % 480 + 1,
+        "width": width,
+        "height": height,
         "n_frames": (n % 24 + 1) if kind == "video" else 1,
     }
 

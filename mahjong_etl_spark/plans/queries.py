@@ -665,6 +665,87 @@ def sql_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ROUNDTRIP_SQL)
 
 
+# Three more verbatim probes of the ANSI core — a window function, a
+# CTE chain, and correlated (NOT) EXISTS — each one SQL string executed
+# character-identically by Spark SQL and DuckDB.  Every integer
+# aggregate that DuckDB widens (sum → HUGEINT, row_number → BIGINT) is
+# CAST explicitly so the value representations agree.
+
+_ROUNDTRIP_WINDOW_SQL = """
+    SELECT c_custkey,
+           o_orderkey,
+           CAST(row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT)            AS order_seq,
+           round(o_totalprice, 2)    AS price
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    WHERE c_mktsegment = 'MACHINERY'
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+"""
+
+
+@query("sql_roundtrip_window", oracle=_ROUNDTRIP_WINDOW_SQL)
+def sql_roundtrip_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-SQL round-trip #2: a PARTITION BY / ORDER BY window
+    function (deterministic order key) through both engines."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ROUNDTRIP_WINDOW_SQL)
+
+
+_ROUNDTRIP_CTE_SQL = """
+    WITH nc AS (
+        SELECT n_nationkey, n_name, count(*) AS n_customers
+        FROM nation
+        JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_nationkey, n_name
+    ),
+    tot AS (
+        SELECT CAST(sum(n_customers) AS BIGINT) AS total FROM nc
+    )
+    SELECT n_name,
+           n_customers,
+           round(CAST(n_customers AS DOUBLE) * 100 / total, 4) AS pct
+    FROM nc, tot
+    WHERE n_customers > 40
+"""
+
+
+@query("sql_roundtrip_cte", oracle=_ROUNDTRIP_CTE_SQL)
+def sql_roundtrip_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-SQL round-trip #3: a two-stage CTE chain (aggregate,
+    then a scalar total joined back) through both engines."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ROUNDTRIP_CTE_SQL)
+
+
+_ROUNDTRIP_EXISTS_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey
+                        AND l_returnflag = 'R'
+                        AND l_quantity = 50
+                        AND l_discount > 0.05)
+"""
+
+
+@query("sql_roundtrip_exists", oracle=_ROUNDTRIP_EXISTS_SQL)
+def sql_roundtrip_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-SQL round-trip #4: correlated EXISTS and NOT EXISTS
+    (decorrelated to semi/anti joins by both planners)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ROUNDTRIP_EXISTS_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Subquery plane: EXISTS-aggregates, correlated scalars, HAVING,
 # disjunctive pushdown.  The reference's Athena surface (Presto SQL)
