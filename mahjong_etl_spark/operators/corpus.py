@@ -1,0 +1,243 @@
+"""Corpus-preparation operators: the stages between "raw documents"
+and "training batches" that a 100 TB LLM-data pipeline runs after
+dedup/quality scoring.
+
+- connected_components: resolve near-dup PAIRS into duplicate CLUSTERS
+  (pick-one-per-cluster is the actual dedup action; pairs alone are
+  not actionable).  Distributed min-label propagation — no driver-side
+  graph, state is one (id, label) row per node, each round is a
+  shuffle-join + min-aggregate, converging in O(diameter) rounds.
+  Dedup graphs are star-ish (capped buckets link members to a
+  representative, see dedup.py), so diameter is small and bounded.
+- deterministic_split: hash-based train/val assignment.  md5 of the
+  stringified id — engine-portable, reshuffle-proof (a doc's split
+  never depends on partitioning or row order), and exactly
+  reproducible in any other system that can compute md5.
+- pack_sequences: assign documents to fixed-size context windows
+  (running token count within each source, window id = offset // C) —
+  the deterministic first-fit packing a sequence-packing dataloader
+  needs, expressed as a window cumsum so it shuffles once on source.
+
+Every operator here is a plain composition of DataFrame primitives —
+no UDFs, fully whole-stage-codegen — and carries a DuckDB oracle
+(connected components via WITH RECURSIVE transitive closure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import duckdb_shingles_sql
+from ..plans.registry import query
+from ..sources.tables import load, load_spread
+from .dedup import JACCARD_THRESHOLD, MAX_SHINGLE_DF, ngram_jaccard_pairs
+
+CONTEXT_TOKENS = 2048
+VAL_HEX_CUTOFF = "1a"  # first 2 md5 hex chars < '1a' => ~10.2% val split
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``edges``, where
+    cluster_id is the smallest node id in the connected component.
+
+    Min-label propagation: every node starts labelled with itself;
+    each round, a node adopts the minimum label among itself and its
+    neighbours; fixpoint when no label changes.  Each round is one
+    join + one min-aggregate on the node id — the label table (2 longs
+    per node) is the only state, so 10¹⁰ nodes is ~160 GB spread over
+    the cluster, never driver-side.  Rounds needed = graph diameter;
+    the per-round convergence check is a count() action (cheap: runs
+    on the already-shuffled label table).
+
+    ``max_iters`` bounds pathological chains (a path graph of length
+    10⁶ would need 10⁶ rounds — real dedup graphs are representative-
+    linked stars, diameter ≤ ~4).  Raises if not converged, rather
+    than silently returning partial clusters.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    # localCheckpoint (not persist): an iterative plan must TRUNCATE
+    # lineage each round — a persisted DataFrame still carries the full
+    # logical plan, so Catalyst re-analysis cost grows superlinearly
+    # with rounds and the driver, not the executors, becomes the
+    # bottleneck.  localCheckpoint materializes to executor storage and
+    # replaces the plan with a leaf.  (Executor loss re-runs the job —
+    # at cluster scale use a reliable checkpoint dir for long chains.)
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, {duckdb_shingles_sql(3)} AS shingles FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+    ),
+    comp AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT cluster_id,
+           count(*)     AS n_docs,
+           max(id)      AS max_doc_id
+    FROM comp GROUP BY cluster_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into duplicate clusters: per cluster,
+    its canonical id (min member), member count, and max member.  The
+    oracle recomputes the same clusters with a recursive-CTE transitive
+    closure — the full pairs→components semantics are hash-checked."""
+    docs = load_spread(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, max_shingle_df=MAX_SHINGLE_DF)
+    comp = connected_components(pairs)
+    return comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("id").alias("max_doc_id"),
+    )
+
+
+def deterministic_split(
+    df: DataFrame, id_col: str = "doc_id", cutoff_hex: str = VAL_HEX_CUTOFF
+) -> DataFrame:
+    """Add a ``split`` column ('val' below the md5 cutoff else 'train').
+
+    The assignment depends only on the id value: stable under
+    repartitioning, re-runs, engine changes, and corpus growth (new
+    docs never flip old docs' split) — the property a training
+    pipeline needs so later epochs/refreshes don't leak val into
+    train.  ~cutoff/256 of docs land in val ('1a' → 26/256 ≈ 10.2%).
+    """
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return df.withColumn(
+        "split", F.when(bucket < cutoff_hex, F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
+@query(
+    "corpus_train_val_split",
+    oracle=f"""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VAL_HEX_CUTOFF}'
+                THEN 'val' ELSE 'train' END AS split,
+           lang,
+           count(*)                 AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id)              AS min_doc_id
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split audited per language: doc counts and
+    char volume per (split, lang) — the balance check run before
+    training.  One scan, one exchange (the groupBy)."""
+    d = deterministic_split(load(spark, sf_dir, "documents"))
+    return d.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tok,
+               CAST(floor(
+                   (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tok)
+                   / {CONTEXT_TOKENS}.0) AS BIGINT) AS window_id
+        FROM toks
+    )
+    SELECT source, window_id,
+           count(*)                  AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS window_tokens
+    FROM packed
+    GROUP BY source, window_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents are laid end-to-end in
+    deterministic (source, doc_id) order and assigned to fixed
+    CONTEXT_TOKENS-sized windows by their start offset (offset // C).
+    Expressed as a window cumsum — one shuffle on source, no UDF; at
+    100 TB each source partition packs independently.  Output is the
+    per-window fill profile (doc count + token count), the input a
+    dataloader needs to budget padding."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    toks = d.select("source", "doc_id", n_tok.alias("n_tok"))
+    packed = toks.select(
+        "source",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / float(CONTEXT_TOKENS))
+        .alias("window_id"),
+    )
+    return packed.groupBy("source", "window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("window_tokens"),
+    )

@@ -55,6 +55,7 @@ def registry() -> dict[str, Query]:
     from . import mahjong_queries, queries  # noqa: F401
     from ..operators import (  # noqa: F401
         asof,
+        corpus,
         dedup,
         multimodal,
         rangejoin,

@@ -1,0 +1,83 @@
+"""Corpus-preparation operators: components, splits, packing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mahjong_etl_spark.operators.corpus import (
+    CONTEXT_TOKENS,
+    connected_components,
+    deterministic_split,
+)
+
+
+def test_connected_components_basic(spark):
+    # two components: {1,2,3,4} via a chain, {10,11}; 7-8-9 as a star
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (7, 8), (7, 9)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7, 8: 7, 9: 7}
+
+
+def test_connected_components_chain_needs_diameter_rounds(spark):
+    # a path of length 12 converges (diameter rounds < max_iters)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    comp = connected_components(edges)
+    assert comp.select("cluster_id").distinct().count() == 1
+    assert comp.agg(F.min("cluster_id")).first()[0] == 0
+
+
+def test_connected_components_raises_without_fixpoint(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iters=2)
+
+
+def test_deterministic_split_is_order_and_partitioning_invariant(spark):
+    ids = spark.range(2000).select(F.col("id").alias("doc_id"))
+    s1 = {r.doc_id: r.split for r in deterministic_split(ids).collect()}
+    shuffled = ids.repartition(7).sortWithinPartitions(F.desc("doc_id"))
+    s2 = {r.doc_id: r.split for r in deterministic_split(shuffled).collect()}
+    assert s1 == s2
+    # ~10.2% expected in val; allow generous tolerance on 2000 ids
+    n_val = sum(1 for v in s1.values() if v == "val")
+    assert 120 <= n_val <= 290
+
+
+def test_pack_sequences_conserves_tokens_and_window_ids(spark, sf_dir):
+    from mahjong_etl_spark.operators.corpus import corpus_pack_sequences
+    from mahjong_etl_spark.sources.tables import load
+
+    packed = corpus_pack_sequences(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    totals = {
+        r.source: r.total
+        for r in d.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("total"))
+        .collect()
+    }
+    by_source = (
+        packed.groupBy("source")
+        .agg(
+            F.sum("window_tokens").alias("tok"),
+            F.min("window_id").alias("w0"),
+            F.max("window_id").alias("wmax"),
+            F.countDistinct("window_id").alias("nw"),
+        )
+        .collect()
+    )
+    for r in by_source:
+        assert r.tok == totals[r.source]  # every token lands in a window
+        assert r.w0 == 0  # windows start at 0
+        assert r.nw == r.wmax + 1  # ...and are contiguous
+        # mean fill ≈ CONTEXT_TOKENS (start-offset assignment overfills
+        # by at most one doc per window)
+        assert r.tok / r.nw >= CONTEXT_TOKENS * 0.5
