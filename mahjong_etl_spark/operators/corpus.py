@@ -241,3 +241,98 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("window_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality funnel + embedding profile
+# ---------------------------------------------------------------------------
+
+MIN_CHARS, MAX_CHARS = 200, 20000
+MIN_TOKENS = 20
+MIN_UNIQ_RATIO = 0.3
+
+
+@query(
+    "corpus_quality_funnel",
+    oracle=f"""
+    WITH t AS (
+        SELECT n_chars,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq
+        FROM documents
+    )
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(sum(CASE WHEN n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS}
+                          AND n_tok >= {MIN_TOKENS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_ok,
+           CAST(sum(CASE WHEN n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS}
+                          AND n_tok >= {MIN_TOKENS}
+                          AND n_uniq::DOUBLE / n_tok >= {MIN_UNIQ_RATIO}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM t
+    """,
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter-funnel report every corpus pipeline publishes: how
+    many documents survive each successive quality gate (length, token
+    count, lexical diversity).  One scan, one scalar aggregate — at
+    100 TB this is the cheapest possible full-corpus audit (no
+    shuffle; partial aggregation reduces each task to three longs)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    len_ok = F.col("n_chars").between(MIN_CHARS, MAX_CHARS)
+    tok_ok = len_ok & (n_tok >= MIN_TOKENS)
+    div_ok = tok_ok & (n_uniq.cast("double") / n_tok >= MIN_UNIQ_RATIO)
+    as_cnt = lambda c, name: F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(name)  # noqa: E731
+    return d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        as_cnt(len_ok, "n_len_ok"),
+        as_cnt(tok_ok, "n_tok_ok"),
+        as_cnt(div_ok, "n_survivors"),
+    )
+
+
+@query(
+    "embedding_norm_profile",
+    oracle="""
+    SELECT CAST(vec_id % 8 AS BIGINT) AS shard,
+           count(*) AS n_vecs,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_l2,
+           round(min(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS min_l2,
+           round(max(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS max_l2
+    FROM embeddings
+    GROUP BY 1
+    """,
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution of the embedding column per id shard — the
+    sanity check run before any cosine-based op (unnormalized vectors
+    silently break cosine-as-dot-product shortcuts).  The norm is a
+    higher-order-function fold over the array (JVM-side, no UDF);
+    element order is the array order in both engines, so the double
+    accumulation is bit-identical."""
+    e = load(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        e.select((F.col("vec_id") % 8).alias("shard"), l2.alias("l2"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("l2"), 6).alias("avg_l2"),
+            F.round(F.min("l2"), 6).alias("min_l2"),
+            F.round(F.max("l2"), 6).alias("max_l2"),
+        )
+    )
