@@ -146,3 +146,29 @@ def test_whole_stage_codegen_covers_q1(reg, spark, sf_dir):
     # "*(n) " prefixes mark whole-stage-codegen stages in the plan string;
     # filter, projection and both aggregate phases must all be inside one
     assert "*(1) HashAggregate" in plan_of(df) and "*(1) Filter" in plan_of(df)
+
+
+def test_corpus_quality_funnel_is_scan_plus_scalar_agg(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "corpus_quality_funnel", spark, sf_dir))
+    # full-corpus audit shape: partial agg map-side, only three longs
+    # cross the wire (SinglePartition exchange), no hash shuffle
+    assert "Exchange hashpartitioning" not in plan
+    assert "partial_" in plan
+    # column pruning: the funnel never reads doc_id/lang/source
+    read = plan.split("ReadSchema")[-1]
+    assert "doc_id" not in read and "lang" not in read and "source" not in read
+
+
+def test_corpus_pack_sequences_single_exchange(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "corpus_pack_sequences", spark, sf_dir))
+    # the groupBy(source, window_id) must REUSE the window's
+    # hashpartitioning(source) — partitioning by a prefix of the
+    # grouping key satisfies the clustering requirement, so packing
+    # costs exactly one shuffle end-to-end
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_corpus_split_single_exchange(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "corpus_train_val_split", spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan
