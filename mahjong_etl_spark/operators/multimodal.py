@@ -82,6 +82,25 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
         w = int.from_bytes(payload[6:8], "little")
         h = int.from_bytes(payload[8:10], "little")
         return (w, h)
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments to the first SOF (C0-CF except the
+        # non-frame C4/C8/CC); dims are big-endian u16 at +5 (height
+        # first).  Malformed streams fall out of the loop -> None.
+        i = 2
+        while i + 9 <= len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return (w, h)
+            i += 2 + seg_len
+        return None
     return None
 
 

@@ -81,3 +81,8 @@ def test_pack_sequences_conserves_tokens_and_window_ids(spark, sf_dir):
         # mean fill ≈ CONTEXT_TOKENS (start-offset assignment overfills
         # by at most one doc per window)
         assert r.tok / r.nw >= CONTEXT_TOKENS * 0.5
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(edges).count() == 0

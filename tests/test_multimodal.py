@@ -77,3 +77,20 @@ def test_extract_features_with_planted_png(spark):
     n2 = len(b"not an image")
     assert (out[2].width, out[2].height) == (n2 % 640 + 1, (n2 * 31) % 480 + 1)
     assert out[3].n_frames == len(b"fake video bytes") % 24 + 1
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    # SOI, APP0 (len 16), SOF0 with dims, then junk
+    # seg_len 16 = 2 length bytes + 14 data bytes
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_parse_jpeg_header():
+    assert parse_image_header(_jpeg(1024, 768)) == (1024, 768)
+    assert parse_image_header(_jpeg(1, 1)) == (1, 1)
+    # truncated after SOI -> None
+    assert parse_image_header(b"\xff\xd8\xff") is None
+    # no SOF before EOI -> None
+    assert parse_image_header(b"\xff\xd8\xff\xd9" + b"\x00" * 8) is None
