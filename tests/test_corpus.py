@@ -86,3 +86,46 @@ def test_pack_sequences_conserves_tokens_and_window_ids(spark, sf_dir):
 def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(edges).count() == 0
+
+
+def test_corpus_pipeline_end_to_end(spark, sf_dir):
+    """The composed user story: near-dup pairs → clusters → keep one
+    canonical doc per cluster → deterministic split → pack.  Asserts
+    the end state a training-data pipeline needs: no two near-dups
+    survive, every survivor has a split, token totals are conserved."""
+    from mahjong_etl_spark.operators.corpus import (
+        connected_components,
+        deterministic_split,
+    )
+    from mahjong_etl_spark.operators.dedup import (
+        MAX_SHINGLE_DF,
+        ngram_jaccard_pairs,
+    )
+    from mahjong_etl_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, max_shingle_df=MAX_SHINGLE_DF)
+    comp = connected_components(pairs)
+
+    # canonical = cluster representative (min id, which IS cluster_id);
+    # docs with no near-dup at all survive untouched
+    drop = comp.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = docs.join(drop, "doc_id", "left_anti")
+    n_docs = docs.count()
+    n_pairs_members = comp.count()
+    n_clusters = comp.select("cluster_id").distinct().count()
+    assert kept.count() == n_docs - (n_pairs_members - n_clusters)
+
+    # no surviving pair is still a near-dup of another survivor
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    for r in pairs.collect():
+        assert not (r.doc_a in kept_ids and r.doc_b in kept_ids), (
+            f"near-dup pair ({r.doc_a},{r.doc_b}) both survived"
+        )
+
+    split = deterministic_split(kept)
+    counts = dict(split.groupBy("split").count().collect())
+    assert set(counts) <= {"train", "val"} and counts.get("train", 0) > 0
+    assert sum(counts.values()) == kept.count()
