@@ -11,7 +11,10 @@ Capability -> query mapping:
 - FK equi-joins, broadcast dims ............... q3, q5, top_customers
 - semi / anti joins ........................... customers_semi / _anti
 - group-by aggregation ........................ q1, orders_by_month
-- rollup (grouping sets) ...................... lineitem_rollup
+- rollup / cube (grouping sets) ............... lineitem_rollup,
+  orders_status_priority_cube
+- distribution-rank windows (percent_rank/
+  cume_dist/ntile) ............................ orders_price_rank_dist
 - ordered-event window functions .............. events_user_gaps,
   events_top3_per_user
 - top-k / ranking ............................. top_customers,
@@ -366,6 +369,63 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "orders_status_priority_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                     AS n,
+           round(sum(o_totalprice), 2)  AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping sets via CUBE — the cross-dim subtotal lattice
+    ROLLUP's hierarchy doesn't cover.  Same single-exchange expand+agg
+    plan; null markers for the subtotal rows hash identically across
+    engines (proven by lineitem_rollup)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "orders_price_rank_dist",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WHERE o_totalprice > 450000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY round(o_totalprice, 2), o_orderkey)
+    """,
+)
+def orders_price_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions (percent_rank / cume_dist /
+    ntile) per priority class — the remaining window-function family
+    the rank/lag/moving-frame queries don't exercise.  Ordering key
+    includes the unique o_orderkey so tie-break is deterministic in
+    both engines."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.round("o_totalprice", 2), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
