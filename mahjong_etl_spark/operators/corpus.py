@@ -336,3 +336,69 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l2"), 6).alias("max_l2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+# per-language keep rates expressed as 2-hex-digit md5 cutoffs
+# (cutoff/256 ≈ rate): downsample the dominant language, keep the rest.
+# 'zz' compares above every hex pair => keep-all (a 'ff' cutoff would
+# silently drop the 1/256 of rows whose bucket IS 'ff')
+STRATA_CUTOFFS = {"en": "80", "de": "zz", "es": "zz", "fr": "zz", "zh": "c0"}
+DEFAULT_CUTOFF = "zz"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    cutoffs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling via the same md5-keyed
+    coin as ``deterministic_split`` — ~cutoff/256 of each stratum is
+    kept, membership depends only on the id, and the sample composes
+    with the train/val split (independent hash inputs: the sample key
+    is salted with 's:').  No shuffle: a per-row filter expression.
+    """
+    cutoffs = STRATA_CUTOFFS if cutoffs is None else cutoffs
+    bucket = F.substring(F.md5(F.concat(F.lit("s:"), F.col(id_col).cast("string"))), 1, 2)
+    cutoff = F.lit(DEFAULT_CUTOFF)
+    for k, v in sorted(cutoffs.items()):
+        cutoff = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(cutoff)
+    return df.where(bucket < cutoff)
+
+
+def _sql_cutoff_case(strata_col: str) -> str:
+    branches = "\n".join(
+        f"           WHEN {strata_col} = '{k}' THEN '{v}'"
+        for k, v in sorted(STRATA_CUTOFFS.items())
+    )
+    return f"CASE\n{branches}\n           ELSE '{DEFAULT_CUTOFF}' END"
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           min(doc_id) AS min_doc_id
+    FROM documents
+    WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < {_sql_cutoff_case("lang")}
+    GROUP BY lang
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing audit: deterministic per-language keep
+    rates (~50% en, ~75% zh, 100% others) with per-stratum counts of
+    the surviving corpus.  Filter is map-side; the only exchange is
+    the audit groupBy."""
+    d = stratified_sample(load(spark, sf_dir, "documents"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

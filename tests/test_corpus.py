@@ -184,3 +184,23 @@ def test_pack_invariants_property(spark):
         for src, wins in by_src.items():
             assert sum(wins.values()) == exp_totals[src]
             assert sorted(wins) == list(range(len(wins)))
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from mahjong_etl_spark.operators.corpus import stratified_sample
+    from mahjong_etl_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    totals = dict(d.groupBy("lang").count().collect())
+    kept = stratified_sample(d)
+    kept_counts = dict(kept.groupBy("lang").count().collect())
+    # en ~50% (cutoff 0x80), zh ~75% (0xc0), others 100%
+    assert kept_counts["de"] == totals["de"]
+    assert kept_counts["es"] == totals["es"]
+    assert 0.3 <= kept_counts["en"] / totals["en"] <= 0.7
+    assert 0.55 <= kept_counts["zh"] / totals["zh"] <= 0.95
+    # deterministic under reordering
+    k2 = stratified_sample(d.repartition(5))
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == sorted(
+        r.doc_id for r in k2.select("doc_id").collect()
+    )
