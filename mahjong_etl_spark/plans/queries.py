@@ -630,8 +630,12 @@ def events_user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_moving_avg",
     oracle="""
     SELECT user_id, event_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+           CAST(sum(CAST(round(value, 3) AS DECIMAL(18,3)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,6))
                AS mov_avg,
            CAST(sum(CAST(round(value, 3) AS DECIMAL(18,3)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -646,19 +650,27 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user event stream — the moving-aggregate counterpart of the
     lag()/row_number() queries above.
 
-    The running sum goes through DECIMAL so the result is
+    BOTH aggregates go through DECIMAL so results are
     summation-order-independent — double prefix sums drift in the last
     bits between engines (DuckDB aggregates window frames via a segment
-    tree, Spark sequentially).
+    tree, Spark sequentially).  The moving average is computed as
+    exact-decimal frame sum / frame count, cast to DECIMAL(38,6): the
+    quotient is a rational with denominator <= 7000, which is never
+    exactly on a 6-dp half-boundary (parity argument) and is >= 7e-11
+    away from one, so double/decimal rounding-mode differences between
+    the engines cannot flip the final digit.
     """
     from pyspark.sql.window import Window
 
     e = load(spark, sf_dir, "events")
     base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = base.rowsBetween(-6, 0)
+    mov_sum = F.sum(F.round("value", 3).cast("decimal(18,3)")).over(frame)
+    mov_cnt = F.count(F.lit(1)).over(frame)
     return e.select(
         "user_id",
         "event_id",
-        F.round(F.avg("value").over(base.rowsBetween(-6, 0)), 4).alias("mov_avg"),
+        (mov_sum / mov_cnt).cast("decimal(38,6)").alias("mov_avg"),
         F.sum(F.round("value", 3).cast("decimal(18,3)"))
         .over(base.rowsBetween(Window.unboundedPreceding, 0))
         .cast("decimal(38,3)")
