@@ -12,11 +12,21 @@ The mahjong ETL plane (reference parity proper) is proven two ways:
    so the driver's hash-match exercises the full ETL → storage-layout
    → query path, not just an in-memory DataFrame.
 
-The output root is committed as a fixture (tests/fixtures/
-etl_oracle_output) so the oracle side is runnable regardless of
-execution order; the Spark side REFRESHES it (overwrite) once per
-process before reading, so the comparison is against freshly-written
-bytes whenever the queries run first.
+The comparison is deliberately asymmetric:
+
+- the SPARK side runs the full ETL fresh into a per-process scratch
+  directory (tempfile) and queries the files it just wrote, so the
+  scan → parse → mint → sink → read-back path is exercised every run;
+- the ORACLE side reads the COMMITTED golden tree (tests/fixtures/
+  etl_oracle_output), which is never touched at runtime.
+
+Because the pipeline is deterministic (seqno minting is
+game_id-ordered, see plans/etl.py), fresh output and the golden tree
+hold identical rows — so any `run_etl` regression shows up as a
+driver hash mismatch against the golden bytes instead of being masked
+by both engines reading the same freshly-regressed files.  It also
+keeps the git worktree clean (no part-file churn in the committed
+fixture).  An ETL failure raises; there is no silent fallback.
 
 ``sf_dir`` is accepted for signature compatibility and ignored — the
 input is the fixture log tree, pinned so results are stable across
@@ -26,6 +36,7 @@ scale factors and rounds.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,29 +50,25 @@ _FIXTURES = os.path.join(
 )
 FIXTURE_LOGS = os.path.join(_FIXTURES, "logs")
 ORACLE_ETL_ROOT = os.path.join(_FIXTURES, "etl_oracle_output")
+PAIYAMA_FIXTURE = os.path.join(_FIXTURES, "paiyama_walls.parquet")
 
-_etl_done = False
+_scratch_root: str | None = None
 
 
 def _ensure_etl(spark: SparkSession) -> str:
-    """Run the fixture ETL into ORACLE_ETL_ROOT once per process.
+    """Run the fixture ETL into a fresh scratch root once per process.
 
-    Idempotent and deterministic (seqno minting is game_id-ordered, see
-    plans/etl.py), so re-running overwrites the committed fixture with
-    identical values.  If the tree is read-only the committed files are
-    used as-is.
+    The committed golden tree is left untouched; a failure raises so a
+    broken pipeline can never silently fall back to stale bytes.
     """
-    global _etl_done
-    if not _etl_done:
+    global _scratch_root
+    if _scratch_root is None:
         from .etl import run_etl
 
-        try:
-            run_etl(spark, FIXTURE_LOGS, ORACLE_ETL_ROOT)
-        except Exception:
-            if not os.path.isdir(ORACLE_ETL_ROOT):
-                raise
-        _etl_done = True
-    return ORACLE_ETL_ROOT
+        scratch = tempfile.mkdtemp(prefix="mahjong_etl_scratch_")
+        run_etl(spark, FIXTURE_LOGS, scratch)
+        _scratch_root = scratch
+    return _scratch_root
 
 
 def _read(spark: SparkSession, table: str) -> DataFrame:
@@ -169,22 +176,40 @@ def mahjong_action_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mahjong_paiyama_walls", oracle=None, bench=False)
+@query(
+    "mahjong_paiyama_walls",
+    oracle=f"""
+    SELECT id,
+           dt,
+           pai_ids,
+           CAST(list_sort(pai_ids) = range(0, 136) AS INT) AS is_perm,
+           CAST(id - 900000000000 - 19724 * 100000 AS BIGINT) AS ordinal
+    FROM read_parquet('{PAIYAMA_FIXTURE}')
+    """,
+    bench=False,
+)
 def mahjong_paiyama_walls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded synthetic walls: every wall must be a permutation of
-    0..135 and ids disjoint from (but joinable to) real kyoku ids.
-    Rows-only by design: the seeded RNG has no SQL equivalent."""
+    """Seeded synthetic walls (reference random_pailist.py re-expressed,
+    see sources/paiyama.py): the generator runs FRESH here, while the
+    oracle reads the committed golden parquet produced by the same
+    generator — so the driver hash pins the full 64×136 permutation
+    bytes, the id formula (900e9 + days_since_epoch*100000 + ordinal,
+    days(2024-01-02) = 19724), and permutation validity, not just row
+    counts.  Any change to the seeded-xxhash shuffle shows up as a
+    hash mismatch against the golden file."""
     import datetime
 
-    from ..sources.paiyama import wall_df
+    from ..sources.paiyama import ID_OFFSET, wall_df
 
     walls = wall_df(spark, 64, datetime.date(2024, 1, 2), seed=7)
     is_perm = F.expr(
         "array_sort(pai_ids) = transform(sequence(0,135), x -> cast(x AS long))"
     )
-    return walls.agg(
-        F.count(F.lit(1)).alias("n_walls"),
-        F.sum(F.when(is_perm, 1).otherwise(0)).alias("n_valid_perms"),
-        F.countDistinct("id").alias("n_distinct_ids"),
-        F.min("id").alias("min_id"),
+    days = (datetime.date(2024, 1, 2) - datetime.date(1970, 1, 1)).days
+    return walls.select(
+        "id",
+        "dt",
+        "pai_ids",
+        is_perm.cast("int").alias("is_perm"),
+        (F.col("id") - F.lit(ID_OFFSET + days * 100000)).alias("ordinal"),
     )

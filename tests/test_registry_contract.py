@@ -22,8 +22,6 @@ ROWS_ONLY_BY_DESIGN = {
     "similarity_ann_ivf": "approximate; recall pinned in pytest",
     "events_approx_quantiles": "approx_percentile sketch is engine-specific; "
     "bracketed by exact quantiles in orders_price_quantiles",
-    "mahjong_paiyama_walls": "seeded RNG walls have no SQL equivalent; "
-    "permutation property pinned in pytest",
 }
 
 
