@@ -28,12 +28,22 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import duckdb_shingles_sql, shingles_expr
 from ..plans.registry import query
 from ..sources.tables import load, load_spread
+
+# Committed golden outputs for the hash-based strategies whose
+# signatures DuckDB cannot recompute (see dedup_minhash_lsh docstring).
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+)
 
 NUM_HASHES = 64
 BANDS = 16
@@ -365,11 +375,26 @@ def minhash_lsh_pairs(
     )
 
 
-@query("dedup_minhash_lsh", oracle=None)
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    SELECT doc_a, doc_b, jaccard
+    FROM read_parquet('{_GOLDEN_DIR}/dedup_minhash_golden.parquet')
+    WHERE corpus_sig = (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (approximate candidate generation —
-    no SQL oracle; tests/test_dedup.py asserts exact agreement with
-    dedup_ngram_jaccard on the planted duplicates)."""
+    """MinHash-LSH near-dup pairs.
+
+    The xxhash64 signature has no DuckDB equivalent, so the oracle is a
+    committed GOLDEN file of this query's own (fully deterministic)
+    output, tagged per test corpus by its total text length — the
+    driver hash pins every emitted pair + Jaccard value against the
+    golden bytes, and any change to shingling, banding, or the
+    bucket-cap policy shows up as a hash mismatch.  Semantic accuracy
+    is separately pinned by tests/test_extensions.py (exact agreement
+    with dedup_ngram_jaccard on planted duplicates).  Goldens exist for
+    the sf0.001/sf0.01 corpora the correctness harnesses use."""
     return minhash_lsh_pairs(load_spread(spark, sf_dir, "documents"))
 
 
@@ -481,11 +506,22 @@ def simhash_pairs(df: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_a, doc_b, hamming
+    FROM read_parquet('{_GOLDEN_DIR}/dedup_simhash_golden.parquet')
+    WHERE corpus_sig = (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3; xxhash64-based signature
-    has no DuckDB equivalent — rows-only check; tests assert the
-    planted near-identical pairs are found)."""
+    """SimHash near-dup pairs (hamming <= 3).
+
+    Same golden-file oracle pattern as dedup_minhash_lsh: the SipHash
+    token hashing has no DuckDB equivalent, so the committed golden of
+    this deterministic output pins every pair + hamming distance per
+    test corpus; planted near-identical-pair recall is pinned in
+    pytest."""
     return simhash_pairs(load_spread(spark, sf_dir, "documents"))
 
 

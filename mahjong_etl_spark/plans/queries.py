@@ -247,14 +247,6 @@ def customer_rank_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "customers_with_big_orders_semi",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-    """,
-)
 def customers_with_big_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join: hands with a win, customers with a big order."""
     c = load(spark, sf_dir, "customer")
@@ -262,18 +254,34 @@ def customers_with_big_orders_semi(spark: SparkSession, sf_dir: str) -> DataFram
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
 
 
-@query(
-    "customers_without_orders_anti",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-)
 def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join: hands without a win, customers with no orders."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "customers_semi_anti",
+    oracle="""
+    SELECT 'semi' AS probe, c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    UNION ALL
+    SELECT 'anti' AS probe, c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins in one probe (r2→r3 consolidation
+    of customers_with_big_orders_semi + customers_without_orders_anti,
+    so both halves fit in the driver's per-round check window; the
+    individual plans are still pinned in tests/test_plans.py)."""
+    semi = customers_with_big_orders_semi(spark, sf_dir)
+    anti = customers_without_orders_anti(spark, sf_dir)
+    return semi.select(F.lit("semi").alias("probe"), "c_custkey", "c_name").unionAll(
+        anti.select(F.lit("anti").alias("probe"), "c_custkey", "c_name")
+    )
 
 
 @query(
@@ -713,15 +721,41 @@ def part_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One ANSI-neutral SQL text executed verbatim by BOTH engines: the
 # E4 lifecycle (SQL string -> Catalyst over registered views) proven
 # with zero translation — what "swap Athena for Spark SQL" means.
+# r2→r3 consolidation: the four former sql_roundtrip_* probes (plain
+# agg join, window fn, CTE chain, correlated EXISTS/NOT EXISTS) are
+# now ONE text exercising all four idioms, so the verbatim-dialect
+# contract costs a single slot in the driver's check window.  Every
+# integer aggregate that DuckDB widens (sum → HUGEINT, rank → BIGINT)
+# is CAST explicitly so value representations agree.
 _ROUNDTRIP_SQL = """
+    WITH nat AS (
+        SELECT n_nationkey, n_name, r_name
+        FROM nation
+        JOIN region ON n_regionkey = r_regionkey
+    ),
+    big_cust AS (
+        SELECT c_custkey, c_acctbal, c_nationkey
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+          AND EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 150000)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderstatus = 'F'
+                            AND o_totalprice > 450000)
+    )
     SELECT r_name,
-           count(*)                  AS n_customers,
-           round(sum(c_acctbal), 2)  AS total_balance
-    FROM customer
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
-    GROUP BY r_name
+           n_name,
+           CAST(count(*) AS BIGINT)   AS n_customers,
+           round(sum(c_acctbal), 2)   AS total_balance,
+           CAST(rank() OVER (PARTITION BY r_name
+                             ORDER BY round(sum(c_acctbal), 2) DESC,
+                                      n_name)
+                AS BIGINT)            AS rank_in_region
+    FROM big_cust
+    JOIN nat ON c_nationkey = n_nationkey
+    GROUP BY r_name, n_name
 """
 
 
@@ -729,93 +763,14 @@ _ROUNDTRIP_SQL = """
 def sql_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same SQL string this query declares as its oracle is run
     through ``spark.sql`` over registered views — character-for-
-    character dialect compatibility on the ANSI core, the contract an
-    Athena user migrating to this engine relies on."""
+    character dialect compatibility on the ANSI core (CTE chain,
+    correlated EXISTS / NOT EXISTS, multi-join aggregation, window
+    function over an aggregate), the contract an Athena user migrating
+    to this engine relies on."""
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir)
     return spark.sql(_ROUNDTRIP_SQL)
-
-
-# Three more verbatim probes of the ANSI core — a window function, a
-# CTE chain, and correlated (NOT) EXISTS — each one SQL string executed
-# character-identically by Spark SQL and DuckDB.  Every integer
-# aggregate that DuckDB widens (sum → HUGEINT, row_number → BIGINT) is
-# CAST explicitly so the value representations agree.
-
-_ROUNDTRIP_WINDOW_SQL = """
-    SELECT c_custkey,
-           o_orderkey,
-           CAST(row_number() OVER (PARTITION BY c_custkey
-                                   ORDER BY o_orderdate, o_orderkey)
-                AS BIGINT)            AS order_seq,
-           round(o_totalprice, 2)    AS price
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    WHERE c_mktsegment = 'MACHINERY'
-      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
-"""
-
-
-@query("sql_roundtrip_window", oracle=_ROUNDTRIP_WINDOW_SQL)
-def sql_roundtrip_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verbatim-SQL round-trip #2: a PARTITION BY / ORDER BY window
-    function (deterministic order key) through both engines."""
-    from ..sources.tables import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(_ROUNDTRIP_WINDOW_SQL)
-
-
-_ROUNDTRIP_CTE_SQL = """
-    WITH nc AS (
-        SELECT n_nationkey, n_name, count(*) AS n_customers
-        FROM nation
-        JOIN customer ON c_nationkey = n_nationkey
-        GROUP BY n_nationkey, n_name
-    ),
-    tot AS (
-        SELECT CAST(sum(n_customers) AS BIGINT) AS total FROM nc
-    )
-    SELECT n_name,
-           n_customers,
-           round(CAST(n_customers AS DOUBLE) * 100 / total, 4) AS pct
-    FROM nc, tot
-    WHERE n_customers > 40
-"""
-
-
-@query("sql_roundtrip_cte", oracle=_ROUNDTRIP_CTE_SQL)
-def sql_roundtrip_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verbatim-SQL round-trip #3: a two-stage CTE chain (aggregate,
-    then a scalar total joined back) through both engines."""
-    from ..sources.tables import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(_ROUNDTRIP_CTE_SQL)
-
-
-_ROUNDTRIP_EXISTS_SQL = """
-    SELECT s_suppkey, s_name
-    FROM supplier
-    WHERE EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_suppkey = s_suppkey AND l_quantity > 49)
-      AND NOT EXISTS (SELECT 1 FROM lineitem
-                      WHERE l_suppkey = s_suppkey
-                        AND l_returnflag = 'R'
-                        AND l_quantity = 50
-                        AND l_discount > 0.05)
-"""
-
-
-@query("sql_roundtrip_exists", oracle=_ROUNDTRIP_EXISTS_SQL)
-def sql_roundtrip_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verbatim-SQL round-trip #4: correlated EXISTS and NOT EXISTS
-    (decorrelated to semi/anti joins by both planners)."""
-    from ..sources.tables import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(_ROUNDTRIP_EXISTS_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -920,18 +875,6 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q14_promo_revenue",
-    oracle="""
-    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
-    """,
-)
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14-style: conditional (CASE) aggregation to one scalar.
 
@@ -949,18 +892,6 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q17_small_qty_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
-    FROM lineitem
-    JOIN part ON p_partkey = l_partkey
-    JOIN (SELECT l_partkey AS a_partkey, 0.5 * avg(l_quantity) AS qty_cut
-          FROM lineitem GROUP BY l_partkey) ON a_partkey = l_partkey
-    WHERE p_brand = 'Brand#23'
-      AND l_quantity < qty_cut
-    """,
-)
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q17-style correlated scalar subquery: rows below 0.5× their
     own group's average.
@@ -1034,19 +965,6 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q19_disjunctive_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_type = 'SMALL'  AND l_quantity BETWEEN 1 AND 20
-           AND p_size BETWEEN 1 AND 5)
-       OR (p_type = 'MEDIUM' AND l_quantity BETWEEN 10 AND 30
-           AND p_size BETWEEN 1 AND 10)
-       OR (p_type = 'LARGE'  AND l_quantity BETWEEN 20 AND 40
-           AND p_size BETWEEN 1 AND 15)
-    """,
-)
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q19-style OR-of-ANDs predicate across join sides.
 
@@ -1071,6 +989,62 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
+    )
+
+
+@query(
+    "tpch_scalar_revenues",
+    oracle="""
+    SELECT 'q14_promo_revenue' AS probe, CAST((
+        SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    ) AS DOUBLE) AS value
+    UNION ALL
+    SELECT 'q17_avg_yearly' AS probe, CAST((
+        SELECT round(sum(l_extendedprice) / 7.0, 2)
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN (SELECT l_partkey AS a_partkey, 0.5 * avg(l_quantity) AS qty_cut
+              FROM lineitem GROUP BY l_partkey) ON a_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < qty_cut
+    ) AS DOUBLE) AS value
+    UNION ALL
+    SELECT 'q19_revenue' AS probe, CAST((
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_type = 'SMALL'  AND l_quantity BETWEEN 1 AND 20
+               AND p_size BETWEEN 1 AND 5)
+           OR (p_type = 'MEDIUM' AND l_quantity BETWEEN 10 AND 30
+               AND p_size BETWEEN 1 AND 10)
+           OR (p_type = 'LARGE'  AND l_quantity BETWEEN 20 AND 40
+               AND p_size BETWEEN 1 AND 15)
+    ) AS DOUBLE) AS value
+    """,
+)
+def tpch_scalar_revenues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three single-scalar TPC-H-style revenue probes (Q14 CASE
+    aggregation, Q17 correlated-scalar decorrelation, Q19 disjunctive
+    pushdown) unioned into one (probe, value) result — an r2→r3
+    consolidation so all three fit in the driver's per-round check
+    window as a single slot.  The individual plans keep their own
+    functions above (q14_promo_revenue, q17_small_qty_revenue,
+    q19_disjunctive_revenue) and stay shape-pinned in
+    tests/test_plans.py."""
+
+    def tag(probe: str, df: DataFrame) -> DataFrame:
+        value = F.col(df.columns[0]).cast("double").alias("value")
+        return df.select(F.lit(probe).alias("probe"), value)
+
+    return (
+        tag("q14_promo_revenue", q14_promo_revenue(spark, sf_dir))
+        .unionAll(tag("q17_avg_yearly", q17_small_qty_revenue(spark, sf_dir)))
+        .unionAll(tag("q19_revenue", q19_disjunctive_revenue(spark, sf_dir)))
     )
 
 

@@ -75,8 +75,13 @@ def test_no_unconditional_broadcast_hints_on_fact_sides():
 
 
 def test_semi_anti_join_strategies(reg, spark, sf_dir):
-    semi = plan_of(_run(reg, "customers_with_big_orders_semi", spark, sf_dir))
-    anti = plan_of(_run(reg, "customers_without_orders_anti", spark, sf_dir))
+    from mahjong_etl_spark.plans.queries import (
+        customers_with_big_orders_semi,
+        customers_without_orders_anti,
+    )
+
+    semi = plan_of(customers_with_big_orders_semi(spark, sf_dir))
+    anti = plan_of(customers_without_orders_anti(spark, sf_dir))
     assert "LeftSemi" in semi and "SortMergeJoin" not in semi
     assert "LeftAnti" in anti and "SortMergeJoin" not in anti
 
@@ -97,7 +102,9 @@ def test_scan_only_queries_have_no_shuffle(reg, spark, sf_dir):
 
 
 def test_q19_disjunction_pushed_to_both_scans(reg, spark, sf_dir):
-    plan = plan_of(_run(reg, "q19_disjunctive_revenue", spark, sf_dir))
+    from mahjong_etl_spark.plans.queries import q19_disjunctive_revenue
+
+    plan = plan_of(q19_disjunctive_revenue(spark, sf_dir))
     # Catalyst extracts the single-side conjuncts of the OR-of-ANDs:
     # the quantity range reaches the lineitem scan and the type/size
     # disjunction reaches the part scan
@@ -115,7 +122,9 @@ def test_q18_having_semi_join_broadcasts(reg, spark, sf_dir):
 
 
 def test_q17_decorrelated_scalar_broadcasts(reg, spark, sf_dir):
-    plan = plan_of(_run(reg, "q17_small_qty_revenue", spark, sf_dir))
+    from mahjong_etl_spark.plans.queries import q17_small_qty_revenue
+
+    plan = plan_of(q17_small_qty_revenue(spark, sf_dir))
     # both the filtered part dim and the per-partkey aggregate join
     # broadcast — lineitem itself is never exchanged for a join
     assert plan.count("BroadcastHashJoin") == 2
