@@ -32,7 +32,12 @@ from pyspark.sql.window import Window
 from ..functions.text import duckdb_shingles_sql
 from ..plans.registry import query
 from ..sources.tables import load, load_spread
-from .dedup import JACCARD_THRESHOLD, MAX_SHINGLE_DF, ngram_jaccard_pairs
+from .dedup import (
+    JACCARD_THRESHOLD,
+    MAX_SHINGLE_DF,
+    corpus_shingle_sets,
+    ngram_jaccard_pairs,
+)
 
 CONTEXT_TOKENS = 2048
 VAL_HEX_CUTOFF = "1a"  # first 2 md5 hex chars < '1a' => ~10.2% val split
@@ -60,44 +65,74 @@ def connected_components(
     10⁶ would need 10⁶ rounds — real dedup graphs are representative-
     linked stars, diameter ≤ ~4).  Raises if not converged, rather
     than silently returning partial clusters.
+
+    Superseded label snapshots are unpersisted as soon as the next
+    round's snapshot is materialized (and ``sym`` after the loop), so
+    executor storage holds at most sym + two label tables at any time
+    instead of one snapshot per round.
     """
+    spark = edges.sparkSession
+
+    def checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        # localCheckpoint (not persist): an iterative plan must
+        # TRUNCATE lineage each round — a persisted DataFrame still
+        # carries the full logical plan, so Catalyst re-analysis cost
+        # grows superlinearly with rounds and the driver, not the
+        # executors, becomes the bottleneck.  localCheckpoint
+        # materializes to executor storage and replaces the plan with
+        # a leaf.  (Executor loss re-runs the job — at cluster scale
+        # use a reliable checkpoint dir for long chains.)  The id diff
+        # identifies the snapshot's storage so free() can release it
+        # when superseded — there is no public DataFrame handle to a
+        # localCheckpoint's blocks.
+        before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        out = df.localCheckpoint(eager=True)
+        after = spark.sparkContext._jsc.getPersistentRDDs()
+        return out, set(after.keySet()) - before
+
+    def free(ids: set[int]) -> None:
+        live = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = live.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    # localCheckpoint (not persist): an iterative plan must TRUNCATE
-    # lineage each round — a persisted DataFrame still carries the full
-    # logical plan, so Catalyst re-analysis cost grows superlinearly
-    # with rounds and the driver, not the executors, becomes the
-    # bottleneck.  localCheckpoint materializes to executor storage and
-    # replaces the plan with a leaf.  (Executor loss re-runs the job —
-    # at cluster scale use a reliable checkpoint dir for long chains.)
-    sym = sym.localCheckpoint(eager=True)
-    labels = (
+    sym, sym_ids = checkpoint(sym)
+    labels, labels_ids = checkpoint(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
-        prop = sym.join(labels, sym.dst == labels.id).select(
-            F.col("src").alias("id"), "label"
-        )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
-            return labels.select("id", F.col("label").alias("cluster_id"))
-    raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
+    try:
+        for _ in range(max_iters):
+            prop = sym.join(labels, sym.dst == labels.id).select(
+                F.col("src").alias("id"), "label", F.lit(False).alias("is_old")
+            )
+            # One aggregation produces BOTH the new label and the label
+            # it replaces (each id has exactly one is_old row), so the
+            # convergence check is a filter-count on the checkpointed
+            # table instead of a join back to the previous snapshot —
+            # one job per round, not two.
+            merged, new_ids = checkpoint(
+                labels.select("id", "label", F.lit(True).alias("is_old"))
+                .unionByName(prop)
+                .groupBy("id")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
+                )
+            )
+            n_changed = merged.where(F.col("label") != F.col("old_label")).count()
+            free(labels_ids)
+            labels, labels_ids = merged.select("id", "label"), new_ids
+            if n_changed == 0:
+                return labels.select("id", F.col("label").alias("cluster_id"))
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
+    finally:
+        free(sym_ids)
 
 
 @query(
@@ -144,7 +179,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the same clusters with a recursive-CTE transitive
     closure — the full pairs→components semantics are hash-checked."""
     docs = load_spread(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, max_shingle_df=MAX_SHINGLE_DF)
+    pairs = ngram_jaccard_pairs(
+        docs, max_shingle_df=MAX_SHINGLE_DF, sh=corpus_shingle_sets(spark, sf_dir)
+    )
     comp = connected_components(pairs)
     return comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -123,11 +123,40 @@ def shingle_sets(df: DataFrame, n: int = 3) -> DataFrame:
     return df.select("doc_id", shingles_expr(n).alias("shingles"))
 
 
+# (sf_dir, n) -> (owning SparkSession, persisted shingle-set DataFrame).
+# Keyed per session object so a stopped/recreated session recomputes.
+_SHINGLE_CACHE: dict[tuple[str, int], tuple[SparkSession, DataFrame]] = {}
+
+
+def corpus_shingle_sets(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Session-cached, persisted shingle sets for the documents corpus.
+
+    ``dedup_ngram_jaccard``, ``dedup_minhash_lsh``'s verify step, and
+    ``dedup_connected_components`` all consume the same
+    ``(doc_id, shingles)`` relation; when several dedup queries run in
+    one session (a bench pass, an interactive audit) the shingle
+    projection is computed once and served from executor storage
+    (MEMORY_AND_DISK — spills, never recomputes) instead of three
+    times.  This is the 100 TB "materialize the shingle pass once per
+    corpus snapshot" move expressed session-locally; the cache holds
+    one entry per (corpus, n) and is invalidated by session identity,
+    so correctness never depends on it.
+    """
+    key = (sf_dir, n)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    sh = shingle_sets(load_spread(spark, sf_dir, "documents"), n).persist()
+    _SHINGLE_CACHE[key] = (spark, sh)
+    return sh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
     threshold: float = JACCARD_THRESHOLD,
     max_shingle_df: int | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with word-``n``-gram Jaccard >= threshold.
 
@@ -150,7 +179,7 @@ def ngram_jaccard_pairs(
     (by shingle, then by pair).  A shingle shared by k docs still
     yields k²/2 pair rows — ``max_shingle_df`` is the hot-key cap.
     """
-    sh = shingle_sets(df, n)
+    sh = shingle_sets(df, n) if sh is None else sh
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s0")).select(
         "doc_id", F.xxhash64("s0").alias("s")
@@ -210,7 +239,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle from dominating the postings shuffle.
     """
     return ngram_jaccard_pairs(
-        load_spread(spark, sf_dir, "documents"), max_shingle_df=MAX_SHINGLE_DF
+        load_spread(spark, sf_dir, "documents"),
+        max_shingle_df=MAX_SHINGLE_DF,
+        sh=corpus_shingle_sets(spark, sf_dir),
     )
 
 
@@ -332,6 +363,7 @@ def minhash_lsh_pairs(
     threshold: float = JACCARD_THRESHOLD,
     bands: int = BANDS,
     rows_per_band: int = ROWS_PER_BAND,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -361,7 +393,7 @@ def minhash_lsh_pairs(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
     cand = _bucket_pairs(buckets, ["band", "bh"], "doc_id", "doc_a", "doc_b")
-    sh = shingle_sets(df, n)
+    sh = shingle_sets(df, n) if sh is None else sh
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -395,7 +427,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is separately pinned by tests/test_extensions.py (exact agreement
     with dedup_ngram_jaccard on planted duplicates).  Goldens exist for
     the sf0.001/sf0.01 corpora the correctness harnesses use."""
-    return minhash_lsh_pairs(load_spread(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(
+        load_spread(spark, sf_dir, "documents"),
+        sh=corpus_shingle_sets(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
