@@ -106,50 +106,90 @@ SESSION_STATE = StructType(
 )
 
 
-def _session_fn(
-    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.exists:
-        start_us, last_us, n = state.get
-    else:
-        start_us = last_us = None
-        n = 0
-    closed: list[tuple[int, int, float]] = []
-    # Concatenate ALL Arrow chunks for this group before sorting: one
-    # user's micro-batch data can span multiple chunks, and sorting
-    # each chunk independently would process events out of global time
-    # order (spurious session splits / wrong durations).
-    chunks = [p for p in pdfs if len(p)]
-    if chunks:
-        all_ts = pd.concat(chunks)
-        for ts_us in all_ts.sort_values("ts_us")["ts_us"]:
-            ts_us = int(ts_us)
-            if last_us is not None and ts_us - last_us > GAP_SEC * 1_000_000:
-                closed.append((user_id, n, round((last_us - start_us) / 1e6, 3)))
-                start_us, n = ts_us, 0
-            if start_us is None:
-                start_us = ts_us
-            last_us = ts_us
-            n += 1
-    state.update((start_us, last_us, n))
-    yield pd.DataFrame(closed, columns=["user_id", "n_events", "duration_sec"])
+def _make_session_fn(event_time_timeout: bool):
+    def _session_fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if event_time_timeout and state.hasTimedOut:
+            # Watermark passed last_event + GAP: the user went idle, so
+            # the in-flight session is final — emit it and drop the
+            # state entry entirely (bounded state on idle keys).
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, n, round((last_us - start_us) / 1e6, 3))],
+                columns=["user_id", "n_events", "duration_sec"],
+            )
+            return
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        closed: list[tuple[int, int, float]] = []
+        # Concatenate ALL Arrow chunks for this group before sorting: one
+        # user's micro-batch data can span multiple chunks, and sorting
+        # each chunk independently would process events out of global time
+        # order (spurious session splits / wrong durations).
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            all_ts = pd.concat(chunks)
+            for ts_us in all_ts.sort_values("ts_us")["ts_us"]:
+                ts_us = int(ts_us)
+                if last_us is not None and ts_us - last_us > GAP_SEC * 1_000_000:
+                    closed.append(
+                        (user_id, n, round((last_us - start_us) / 1e6, 3))
+                    )
+                    start_us, n = ts_us, 0
+                if start_us is None:
+                    start_us = ts_us
+                last_us = ts_us
+                n += 1
+        state.update((start_us, last_us, n))
+        if event_time_timeout and last_us is not None:
+            # Fire when the watermark passes the gap horizon.  Spark
+            # rejects a timeout at-or-before the current watermark, so
+            # clamp forward for a user whose last event is already far
+            # behind it (their timeout then fires on the next batch).
+            state.setTimeoutTimestamp(
+                max(
+                    last_us // 1000 + GAP_SEC * 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        yield pd.DataFrame(closed, columns=["user_id", "n_events", "duration_sec"])
+
+    return _session_fn
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame, watermark_delay: str | None = "10 minutes"
+) -> DataFrame:
     """Stateful streaming sessionization.
 
-    Emits a row per CLOSED session (the in-progress session per user
-    stays in the state store until a later event or timeout closes
-    it).  State is a 3-long tuple per active user.
+    Emits a row per CLOSED session.  A session closes two ways: a
+    later event from the same user beyond the gap (the data path), or
+    the event-time watermark passing ``last_event + GAP`` (the timeout
+    path — without it an idle user's final session would sit in the
+    state store forever and state would grow O(all users ever seen)
+    instead of O(active users)).  ``watermark_delay`` is the lateness
+    allowance; pass ``None`` to disable the watermark/timeout (state
+    then never expires — test/diagnostic use only).
     """
+    if watermark_delay is not None:
+        events = events.withWatermark("ts", watermark_delay)
     prepared = events.select(
-        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+        "user_id", "ts", F.unix_micros(F.col("ts")).alias("ts_us")
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
+        _make_session_fn(watermark_delay is not None),
         outputStructType=SESSION_OUT,
         stateStructType=SESSION_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if watermark_delay is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -3,12 +3,16 @@ their batch counterparts do (drained with Trigger.AvailableNow)."""
 
 from __future__ import annotations
 
+import os
 import uuid
+
+from pyspark.sql import functions as F
 
 from mahjong_etl_spark.operators.sessionize import (
     events_sessionized,
     sessionize_stream,
 )
+from mahjong_etl_spark.streaming.events import _EVENTS_RAW
 from mahjong_etl_spark.plans.registry import registry
 from mahjong_etl_spark.shipping import ensure_shipped
 from mahjong_etl_spark.streaming.events import (
@@ -33,11 +37,13 @@ def test_streaming_hourly_equals_batch(spark, sf_dir):
 def test_stateful_sessionize_stream_matches_batch(spark, sf_dir):
     """One AvailableNow drain = one micro-batch: every session except
     each user's final (still-open) one must be emitted, matching the
-    batch gap-and-island result exactly."""
+    batch gap-and-island result exactly.  Timeout disabled so ONLY the
+    gap rule closes sessions — this isolates the data path; the
+    timeout path is pinned by the idle-session test below."""
     ensure_shipped(spark)
     table = f"sess_{uuid.uuid4().hex[:8]}"
     q = (
-        sessionize_stream(stream_events(spark, sf_dir))
+        sessionize_stream(stream_events(spark, sf_dir), watermark_delay=None)
         .writeStream.format("memory")
         .queryName(table)
         .outputMode("append")
@@ -61,3 +67,67 @@ def test_stateful_sessionize_stream_matches_batch(spark, sf_dir):
             expected.append((uid, r.n_events, r.duration_sec))
     assert sorted(streamed) == sorted(expected)
     assert len(streamed) > 0
+
+
+def test_sessionize_stream_timeout_closes_idle_session(spark, tmp_path):
+    """EventTimeTimeout: once the watermark passes an idle user's
+    last_event + GAP, their final session must be EMITTED and their
+    state entry dropped — otherwise state grows with every user ever
+    seen.  Three single-file micro-batches: user 1's events land in
+    batch 1, then user 2's later events advance the watermark past
+    user 1's gap horizon, so user 1's session times out by batch 3."""
+    ensure_shipped(spark)
+    src = tmp_path / "events_src"
+    src.mkdir()
+    t0 = 1_700_000_000 * 1_000_000_000  # nanos
+    hour = 3600 * 1_000_000_000
+
+    def write_file(name: str, rows: list[tuple[int, int]], mtime: int) -> None:
+        pdf = [
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": uid,
+                "event_type": "view",
+                "value": 1.0,
+                "props": "{}",
+            }
+            for i, (uid, ts) in enumerate(rows)
+        ]
+        path = str(src / name)
+        spark.createDataFrame(pdf, schema=_EVENTS_RAW).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (mtime, mtime))
+
+    write_file("f1", [(1, t0), (1, t0 + 10 * 1_000_000_000)], mtime=1_000)
+    write_file("f2", [(2, t0 + 3 * hour)], mtime=2_000)
+    write_file("f3", [(2, t0 + 6 * hour)], mtime=3_000)
+
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    table = f"sess_to_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(events, watermark_delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.n_events, r.duration_sec)
+        for r in spark.table(table).collect()
+    }
+    # user 1 never produced another event: only the timeout can close
+    # their 2-event, 10-second session.
+    assert (1, 2, 10.0) in got
+    # user 2's first session closed by the ordinary gap rule.
+    assert (2, 1, 0.0) in got
