@@ -125,3 +125,72 @@ def test_paiyama_walls_are_permutations(spark):
     ]
     w0, w1 = [r.pai_ids for r in df.orderBy("id").limit(2).collect()]
     assert w0 != w1
+
+
+def test_etl_compat_false_quirks_absent_in_written_parquet(spark, etl_out, tmp_path):
+    """Pipeline-level compat=False check: the fixed-semantics flag must
+    thread scan -> mapInPandas parse -> sink, and the two documented
+    reference quirks (SURVEY.md §1.6) must be ABSENT from the written
+    parquet — compared row-for-row against the compat=True run.
+
+    Quirk 2 (discard rendering): g2melds has three from-hand discards
+    (XML D20/E33/F42 after T56); compat=True renders the last DRAWN
+    tile ("p6") for all three, compat=False the actual discarded tile.
+    Quirk 1 (meld member ids): every meld's packed word must differ
+    between the runs (the member-id formulas disagree on every chi/pon
+    member and on the kan id), and compat=False member bytes must be
+    true tile ids (< 136).
+    """
+    from pyspark.sql import functions as F
+
+    out_true, _ = etl_out
+    out_false = str(tmp_path / "nocompat")
+    run_etl(spark, FIXTURE_ROOT, out_false, compat=False)
+
+    def actions_with_game(out):
+        k = (
+            spark.read.parquet(f"{out}/kyokus")
+            .select(F.col("id").alias("kyoku_id"), "game_id")
+        )
+        return spark.read.parquet(f"{out}/actions").join(k, "kyoku_id")
+
+    a_true = {
+        (r.game_id, r.kyoku_id, r.seq): r
+        for r in actions_with_game(out_true).collect()
+    }
+    a_false = {
+        (r.game_id, r.kyoku_id, r.seq): r
+        for r in actions_with_game(out_false).collect()
+    }
+    assert set(a_true) == set(a_false) and a_true
+
+    # --- quirk 2: from-hand discards render the DISCARDED tile -------
+    fh_true = sorted(
+        r.pais
+        for r in a_true.values()
+        if r.game_id == "g2melds" and r.type == "sutehai" and "_" not in r.pais
+    )
+    fh_false = sorted(
+        r.pais
+        for r in a_false.values()
+        if r.game_id == "g2melds" and r.type == "sutehai" and "_" not in r.pais
+    )
+    assert fh_true == ["p6", "p6", "p6"]  # the quirk, reproduced
+    assert fh_false == ["m6", "m9", "p2"]  # the fix: D20/E33/F42
+
+    # tsumogiri discards and every non-discard row render identically
+    for key, rt in a_true.items():
+        rf = a_false[key]
+        if rt.type == "sutehai" and "_" not in rt.pais:
+            continue
+        assert rt.pais == rf.pais, key
+
+    # --- quirk 1: meld packed words carry true tile ids --------------
+    melds_true = {k: r.pai_id for k, r in a_true.items() if r.type in ("tii", "pon", "kan")}
+    melds_false = {k: r.pai_id for k, r in a_false.items() if r.type in ("tii", "pon", "kan")}
+    assert len(melds_false) >= 4  # fixture exercises chi, pon, 2 kans
+    for key, packed in melds_false.items():
+        assert packed != melds_true[key], key
+        assert (packed & 0xFF) < 136 and ((packed >> 8) & 0xFF) < 136 and (
+            (packed >> 16) & 0xFF
+        ) < 136, key
