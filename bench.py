@@ -61,6 +61,42 @@ def main() -> None:
     for name, t in list(timings.items()):
         if t >= max(3.0, 3 * med):
             timings[name] = min(t, run_one(name))
+
+    # --- mahjong plane throughput (SURVEY §6 "games parsed/sec") ----
+    # A deterministic synthetic 1k-game corpus (generation untimed,
+    # cached across runs) through the full scan→parse→mint→sink
+    # pipeline, then one analytical query over the written star schema.
+    # Exempt from the outlier re-run: the ETL is multi-second by
+    # nature, not by stall.
+    import shutil
+    import tempfile
+
+    from mahjong_etl_spark.plans.catalog import register_tables
+    from mahjong_etl_spark.plans.etl import run_etl
+    from mahjong_etl_spark.sources.synth_games import generate_corpus
+
+    n_games = int(os.environ.get("SPARK_GRAFT_SYNTH_GAMES", "1000"))
+    log_dir = generate_corpus(
+        "/tmp/spark_graft_synth_corpus", n_games=n_games
+    )
+    etl_out = tempfile.mkdtemp(prefix="mahjong_bench_etl_")
+    try:
+        t0 = time.perf_counter()
+        run_etl(spark, log_dir, etl_out)
+        timings["mahjong_etl_1k"] = time.perf_counter() - t0
+        register_tables(spark, etl_out)
+        t0 = time.perf_counter()
+        spark.sql(
+            """
+            SELECT y.name, count(*) AS n, avg(a.score) AS avg_score
+            FROM agaris a LATERAL VIEW explode(yaku) AS y
+            GROUP BY y.name ORDER BY n DESC
+            """
+        ).collect()
+        timings["mahjong_query_1k"] = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(etl_out, ignore_errors=True)
+
     timings = {k: round(v, 3) for k, v in timings.items()}
 
     m = re.search(r"sf([0-9.]+)", sf_dir)

@@ -32,13 +32,13 @@ from __future__ import annotations
 
 import datetime
 from collections.abc import Iterator
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.errors import AnalysisException
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -186,22 +186,43 @@ def run_etl(
             )
         good = parsed.where(F.col("error").isNull())
         offsets = _with_offsets(good)
-        counts: dict[str, int] = {"_corrupt": n_corrupt}
-        for table in TABLE_SCHEMAS:
-            df = table_df(good, offsets, table)
+
+        def write_one(table: str) -> None:
             # agaris/nagares may be empty for a date — Spark simply
             # writes no partition directory (the reference skips the
-            # file too, scrape.py:651-660)
-            df.write.mode("overwrite").partitionBy("dt").parquet(
-                f"{out_dir}/{table}"
-            )
-            try:
-                counts[table] = spark.read.parquet(f"{out_dir}/{table}").count()
-            except AnalysisException:
-                # a table with zero rows everywhere writes no part files
-                # (e.g. agaris when no game has a win) — schema inference
-                # on the empty directory fails, and the count is simply 0
-                counts[table] = 0
-        return counts
+            # file too, scrape.py:651-660).
+            # REBALANCE(dt) before partitionBy: without it every write
+            # task opens a writer per date it happens to hold (task x
+            # date small files, the classic partitioned-write storm).
+            # The AQE rebalance clusters rows by dt but, unlike a plain
+            # repartition("dt"), SPLITS an oversized date across tasks
+            # by shuffle-block size — so one hot date never serializes
+            # onto one writer at cluster scale.
+            table_df(good, offsets, table).hint("rebalance", "dt").write.mode(
+                "overwrite"
+            ).partitionBy("dt").parquet(f"{out_dir}/{table}")
+
+        # The nine sinks are independent narrow jobs over the SAME
+        # persisted parse (materialized above by the corrupt count, so
+        # no cache-fill races), each writing its own directory.
+        # Submitting them from a thread pool lets the scheduler
+        # interleave their tasks instead of paying nine serial
+        # job-latency floors — the sink fanout was ~4/5 of ETL wall
+        # time when serial.  On a cluster the same applies: concurrent
+        # jobs fill idle executors.
+        with ThreadPoolExecutor(max_workers=len(TABLE_SCHEMAS)) as pool:
+            futures = {t: pool.submit(write_one, t) for t in TABLE_SCHEMAS}
+            for fut in futures.values():
+                fut.result()
+
+        # Row counts in ONE aggregate pass over the cached parse
+        # (array sizes) instead of nine read-back count jobs.
+        sizes = good.agg(
+            *[
+                F.coalesce(F.sum(F.size(t)), F.lit(0)).alias(t)
+                for t in TABLE_SCHEMAS
+            ]
+        ).collect()[0]
+        return {"_corrupt": n_corrupt, **{t: int(sizes[t]) for t in TABLE_SCHEMAS}}
     finally:
         parsed.unpersist()

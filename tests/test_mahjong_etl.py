@@ -194,3 +194,32 @@ def test_etl_compat_false_quirks_absent_in_written_parquet(spark, etl_out, tmp_p
         assert (packed & 0xFF) < 136 and ((packed >> 8) & 0xFF) < 136 and (
             (packed >> 16) & 0xFF
         ) < 136, key
+
+
+def test_synthetic_corpus_matches_reference(spark, tmp_path):
+    """Fuzz parity: 25 generator games (melds, riichi, tsumogiri and
+    from-hand discards, AGARI/RYUUKYOKU endings, owari) through the
+    full ETL must match the reference parser row-for-row — the same
+    contract as the hand-written fixtures, on two orders of magnitude
+    more variety."""
+    from mahjong_etl_spark.sources.synth_games import generate_corpus
+
+    src = str(tmp_path / "synth_src")
+    generate_corpus(src, n_games=25, seed=7, n_dates=2)
+    out = str(tmp_path / "synth_out")
+    run_etl(spark, src, out)
+
+    expected: dict[str, list[dict]] = {}
+    for dt_dir in sorted(os.listdir(src)):
+        if not dt_dir.isdigit():
+            continue
+        files = [
+            (f[:-4], os.path.join(src, dt_dir, f))
+            for f in sorted(os.listdir(os.path.join(src, dt_dir)))
+        ]
+        for t, rows in run_reference_date(files, dt_dir).items():
+            expected.setdefault(t, []).extend(rows)
+    for table, exp_rows in expected.items():
+        df = spark.read.parquet(f"{out}/{table}").drop("dt")
+        act_rows = [r.asDict(recursive=True) for r in df.collect()]
+        assert _rowset(act_rows) == _rowset(exp_rows), f"{table} differs"
