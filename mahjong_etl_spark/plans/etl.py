@@ -6,7 +6,8 @@ scrape.py:612-668):
   binaryFile scan -> mapInPandas(parse_game)  [one row per game,
       nine array<struct> columns]            -> persist()
     -> per-game offset window (deterministic kyoku_id minting)
-    -> 9x (explode -> finalize ids -> write partitionBy("dt"))
+    -> 9x (explode -> finalize ids -> REBALANCE(dt)
+           -> write partitionBy("dt")), submitted concurrently
 
 Design points:
 - ONE parse per XML: the parsed DataFrame is persisted before the
@@ -22,8 +23,10 @@ Design points:
   directories the reference writes (scrape.py:613-622); Spark emits
   part-file names, which Athena/Spark SQL readers never depend on.
   Multiple part files per partition are allowed (at 100 TB one file
-  per table-date would be the bottleneck, not a feature); dynamic
-  partition overwrite keeps daily re-runs idempotent per date.
+  per table-date would be the bottleneck, not a feature) but bounded:
+  rows are REBALANCE(dt)-clustered before partitionBy so file count
+  tracks data volume, not task count.  Dynamic partition overwrite
+  keeps daily re-runs idempotent per date.
 - The parser crosses the Python-worker boundary, so the package is
   shipped via addPyFile first (see shipping.py).
 """
