@@ -439,3 +439,119 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("kept_chars"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# Stand-in eval set: every 97th document plays the "benchmark" corpus.
+# In production this is the actual eval/benchmark table; the shape of
+# the computation is identical.
+DECON_MOD = 97
+DECON_MIN_OVERLAP = 3
+
+
+def decontaminate_pairs(
+    train_sh: DataFrame, eval_sh: DataFrame, min_overlap: int = DECON_MIN_OVERLAP
+) -> DataFrame:
+    """Training documents sharing >= ``min_overlap`` word-3-gram
+    shingles with ANY benchmark document (the n-gram-overlap
+    decontamination rule used before pretraining runs).
+
+    Shape: explode both sides to (doc, shingle), equi-join on the
+    shingle, count per training doc.  The eval side is tiny relative
+    to the corpus (benchmarks are KBs-to-MBs against 100 TB), so its
+    distinct shingle set is broadcast — the training corpus never
+    shuffles; the only exchange is the per-doc overlap count, keyed by
+    doc_id (no hot keys by construction).
+    """
+    ev = (
+        eval_sh.select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    tr = train_sh.select("doc_id", F.explode("shingles").alias("s"))
+    # per-doc shingle arrays are distinct already (shingles_expr), so
+    # a plain count after the join is the distinct-overlap count
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({duckdb_shingles_sql(3)}) AS s FROM documents
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_MOD} = 0),
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id % {DECON_MOD} <> 0)
+    SELECT tr.doc_id, count(*) AS n_overlap
+    FROM tr JOIN ev USING (s)
+    GROUP BY tr.doc_id
+    HAVING count(*) >= {DECON_MIN_OVERLAP}
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by the (stand-in) benchmark set —
+    the pre-training decontamination pass.  Reuses the session-cached
+    shingle materialization shared with the dedup family."""
+    sh = corpus_shingle_sets(spark, sf_dir)
+    return decontaminate_pairs(
+        sh.where(F.col("doc_id") % DECON_MOD != 0),
+        sh.where(F.col("doc_id") % DECON_MOD == 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SALT = "shuffle:"
+SHUFFLE_PROBE = 100
+
+
+def shuffle_key(id_col: str = "doc_id", salt: str = SHUFFLE_SALT) -> F.Column:
+    """Reshuffle-stable global training order: md5(salt || id).  Any
+    engine can recompute the permutation (same property as
+    ``deterministic_split``); changing the salt is a fresh epoch
+    permutation.  At 100 TB the order is MATERIALIZED by
+    ``repartitionByRange(skey).sortWithinPartitions(skey)`` — a range
+    shuffle, no global sort barrier; readers stream partitions in
+    range order."""
+    return F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+
+
+@query(
+    "corpus_global_shuffle",
+    oracle=f"""
+    SELECT doc_id, skey, CAST(rn AS INTEGER) AS shuffle_pos FROM (
+        SELECT doc_id,
+               md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)) AS skey,
+               row_number() OVER (
+                   ORDER BY md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rn
+        FROM documents)
+    WHERE rn <= {SHUFFLE_PROBE}
+    """,
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First ``SHUFFLE_PROBE`` documents of the deterministic global
+    training shuffle.  The probe is a scale-safe top-k
+    (TakeOrderedAndProject: per-partition heap + driver merge — no
+    global sort), then positions are numbered inside the k-row result;
+    the full-corpus materialization path is documented on
+    ``shuffle_key``."""
+    d = load_spread(spark, sf_dir, "documents")
+    top = (
+        d.select("doc_id", shuffle_key().alias("skey"))
+        .orderBy("skey", "doc_id")
+        .limit(SHUFFLE_PROBE)
+    )
+    w = Window.orderBy("skey", "doc_id")
+    return top.select(
+        "doc_id", "skey", F.row_number().over(w).alias("shuffle_pos")
+    )

@@ -265,3 +265,121 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document order-sensitive rolling-hash fingerprint."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_expr().alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS ws,
+               CASE WHEN len(string_split(text, ' ')) >= 3
+                    THEN list_transform(
+                             range(len(string_split(text, ' ')) - 2),
+                             i -> array_to_string(
+                                      string_split(text, ' ')[i + 1 : i + 3],
+                                      ' '))
+                    ELSE [] END AS tri
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           round(CASE WHEN len(ws) > 0
+                      THEN 1.0 - len(list_distinct(ws))::DOUBLE / len(ws)
+                      ELSE 0.0 END, 6) AS word_dup_frac,
+           round(CASE WHEN len(tri) > 0
+                      THEN 1.0 - len(list_distinct(tri))::DOUBLE / len(tri)
+                      ELSE 0.0 END, 6) AS tri_dup_frac
+    FROM t
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition fractions (duplicate words, duplicate
+    word-3-grams) — the Gopher-style 'repetitious document' quality
+    signal filtered on before pretraining.  Pure higher-order-function
+    expressions over one scan: no shuffle, no UDF; partial results are
+    four scalars per row."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    tri = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+        "  flatten(transform(array(split(text, ' ')), ws ->"
+        "    transform(sequence(0, size(ws) - 3),"
+        "              i -> concat_ws(' ', slice(ws, i + 1, 3)))))"
+        " ELSE array() END"
+    )
+    dup = lambda arr: F.when(  # noqa: E731
+        F.size(arr) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / F.size(arr),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.round(dup(ws), 6).alias("word_dup_frac"),
+        F.round(dup(tri), 6).alias("tri_dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII-style scrubbing (regex redaction with audit counts)
+# ---------------------------------------------------------------------------
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB).  The digit-run rule is the one with live signal in the
+# test corpus (events.props JSON); the email rule is the production
+# staple and rides along with zero hits here.
+PII_PATTERNS = {
+    "num": "[0-9]+",
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+}
+
+
+def scrub_col(col: F.Column, pattern: str, repl: str = "<X>") -> F.Column:
+    """Redact every match of ``pattern`` (JVM regexp_replace — one
+    codegen expression, no UDF; at 100 TB this is a map-only pass)."""
+    return F.regexp_replace(col, pattern, repl)
+
+
+@query(
+    "events_pii_scrub",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(len(regexp_extract_all(props, '{PII_PATTERNS["num"]}')))
+                AS BIGINT) AS n_num_hits,
+           CAST(sum(len(regexp_extract_all(props, '{PII_PATTERNS["email"]}')))
+                AS BIGINT) AS n_email_hits,
+           CAST(sum(length(regexp_replace(props, '{PII_PATTERNS["num"]}',
+                                          '<X>', 'g'))) AS BIGINT)
+               AS redacted_chars,
+           max(regexp_replace(props, '{PII_PATTERNS["num"]}', '<X>', 'g'))
+               AS sample_redacted
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrub of the raw props payload with per-type audit
+    counts — the shape of a PII-redaction pass over 100 TB of raw
+    logs: map-only redaction, one aggregation keyed by a low-
+    cardinality column.  Counts AND the redacted bytes (length sum +
+    lexicographic max sample) are pinned cross-engine, so a dialect
+    divergence in the pattern shows up as a hash mismatch."""
+    e = load(spark, sf_dir, "events")
+    red = scrub_col(F.col("props"), PII_PATTERNS["num"])
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.regexp_count(F.col("props"), F.lit(PII_PATTERNS["num"])))
+        .cast("long")
+        .alias("n_num_hits"),
+        F.sum(F.regexp_count(F.col("props"), F.lit(PII_PATTERNS["email"])))
+        .cast("long")
+        .alias("n_email_hits"),
+        F.sum(F.length(red)).cast("long").alias("redacted_chars"),
+        F.max(red).alias("sample_redacted"),
+    )

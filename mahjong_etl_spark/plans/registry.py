@@ -89,9 +89,20 @@ _CHECK_WINDOW_HEAD = [
     "embedding_norm_profile",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # round-3 additions: never driver-checked yet
+    "corpus_decontaminate",
+    "corpus_global_shuffle",
+    "text_repetition",
+    "events_pii_scrub",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    # twice driver-green probes whose SURVEY family keeps an in-window
+    # witness (moved r3 to make room for the new operators above)
+    "customer_rank_by_nation",
+    "orders_price_quantiles",
+    "events_json_stats",
+    "events_user_type_pivot",
     "orders_by_month",
     "top_customers",
     "orders_price_rank_dist",

@@ -153,3 +153,81 @@ def test_hot_shingle_cap_drops_stop_shingle(spark):
     uncapped = ngram_jaccard_pairs(docs, threshold=0.01, max_shingle_df=None)
     assert capped.count() == 0, "hot shingle should be dropped by the df cap"
     assert uncapped.count() > 0, "without the cap the hot shingle pairs everything"
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from mahjong_etl_spark.operators.corpus import decontaminate_pairs
+    from mahjong_etl_spark.operators.dedup import shingle_sets
+
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (100, eval_text),  # the benchmark document
+            # 4 shared trigrams (full prefix overlap)
+            (1, "alpha beta gamma delta epsilon other words here"),
+            # exactly 1 shared trigram -> below min_overlap=3
+            (2, "alpha beta gamma unrelated tokens follow now"),
+            # nothing shared
+            (3, "totally different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_sets(docs)
+    got = {
+        r.doc_id: r.n_overlap
+        for r in decontaminate_pairs(
+            sh.where("doc_id < 100"), sh.where("doc_id = 100"), min_overlap=3
+        ).collect()
+    }
+    assert set(got) == {1} and got[1] == 3  # trigrams: a-b-g, b-g-d, g-d-e
+
+
+def test_global_shuffle_is_stable_permutation(spark, sf_dir):
+    from mahjong_etl_spark.operators.corpus import corpus_global_shuffle
+
+    a = corpus_global_shuffle(spark, sf_dir).collect()
+    b = corpus_global_shuffle(spark, sf_dir).collect()
+    assert a == b  # deterministic across runs
+    assert [r.shuffle_pos for r in a] == list(range(1, len(a) + 1))
+    keys = [r.skey for r in a]
+    assert keys == sorted(keys) and len(set(r.doc_id for r in a)) == len(a)
+
+
+def test_repetition_fractions_hand_case(spark):
+    from mahjong_etl_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y x y x y"),  # 6 words, 2 distinct; 4 trigrams, 2 distinct
+            (2, "a b"),  # shorter than a trigram
+        ],
+        "doc_id long, text string",
+    )
+    orig = text_analysis.load
+    text_analysis.load = lambda *_a, **_k: docs
+    try:
+        got = {
+            r.doc_id: r
+            for r in text_analysis.text_repetition(spark, "ignored").collect()
+        }
+    finally:
+        text_analysis.load = orig
+    assert got[1].n_words == 6
+    assert abs(got[1].word_dup_frac - (1 - 2 / 6)) < 1e-6
+    assert abs(got[1].tri_dup_frac - (1 - 2 / 4)) < 1e-6
+    assert got[2].tri_dup_frac == 0.0
+
+
+def test_scrub_redacts_all_matches(spark):
+    from mahjong_etl_spark.operators.text_analysis import PII_PATTERNS, scrub_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("call 555 1234 or mail a.b@c.de now",)], "t string"
+    )
+    row = df.select(
+        scrub_col(F.col("t"), PII_PATTERNS["num"]).alias("num"),
+        scrub_col(F.col("t"), PII_PATTERNS["email"], "<MAIL>").alias("mail"),
+    ).first()
+    assert row.num == "call <X> <X> or mail a.b@c.de now"
+    assert row.mail == "call 555 1234 or mail <MAIL> now"
