@@ -181,3 +181,34 @@ def test_corpus_split_single_exchange(reg, spark, sf_dir):
     plan = plan_of(_run(reg, "corpus_train_val_split", spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_" in plan
+
+
+def test_decontaminate_broadcasts_eval_side(reg, spark, sf_dir):
+    """The benchmark shingle set must broadcast (eval sets are tiny at
+    any scale); the training corpus must never sort-merge for the
+    overlap match."""
+    plan = plan_of(_run(reg, "corpus_decontaminate", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_shuffle_probe_no_global_sort(reg, spark, sf_dir):
+    """The shuffle probe is a top-k: per-partition heap + driver merge,
+    never a full Sort of the corpus."""
+    plan = plan_of(_run(reg, "corpus_global_shuffle", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_is_scan_only(reg, spark, sf_dir):
+    """Per-document expressions: one scan, zero exchanges."""
+    plan = plan_of(_run(reg, "text_repetition", spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pii_scrub_single_exchange_partial_agg(reg, spark, sf_dir):
+    """Map-only redaction + one low-cardinality aggregate exchange,
+    with map-side partial aggregation."""
+    plan = plan_of(_run(reg, "events_pii_scrub", spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan
