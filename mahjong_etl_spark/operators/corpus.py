@@ -52,19 +52,23 @@ def connected_components(
     """(id, cluster_id) for every node appearing in ``edges``, where
     cluster_id is the smallest node id in the connected component.
 
-    Min-label propagation: every node starts labelled with itself;
-    each round, a node adopts the minimum label among itself and its
-    neighbours; fixpoint when no label changes.  Each round is one
-    join + one min-aggregate on the node id — the label table (2 longs
-    per node) is the only state, so 10¹⁰ nodes is ~160 GB spread over
-    the cluster, never driver-side.  Rounds needed = graph diameter;
-    the per-round convergence check is a count() action (cheap: runs
-    on the already-shuffled label table).
+    Min-label propagation WITH pointer jumping: every node starts
+    labelled with itself; each round a node adopts the minimum label
+    among itself, its neighbours' labels, and its label's label (the
+    pointer jump — labels always name reachable nodes, so transitivity
+    is preserved).  The jump makes label chains halve each round:
+    rounds needed = O(log diameter) instead of diameter, which turns a
+    pathological 10⁶-long path from 10⁶ rounds into ~20 and shaves
+    real rounds off the star-shaped graphs dedup actually produces.
+    Each round is two joins + one min-aggregate on the node id — the
+    label table (2 longs per node) is the only state, so 10¹⁰ nodes is
+    ~160 GB spread over the cluster, never driver-side.  The per-round
+    convergence check is a count() action (cheap: runs on the
+    already-checkpointed label table).
 
-    ``max_iters`` bounds pathological chains (a path graph of length
-    10⁶ would need 10⁶ rounds — real dedup graphs are representative-
-    linked stars, diameter ≤ ~4).  Raises if not converged, rather
-    than silently returning partial clusters.
+    ``max_iters`` = 25 therefore covers graphs of diameter ~2²⁵.
+    Raises if not converged, rather than silently returning partial
+    clusters.
 
     Superseded label snapshots are unpersisted as soon as the next
     round's snapshot is materialized (and ``sym`` after the loop), so
@@ -111,6 +115,16 @@ def connected_components(
             prop = sym.join(labels, sym.dst == labels.id).select(
                 F.col("src").alias("id"), "label", F.lit(False).alias("is_old")
             )
+            # pointer jump: id -> label(label(id))
+            jump = (
+                labels.alias("a")
+                .join(labels.alias("b"), F.col("a.label") == F.col("b.id"))
+                .select(
+                    F.col("a.id").alias("id"),
+                    F.col("b.label").alias("label"),
+                    F.lit(False).alias("is_old"),
+                )
+            )
             # One aggregation produces BOTH the new label and the label
             # it replaces (each id has exactly one is_old row), so the
             # convergence check is a filter-count on the checkpointed
@@ -119,6 +133,7 @@ def connected_components(
             merged, new_ids = checkpoint(
                 labels.select("id", "label", F.lit(True).alias("is_old"))
                 .unionByName(prop)
+                .unionByName(jump)
                 .groupBy("id")
                 .agg(
                     F.min("label").alias("label"),
