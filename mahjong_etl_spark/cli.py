@@ -47,7 +47,11 @@ def cmd_etl(args: argparse.Namespace) -> int:
 
     spark = _spark("mahjong-etl")
     counts = run_etl(
-        spark, args.log_dir, args.output_dir, compat=not args.no_compat
+        spark,
+        args.log_dir,
+        args.output_dir,
+        compat=not args.no_compat,
+        date_prefix=args.date,
     )
     for table, n in counts.items():
         print(f"{table}: {n} rows")
@@ -100,6 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--no-compat",
         action="store_true",
         help="fix the reference's discard/meld-id bugs instead of reproducing them",
+    )
+    et.add_argument(
+        "-d",
+        "--date",
+        default=None,
+        help="incremental run: only log dirs matching this date prefix "
+        "(YYYYMMDD / YYYYMM / YYYY); other dt= partitions stay untouched",
     )
     et.set_defaults(fn=cmd_etl)
 

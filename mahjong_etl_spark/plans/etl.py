@@ -125,13 +125,20 @@ def _parse_batches(compat: bool):
     return fn
 
 
-def parse_logs(spark: SparkSession, log_dir: str, compat: bool = True) -> DataFrame:
+def parse_logs(
+    spark: SparkSession,
+    log_dir: str,
+    compat: bool = True,
+    date_prefix: str | None = None,
+) -> DataFrame:
     """Scan + parse: one output row per game (see PARSED_GAME_SCHEMA)."""
     from ..shipping import ensure_shipped
     from ..sources.xml_source import scan_logs
 
     ensure_shipped(spark)
-    scan = scan_logs(spark, log_dir).select("dt_raw", "game_id", "content")
+    scan = scan_logs(spark, log_dir, date_prefix).select(
+        "dt_raw", "game_id", "content"
+    )
     return scan.mapInPandas(_parse_batches(compat), schema=PARSED_GAME_SCHEMA)
 
 
@@ -172,10 +179,18 @@ def run_etl(
     log_dir: str,
     out_dir: str,
     compat: bool = True,
+    date_prefix: str | None = None,
 ) -> dict[str, int]:
-    """Full pipeline; returns row counts per table."""
+    """Full pipeline; returns row counts per table.
+
+    ``date_prefix`` turns this into the reference's daily incremental
+    run (main.py's per-date loop): only matching date directories are
+    listed and parsed, and dynamic partition overwrite replaces ONLY
+    the written ``dt=`` partitions — history stays untouched, so the
+    same invocation is both the backfill and the daily increment.
+    """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    parsed = parse_logs(spark, log_dir, compat).persist()
+    parsed = parse_logs(spark, log_dir, compat, date_prefix).persist()
     try:
         corrupt = parsed.where(F.col("error").isNotNull()).select(
             "dt", "game_id", "error"

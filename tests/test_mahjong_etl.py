@@ -223,3 +223,37 @@ def test_synthetic_corpus_matches_reference(spark, tmp_path):
         df = spark.read.parquet(f"{out}/{table}").drop("dt")
         act_rows = [r.asDict(recursive=True) for r in df.collect()]
         assert _rowset(act_rows) == _rowset(exp_rows), f"{table} differs"
+
+
+def test_incremental_date_scoped_etl(spark, tmp_path):
+    """run_etl(date_prefix=...) must parse ONLY the matching date dirs
+    and dynamic-overwrite ONLY their dt= partitions: a one-day re-run
+    over an existing output tree leaves the other day's files
+    byte-identical (inode untouched)."""
+    out = str(tmp_path / "incr")
+    full = run_etl(spark, FIXTURE_ROOT, out)  # backfill: both dates
+    assert full["games"] == 4
+
+    day3_files = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{out}/*/dt=2024-01-03/*.parquet")
+    }
+    assert day3_files
+
+    incr = run_etl(spark, FIXTURE_ROOT, out, date_prefix="20240102")
+    # counts reflect only the re-run day (2 fixture games on 01-02)
+    assert incr["games"] == 2
+    # day-03 partitions were not rewritten
+    assert {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{out}/*/dt=2024-01-03/*.parquet")
+    } == day3_files
+    # day-02 rows unchanged vs the backfill (same input, same output)
+    k = spark.read.parquet(f"{out}/kyokus")
+    assert k.where("dt = '2024-01-02'").count() == 3
+    assert k.count() == 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):  # typo'd date must fail loudly
+        run_etl(spark, FIXTURE_ROOT, str(tmp_path / "x"), date_prefix="2099")
