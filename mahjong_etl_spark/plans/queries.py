@@ -477,6 +477,84 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts >= s1.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= v.t2
+        GROUP BY e.user_id
+    )
+    SELECT count(s1.user_id) AS n_signup,
+           count(v.user_id) AS n_viewed,
+           count(p.user_id) AS n_purchased,
+           CAST(coalesce(sum(date_diff('microsecond', s1.t1, v.t2)), 0)
+                AS BIGINT) AS view_delay_us,
+           CAST(coalesce(sum(date_diff('microsecond', v.t2, p.t3)), 0)
+                AS BIGINT) AS purchase_delay_us
+    FROM s1 LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (first signup -> first view after it
+    -> first purchase after that): the sequential-pattern-matching
+    staple of event analytics.  Each stage shuffles only its
+    event-type slice (the type predicate is pushed to the parquet
+    scan) into a per-user min-aggregate; the resulting per-user stage
+    tables are tiny — #converting-users rows — so they BROADCAST back
+    against the next stage's filtered scan (pinned in
+    tests/test_plans.py), and the fact-side events are never
+    re-partitioned for a join.  Delay totals are exact integer
+    microsecond sums, immune to cross-engine float drift."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t1").alias("n_signup"),
+            F.count("t2").alias("n_viewed"),
+            F.count("t3").alias("n_purchased"),
+            F.coalesce(F.sum(us("t2") - us("t1")), F.lit(0))
+            .cast("long")
+            .alias("view_delay_us"),
+            F.coalesce(F.sum(us("t3") - us("t2")), F.lit(0))
+            .cast("long")
+            .alias("purchase_delay_us"),
+        )
+    )
+
+
+@query(
     "events_top3_per_user",
     oracle="""
     SELECT user_id, event_id, event_type,

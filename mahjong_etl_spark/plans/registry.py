@@ -94,6 +94,7 @@ _CHECK_WINDOW_HEAD = [
     "corpus_global_shuffle",
     "text_repetition",
     "events_pii_scrub",
+    "events_funnel",
 ]
 
 _CHECK_WINDOW_TAIL = [
@@ -103,6 +104,7 @@ _CHECK_WINDOW_TAIL = [
     "orders_price_quantiles",
     "events_json_stats",
     "events_user_type_pivot",
+    "tpch_scalar_revenues",
     "orders_by_month",
     "top_customers",
     "orders_price_rank_dist",

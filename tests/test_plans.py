@@ -212,3 +212,16 @@ def test_pii_scrub_single_exchange_partial_agg(reg, spark, sf_dir):
     plan = plan_of(_run(reg, "events_pii_scrub", spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_" in plan
+
+
+def test_funnel_pushes_type_filter_and_broadcasts_stages(reg, spark, sf_dir):
+    """Each funnel stage scans only its event-type slice (predicate at
+    the reader) and the tiny per-user stage tables broadcast — the
+    events fact is never re-partitioned for a join."""
+    df = _run(reg, "events_funnel", spark, sf_dir)
+    df.collect()  # let AQE finalize join strategies
+    plan = plan_of(df)
+    assert "EqualTo(event_type,signup)" in plan
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
