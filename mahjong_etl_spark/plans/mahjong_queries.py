@@ -213,3 +213,53 @@ def mahjong_paiyama_walls(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_perm.cast("int").alias("is_perm"),
         (F.col("id") - F.lit(ID_OFFSET + days * 100000)).alias("ordinal"),
     )
+
+
+@query(
+    "mahjong_riichi_outcomes",
+    oracle=f"""
+    WITH r AS (
+        SELECT DISTINCT kyoku_id, player_index
+        FROM {_pq('actions')}
+        WHERE type = 'sutehai' AND pais LIKE '%*'
+    )
+    SELECT count(*) AS n_riichi,
+           CAST(sum(CASE WHEN a.kyoku_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_won,
+           CAST(coalesce(sum(a.score), 0) AS BIGINT) AS won_score_total
+    FROM r LEFT JOIN {_pq('agaris')} a
+      ON a.kyoku_id = r.kyoku_id AND a.who = r.player_index
+    """,
+    bench=False,
+)
+def mahjong_riichi_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the riichi pay off?  Joins the riichi-marked discards (the
+    ``*`` suffix the parser renders, reference scrape.py:592-597) with
+    the same kyoku's win record — the cross-table outcome analysis the
+    star schema exists for.  Riichi discards are found by a pushed-down
+    LIKE on the actions scan; the per-kyoku riichi set is tiny and
+    broadcasts against agaris."""
+    r = (
+        _read(spark, "actions")
+        .where((F.col("type") == "sutehai") & F.col("pais").endswith("*"))
+        .select("kyoku_id", "player_index")
+        .distinct()
+    )
+    a = _read(spark, "agaris").select(
+        F.col("kyoku_id").alias("a_kyoku"), "who", "score"
+    )
+    return (
+        r.join(
+            a,
+            (F.col("a_kyoku") == F.col("kyoku_id"))
+            & (F.col("who") == F.col("player_index")),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_riichi"),
+            F.sum(F.when(F.col("a_kyoku").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_won"),
+            F.coalesce(F.sum("score"), F.lit(0)).cast("long").alias("won_score_total"),
+        )
+    )

@@ -95,6 +95,7 @@ _CHECK_WINDOW_HEAD = [
     "text_repetition",
     "events_pii_scrub",
     "events_funnel",
+    "mahjong_riichi_outcomes",
 ]
 
 _CHECK_WINDOW_TAIL = [
@@ -105,6 +106,7 @@ _CHECK_WINDOW_TAIL = [
     "events_json_stats",
     "events_user_type_pivot",
     "tpch_scalar_revenues",
+    "q7_volume_shipping",
     "orders_by_month",
     "top_customers",
     "orders_price_rank_dist",
