@@ -225,3 +225,31 @@ def test_funnel_pushes_type_filter_and_broadcasts_stages(reg, spark, sf_dir):
     assert "EqualTo(event_type,view)" in plan
     assert "EqualTo(event_type,purchase)" in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+# Plans where a nested-loop broadcast join is the DESIGN, not a bug:
+# a tiny broadcast side crossed with the corpus (brute-force top-k is
+# the documented correctness baseline; q22's scalar subquery is one
+# broadcast row), or the documented O(n²) oracle-baseline operator.
+_ALLOWED_NESTED_LOOP = {
+    "similarity_topk_bruteforce",
+    "q22_global_sales_opportunity",
+    "dedup_embedding_cosine",
+}
+
+
+def test_no_plan_antipatterns_across_entire_registry(reg, spark, sf_dir):
+    """Catch-all CI guard: NO query may plan a cartesian product, a
+    row-at-a-time Python UDF, or an unlisted nested-loop join.  The
+    per-query tests above pin what good looks like; this pins that
+    nothing silently regresses into the known 100 TB killers."""
+    bad = []
+    for name, q in reg.items():
+        plan = plan_of(q.spark_fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            bad.append(f"{name}: row-at-a-time Python UDF")
+        if (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ) and name not in _ALLOWED_NESTED_LOOP:
+            bad.append(f"{name}: nested-loop/cartesian join")
+    assert not bad, "; ".join(bad)
