@@ -36,13 +36,38 @@ MULTIPROBE_RADIUS = 1
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Add double-precision vector + L2 norm columns (computed once)."""
+    """Add double-precision vector + L2 norm columns (computed once).
+    Idempotent: an already-prepared relation (e.g. the session cache
+    below) passes through unchanged."""
+    if "emb_d" in df.columns:
+        return df
     emb_d = F.expr(f"transform({vec_col}, x -> cast(x AS double))")
     df = df.withColumn("emb_d", emb_d)
     sq = F.aggregate(
         F.col("emb_d"), F.lit(0.0), lambda acc, x: acc + x * x
     )
     return df.withColumn("norm", F.sqrt(sq))
+
+
+# (sf_dir) -> (owning SparkSession, persisted normalized embeddings).
+# Same session-identity invalidation contract as dedup.corpus_shingle_sets.
+_EMB_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def corpus_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached, persisted ``with_norm`` embeddings corpus.
+
+    IVF alone reads the corpus 4+ times (seed sample, Lloyd rounds,
+    assignment); LSH, brute-force, and the norm profile read it again.
+    One persisted materialization (float->double transform + norm done
+    once) serves every pass — the "prepare the vector table once per
+    snapshot" move, session-local."""
+    hit = _EMB_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    e = with_norm(load_spread(spark, sf_dir, "embeddings")).persist()
+    _EMB_CACHE[sf_dir] = (spark, e)
+    return e
 
 
 def cosine_expr(a: str, b: str):
@@ -107,7 +132,7 @@ def cosine_topk(
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for the first five vectors (baseline ANN truth)."""
-    e = load_spread(spark, sf_dir, "embeddings")
+    e = corpus_embeddings(spark, sf_dir)
     return cosine_topk(e.where(N_QUERIES_PRED), e, TOPK)
 
 
@@ -213,7 +238,7 @@ def ann_lsh_topk(
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN top-5 (approximate — no SQL oracle;
     tests/test_similarity.py pins recall vs the brute-force baseline)."""
-    e = load_spread(spark, sf_dir, "embeddings")
+    e = corpus_embeddings(spark, sf_dir)
     return ann_lsh_topk(spark, e.where(N_QUERIES_PRED), e, TOPK)
 
 
@@ -390,5 +415,5 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=6 of 16 clusters: the driver's synthetic embeddings are
     near-uniform (little cluster structure), so recall needs a wide
     probe — on real clustered embeddings nprobe/n_clusters drops."""
-    e = load_spread(spark, sf_dir, "embeddings")
+    e = corpus_embeddings(spark, sf_dir)
     return ann_ivf_topk(spark, e.where(N_QUERIES_PRED), e, TOPK)
