@@ -35,8 +35,8 @@ from ..sources.tables import load, load_spread
 from .dedup import (
     JACCARD_THRESHOLD,
     MAX_SHINGLE_DF,
+    corpus_jaccard_pairs,
     corpus_shingle_sets,
-    ngram_jaccard_pairs,
 )
 
 CONTEXT_TOKENS = 2048
@@ -193,11 +193,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     its canonical id (min member), member count, and max member.  The
     oracle recomputes the same clusters with a recursive-CTE transitive
     closure — the full pairs→components semantics are hash-checked."""
-    docs = load_spread(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, max_shingle_df=MAX_SHINGLE_DF, sh=corpus_shingle_sets(spark, sf_dir)
-    )
-    comp = connected_components(pairs)
+    comp = connected_components(corpus_jaccard_pairs(spark, sf_dir))
     return comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.max("id").alias("max_doc_id"),

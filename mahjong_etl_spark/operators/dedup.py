@@ -151,6 +151,31 @@ def corpus_shingle_sets(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFra
     return sh
 
 
+# (sf_dir) -> (owning SparkSession, persisted verified Jaccard pairs) —
+# the production-parameter pairs relation (n=3, default threshold,
+# MAX_SHINGLE_DF cap) shared by the pair-listing query and
+# connected-components clustering.
+_PAIRS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def corpus_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached, persisted near-dup pairs for the documents
+    corpus at the production parameters.  Clustering consumes exactly
+    the pairs the pair query emits — computing them once per session
+    both saves the second postings pass and makes the reuse a stated
+    invariant rather than a coincidence of equal parameters."""
+    hit = _PAIRS_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    pairs = ngram_jaccard_pairs(
+        load_spread(spark, sf_dir, "documents"),
+        max_shingle_df=MAX_SHINGLE_DF,
+        sh=corpus_shingle_sets(spark, sf_dir),
+    ).persist()
+    _PAIRS_CACHE[sf_dir] = (spark, pairs)
+    return pairs
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -238,11 +263,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size).  At 100 TB the cap is what keeps one boilerplate
     shingle from dominating the postings shuffle.
     """
-    return ngram_jaccard_pairs(
-        load_spread(spark, sf_dir, "documents"),
-        max_shingle_df=MAX_SHINGLE_DF,
-        sh=corpus_shingle_sets(spark, sf_dir),
-    )
+    return corpus_jaccard_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
