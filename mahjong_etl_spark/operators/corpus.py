@@ -150,9 +150,9 @@ def connected_components(
         free(sym_ids)
 
 
-@query(
-    "dedup_connected_components",
-    oracle=f"""
+# DuckDB mirror of pairs -> transitive closure -> (id, cluster_id) —
+# shared by the clustering and canonical-selection oracles.
+_CC_COMP_CTE = f"""
     WITH RECURSIVE sh AS (
         SELECT doc_id, {duckdb_shingles_sql(3)} AS shingles FROM documents
     ),
@@ -182,6 +182,12 @@ def connected_components(
         SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
     ),
     comp AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""{_CC_COMP_CTE}
     SELECT cluster_id,
            count(*)     AS n_docs,
            max(id)      AS max_doc_id
@@ -197,6 +203,58 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.max("id").alias("max_doc_id"),
+    )
+
+
+@query(
+    "corpus_canonical_docs",
+    oracle=f"""{_CC_COMP_CTE}
+    , m AS (
+        SELECT c.cluster_id, c.id, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+    ),
+    ranked AS (
+        SELECT cluster_id, id, n_chars,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, id) AS rn,
+               count(*)     OVER (PARTITION BY cluster_id) AS n_members,
+               sum(n_chars) OVER (PARTITION BY cluster_id) AS tot_chars
+        FROM m
+    )
+    SELECT cluster_id,
+           id AS canonical_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(tot_chars - n_chars AS BIGINT) AS dropped_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def corpus_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the dedup chain: one KEPT document per
+    duplicate cluster (longest text wins, smallest id breaks ties)
+    with the member count and the chars the cluster drops from the
+    training corpus.  One window over the tiny (id, cluster) table
+    joined to document lengths — singleton docs never enter the graph
+    and are implicitly kept, so this emits only the clusters where
+    dedup actually removes data."""
+    comp = connected_components(corpus_jaccard_pairs(spark, sf_dir))
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = comp.join(d, comp.id == d.doc_id).select("cluster_id", "id", "n_chars")
+    w = Window.partitionBy("cluster_id")
+    ranked = m.select(
+        "cluster_id",
+        "id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        F.sum("n_chars").over(w).alias("tot_chars"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("id").alias("canonical_doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        (F.col("tot_chars") - F.col("n_chars")).cast("long").alias("dropped_chars"),
     )
 
 

@@ -96,6 +96,7 @@ _CHECK_WINDOW_HEAD = [
     "events_pii_scrub",
     "events_funnel",
     "mahjong_riichi_outcomes",
+    "corpus_canonical_docs",
 ]
 
 _CHECK_WINDOW_TAIL = [
@@ -107,6 +108,7 @@ _CHECK_WINDOW_TAIL = [
     "events_user_type_pivot",
     "tpch_scalar_revenues",
     "q7_volume_shipping",
+    "events_user_gaps",
     "orders_by_month",
     "top_customers",
     "orders_price_rank_dist",
