@@ -104,6 +104,74 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
+    """Real (sample_rate, n_channels, bits_per_sample) from a RIFF/WAVE
+    header — pure Python, no audio library needed.
+
+    Layout: "RIFF" + u32 size + "WAVE", then chunks of ("id", u32 len);
+    the "fmt " chunk carries channels (u16 @ +2), sample rate (u32 @
+    +4) and bits/sample (u16 @ +14), all little-endian.  Returns None
+    for anything malformed — callers fall back to the deterministic
+    stub, mirroring the image-header ladder."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and clen >= 16 and i + 8 + 16 <= len(payload):
+            body = payload[i + 8 :]
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            return (rate, channels, bits)
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    return None
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio-header feature extraction over binary payloads: real WAV
+    header parse where present, deterministic arithmetic fallback
+    otherwise (same Arrow-batched mapInPandas shape as the image
+    path; full sample decode would slot in behind the same gate)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p)
+                hdr = parse_wav_header(p)
+                if hdr is not None:
+                    rate, ch, bits = hdr
+                else:
+                    n = len(p)
+                    rate, ch, bits = n % 48000 + 1, n % 2 + 1, 16
+                rows.append((int(mid), rate, ch, bits, len(p)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_channels",
+                    "bits_per_sample",
+                    "n_bytes",
+                ],
+            )
+
+    return media.mapInPandas(_extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def decode_payload(payload: bytes, kind: str) -> dict:
     """Decode one media payload into features.
 

@@ -101,3 +101,45 @@ def test_parse_jpeg_header():
     assert parse_image_header(b"\xff\xd8\xff") is None
     # no SOF before EOI -> None
     assert parse_image_header(b"\xff\xd8\xff\xd9" + b"\x00" * 8) is None
+
+
+def _wav(rate=44100, channels=2, bits=16) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    data = b"\x00" * 8
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+           + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_header_parse_and_fallback():
+    from mahjong_etl_spark.operators.multimodal import parse_wav_header
+
+    assert parse_wav_header(_wav(22050, 1, 8)) == (22050, 1, 8)
+    assert parse_wav_header(b"RIFF0000WAVE") is None  # no fmt chunk
+    assert parse_wav_header(b"not audio at all") is None
+    # fmt not first chunk: parser walks word-aligned chunks to find it
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 48000, 48000 * 4, 4, 16)
+    body = (b"WAVE" + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+    assert parse_wav_header(b"RIFF" + struct.pack("<I", len(body)) + body) == (48000, 2, 16)
+
+
+def test_extract_audio_features_planted_wav(spark):
+    from mahjong_etl_spark.operators.multimodal import extract_audio_features
+    from mahjong_etl_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    rows = [
+        (1, "audio", bytearray(_wav(8000, 1, 16))),
+        (2, "audio", bytearray(b"just some text bytes")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert (got[1].sample_rate, got[1].n_channels, got[1].bits_per_sample) == (8000, 1, 16)
+    n = len(b"just some text bytes")
+    assert (got[2].sample_rate, got[2].n_channels) == (n % 48000 + 1, n % 2 + 1)
