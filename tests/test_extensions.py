@@ -231,3 +231,31 @@ def test_scrub_redacts_all_matches(spark):
     ).first()
     assert row.num == "call <X> <X> or mail a.b@c.de now"
     assert row.mail == "call 555 1234 or mail <MAIL> now"
+
+
+def test_text_ops_edge_cases(spark):
+    """Empty / single-word / sub-trigram documents must not crash any
+    shingle-based operator and must produce the documented degenerate
+    values (empty shingle set, zero repetition)."""
+    from mahjong_etl_spark.operators import text_analysis
+    from mahjong_etl_spark.operators.dedup import shingle_sets
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "two words"), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.shingles for r in shingle_sets(docs).collect()}
+    assert sh[1] == [] and sh[2] == [] and sh[3] == []
+    assert sh[4] == ["a b c"]
+
+    orig = text_analysis.load
+    text_analysis.load = lambda *_a, **_k: docs
+    try:
+        rep = {
+            r.doc_id: r
+            for r in text_analysis.text_repetition(spark, "ignored").collect()
+        }
+    finally:
+        text_analysis.load = orig
+    assert rep[1].tri_dup_frac == 0.0 and rep[2].tri_dup_frac == 0.0
+    assert rep[4].word_dup_frac == 0.0

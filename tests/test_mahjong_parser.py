@@ -76,3 +76,36 @@ def test_compat_false_fixes_discard_rendering():
     f_ = [r for r in fixed["actions"] if r["type"] == "sutehai"][1]
     assert b["pais"] == "p6"  # tile 57 (the drawn one — wrong tile, compat)
     assert f_["pais"] == "m6"  # tile 21 (the discarded one)
+
+
+def test_generator_games_satisfy_parser_invariants():
+    """Property sweep over 40 generator seeds (no Spark): every
+    synthetic game parses without error and the structural invariants
+    the star schema relies on hold — per-kyoku haipais carry 13 valid
+    distinct tiles, action seqs are dense from 0, score_diff arrays
+    are length 4, and every meld word decodes."""
+    import datetime
+    import random
+
+    from mahjong_etl_spark.operators.mahjong_parse import parse_game
+    from mahjong_etl_spark.sources.synth_games import render_game
+
+    for seed in range(40):
+        xml = render_game(random.Random(10_000 + seed))
+        t = parse_game(xml, f"prop{seed}", datetime.date(2024, 3, 1))
+        assert len(t["games"]) == 1 and len(t["rules"]) == 1
+        assert len(t["game_players"]) == 4
+        for h in t["haipais"]:
+            assert len(h["pai_ids"]) == 13
+            assert len(set(h["pai_ids"])) == 13
+            assert all(0 <= p < 136 for p in h["pai_ids"])
+        by_kyoku: dict = {}
+        for a in t["actions"]:
+            by_kyoku.setdefault(a["kyoku_local"], []).append(a["seq"])
+        for seqs in by_kyoku.values():
+            assert sorted(seqs) == list(range(len(seqs)))
+        for table in ("agaris", "nagares"):
+            for r in t[table]:
+                assert len(r["score_diff"]) == 4
+        n_kyokus = len(t["kyokus"])
+        assert {h["kyoku_local"] for h in t["haipais"]} == set(range(n_kyokus))
