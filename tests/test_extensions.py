@@ -259,3 +259,22 @@ def test_text_ops_edge_cases(spark):
         text_analysis.load = orig
     assert rep[1].tri_dup_frac == 0.0 and rep[2].tri_dup_frac == 0.0
     assert rep[4].word_dup_frac == 0.0
+
+
+def test_session_caches_keyed_by_corpus(spark):
+    """The session-scoped shingle/pairs/embedding caches are keyed by
+    sf_dir: two corpora served in one session must not cross-serve."""
+    from mahjong_etl_spark.operators.dedup import corpus_shingle_sets
+    from mahjong_etl_spark.operators.similarity import corpus_embeddings
+
+    # NB: documents.parquet happens to hold 500 rows at BOTH sf0.001
+    # and sf0.01, so distinct cached OBJECTS (not row counts) prove the
+    # keying.
+    a = corpus_shingle_sets(spark, "/root/testdata/sf0.001")
+    b = corpus_shingle_sets(spark, "/root/testdata/sf0.01")
+    assert a is not b
+    assert corpus_shingle_sets(spark, "/root/testdata/sf0.001") is a  # hit
+    ea = corpus_embeddings(spark, "/root/testdata/sf0.001")
+    eb = corpus_embeddings(spark, "/root/testdata/sf0.01")
+    assert ea is not eb
+    assert corpus_embeddings(spark, "/root/testdata/sf0.01") is eb  # hit
