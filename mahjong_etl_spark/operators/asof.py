@@ -116,7 +116,9 @@ def events_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_ts_asof").isNull(), F.lit(None).cast("double")
     ).otherwise(
         F.round(
-            (F.unix_micros("ts") - F.unix_micros("view_ts_asof")) / 1_000_000.0, 3
+            F.timestamp_diff("MICROSECOND", F.col("view_ts_asof"), F.col("ts"))
+            / 1_000_000.0,
+            3,
         )
     )
     return joined.select(

@@ -71,7 +71,8 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: gap-and-island over the ordered event log."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # NTZ-safe (unix_micros rejects TIMESTAMP_NTZ inputs)
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     is_new = F.when(
         gap_us.isNull() | (gap_us > GAP_SEC * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
@@ -81,7 +82,7 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(is_new).over(wrun).alias("session_num"),
     )
-    dur = (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0
+    dur = F.timestamp_diff("MICROSECOND", F.min("ts"), F.max("ts")) / 1_000_000.0
     return numbered.groupBy("user_id", "session_num").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(dur, 3).alias("duration_sec"),
@@ -179,8 +180,11 @@ def sessionize_stream(
     """
     if watermark_delay is not None:
         events = events.withWatermark("ts", watermark_delay)
+    # The streaming clock only ever takes DIFFERENCES of ts_us, so a
+    # session-tz-dependent epoch is harmless; the cast makes this work
+    # for TIMESTAMP_NTZ sources too (no-op for TIMESTAMP ones).
     prepared = events.select(
-        "user_id", "ts", F.unix_micros(F.col("ts")).alias("ts_us")
+        "user_id", "ts", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         _make_session_fn(watermark_delay is not None),

@@ -181,7 +181,7 @@ def mahjong_action_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT id,
            dt,
-           pai_ids,
+           array_to_string(pai_ids, ',') AS pai_str,
            CAST(list_sort(pai_ids) = range(0, 136) AS INT) AS is_perm,
            CAST(id - 900000000000 - 19724 * 100000 AS BIGINT) AS ordinal
     FROM read_parquet('{PAIYAMA_FIXTURE}')
@@ -196,7 +196,13 @@ def mahjong_paiyama_walls(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes, the id formula (900e9 + days_since_epoch*100000 + ordinal,
     days(2024-01-02) = 19724), and permutation validity, not just row
     counts.  Any change to the seeded-xxhash shuffle shows up as a
-    hash mismatch against the golden file."""
+    hash mismatch against the golden file.
+
+    The permutation is emitted as a comma-joined STRING (not a raw
+    array column): the driver's canonicalizer sorts result cells with
+    pandas, which cannot order python lists (r3 row errored with
+    "unhashable type: 'list'").  The string carries the identical
+    bytes, so nothing is lost from the check."""
     import datetime
 
     from ..sources.paiyama import ID_OFFSET, wall_df
@@ -209,7 +215,7 @@ def mahjong_paiyama_walls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walls.select(
         "id",
         "dt",
-        "pai_ids",
+        F.concat_ws(",", F.col("pai_ids")).alias("pai_str"),
         is_perm.cast("int").alias("is_perm"),
         (F.col("id") - F.lit(ID_OFFSET + days * 100000)).alias("ordinal"),
     )

@@ -465,7 +465,9 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # timestamp_diff works on TIMESTAMP and TIMESTAMP_NTZ alike
+    # (unix_micros rejects NTZ, and a cast would be session-tz-dependent)
+    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     return (
         e.withColumn("gap_us", gap)
         .groupBy("user_id")
@@ -517,7 +519,6 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-partitioned for a join.  Delay totals are exact integer
     microsecond sums, immune to cross-engine float drift."""
     e = load(spark, sf_dir, "events")
-    us = F.unix_micros
     s1 = (
         e.where(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -544,10 +545,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t1").alias("n_signup"),
             F.count("t2").alias("n_viewed"),
             F.count("t3").alias("n_purchased"),
-            F.coalesce(F.sum(us("t2") - us("t1")), F.lit(0))
+            F.coalesce(F.sum(F.timestamp_diff("MICROSECOND", F.col("t1"), F.col("t2"))), F.lit(0))
             .cast("long")
             .alias("view_delay_us"),
-            F.coalesce(F.sum(us("t3") - us("t2")), F.lit(0))
+            F.coalesce(F.sum(F.timestamp_diff("MICROSECOND", F.col("t2"), F.col("t3"))), F.lit(0))
             .cast("long")
             .alias("purchase_delay_us"),
         )

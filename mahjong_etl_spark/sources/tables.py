@@ -56,22 +56,27 @@ def load_spread(
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects ([PARQUET_TYPE_ILLEGAL]).  Read nanos as a
-    raw long (legacy conf, runtime-settable so it also works under the
-    driver's own session) and floor-truncate to a microsecond
-    timestamp.  The source values DO carry sub-microsecond parts, so
-    this drops real nanosecond precision — exactly the same floor
-    truncation a Python client sees when DuckDB converts TIMESTAMP_NS
-    to datetime.  Integer division (``div``) is essential: a
-    double-precision ``/ 1000`` has 256 ns ulp at 2024-epoch
-    magnitudes and lands on the wrong microsecond for ~12% of rows.
+    """Schema-adaptive events loader.
+
+    Some corpus generations store ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark's reader rejects ([PARQUET_TYPE_ILLEGAL]) unless the
+    legacy nanos-as-long conf is on; newer generations store plain
+    TIMESTAMP(MICROS).  With the conf set, a nanos file surfaces ``ts``
+    as a raw LongType while a micros file surfaces a timestamp — so we
+    read first and branch on the *observed* dtype instead of assuming a
+    layout.  For the nanos case we floor-truncate to microseconds with
+    integer division (``div``): a double-precision ``/ 1000`` has
+    256 ns ulp at 2024-epoch magnitudes and lands on the wrong
+    microsecond for ~12% of rows.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -49,15 +49,30 @@ _EVENTS_RAW = StructType(
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sources cannot infer schemas, but the PHYSICAL layout
+    of ``ts`` varies by corpus generation (TIMESTAMP(NANOS) vs
+    TIMESTAMP(MICROS) — see sources/tables.load_events).  One cheap
+    batch footer read resolves the actual layout, and that schema is
+    handed to the stream; the nanos→micros conversion only applies
+    when the footer says nanos."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    observed = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(observed)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # Integer division, not `/ 1000`: double division has 256 ns ulp at
-    # 2024-epoch magnitudes and truncates to the wrong microsecond.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(observed["ts"].dataType, LongType):
+        # Integer division, not `/ 1000`: double division has 256 ns
+        # ulp at 2024-epoch magnitudes → wrong microsecond.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+        # TYPE on NTZ).  The session-tz interpretation round-trips back
+        # to the same wall-clock via date_format, so hourly keys match
+        # the batch (NTZ) plan for any fixed-offset session tz.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_counts(events: DataFrame) -> DataFrame:
