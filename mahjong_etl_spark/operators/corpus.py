@@ -624,3 +624,115 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "skey", F.row_number().over(w).alias("shuffle_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture planning
+# ---------------------------------------------------------------------------
+
+# target token share per source-group of the training mixture; the
+# src0..src19 corpus is grouped coarsely (the grouping itself is
+# arbitrary demo policy — the OPERATOR is the point: exact token
+# accounting + deterministic per-source keep rates).
+MIXTURE_WEIGHTS = {"web": 0.5, "books": 0.3, "code": 0.2}
+
+
+def _source_group(col):
+    n = F.substring(col, 4, 10).cast("int")
+    return (
+        F.when(n < 10, F.lit("web")).when(n < 15, F.lit("books")).otherwise(F.lit("code"))
+    )
+
+
+@query(
+    "corpus_mixture",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source,
+               CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 'web'
+                    WHEN CAST(substr(source, 4) AS INTEGER) < 15 THEN 'books'
+                    ELSE 'code' END AS grp,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    per_src AS (
+        SELECT grp, source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS src_tokens
+        FROM toks GROUP BY grp, source
+    ),
+    with_totals AS (
+        SELECT *,
+               sum(src_tokens) OVER (PARTITION BY grp) AS group_tokens,
+               sum(src_tokens) OVER ()                 AS total_tokens,
+               CASE grp WHEN 'web' THEN {MIXTURE_WEIGHTS['web']}
+                        WHEN 'books' THEN {MIXTURE_WEIGHTS['books']}
+                        ELSE {MIXTURE_WEIGHTS['code']} END AS target_share
+        FROM per_src
+    )
+    SELECT source, grp, n_docs, src_tokens,
+           CAST(group_tokens AS BIGINT) AS group_tokens,
+           round(least(1.0, target_share * total_tokens / group_tokens), 6)
+               AS keep_rate,
+           round(src_tokens
+                 * round(least(1.0, target_share * total_tokens / group_tokens), 6),
+                 3) AS expected_tokens
+    FROM with_totals
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: exact per-source token counts,
+    per-group totals, and the deterministic keep-rate each source needs
+    so group token shares hit ``MIXTURE_WEIGHTS`` (uniform sampling
+    within a group, upsampling capped at 1.0).  The keep rates feed the
+    same md5-coin sampler as ``stratified_sample``.
+
+    Plan shape: one scan computing token counts (JVM ``size(split())``,
+    no UDF), one groupBy(grp, source) — the per-group/global totals run
+    as windows over the ~|sources| aggregate rows, which is a
+    dimension-sized relation at any corpus scale (sources are bounded;
+    docs are not), so the second stage is effectively free at 100 TB."""
+    d = load_spread(spark, sf_dir, "documents")
+    per_src = (
+        d.select(
+            "source",
+            _source_group(F.col("source")).alias("grp"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        )
+        .groupBy("grp", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("src_tokens"),
+        )
+    )
+    wg = Window.partitionBy("grp")
+    wall = Window.partitionBy()
+    target = (
+        F.when(F.col("grp") == "web", F.lit(MIXTURE_WEIGHTS["web"]))
+        .when(F.col("grp") == "books", F.lit(MIXTURE_WEIGHTS["books"]))
+        .otherwise(F.lit(MIXTURE_WEIGHTS["code"]))
+    )
+    with_totals = per_src.select(
+        "source",
+        "grp",
+        "n_docs",
+        "src_tokens",
+        F.sum("src_tokens").over(wg).cast("long").alias("group_tokens"),
+        F.sum("src_tokens").over(wall).cast("long").alias("total_tokens"),
+        target.alias("target_share"),
+    )
+    keep = F.round(
+        F.least(
+            F.lit(1.0),
+            F.col("target_share") * F.col("total_tokens") / F.col("group_tokens"),
+        ),
+        6,
+    )
+    return with_totals.select(
+        "source",
+        "grp",
+        "n_docs",
+        "src_tokens",
+        "group_tokens",
+        keep.alias("keep_rate"),
+        F.round(F.col("src_tokens") * keep, 3).alias("expected_tokens"),
+    )

@@ -55,8 +55,27 @@ def time_window_join(
     Column names of both inputs are preserved (prefix them before
     calling if they collide).
     """
-    lbin = F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds)
-    rbin = F.floor(F.unix_timestamp(F.col(right_ts)) / window_seconds)
+    # Binning must be a pure shift-invariant function of the timestamp:
+    # a DST-discontinuous mapping could tear two in-window rows more
+    # than one bin apart and silently drop the pair.  For TIMESTAMP
+    # that is epoch seconds (unix_timestamp); for TIMESTAMP_NTZ it is
+    # seconds from a fixed NTZ epoch via timestamp_diff
+    # (unix_timestamp on NTZ would route through the session zone).
+    from pyspark.sql.types import TimestampNTZType
+
+    def _bin(df: DataFrame, col: str) -> Column:
+        if isinstance(df.schema[col].dataType, TimestampNTZType):
+            sec = F.timestamp_diff(
+                "SECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                F.col(col),
+            )
+        else:
+            sec = F.unix_timestamp(F.col(col))
+        return F.floor(sec / window_seconds)
+
+    lbin = _bin(left, left_ts)
+    rbin = _bin(right, right_ts)
     l_binned = left.withColumn("_bin", F.explode(F.array(lbin, lbin - 1)))
     # Join keys are renamed on the right so the residual predicate can
     # be part of the join condition — required for outer joins, where a

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
 # language marker words (deterministic heuristic, mirrored in oracle SQL)
 _MARKERS = {
@@ -382,4 +382,100 @@ def events_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_email_hits"),
         F.sum(F.length(red)).cast("long").alias("redacted_chars"),
         F.max(red).alias("sample_redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style rule filtering
+# ---------------------------------------------------------------------------
+
+# Gopher/C4-flavored heuristic gates (public rule families from the C4
+# and Gopher papers; thresholds are local policy):
+#   min_words       — drop near-empty fragments
+#   terminal_punct  — document must end like prose
+#   no_brace        — '{' marks markup/code leakage into a text corpus
+#   avg_wordlen     — 2..12 chars/token, outside is OCR noise/garbage
+#   max_wordlen     — any 30+-char token is a URL/hash/binary smear
+C4_MIN_WORDS = 10
+C4_AVG_LEN_LO = 2.0
+C4_AVG_LEN_HI = 12.0
+C4_MAX_WORD = 30
+
+
+@query(
+    "text_c4_filters",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, n_chars, text, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    rules AS (
+        SELECT lang,
+               (len(toks) >= {C4_MIN_WORDS})                          AS r_min_words,
+               (text SIMILAR TO '.*[.!?"]')                           AS r_terminal,
+               (NOT contains(text, '{{'))                             AS r_no_brace,
+               ((n_chars - len(toks) + 1)::DOUBLE / len(toks)
+                    BETWEEN {C4_AVG_LEN_LO} AND {C4_AVG_LEN_HI})      AS r_avg_len,
+               (list_max(list_transform(toks, x -> len(x)))
+                    <= {C4_MAX_WORD})                                 AS r_max_word
+        FROM t
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN r_min_words AND r_terminal AND r_no_brace
+                          AND r_avg_len AND r_max_word
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN NOT r_min_words THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_min_words,
+           CAST(sum(CASE WHEN NOT r_terminal THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_terminal,
+           CAST(sum(CASE WHEN NOT r_no_brace THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_brace,
+           CAST(sum(CASE WHEN NOT r_avg_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_avg_len,
+           CAST(sum(CASE WHEN NOT r_max_word THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_max_word
+    FROM rules GROUP BY lang
+    """,
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style rule funnel per language: how many documents
+    each heuristic gate rejects and how many survive all five.  Every
+    rule is a JVM expression over one scan (split/transform/regexp —
+    no UDFs, no shuffle beyond the per-lang aggregate), so the filter
+    costs one pass at any corpus size."""
+    d = load_spread(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    avg_len = (F.col("n_chars") - n_tok + 1) / n_tok
+    r_min_words = n_tok >= C4_MIN_WORDS
+    r_terminal = F.col("text").rlike('[.!?"]$')
+    r_no_brace = ~F.col("text").contains("{")
+    r_avg_len = (avg_len >= C4_AVG_LEN_LO) & (avg_len <= C4_AVG_LEN_HI)
+    r_max_word = F.array_max(F.transform(toks, F.length)) <= C4_MAX_WORD
+    kept = r_min_words & r_terminal & r_no_brace & r_avg_len & r_max_word
+
+    def n_fail(rule):
+        return F.sum(F.when(~rule, 1).otherwise(0)).cast("long")
+
+    return (
+        d.select(
+            "lang",
+            r_min_words.alias("r1"),
+            r_terminal.alias("r2"),
+            r_no_brace.alias("r3"),
+            r_avg_len.alias("r4"),
+            r_max_word.alias("r5"),
+            kept.alias("keep"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            n_fail(F.col("r1")).alias("fail_min_words"),
+            n_fail(F.col("r2")).alias("fail_terminal"),
+            n_fail(F.col("r3")).alias("fail_brace"),
+            n_fail(F.col("r4")).alias("fail_avg_len"),
+            n_fail(F.col("r5")).alias("fail_max_word"),
+        )
     )

@@ -1194,3 +1194,108 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("val"), 6).alias("std_val"),
         )
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2)))
+                AS DECIMAL(38,4)) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the canonical selective-scan probe — three pushable
+    predicates, no join, one scalar.  The whole WHERE clause must reach
+    the parquet scan as PushedFilters (pinned in tests/test_plans.py);
+    at 100 TB this is the query where pushdown vs full-scan is a
+    ~30× I/O difference.
+
+    Both factors are 2-dp-exact in the data, so the product is computed
+    in DECIMAL (exact, summation-order-independent) — rounding the
+    double product first would tie-break differently per engine on
+    .xxx5 boundaries (observed: last-mdp flip at sf0.01)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT
+               e.user_id,
+               CAST(floor(date_diff('microsecond', f.t0, e.ts)
+                          / (7.0 * 86400 * 1000000)) AS BIGINT) AS week_offset,
+               CAST(floor(date_diff('microsecond', TIMESTAMP '1970-01-01', f.t0)
+                          / (7.0 * 86400 * 1000000)) AS BIGINT) AS cohort_week
+        FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_active
+    FROM act GROUP BY cohort_week, week_offset
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, and
+    for each later week the count still active — the classic
+    triangle-shaped engagement report.
+
+    Week arithmetic is exact integer microseconds divided by a 7-day
+    constant — NOT date_trunc/date_diff('week'), whose week-boundary
+    semantics differ between engines and are session-tz-coupled.  The
+    per-user first-seen table is a fact-scaled aggregate (one row per
+    user), so it carries no broadcast hint: AQE sizes the join at
+    runtime.  Two shuffles total (user agg, cohort-cell agg) — the
+    DISTINCT folds into the second."""
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    us_per_week = 7.0 * 86400 * 1_000_000
+    joined = e.join(first, "user_id").select(
+        "user_id",
+        F.floor(
+            F.timestamp_diff("MICROSECOND", F.col("t0"), F.col("ts")) / us_per_week
+        )
+        .cast("long")
+        .alias("week_offset"),
+        F.floor(
+            F.timestamp_diff(
+                "MICROSECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                F.col("t0"),
+            )
+            / us_per_week
+        )
+        .cast("long")
+        .alias("cohort_week"),
+    )
+    return (
+        joined.distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

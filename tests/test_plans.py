@@ -253,3 +253,34 @@ def test_no_plan_antipatterns_across_entire_registry(reg, spark, sf_dir):
         ) and name not in _ALLOWED_NESTED_LOOP:
             bad.append(f"{name}: nested-loop/cartesian join")
     assert not bad, "; ".join(bad)
+
+
+def test_q6_all_three_predicates_pushed(reg, spark, sf_dir):
+    """TPC-H Q6 is the pushdown probe: shipdate range, discount range
+    and quantity bound must all reach the parquet scan, and the scan
+    must read only the four referenced columns."""
+    plan = plan_of(_run(reg, "q6_forecast_revenue", spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read = plan.split("ReadSchema")[-1]
+    assert "l_orderkey" not in read and "l_tax" not in read
+
+
+def test_retention_two_exchanges_only(reg, spark, sf_dir):
+    """Cohort retention = user agg + cell agg: the distinct folds into
+    the second aggregate, so exactly two logical shuffle keys appear
+    (user_id; cohort cell) — no third exchange for DISTINCT."""
+    plan = plan_of(_run(reg, "events_retention", spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    # AQE wraps exchanges; count distinct Exchange hashpartitioning specs
+    import re
+
+    specs = set(re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan))
+    assert len(specs) <= 3, specs
+
+
+def test_c4_filters_scan_plus_single_agg(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "text_c4_filters", spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1 + plan.count("REPARTITION")
