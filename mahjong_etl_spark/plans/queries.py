@@ -1299,3 +1299,46 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "events_dedup_consecutive",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_type,
+               CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                         = event_type
+                    THEN 1 ELSE 0 END AS is_repeat
+        FROM events
+    )
+    SELECT event_type,
+           count(*)                              AS n_total,
+           CAST(sum(1 - is_repeat) AS BIGINT)    AS n_kept,
+           CAST(sum(is_repeat) AS BIGINT)        AS n_dropped
+    FROM flagged GROUP BY event_type
+    """,
+)
+def events_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate scrub — the event-stream twin of document
+    dedup: an event is a repeat when the SAME user's previous event
+    (ordered by ts, event_id) has the same type; repeats are the
+    double-fire/retry noise an ingestion pipeline drops before
+    sessionization.  One window shuffle on user_id, then a per-type
+    aggregate over the tiny flag table."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_repeat = F.when(
+        F.lag("event_type").over(w) == F.col("event_type"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        e.select("event_type", is_repeat.alias("is_repeat"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(1 - F.col("is_repeat")).cast("long").alias("n_kept"),
+            F.sum("is_repeat").cast("long").alias("n_dropped"),
+        )
+    )

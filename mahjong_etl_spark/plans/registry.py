@@ -89,6 +89,8 @@ _CHECK_WINDOW_HEAD = [
     "events_retention",
     "corpus_mixture",
     "text_c4_filters",
+    "events_asof_next_purchase",
+    "events_dedup_consecutive",
     # fell outside r3's 50-entry window
     "top_customers",
     "customer_rank_by_nation",
@@ -133,6 +135,8 @@ _CHECK_WINDOW_TAIL = [
     "corpus_train_val_split",
     "corpus_quality_funnel",
     "dedup_connected_components",
+    "multimodal_features",
+    "multimodal_frame_sample",
 ]
 
 

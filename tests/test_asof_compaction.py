@@ -84,3 +84,46 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(2000))
     # idempotent: a second pass finds nothing to do
     assert compact_table(spark, root, "t", target_file_bytes=10**9) == {}
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "v1"),  # next right 10:30 (in tol)
+            (1, _ts("2024-01-01 11:00:00"), "v2"),  # next right 14:00 (out of tol)
+            (1, _ts("2024-01-01 14:00:00"), "v3"),  # simultaneous right matches
+            (2, _ts("2024-01-01 09:00:00"), "v4"),  # no right rows for the key
+        ],
+        "k long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:45:00"), "r-past"),  # behind every left: never matches forward
+            (1, _ts("2024-01-01 10:30:00"), "r-near"),
+            (1, _ts("2024-01-01 14:00:00"), "r-sim"),
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    out = {
+        (r.k, r.ev): r.tag_asof
+        for r in asof_join(
+            left, right, on="k", ts="ts", direction="forward",
+            tolerance_seconds=3600,
+        ).collect()
+    }
+    assert out == {
+        (1, "v1"): "r-near",   # earliest at-or-after, within 1h
+        (1, "v2"): None,       # next right is 3h away -> tolerance nulls it
+        (1, "v3"): "r-sim",    # equal ts matches forward too
+        (2, "v4"): None,
+    }
+    # backward with tolerance: v2's previous right (10:30) is within 1h
+    back = {
+        (r.k, r.ev): r.tag_asof
+        for r in asof_join(
+            left, right, on="k", ts="ts", direction="backward",
+            tolerance_seconds=3600,
+        ).collect()
+    }
+    assert back[(1, "v2")] == "r-near"
+    assert back[(1, "v1")] == "r-past"  # 15 min back, in tolerance
