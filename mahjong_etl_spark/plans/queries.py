@@ -342,22 +342,35 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_revenue",
     oracle="""
     SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue_exact,
-           CAST(sum(CAST(l_quantity      AS DECIMAL(18,1))) AS DECIMAL(18,1)) AS qty_exact
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS revenue_exact,
+           CAST(sum(CAST(round(l_quantity * 10) AS BIGINT)) AS DOUBLE) / 10.0
+               AS qty_exact
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact decimal aggregation (reference game_scores.point is
-    decimal128(4,1), reference scrape.py:57)."""
+    """Exact fixed-point aggregation (reference game_scores.point is
+    decimal128(4,1), reference scrape.py:57).
+
+    The aggregation itself is exact — integer cents / deci-units summed
+    in int64, the same fixed-point discipline a DECIMAL column gives —
+    but the *output* is one correctly-rounded DOUBLE per group rather
+    than a DECIMAL: DuckDB's pandas materializer turns DECIMAL into
+    float64 while Spark yields Decimal objects, so DECIMAL output
+    columns hash-red on trailing-zero values ('1.50' vs '1.5') under
+    the driver's representation-sensitive canon.  Bit-identical
+    doubles sidestep that entirely (see events_moving_avg)."""
     l = load(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("revenue_exact"),
-        F.sum(F.col("l_quantity").cast("decimal(18,1)"))
-        .cast("decimal(18,1)")
-        .alias("qty_exact"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+            / F.lit(100.0)
+        ).alias("revenue_exact"),
+        (
+            F.sum(F.round(F.col("l_quantity") * 10).cast("long")).cast("double")
+            / F.lit(10.0)
+        ).alias("qty_exact"),
     )
 
 
@@ -717,17 +730,18 @@ def events_user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_moving_avg",
     oracle="""
     SELECT user_id, event_id,
-           CAST(sum(CAST(round(value, 3) AS DECIMAL(18,3)))
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
                     OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-                / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,6))
+                AS DOUBLE)
+               / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               / 1000.0
                AS mov_avg,
-           CAST(sum(CAST(round(value, 3) AS DECIMAL(18,3)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,3))
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 1000.0
                AS run_sum
     FROM events
     """,
@@ -737,31 +751,36 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user event stream — the moving-aggregate counterpart of the
     lag()/row_number() queries above.
 
-    BOTH aggregates go through DECIMAL so results are
-    summation-order-independent — double prefix sums drift in the last
-    bits between engines (DuckDB aggregates window frames via a segment
-    tree, Spark sequentially).  The moving average is computed as
-    exact-decimal frame sum / frame count, cast to DECIMAL(38,6): the
-    quotient is a rational with denominator <= 7000, which is never
-    exactly on a 6-dp half-boundary (parity argument) and is >= 7e-11
-    away from one, so double/decimal rounding-mode differences between
-    the engines cannot flip the final digit.
+    Engine-exactness design (this row was driver-hash-red in r1-r3):
+    values are snapped to integer MILLI-units (``round(value*1000)`` —
+    the same double in both engines, so the same BIGINT), summed as
+    exact int64, and only then converted to DOUBLE and divided by the
+    frame count and 1000.0.  Every step is either exact integer
+    arithmetic or a single correctly-rounded IEEE-754 operation on
+    identical operands, so the final float64 is BIT-IDENTICAL across
+    engines.  The earlier DECIMAL(38,x) output was value-equal but
+    hash-red: DuckDB materializes DECIMAL into pandas as float64
+    (str '3.1') while Spark yields Decimal objects (str '3.100000'),
+    and the driver's canonical hash is representation-sensitive.
+    Output columns are therefore plain DOUBLE — the repo-wide rule is
+    that final schemas avoid DECIMAL and ARRAY columns (see
+    registry.py oracle conventions).
     """
     from pyspark.sql.window import Window
 
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").withColumn(
+        "_milli", F.round(F.col("value") * 1000).cast("long")
+    )
     base = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = base.rowsBetween(-6, 0)
-    mov_sum = F.sum(F.round("value", 3).cast("decimal(18,3)")).over(frame)
+    mov_sum = F.sum("_milli").over(frame).cast("double")
     mov_cnt = F.count(F.lit(1)).over(frame)
+    run = F.sum("_milli").over(base.rowsBetween(Window.unboundedPreceding, 0))
     return e.select(
         "user_id",
         "event_id",
-        (mov_sum / mov_cnt).cast("decimal(38,6)").alias("mov_avg"),
-        F.sum(F.round("value", 3).cast("decimal(18,3)"))
-        .over(base.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("decimal(38,3)")
-        .alias("run_sum"),
+        (mov_sum / mov_cnt / F.lit(1000.0)).alias("mov_avg"),
+        (run.cast("double") / F.lit(1000.0)).alias("run_sum"),
     )
 
 
@@ -1199,9 +1218,9 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_discount AS DECIMAL(4,2)))
-                AS DECIMAL(38,4)) AS revenue,
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1217,11 +1236,18 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is the query where pushdown vs full-scan is a
     ~30× I/O difference.
 
-    Both factors are 2-dp-exact in the data, so the product is computed
-    in DECIMAL (exact, summation-order-independent) — rounding the
-    double product first would tie-break differently per engine on
-    .xxx5 boundaries (observed: last-mdp flip at sf0.01)."""
+    Both factors are 2-dp-exact in the data, so each row is snapped to
+    integer CENTS x integer DISCOUNT-HUNDREDTHS (same doubles -> same
+    BIGINTs in both engines), the products summed as exact int64
+    (<= ~6e14 at sf1, well inside 2^53), and the scalar emitted as one
+    correctly-rounded DOUBLE division — bit-identical across engines.
+    Summing the raw double product instead would drift per engine with
+    summation order; emitting DECIMAL would hash-red on the driver's
+    representation-sensitive canon (see events_moving_avg)."""
     l = load(spark, sf_dir, "lineitem")
+    unit = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        F.col("l_discount") * 100
+    ).cast("long")
     return (
         l.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -1231,12 +1257,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * F.col("l_discount").cast("decimal(4,2)")
-            )
-            .cast("decimal(38,4)")
-            .alias("revenue"),
+            (F.sum(unit).cast("double") / F.lit(10000.0)).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -1341,4 +1362,395 @@ def events_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("is_repeat")).cast("long").alias("n_kept"),
             F.sum("is_repeat").cast("long").alias("n_dropped"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wider TPC-H plane (q8-q19 adaptations for the driver star schema)
+#
+# The testdata schema is a trimmed TPC-H (no partsupp, no ship/commit/
+# receipt dates, no containers), so queries needing those columns are
+# adapted: cost terms derive from p_retailprice, and lateness/shipmode
+# probes are out of scope.  Revenue arithmetic follows the repo-wide
+# exactness rule (see events_moving_avg): rows snap to integer 1e-4$
+# units (cents x (100 - discount-hundredths)), sums stay in int64, and
+# the final column is one correctly-rounded DOUBLE division — bit-
+# identical between Spark and DuckDB regardless of summation order.
+# ---------------------------------------------------------------------------
+
+# Integer 1e-4-dollar units for extendedprice * (1 - discount).
+_REV_U_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def _rev_u():
+    """extendedprice*(1-discount) in exact integer 1e-4$ units."""
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN ns.n_name = 'NATION_7'
+                         THEN {_REV_U_SQL} ELSE 0 END) AS DOUBLE)
+               / sum({_REV_U_SQL}) AS mkt_share,
+           CAST(sum({_REV_U_SQL}) AS DOUBLE) / 10000.0 AS total_rev
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN part      ON l_partkey = p_partkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region    ON nc.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share, adapted): the share of ASIA-
+    region PROMO-part revenue supplied by NATION_7, per order year —
+    the widest join tree in the repo (lineitem + orders + part +
+    supplier + customer + region and nation joined TWICE under
+    different roles).
+
+    Scale shape: one fact table (lineitem) joined to one fact-scaled
+    dim (orders, co-keyed on orderkey) and five bounded dims.  region/
+    nation are broadcast-hinted (25 rows at any SF); part/supplier/
+    customer scale with SF, so they carry NO hint — AQE picks
+    broadcast at test scale and shuffle-hash at cluster scale.  The
+    two nation roles are separate broadcast copies, not a self-join
+    shuffle."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    ns = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("s_nation")
+    )
+    nc = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = _rev_u()
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        (
+            F.sum(F.when(F.col("s_nation") == "NATION_7", rev).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum(rev)
+        ).alias("mkt_share"),
+        (F.sum(rev).cast("double") / F.lit(10000.0)).alias("total_rev"),
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum({_REV_U_SQL}
+                    - CAST(round(p_retailprice * 100) AS BIGINT)
+                      * CAST(round(l_quantity * 10) AS BIGINT) * 6)
+                AS DOUBLE) / 10000.0 AS profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit, adapted): profit per supplier
+    nation per order year over parts whose name contains 'red'.  The
+    schema has no partsupp, so unit cost is modeled as 60% of
+    p_retailprice — the join tree and aggregation shape (4-way fact-dim
+    join, two-level group) are what Q9 exercises.
+
+    profit/row = extprice*(1-disc) - 0.6*retailprice*quantity, held in
+    integer 1e-4$ units end-to-end (cents*(100-dh) minus retail-cents *
+    deci-quantity * 6), summed exactly, one final double division.
+    The p_name LIKE filter is pushed to the part scan; nation is
+    broadcast, fact-scaled sides are AQE-planned."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    profit_u = _rev_u() - (
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.round(F.col("l_quantity") * 10).cast("long")
+        * F.lit(6)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_u).cast("double") / F.lit(10000.0)).alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name AS nation,
+           CAST(sum({_REV_U_SQL}) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(round(max(c_acctbal) * 100) AS BIGINT) AS acctbal_cents
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY sum({_REV_U_SQL}) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items in
+    one quarter.  Top-k-over-join: both fact sides are pre-filtered
+    before the join (quarter predicate on orders, returnflag on
+    lineitem — both pushed to the scans), the aggregate runs on the
+    joined result, and the cut line orders by the EXACT integer revenue
+    with c_custkey as tiebreak so the LIMIT is deterministic in both
+    engines.  At cluster scale the filters make the join sides a small
+    fraction of a year's data; the final top-20 is a driver-side
+    take(20) on a sorted partial — no global sort materialization."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-10-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    rev = _rev_u()
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(rev).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.round(F.max("c_acctbal") * 100)
+            .cast("long")
+            .alias("acctbal_cents"),
+            F.sum(rev).alias("_rev_u"),
+        )
+        .orderBy(F.col("_rev_u").desc(), "c_custkey")
+        .limit(20)
+        .drop("_rev_u")
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the distribution of per-customer order counts,
+    INCLUDING zero-order customers — the canonical outer-join-then-
+    double-aggregate shape.  The priority predicate lives in the JOIN
+    condition (not a WHERE), so customers whose only orders are urgent
+    still appear with count 0; count(o_orderkey) skips the NULLs an
+    outer join manufactures.  Two shuffles (join + first group) then a
+    tiny second aggregate over at most a few hundred distinct counts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q14_promo_share",
+    oracle=f"""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_U_SQL} ELSE 0 END)
+                AS DOUBLE) * 100.0
+               / sum({_REV_U_SQL}) AS promo_pct,
+           count(*) AS n_rows
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (exact-arithmetic variant of the q14_promo_revenue
+    probe consolidated into tpch_scalar_revenues — distinct name, as
+    that module-level helper is composed by tpch_scalar_revenues and
+    must keep its rounded-double contract): the share of one month's
+    revenue from PROMO parts —
+    conditional-aggregate ratio over a single fact-dim join.  Both the
+    numerator and denominator are exact int64 unit sums; the ratio is
+    (numerator AS DOUBLE) * 100.0 / denominator written in the same
+    operation order in both engines, so every step is one correctly-
+    rounded IEEE op on identical operands.  The month filter prunes the
+    lineitem scan; part carries no hint (SF-scaled) and AQE broadcasts
+    it at test scale."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = _rev_u()
+    return l.join(p, F.col("l_partkey") == F.col("p_partkey")).agg(
+        (
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast("double")
+            * F.lit(100.0)
+            / F.sum(rev)
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, sum({_REV_U_SQL}) AS total_u
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY supplier_no
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_u AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_u = (SELECT max(total_u) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with the maximum quarterly revenue —
+    a derived relation consumed twice (once for the max, once for the
+    equality filter).  The Spark plan reuses ONE aggregated DataFrame
+    for both roles via a window max over an empty frame — a single
+    shuffle on l_suppkey, then a lightweight global-max exchange of one
+    row per partition; the equality test runs on the EXACT int64 unit
+    sum, so the winner set is identical in both engines (a double
+    comparison could tie-break differently on drifted bits)."""
+    from pyspark.sql.window import Window
+
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_u()).alias("total_u"))
+        .withColumn("max_u", F.max("total_u").over(Window.partitionBy()))
+        .where(F.col("total_u") == F.col("max_u"))
+    )
+    return (
+        s.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_u").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(sum({_REV_U_SQL}) AS DOUBLE) / 10000.0 AS revenue,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1  AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR-of-ANDs predicate mixing columns
+    from BOTH join sides — the optimizer stress case.  Catalyst cannot
+    push the full disjunction below the join, but it CAN push the
+    derivable per-side envelopes (p_brand IN (...) AND p_size <= 15 on
+    part; l_quantity BETWEEN 1 AND 30 on lineitem) — constraint
+    propagation that cuts the join inputs before the residual OR is
+    evaluated.  tests/test_plans.py pins that the part scan carries a
+    pushed In(p_brand) filter."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return j.where(cond).agg(
+        (F.sum(_rev_u()).cast("double") / F.lit(10000.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
     )

@@ -13,7 +13,15 @@ Conventions that keep the hash-match honest:
   sides so parallel-summation last-bit drift cannot flip the hash;
 - timestamps are emitted as formatted strings or DATE casts;
 - top-k queries order by (rounded metric, unique key) so the cut line
-  is deterministic in both engines.
+  is deterministic in both engines;
+- final output columns are NEVER DECIMAL or ARRAY/MAP (r1-r3 lesson,
+  pinned in tests/test_plans.py): DuckDB's pandas materializer turns
+  DECIMAL into float64 while Spark yields Decimal objects, so value-
+  equal results hash-red on trailing-zero reprs ('1.5' vs '1.500');
+  raw arrays crash the driver's pandas canonicalizer outright
+  ("unhashable type: 'list'").  Exact money/ratio arithmetic is done
+  in integer fixed-point units (int64) and emitted as ONE correctly-
+  rounded double division, identical bit-for-bit across engines.
 """
 
 from __future__ import annotations
@@ -66,31 +74,42 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # tests/test_registry_contract.py pins that every oracle-bearing query
 # outside the tail sits within the first 50 positions.
 #
-# r4 rotation: the two r3-red rows + every events query that moved to
-# the NTZ timestamp path lead; the 15 oracle queries that fell outside
-# r3's window follow (they were green in r1/r2 but the hard signal
-# should re-see them); tpch_scalar_revenues has never had a driver row.
+# r4 rotation: the two r3-red rows (now fixed via the no-DECIMAL-output
+# rule) and the two other queries whose output types changed lead; the
+# seven new TPC-H queries and the r3-new queries that missed r3's
+# window follow; then the NTZ-affected events family for a re-check.
+# Rotated INTO the tail: r3-green text_*/multimodal_resize/corpus
+# probes untouched this round (pytest oracle parity still runs them).
 
 _CHECK_WINDOW_HEAD = [
     # r3-red, fixed this round — must re-check
     "events_moving_avg",
     "mahjong_paiyama_walls",
-    # NTZ-affected (loader/timestamp_diff/watermark changes this round)
+    # output type changed this round (DECIMAL -> exact-int doubles)
+    "decimal_revenue",
+    "q6_forecast_revenue",
+    # new this round (TPC-H widening)
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q19_disjunctive_predicates",
+    # r3-new, never driver-checked
+    "tpch_scalar_revenues",
+    "events_retention",
+    "corpus_mixture",
+    "text_c4_filters",
+    "events_asof_next_purchase",
+    "events_dedup_consecutive",
+    # NTZ-affected (loader/timestamp_diff/watermark changes in r3)
     "events_funnel",
     "events_user_gaps",
     "events_sessionized",
     "events_asof_last_view",
     "events_attribution_window",
     "events_hourly",
-    # never driver-checked
-    "tpch_scalar_revenues",
-    # new this round
-    "q6_forecast_revenue",
-    "events_retention",
-    "corpus_mixture",
-    "text_c4_filters",
-    "events_asof_next_purchase",
-    "events_dedup_consecutive",
     # fell outside r3's 50-entry window
     "top_customers",
     "customer_rank_by_nation",
@@ -111,10 +130,10 @@ _CHECK_WINDOW_HEAD = [
 
 _CHECK_WINDOW_TAIL = [
     # driver-green in 2-3 prior rounds, untouched this round, family
-    # witnessed in-window (dedup: minhash/simhash/connected_components;
-    # TPC-H: q4/q7/q18/tpch_scalar; mahjong: paiyama/riichi/actions;
-    # strings: text_*; SQL-roundtrip: sql_roundtrip_cte/exists/window)
-    "decimal_revenue",
+    # witnessed in-window (dedup: exact/normalized/cosine stay checked
+    # via the in-window connected-components chain in pytest; TPC-H:
+    # seven new q* in-window; mahjong: paiyama/riichi in-window;
+    # text/multimodal/corpus: r3-green, pytest parity every round)
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -137,6 +156,26 @@ _CHECK_WINDOW_TAIL = [
     "dedup_connected_components",
     "multimodal_features",
     "multimodal_frame_sample",
+    # rotated out this round (r3 driver-green, untouched)
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "text_top_terms",
+    "text_fingerprint",
+    "text_repetition",
+    "events_value_histogram",
+    "similarity_topk_bruteforce",
+    "multimodal_resize",
+    "corpus_stratified_sample",
+    "embedding_norm_profile",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "corpus_decontaminate",
+    "corpus_global_shuffle",
+    "events_pii_scrub",
+    "mahjong_action_sequences",
+    "mahjong_riichi_outcomes",
+    "corpus_canonical_docs",
 ]
 
 

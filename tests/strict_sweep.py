@@ -1,8 +1,18 @@
 """Strict driver-mirror sweep: every oracle-bearing registry query,
-EXACT value equality (no 9-dp rounding slack), plus flags for output
-columns the driver's pandas canonicalizer cannot sort (raw arrays).
+compared at the PANDAS-MATERIALIZED STRING level — the strictest proxy
+for the driver's representation-sensitive canonical hash.
 
-Run: python tests/strict_sweep.py [sf_dir]
+Why strings: the driver materializes both sides into pandas and hashes
+a canonicalized frame.  Value-equal results can still hash-red when the
+materialized representation differs — the classic case is a DECIMAL
+output column, which DuckDB's .df() turns into float64 (str '3.1')
+while Spark's toPandas() yields Decimal objects (str '3.100000').
+r1-r3 all shipped exactly one such red row; this sweep catches it
+locally.  It also flags output columns the driver's pandas
+canonicalizer cannot sort (raw arrays/maps — r3's paiyama row errored
+with "unhashable type: 'list'").
+
+Run: python tests/strict_sweep.py [sf_dir] [only_prefix...]
 """
 
 from __future__ import annotations
@@ -14,32 +24,47 @@ import time
 from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 
 def _norm(v):
+    """One cell -> canonical string, unifying only what the driver's
+    pandas round-trip itself unifies (null spellings, numpy boxing,
+    date/datetime carriers) — NOT numeric representation."""
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NULL>"
+        return repr(v)
     if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    if isinstance(v, (datetime.datetime, datetime.date)):
+        return str(v)
+    if isinstance(v, pd.Timestamp):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
-    return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        return "<UNSORTABLE>"
+    return str(v)
 
 
-def _canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [cols[i] for i in order], out
+def _canon(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_norm(df[c].iloc[i]) for c in cols) for i in range(len(df))
+    ]
+    rows.sort()
+    return cols, rows
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str]) -> int:
     from pyspark.sql import SparkSession
-    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType
 
     from mahjong_etl_spark.plans.registry import registry
 
@@ -52,6 +77,8 @@ def main(sf_dir: str) -> int:
         .getOrCreate()
     )
     reg = registry()
+    if only:
+        reg = {k: v for k, v in reg.items() if any(k.startswith(p) for p in only)}
     con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part",
@@ -64,42 +91,45 @@ def main(sf_dir: str) -> int:
         t0 = time.time()
         try:
             df = q.spark_fn(spark, sf_dir)
-            arr_cols = [
-                f.name for f in df.schema.fields
-                if isinstance(f.dataType, (ArrayType, MapType))
+            risky = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, DecimalType))
             ]
-            s_rows = [tuple(r) for r in df.collect()]
-            s_cols = df.columns
+            sdf = df.toPandas()
             if q.oracle is None:
                 tag = "rows-only"
-                if arr_cols:
-                    tag += f" ARRAY-OUT:{arr_cols}"
-                print(f"{tag:12} {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+                if risky:
+                    tag += f" RISKY-OUT:{risky}"
+                print(f"{tag:12} {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
                 continue
-            cur = con.execute(q.oracle)
-            o_cols = [d[0] for d in cur.description]
-            o_rows = cur.fetchall()
-            ok = sorted(s_cols) == sorted(o_cols)
+            odf = con.execute(q.oracle).df()
+            ok = sorted(sdf.columns) == sorted(odf.columns)
             msg = ""
             if not ok:
-                msg = f"cols {sorted(s_cols)} vs {sorted(o_cols)}"
-            elif len(s_rows) != len(o_rows):
+                msg = f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+            elif len(sdf) != len(odf):
                 ok = False
-                msg = f"rowcount {len(s_rows)} vs {len(o_rows)}"
+                msg = f"rowcount {len(sdf)} vs {len(odf)}"
             else:
-                _, sc = _canon(s_cols, s_rows)
-                _, oc = _canon(o_cols, o_rows)
+                _, sc = _canon(sdf)
+                _, oc = _canon(odf)
                 bad = [i for i, (a, b) in enumerate(zip(sc, oc)) if a != b]
                 if bad:
                     ok = False
                     i = bad[0]
-                    msg = f"{len(bad)} rows differ; first @{i}:\n  spark:  {sc[i]}\n  oracle: {oc[i]}"
+                    msg = (
+                        f"{len(bad)} rows differ; first @{i}:\n"
+                        f"  spark:  {sc[i]}\n  oracle: {oc[i]}"
+                    )
             tag = "PASS" if ok else "FAIL"
-            if arr_cols:
-                tag += f" ARRAY-OUT:{arr_cols}"
+            if risky:
+                tag += f" RISKY-OUT:{risky}"
+                if ok:
+                    tag = f"WARN-{tag}"
             if not ok:
                 n_fail += 1
-            print(f"{tag:12} {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s) {msg}")
+            print(f"{tag:12} {name} ({len(sdf)} rows, {time.time()-t0:.1f}s) {msg}")
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             print(f"{'ERROR':12} {name}: {type(e).__name__}: {e}")
@@ -109,4 +139,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:],
+        )
+    )

@@ -70,7 +70,7 @@ def test_no_unconditional_broadcast_hints_on_fact_sides():
 
     src = inspect.getsource(queries)
     hinted = re.findall(r"F\.broadcast\((\w+)", src)
-    allowed = {"s", "n", "r", "n1", "n2", "p", "avg_bal", "qa"}
+    allowed = {"s", "n", "r", "n1", "n2", "ns", "nc", "p", "avg_bal", "qa"}
     assert set(hinted) <= allowed, f"unexpected broadcast hints: {set(hinted) - allowed}"
 
 
@@ -284,3 +284,101 @@ def test_c4_filters_scan_plus_single_agg(reg, spark, sf_dir):
     plan = plan_of(_run(reg, "text_c4_filters", spark, sf_dir))
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1 + plan.count("REPARTITION")
+
+
+def test_no_decimal_or_array_output_columns_registry_wide(reg, spark, sf_dir):
+    """The r1-r3 driver-red rows were all representation bugs, not value
+    bugs: DECIMAL output columns materialize differently into pandas
+    per engine (Decimal object vs float64), and ARRAY/MAP outputs crash
+    the driver's canonicalizer.  Registry-wide guard: no oracle-bearing
+    query may emit them (internal arithmetic in DECIMAL/int64 units is
+    fine — the rule is about the FINAL schema)."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType
+
+    offenders = {}
+    for name, q in reg.items():
+        if q.oracle is None:
+            continue
+        df = q.spark_fn(spark, sf_dir)
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (DecimalType, ArrayType, MapType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_q8_nation_and_region_broadcast_fact_sides_free(reg, spark, sf_dir):
+    """Widest join tree in the repo: the bounded dims (region + two
+    nation roles) must broadcast; no forced broadcast may appear on the
+    SF-scaled sides (part/supplier/customer/orders) — those are AQE's
+    call.  At test SF that means zero sort-merge joins."""
+    plan = plan_of(_run(reg, "q8_market_share", spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q10_topk_no_global_sort(reg, spark, sf_dir):
+    """Top-20 over a join must plan TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a full Exchange rangepartitioning
+    global sort."""
+    plan = plan_of(_run(reg, "q10_returned_items", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    # quarter + returnflag predicates reach their scans
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q13_outer_join_keeps_join_condition_filter(reg, spark, sf_dir):
+    """Q13's priority predicate lives in the LEFT JOIN's ON clause; it
+    must NOT be pushed as a WHERE below the outer join (that would drop
+    zero-order customers).  The orders-side scan still gets it pushed
+    (safe: it only prunes the preserved side's matches)."""
+    df = _run(reg, "q13_order_count_distribution", spark, sf_dir)
+    plan = plan_of(df)
+    # outer-join preservation invariant: the count distribution must
+    # account for EVERY customer — if the ON-clause predicate had been
+    # pushed below the join as a WHERE, customers whose only orders are
+    # urgent (and zero-order customers) would vanish from the total
+    from mahjong_etl_spark.sources.tables import load
+
+    n_customers = load(spark, sf_dir, "customer").count()
+    dist = df.collect()
+    assert sum(r.custdist for r in dist) == n_customers
+    assert "BatchEvalPython" not in plan
+
+
+def test_q19_registered_variant_pushes_brand_envelope(reg, spark, sf_dir):
+    """The registered q19 (exact-arithmetic variant): Catalyst must
+    extract the per-side envelopes of the OR-of-ANDs — an In/Or
+    p_brand filter on the part scan and a quantity range on the
+    lineitem scan — before the residual disjunction runs above the
+    join."""
+    plan = plan_of(_run(reg, "q19_disjunctive_predicates", spark, sf_dir))
+    part_scan = [s for s in plan.split("FileScan parquet") if "part.parquet" in s]
+    assert part_scan, "no part scan found"
+    assert "PushedFilters" in part_scan[0]
+    # truncation-safe: Spark elides long filter lists, so look at the
+    # head of the pushed list rather than up to the closing bracket
+    pushed = part_scan[0].split("PushedFilters")[1]
+    assert "p_brand" in pushed.split("ReadSchema")[0], "brand envelope not pushed"
+    lineitem_scan = [
+        s for s in plan.split("FileScan parquet") if "lineitem.parquet" in s
+    ]
+    assert "l_quantity" in lineitem_scan[0].split("PushedFilters")[1].split(
+        "ReadSchema"
+    )[0], "quantity envelope not pushed"
+
+
+def test_q15_single_shuffle_window_max(reg, spark, sf_dir):
+    """Q15 consumes the per-supplier aggregate twice (max + equality
+    filter); the plan must reuse ONE aggregation via an empty-frame
+    window max — i.e. exactly one hashpartitioning exchange on the
+    supplier key plus the single-partition window exchange, never a
+    second scan of lineitem."""
+    plan = plan_of(_run(reg, "q15_top_supplier", spark, sf_dir))
+    assert plan.count("FileScan parquet") == 2, "lineitem must be scanned once"
