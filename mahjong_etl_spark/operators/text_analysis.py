@@ -479,3 +479,41 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_fail(F.col("r5")).alias("fail_max_word"),
         )
     )
+
+
+@query(
+    "text_zipf_spectrum",
+    oracle="""
+    WITH term_counts AS (
+        SELECT t.term, count(*) AS term_n
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents) t
+        WHERE t.term <> ''
+        GROUP BY t.term
+    )
+    SELECT term_n, count(*) AS n_terms
+    FROM term_counts GROUP BY term_n
+    """,
+)
+def text_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency-of-frequencies (the Zipf/Good-Turing
+    spectrum): for each term-occurrence count, how many distinct terms
+    occur exactly that often — the corpus-statistics input to smoothing
+    estimators and the quickest profile of vocabulary health (a
+    machine-generated corpus shows up instantly as a distorted tail).
+
+    Two-level aggregation: explode → per-term count (one term-keyed
+    shuffle with map-side partial counts) → per-count count (second
+    exchange over at most a few thousand distinct counts — negligible).
+    At 100 TB the first aggregate is the same plan the top-terms query
+    already carries; the spectrum adds only the tiny second pass.  No
+    UDFs anywhere."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_n"))
+        .groupBy("term_n")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+    )

@@ -1754,3 +1754,45 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(_rev_u()).cast("double") / F.lit(10000.0)).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 25
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier-part variety, adapted): how many DISTINCT
+    suppliers ship each (brand, type) — with a denylist excluded via
+    NOT IN.  The schema has no partsupp, so the part-supplier
+    relationship is the lineitem edge set; negative-balance suppliers
+    stand in for the complaints predicate.
+
+    Plan shape: the denylist subquery becomes a LEFT ANTI join (the
+    list is an SF-scaled filtered dim — no hint, AQE broadcasts it
+    while it is small), then distinct-aggregate on (brand, type,
+    suppkey) before the final count.  Spark plans count(DISTINCT) as a
+    two-phase expand/aggregate — at 100 TB the pre-aggregation on the
+    composite key bounds the shuffle to unique combinations, not raw
+    lineitem rows."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 25)
+    deny = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(deny, l.l_suppkey == deny.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

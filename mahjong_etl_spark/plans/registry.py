@@ -95,7 +95,9 @@ _CHECK_WINDOW_HEAD = [
     "q13_order_count_distribution",
     "q14_promo_share",
     "q15_top_supplier",
+    "q16_supplier_variety",
     "q19_disjunctive_predicates",
+    "text_zipf_spectrum",
     # r3-new, never driver-checked
     "tpch_scalar_revenues",
     "events_retention",
