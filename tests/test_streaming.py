@@ -131,3 +131,67 @@ def test_sessionize_stream_timeout_closes_idle_session(spark, tmp_path):
     assert (1, 2, 10.0) in got
     # user 2's first session closed by the ordinary gap rule.
     assert (2, 1, 0.0) in got
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static join parity: every event decorated with its
+    user's profile must match the pure-batch join bit-for-bit (the
+    profile's mean is exact-int arithmetic, so double equality is
+    exact, not approximate)."""
+    from mahjong_etl_spark.sources.tables import load
+    from mahjong_etl_spark.streaming.joins import (
+        run_enrich_available_now,
+        user_profile,
+    )
+
+    streamed = {
+        (r.event_id, r.n_events_hist, r.avg_value_hist)
+        for r in run_enrich_available_now(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.event_id, r.n_events_hist, r.avg_value_hist)
+        for r in load(spark, sf_dir, "events")
+        .join(user_profile(spark, sf_dir), "user_id")
+        .select("event_id", "n_events_hist", "avg_value_hist")
+        .collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream self-join parity: the (purchase,
+    view) pairs inside the 30-minute look-back must equal the batch
+    join's pairs.  One AvailableNow micro-batch holds all data, so no
+    pair is lost to watermark eviction — eviction behavior itself is
+    bounded-state plumbing, pinned by the state-store metrics, not by
+    row loss here."""
+    from mahjong_etl_spark.sources.tables import load
+    from mahjong_etl_spark.streaming.joins import run_attribution_available_now
+
+    streamed = {
+        (r.purchase_id, r.view_id)
+        for r in run_attribution_available_now(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    batch = {
+        (r.purchase_id, r.view_id)
+        for r in p.join(v, cond, "inner").select("purchase_id", "view_id").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
