@@ -269,3 +269,54 @@ def mahjong_riichi_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("score"), F.lit(0)).cast("long").alias("won_score_total"),
         )
     )
+
+
+@query(
+    "mahjong_placement_stats",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT game_id, player_index, score, point,
+               row_number() OVER (PARTITION BY game_id
+                                  ORDER BY score DESC, player_index) AS rnk
+        FROM {_pq('game_scores')}
+    )
+    SELECT player_index,
+           count(*) AS n_games,
+           CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+           CAST(sum(score) AS BIGINT) AS total_score,
+           CAST(sum(CAST(round(point * 10) AS BIGINT)) AS DOUBLE) / 10.0
+               AS total_point
+    FROM ranked GROUP BY player_index
+    """,
+    bench=False,
+)
+def mahjong_placement_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seat-advantage profile over the written star schema: per seat,
+    games played, first-place finishes (rank by final score, ties to
+    the lower seat — the reference's placement convention), total
+    score and total point.
+
+    The ``point`` column is the reference's decimal128(4,1)
+    (scrape.py:57) and stays DecimalType end-to-end in STORAGE; for
+    the result it is snapped to exact integer deci-units and emitted
+    as one double division (registry.py output-type rule).  One window
+    over the written files + one aggregate — the same two-exchange
+    shape at any scale."""
+    from pyspark.sql.window import Window
+
+    gs = _read(spark, "game_scores")
+    w = Window.partitionBy("game_id").orderBy(
+        F.desc("score"), F.asc("player_index")
+    )
+    ranked = gs.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("player_index").agg(
+        F.count(F.lit(1)).alias("n_games"),
+        F.sum(F.when(F.col("rnk") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_first"),
+        F.sum("score").cast("long").alias("total_score"),
+        (
+            F.sum(F.round(F.col("point") * 10).cast("long")).cast("double")
+            / F.lit(10.0)
+        ).alias("total_point"),
+    )

@@ -1796,3 +1796,54 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "events_rolling_wau",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    expanded AS (
+        SELECT user_id, d + CAST(o AS INTEGER) AS anchor
+        FROM user_days, range(0, 7) t(o)
+    )
+    SELECT strftime(anchor, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id)      AS wau
+    FROM expanded
+    WHERE anchor IN (SELECT d FROM user_days)
+    GROUP BY anchor
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (WAU) per observed day —
+    the rolling-COUNT-DISTINCT analytic that window frames cannot
+    express (COUNT(DISTINCT) over a moving frame is unsupported in
+    both engines, and a collect_set worklist would be an array-typed
+    memory bomb on hot days).
+
+    Dense-expansion formulation: dedup to (user, day) — the only
+    fact-sized shuffle, and already ~1000x smaller than raw events —
+    then explode each row to the 7 anchor days it contributes to and
+    count distinct users per anchor.  The 7x fanout is bounded and
+    map-side; the final distinct-aggregate runs on (anchor, user)
+    pairs.  At 100 TB the same plan holds because the expansion factor
+    is the window length, independent of data volume; for month-scale
+    windows (MAU, 30x) the HLL-sketch approx_count_distinct variant is
+    the documented fallback."""
+    e = load(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    observed = user_days.select(F.col("d").alias("anchor")).distinct()
+    expanded = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "d",
+    ).select("user_id", F.date_add("d", F.col("o")).alias("anchor"))
+    return (
+        expanded.join(observed, "anchor", "left_semi")
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("anchor", "yyyy-MM-dd").alias("day"), "wau")
+    )

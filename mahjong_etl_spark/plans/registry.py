@@ -98,6 +98,8 @@ _CHECK_WINDOW_HEAD = [
     "q16_supplier_variety",
     "q19_disjunctive_predicates",
     "text_zipf_spectrum",
+    "events_rolling_wau",
+    "mahjong_placement_stats",
     # r3-new, never driver-checked
     "tpch_scalar_revenues",
     "events_retention",
