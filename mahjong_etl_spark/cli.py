@@ -82,6 +82,26 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    from .plans.registry import registry
+
+    reg = registry()
+    if args.list or args.name is None:
+        for name, q in reg.items():
+            tag = "oracle" if q.oracle else "rows-only"
+            print(f"{name:36} [{tag}] {q.doc.strip().splitlines()[0] if q.doc else ''}")
+        return 0
+    if args.name not in reg:
+        print(f"unknown query: {args.name} (use --list)", file=sys.stderr)
+        return 1
+    spark = _spark("mahjong-query")
+    df = reg[args.name].spark_fn(spark, args.data_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mahjong_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -126,6 +146,20 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("-q", "--query", default=None, help="SQL (default: stdin)")
     sq.add_argument("--limit", type=int, default=100)
     sq.set_defaults(fn=cmd_sql)
+
+    qu = sub.add_parser(
+        "query", help="run a named query from the declared registry surface"
+    )
+    qu.add_argument("name", nargs="?", default=None, help="registry query name")
+    qu.add_argument(
+        "-D", "--data-dir", default="/root/testdata/sf0.01", help="star-schema dir"
+    )
+    qu.add_argument("--limit", type=int, default=50)
+    qu.add_argument("--list", action="store_true", help="list available queries")
+    qu.add_argument(
+        "--explain", action="store_true", help="print the formatted physical plan"
+    )
+    qu.set_defaults(fn=cmd_query)
 
     return p
 

@@ -59,3 +59,29 @@ def test_cli_sql(cli_out, capsys):
 def test_cli_sql_empty_dir(tmp_path, capsys):
     rc = main(["sql", "-D", str(tmp_path), "-q", "SELECT 1"])
     assert rc == 1
+
+
+def test_cli_query_list_and_run(capsys):
+    from mahjong_etl_spark.cli import main
+
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "[oracle]" in out
+
+    assert (
+        main(
+            [
+                "query",
+                "q1_pricing_summary",
+                "-D",
+                "/root/testdata/sf0.001",
+                "--limit",
+                "3",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out
+
+    assert main(["query", "no_such_query"]) == 1
