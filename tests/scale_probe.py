@@ -1,0 +1,131 @@
+"""Empirical scaling probe: do the headline plans scale LINEARLY?
+
+SCALE.md argues every operator's plan survives a 100x scale-up; this
+probe measures the first decade of that claim instead of asserting it.
+It synthesizes an sf1-equivalent corpus by unioning 10 key-shifted
+copies of the sf0.1 tables (ids offset so joins/groupings fan out
+rather than collapse onto the originals), writes it once to a scratch
+directory shaped exactly like a driver sf_dir, and times a
+representative query per plan family at 1x and 10x.
+
+A healthy (shuffle-bound or scan-bound) plan shows time ratio ~= data
+ratio (plus fixed overhead, so ratios BELOW 10 are expected at these
+sizes); a plan with a hidden quadratic term (all-pairs join, driver
+collect, unpartitioned window) blows past it.  Run manually:
+
+    python tests/scale_probe.py [base_sf_dir] [out_json]
+
+Not part of the pytest suite — it takes minutes by design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+PROBES = [
+    # one per plan family: scan-agg, fact-dim join, window, hash dedup,
+    # explode-agg, dense-expansion distinct, minhash banding
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "events_sessionized",
+    "dedup_exact",
+    "text_token_stats",
+    "events_rolling_wau",
+    "dedup_minhash_lsh",
+]
+
+# table -> (id columns to shift, rows-per-sf0.1 offset stride)
+SHIFTS = {
+    "events": {"event_id": 10_000_000, "user_id": 100_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000},
+}
+COPY_ONLY = ["region", "nation", "customer", "supplier", "part"]
+
+
+def synthesize(spark, base: str, out: str, copies: int = 10) -> None:
+    from pyspark.sql import functions as F
+
+    from mahjong_etl_spark.sources.tables import load
+
+    os.makedirs(out, exist_ok=True)
+    for t in COPY_ONLY:
+        shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    for t, shifts in SHIFTS.items():
+        df = load(spark, base, t)
+        parts = []
+        for i in range(copies):
+            part = df
+            for col, stride in shifts.items():
+                part = part.withColumn(col, F.col(col) + F.lit(i * stride))
+            parts.append(part)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        # one flat parquet dir per table, mirroring the driver layout
+        u.repartition(32).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+
+def time_query(reg, name, spark, sf_dir) -> float:
+    t0 = time.time()
+    # count() forces full execution without driver-side materialization
+    reg[name].spark_fn(spark, sf_dir).count()
+    return time.time() - t0
+
+
+def main(base: str, out_json: str) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import SparkSession
+
+    from mahjong_etl_spark.plans.registry import registry
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    reg = registry()
+    scratch = "/tmp/scale_probe_sf1"
+    if not os.path.exists(f"{scratch}/events.parquet"):
+        print("synthesizing 10x corpus ...", flush=True)
+        synthesize(spark, base, scratch)
+
+    results = {}
+    for name in PROBES:
+        # warm both paths once (JIT/IO cache), then measure
+        t1 = time_query(reg, name, spark, base)
+        t10 = time_query(reg, name, spark, scratch)
+        t1b = time_query(reg, name, spark, base)
+        t10b = time_query(reg, name, spark, scratch)
+        r = {
+            "t_1x_sec": round(min(t1, t1b), 3),
+            "t_10x_sec": round(min(t10, t10b), 3),
+            "ratio": round(min(t10, t10b) / max(min(t1, t1b), 1e-9), 2),
+        }
+        results[name] = r
+        print(f"{name:28} 1x={r['t_1x_sec']:7.3f}s  10x={r['t_10x_sec']:7.3f}s  "
+              f"ratio={r['ratio']}", flush=True)
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=2)
+    bad = [n for n, r in results.items() if r["ratio"] > 20]
+    print(f"\nsuper-linear (>20x) plans: {bad or 'none'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1",
+            sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe_results.json",
+        )
+    )
