@@ -13,9 +13,11 @@ ratio (plus fixed overhead, so ratios BELOW 10 are expected at these
 sizes); a plan with a hidden quadratic term (all-pairs join, driver
 collect, unpartitioned window) blows past it.  Run manually:
 
-    python tests/scale_probe.py [base_sf_dir] [out_json]
+    python tests/scale_probe.py [base_sf_dir] [out_json] [copies] [probe ...]
 
-Not part of the pytest suite — it takes minutes by design.
+``copies`` (default 10) sets the scale multiple — 100 gives the second
+measured decade (sf10-equivalent, ~60M lineitem rows) for the cheaper
+families.  Not part of the pytest suite — it takes minutes by design.
 """
 
 from __future__ import annotations
@@ -80,7 +82,7 @@ def time_query(reg, name, spark, sf_dir) -> float:
     return time.time() - t0
 
 
-def main(base: str, out_json: str) -> int:
+def main(base: str, out_json: str, copies: int = 10, probes=None) -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import SparkSession
 
@@ -95,13 +97,13 @@ def main(base: str, out_json: str) -> int:
         .getOrCreate()
     )
     reg = registry()
-    scratch = "/tmp/scale_probe_sf1"
-    if not os.path.exists(f"{scratch}/events.parquet"):
-        print("synthesizing 10x corpus ...", flush=True)
-        synthesize(spark, base, scratch)
+    scratch = f"/tmp/scale_probe_{copies}x"
+    if not os.path.exists(f"{scratch}/lineitem.parquet"):
+        print(f"synthesizing {copies}x corpus ...", flush=True)
+        synthesize(spark, base, scratch, copies)
 
     results = {}
-    for name in PROBES:
+    for name in probes or PROBES:
         # warm both paths once (JIT/IO cache), then measure
         t1 = time_query(reg, name, spark, base)
         t10 = time_query(reg, name, spark, scratch)
@@ -109,16 +111,16 @@ def main(base: str, out_json: str) -> int:
         t10b = time_query(reg, name, spark, scratch)
         r = {
             "t_1x_sec": round(min(t1, t1b), 3),
-            "t_10x_sec": round(min(t10, t10b), 3),
+            f"t_{copies}x_sec": round(min(t10, t10b), 3),
             "ratio": round(min(t10, t10b) / max(min(t1, t1b), 1e-9), 2),
         }
         results[name] = r
-        print(f"{name:28} 1x={r['t_1x_sec']:7.3f}s  10x={r['t_10x_sec']:7.3f}s  "
-              f"ratio={r['ratio']}", flush=True)
+        print(f"{name:28} 1x={r['t_1x_sec']:7.3f}s  {copies}x="
+              f"{r[f't_{copies}x_sec']:7.3f}s  ratio={r['ratio']}", flush=True)
     with open(out_json, "w") as f:
         json.dump(results, f, indent=2)
-    bad = [n for n, r in results.items() if r["ratio"] > 20]
-    print(f"\nsuper-linear (>20x) plans: {bad or 'none'}")
+    bad = [n for n, r in results.items() if r["ratio"] > 2 * copies]
+    print(f"\nsuper-linear (>{2*copies}x) plans: {bad or 'none'}")
     return 1 if bad else 0
 
 
@@ -127,5 +129,7 @@ if __name__ == "__main__":
         main(
             sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1",
             sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe_results.json",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 10,
+            sys.argv[4:] or None,
         )
     )

@@ -382,3 +382,37 @@ def test_q15_single_shuffle_window_max(reg, spark, sf_dir):
     second scan of lineitem."""
     plan = plan_of(_run(reg, "q15_top_supplier", spark, sf_dir))
     assert plan.count("FileScan parquet") == 2, "lineitem must be scanned once"
+
+
+def test_spark_sql_entrypoint_matches_dataframe_for_q10(reg, spark, sf_dir):
+    """The SQL entry point (spark.sql over registered views) must plan
+    and compute the new TPC-H plane identically to the DataFrame API —
+    a user migrating Athena SQL verbatim gets the same rows as the
+    declared DataFrame query."""
+    from mahjong_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    sql_rows = spark.sql(
+        """
+        SELECT c_custkey, c_name, n_name AS nation,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue,
+               CAST(round(max(c_acctbal) * 100) AS BIGINT) AS acctbal_cents
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC,
+                 c_custkey
+        LIMIT 20
+        """
+    ).collect()
+    df_rows = _run(reg, "q10_returned_items", spark, sf_dir).collect()
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
+    assert len(df_rows) > 0
