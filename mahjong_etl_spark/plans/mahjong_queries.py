@@ -320,3 +320,32 @@ def mahjong_placement_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10.0)
         ).alias("total_point"),
     )
+
+
+@query(
+    "mahjong_machi_distribution",
+    oracle=f"""
+    SELECT CAST(machipai // 4 AS BIGINT) AS machi_kind,
+           count(*)                      AS n_agari,
+           CAST(sum(score) AS BIGINT)    AS total_score,
+           CAST(max(han) AS BIGINT)      AS max_han
+    FROM {_pq('agaris')}
+    GROUP BY machi_kind
+    """,
+    bench=False,
+)
+def mahjong_machi_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winning-tile (machi) distribution over the written agaris: wins,
+    total score and max han per tile KIND (id div 4 collapses the four
+    physical copies of each tile, reference scrape.py tile encoding —
+    see functions/codec.py).  The reference's Athena workflow answers
+    exactly this kind of question over the agaris table; one pruned
+    scan + one tiny aggregate (<= 34 groups at any scale)."""
+    a = _read(spark, "agaris")
+    return a.groupBy(
+        F.expr("machipai div 4").cast("long").alias("machi_kind")
+    ).agg(
+        F.count(F.lit(1)).alias("n_agari"),
+        F.sum("score").cast("long").alias("total_score"),
+        F.max("han").cast("long").alias("max_han"),
+    )

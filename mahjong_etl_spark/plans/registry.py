@@ -100,6 +100,7 @@ _CHECK_WINDOW_HEAD = [
     "text_zipf_spectrum",
     "events_rolling_wau",
     "mahjong_placement_stats",
+    "mahjong_machi_distribution",
     # r3-new, never driver-checked
     "tpch_scalar_revenues",
     "events_retention",
