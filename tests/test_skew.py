@@ -69,3 +69,53 @@ def test_salted_join_rejects_outer(spark):
     for how in ("right", "full", "outer", "full_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(big, small, "k", how=how)
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """SCALE.md's first line of skew defense is AQE's skew-join split
+    (salting is the explicit second line).  Pin that it actually fires:
+    a sort-merge join with one pathological key must show skew=n in
+    the adaptive final plan once the skewed partition crosses the
+    (test-lowered) threshold."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ]
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
+        # force SMJ: no broadcast at any size
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        big = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 64)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("payload"),
+        )
+        right = spark.range(64).select(
+            F.col("id").alias("k"), F.lit("dim").alias("name")
+        )
+        df = big.join(right, "k").select("k", "payload", "name")
+        # execute df's own plan so ITS AdaptiveSparkPlan finalizes —
+        # count() would plan a separate query and leave this one
+        # isFinalPlan=false with no skew annotation
+        assert len(df.collect()) == 300_000
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=" in plan, f"AQE skew split did not fire:\n{plan[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
