@@ -101,6 +101,8 @@ _CHECK_WINDOW_HEAD = [
     "events_rolling_wau",
     "mahjong_placement_stats",
     "mahjong_machi_distribution",
+    "cdc_customer_upsert",
+    "cdc_orders_scd2",
     # r3-new, never driver-checked
     "tpch_scalar_revenues",
     "events_retention",
@@ -190,6 +192,7 @@ def registry() -> dict[str, Query]:
     from . import mahjong_queries, queries  # noqa: F401
     from ..operators import (  # noqa: F401
         asof,
+        cdc,
         corpus,
         dedup,
         multimodal,
