@@ -1847,3 +1847,88 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
         .select(F.date_format("anchor", "yyyy-MM-dd").alias("day"), "wau")
     )
+
+
+@query(
+    "lineitem_unpivot_metrics",
+    oracle="""
+    WITH melted AS (
+        SELECT 'quantity' AS metric,
+               CAST(round(l_quantity * 100) AS BIGINT) AS centi FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', CAST(round(l_extendedprice * 100) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount', CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'tax', CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
+    )
+    SELECT metric,
+           count(*) AS n,
+           CAST(sum(centi) AS DOUBLE) / 100.0 AS total,
+           CAST(max(centi) AS BIGINT) AS max_centi
+    FROM melted GROUP BY metric
+    """,
+)
+def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) — the inverse of the pivot already on
+    the surface: four lineitem measures melt into (metric, value) rows
+    and aggregate per metric.
+
+    Spark's native ``unpivot`` keeps the melt inside whole-stage
+    codegen (an Expand node — each input row emits 4, no UNION re-scan
+    of the table, unlike the portable SQL oracle which re-reads
+    lineitem per branch).  Values snap to integer centi-units before
+    the melt so the long-format sums stay engine-exact."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("quantity"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("extendedprice"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("discount"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
+    )
+    melted = l.unpivot(
+        ["l_orderkey"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "metric",
+        "centi",
+    )
+    return melted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("centi").cast("double") / F.lit(100.0)).alias("total"),
+        F.max("centi").cast("long").alias("max_centi"),
+    )
+
+
+@query(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind the ROLLUP and
+    CUBE already on the surface: per-status totals, per-priority
+    totals, and the grand total in ONE aggregate pass (an Expand node
+    fans each row into its grouping-set memberships; one exchange, no
+    multi-scan union).  Issued through spark.sql to exercise the SQL
+    entry point's grouping-set planner against the identical ANSI text
+    DuckDB runs."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

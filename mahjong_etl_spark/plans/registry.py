@@ -103,6 +103,8 @@ _CHECK_WINDOW_HEAD = [
     "mahjong_machi_distribution",
     "cdc_customer_upsert",
     "cdc_orders_scd2",
+    "lineitem_unpivot_metrics",
+    "orders_grouping_sets",
     # r3-new, never driver-checked
     "tpch_scalar_revenues",
     "events_retention",
