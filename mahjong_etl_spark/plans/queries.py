@@ -1932,3 +1932,34 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query("events_rolling_mau_approx", oracle=None)
+def events_rolling_mau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day active users per observed day via
+    approx_count_distinct — the HLL-sketch fallback documented in
+    events_rolling_wau for month-scale windows, where the exact
+    dense-expansion's 30x fanout gets expensive.
+
+    Same dense-expansion shape, but the per-anchor aggregate is a
+    mergeable HLL sketch: constant memory per partition, one tiny
+    final merge, relative error ~= 2.3% at the default rsd.  No SQL
+    oracle by design (sketch internals are engine-specific);
+    tests/test_extensions.py pins <=5% relative error against the
+    exact count at test scale."""
+    e = load(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    observed = user_days.select(F.col("d").alias("anchor")).distinct()
+    expanded = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("o"),
+        "d",
+    ).select("user_id", F.date_add("d", F.col("o")).alias("anchor"))
+    return (
+        expanded.join(observed, "anchor", "left_semi")
+        .groupBy("anchor")
+        .agg(F.approx_count_distinct("user_id").alias("mau_approx"))
+        .select(F.date_format("anchor", "yyyy-MM-dd").alias("day"), "mau_approx")
+    )

@@ -278,3 +278,39 @@ def test_session_caches_keyed_by_corpus(spark):
     eb = corpus_embeddings(spark, "/root/testdata/sf0.01")
     assert ea is not eb
     assert corpus_embeddings(spark, "/root/testdata/sf0.01") is eb  # hit
+
+
+def test_rolling_mau_approx_tracks_exact(spark, sf_dir):
+    """The HLL fallback must stay within 5% of the exact rolling
+    distinct count on every observed day (default rsd is ~2.3%)."""
+    from pyspark.sql import functions as F
+
+    from mahjong_etl_spark.plans.registry import registry
+    from mahjong_etl_spark.sources.tables import load
+
+    approx = {
+        r.day: r.mau_approx
+        for r in registry()["events_rolling_mau_approx"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    e = load(spark, sf_dir, "events")
+    user_days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    observed = user_days.select(F.col("d").alias("anchor")).distinct()
+    exact = {
+        r.day: r.mau
+        for r in user_days.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("o"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("o")).alias("anchor"))
+        .join(observed, "anchor", "left_semi")
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("mau"))
+        .select(F.date_format("anchor", "yyyy-MM-dd").alias("day"), "mau")
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    for day, est in approx.items():
+        assert abs(est - exact[day]) / exact[day] <= 0.05, (day, est, exact[day])

@@ -19,6 +19,8 @@ ROWS_ONLY_BY_DESIGN = {
     "similarity_ann_ivf": "approximate; recall pinned in pytest",
     "events_approx_quantiles": "approx_percentile sketch is engine-specific; "
     "bracketed by exact quantiles in orders_price_quantiles",
+    "events_rolling_mau_approx": "HLL sketch is engine-specific; <=5% relative "
+    "error vs the exact dense-expansion count pinned in pytest",
 }
 
 
