@@ -736,3 +736,58 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.alias("keep_rate"),
         F.round(F.col("src_tokens") * keep, 3).alias("expected_tokens"),
     )
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, k: int, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Weighted random sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws u from a seeded md5 hash of its id
+    and ranks by u^(1/w) — the top-k by that key is a weighted sample
+    whose inclusion probabilities respect the weights.
+
+    Fully deterministic (the 'randomness' is the keyed hash, so the
+    sample is reproducible across runs, partitionings and engines up
+    to libm), and shuffle-free: the key is a per-row expression and
+    the top-k plans as TakeOrderedAndProject (per-partition heap +
+    driver merge of k rows) — the same scale shape as every other
+    top-k on the surface.  Exposed rows-only (pow/ln are libm-
+    dependent across engines, so a DuckDB oracle could flip the cut
+    line on near-tied keys); determinism and weight-bias are pinned
+    in tests/test_corpus.py.
+    """
+    # u in (0, 1]: 52 hex bits of md5 -> uniform; +1 avoids u == 0
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"w{seed}:"), F.col(id_col).cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**13 + 1))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_aes_key", key)
+        .orderBy(F.col("_aes_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_aes_key")
+    )
+
+
+@query("corpus_weighted_sample", oracle=None)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted doc selection: sample 100 documents with
+    inclusion probability proportional to length (n_chars as the
+    quality-weight stand-in) — the mixture-building primitive that
+    up-weights high-value sources without a hard filter.  See
+    ``weighted_sample`` for the A-ES construction and why this entry
+    is rows-only."""
+    d = load_spread(spark, sf_dir, "documents")
+    return weighted_sample(d, "n_chars", 100).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

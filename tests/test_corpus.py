@@ -204,3 +204,43 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
     assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == sorted(
         r.doc_id for r in k2.select("doc_id").collect()
     )
+
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark, sf_dir):
+    from mahjong_etl_spark.operators.corpus import weighted_sample
+    from mahjong_etl_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    a = {r.doc_id for r in weighted_sample(d, "n_chars", 50).collect()}
+    b = {r.doc_id for r in weighted_sample(d.repartition(13), "n_chars", 50).collect()}
+    c = {r.doc_id for r in weighted_sample(d, "n_chars", 50, seed=1).collect()}
+    assert a == b and len(a) == 50  # reproducible, layout-independent
+    assert a != c  # seed actually changes the draw
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mahjong_etl_spark.operators.corpus import weighted_sample
+    from mahjong_etl_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    pop_mean = d.agg(F.avg("n_chars")).first()[0]
+    means = []
+    for seed in range(3):
+        s = weighted_sample(d, "n_chars", 100, seed=seed)
+        means.append(s.agg(F.avg("n_chars")).first()[0])
+    # inclusion prob scales with weight -> sampled mean weight must sit
+    # clearly above the population mean for every seed
+    for m in means:
+        assert m > pop_mean * 1.05, (m, pop_mean)
+
+
+def test_weighted_sample_topk_plan(spark, sf_dir):
+    from mahjong_etl_spark.operators.corpus import weighted_sample
+    from mahjong_etl_spark.sources.tables import load
+
+    df = weighted_sample(load(spark, sf_dir, "documents"), "n_chars", 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan

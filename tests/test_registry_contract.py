@@ -21,6 +21,8 @@ ROWS_ONLY_BY_DESIGN = {
     "bracketed by exact quantiles in orders_price_quantiles",
     "events_rolling_mau_approx": "HLL sketch is engine-specific; <=5% relative "
     "error vs the exact dense-expansion count pinned in pytest",
+    "corpus_weighted_sample": "A-ES keys use pow/ln (libm-dependent across "
+    "engines); determinism + weight-bias pinned in pytest",
 }
 
 
