@@ -1799,6 +1799,117 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q12_late_line_priority",
+    oracle="""
+    SELECT l_linestatus AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
+    GROUP BY l_linestatus
+    """,
+)
+def q12_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority analysis, adapted): for lines
+    shipped late, how many belonged to high- vs low-priority orders.
+    The schema has no l_shipmode/l_commitdate/l_receiptdate (like Q2/
+    Q11/Q20's partsupp, they don't exist in this corpus), so lateness
+    is defined as shipping >90 days after the order date and
+    l_linestatus stands in for the mode grouping — the plan shape (fact-
+    fact equi-join with a cross-table date predicate, then conditional
+    counts) is exactly Q12's.
+
+    The date predicate references BOTH sides, so it cannot be pushed to
+    either scan; it runs as a post-join filter inside the same codegen
+    stage as the join — no extra pass.  At 100 TB the join is the one
+    shuffle; conditional aggregation is map-side partial."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .where(
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 90)
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND CAST(l3.l_shipdate AS DATE)
+                            > CAST(o_orderdate AS DATE) + 60)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): late lines on
+    finalized multi-supplier orders where this supplier was the ONLY
+    late one.  Lateness is ship >60 days after order date (the corpus
+    has no commit/receipt dates — same adaptation as Q12).
+
+    The oracle keeps Q21's literal correlated EXISTS / NOT EXISTS pair;
+    the Spark plan uses the aggregate rewrite instead of two fact-scale
+    self-joins: ONE groupBy(l_orderkey) computes (distinct suppliers,
+    distinct late suppliers) per order, and a late line qualifies iff
+    its order has >1 supplier and exactly 1 late supplier — which must
+    then be this line's own.  That turns Q21's notorious double self-
+    join into one extra aggregation on a key the join already shuffled
+    on, so at 100 TB the rewrite costs one reduced-size exchange where
+    the literal form costs two full lineitem shuffles.  Top-10 cut is
+    (numwait DESC, s_name) — deterministic in both engines."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "_late",
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), 60),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    )
+    qual_orders = per_order.where(
+        (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)
+    ).select("l_orderkey")
+    return (
+        j.where(F.col("_late"))
+        .join(qual_orders, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@query(
     "events_rolling_wau",
     oracle="""
     WITH user_days AS (

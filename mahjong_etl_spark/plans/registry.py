@@ -97,6 +97,8 @@ _CHECK_WINDOW_HEAD = [
     "q15_top_supplier",
     "q16_supplier_variety",
     "q19_disjunctive_predicates",
+    "q12_late_line_priority",
+    "q21_waiting_suppliers",
     "text_zipf_spectrum",
     "events_rolling_wau",
     "mahjong_placement_stats",
