@@ -791,3 +791,122 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(d, "n_chars", 100).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document chunk dedup (C4-style cross-document repetition removal)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 10  # tokens per chunk
+
+
+@query(
+    "corpus_chunk_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS ci,
+               array_to_string(
+                   ws[i * {CHUNK_W} + 1 : i * {CHUNK_W} + {CHUNK_W}],
+                   ' ') AS chunk,
+               n_chunks
+        FROM (
+            SELECT doc_id, ws,
+                   CAST(ceil(len(ws) / {CHUNK_W}.0) AS BIGINT) AS n_chunks,
+                   unnest(range(0, CAST(ceil(len(ws) / {CHUNK_W}.0)
+                                        AS BIGINT))) AS i
+            FROM t
+        )
+    ),
+    hot AS (
+        SELECT chunk FROM chunks
+        GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+        SELECT * FROM chunks
+        WHERE chunk NOT IN (SELECT chunk FROM hot)
+    )
+    SELECT doc_id,
+           max(n_chunks)             AS n_chunks,
+           count(*)                  AS n_kept,
+           max(n_chunks) - count(*)  AS n_dropped,
+           md5(string_agg(chunk, ' ' ORDER BY ci)) AS cleaned_md5
+    FROM kept GROUP BY doc_id
+    """,
+)
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at fixed {CHUNK_W}-token chunk granularity:
+    drop every chunk that appears verbatim in >= 2 DISTINCT documents,
+    then reassemble what is left of each document — the C4 'repeated
+    span' rule (there, three-sentence spans; this corpus has no
+    sentence boundaries, so fixed token windows stand in).  Whole-
+    document dedup (dedup_exact / minhash) misses a boilerplate span
+    shared by otherwise-different pages; this operator is the
+    complementary pass real pretraining pipelines run.
+
+    Plan: chunking is a per-row higher-order expression (slice over
+    the token array — no shuffle), the hot-chunk set is one
+    count-distinct aggregate on the chunk text (the only fact-sized
+    exchange, and chunk rows are ~n_tokens/{CHUNK_W} per doc, smaller
+    than the token explosion a per-token design would pay), removal is
+    a LEFT ANTI join against that set, and reassembly is a sorted
+    collect per doc.  At 100 TB the hot set is tiny (hotness needs
+    cross-document repetition) so the anti join broadcasts under AQE;
+    nothing here is all-pairs.  Output pins the exact surviving bytes
+    via md5 of the in-order reassembly, not just counts.  Documents
+    whose every chunk is boilerplate drop out entirely (inner
+    semantics on both sides)."""
+    d = load_spread(spark, sf_dir, "documents")
+    w = CHUNK_W
+    chunk_arr = F.expr(
+        f"""
+        transform(
+            sequence(0, cast(ceil(size(split(text, ' ')) / {w}.0) as int) - 1),
+            i -> concat_ws(' ', slice(split(text, ' '), i * {w} + 1, {w})))
+        """
+    )
+    chunks = (
+        d.select("doc_id", F.posexplode(chunk_arr).alias("ci", "chunk"))
+        .withColumn("ci", F.col("ci").cast("long"))
+    )
+    n_chunks = d.select(
+        "doc_id",
+        F.expr(f"cast(ceil(size(split(text, ' ')) / {w}.0) as bigint)").alias(
+            "n_chunks"
+        ),
+    )
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("chunk")
+    )
+    kept = chunks.join(hot, "chunk", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ci", "chunk"))
+                        ),
+                        lambda s: s.getField("chunk"),
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_md5"),
+        )
+        .join(n_chunks, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            (F.col("n_chunks") - F.col("n_kept")).alias("n_dropped"),
+            "cleaned_md5",
+        )
+    )

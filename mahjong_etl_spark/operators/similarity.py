@@ -417,3 +417,103 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe — on real clustered embeddings nprobe/n_clusters drops."""
     e = corpus_embeddings(spark, sf_dir)
     return ann_ivf_topk(spark, e.where(N_QUERIES_PRED), e, TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (storage/scale path for the ANN indexes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, dv,
+               list_aggregate(list_transform(dv, x -> abs(x)), 'max')
+                   / 127.0 AS scale
+        FROM base
+    ),
+    e AS (
+        SELECT vec_id, scale,
+               CAST(len(dv) AS BIGINT) AS n_dims,
+               CASE WHEN scale = 0 THEN dv
+                    ELSE list_transform(dv, x -> x - round(x / scale) * scale)
+               END AS err
+        FROM s
+    )
+    SELECT vec_id,
+           n_dims,
+           CAST(round(scale * 1e9) AS BIGINT) AS scale_nano,
+           CAST(list_sum(list_transform(
+                    err, x -> CAST(round(x * x * 1e12) AS BIGINT)))
+                AS BIGINT) AS sse_pico,
+           CAST(list_aggregate(list_transform(
+                    err, x -> CAST(round(abs(x) * 1e9) AS BIGINT)), 'max')
+                AS BIGINT) AS max_err_nano
+    FROM e
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    (scale = max|x|/127, q = round(x/scale)) with exact reconstruction-
+    error accounting — the 4x storage/bandwidth reduction every
+    billion-vector ANN deployment takes before sharding an index.
+
+    The whole operator is JVM higher-order expressions over one scan:
+    no shuffle, no UDF, no Python.  Error math follows the repo's
+    fixed-point exactness rule: every per-dimension error term is
+    snapped to an integer (pico-units for the squared error, nano for
+    the max), accumulated as int64 — so the output is bit-identical
+    across engines regardless of float summation order.  The float
+    steps themselves (cast, abs, divide, round, multiply, subtract)
+    are single correctly-rounded IEEE-754 ops on identical operands.
+    Output is per-vector scalars (no array columns, per the registry
+    output-type rule); the quantized bytes themselves are what a sink
+    would write — here the profile is what the oracle can pin."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    staged = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("dv"),
+    ).select(
+        "vec_id",
+        "dv",
+        F.expr(
+            "aggregate(dv, cast(0 as double), (a, x) -> greatest(a, abs(x)))"
+            " / 127.0"
+        ).alias("scale"),
+    ).select(
+        "vec_id",
+        F.expr("cast(size(dv) as bigint)").alias("n_dims"),
+        F.expr("cast(round(scale * 1e9) as bigint)").alias("scale_nano"),
+        F.expr(
+            """
+            CASE WHEN scale = 0 THEN dv
+                 ELSE transform(dv, x -> x - round(x / scale) * scale)
+            END
+            """
+        ).alias("err"),
+    )
+    return staged.select(
+        "vec_id",
+        "n_dims",
+        "scale_nano",
+        F.expr(
+            """
+            cast(aggregate(err, cast(0 as bigint),
+                (acc, x) -> acc + cast(round(x * x * 1e12) as bigint))
+            as bigint)
+            """
+        ).alias("sse_pico"),
+        F.expr(
+            """
+            cast(aggregate(err, cast(0 as bigint),
+                (acc, x) -> greatest(acc, cast(round(abs(x) * 1e9) as bigint)))
+            as bigint)
+            """
+        ).alias("max_err_nano"),
+    )

@@ -517,3 +517,81 @@ def text_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term_n")
         .agg(F.count(F.lit(1)).alias("n_terms"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-entropy quality score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_entropy",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               len(ws) AS n_tokens,
+               list_transform(
+                   list_sort(list_distinct(ws)),
+                   w -> len(list_filter(ws, x -> x = w))::DOUBLE) AS cnts
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT)  AS n_tokens,
+           CAST(len(cnts) AS BIGINT) AS n_types,
+           round(len(cnts)::DOUBLE / n_tokens, 6) AS ttr,
+           round(log2(n_tokens::DOUBLE)
+                 - list_sum(list_transform(cnts, c -> c * log2(c)))
+                   / n_tokens, 6) AS entropy_bits
+    FROM c
+    """,
+)
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution (plus
+    type-token ratio) — the information-density quality signal that
+    separates natural prose from boilerplate/keyword-stuffed pages
+    (low entropy) in pretraining filters.
+
+    Zero-shuffle formulation: token counts are computed per row with
+    higher-order functions (distinct -> per-type occurrence count), so
+    the whole operator is one codegen map pass over the scan — the
+    same shape as text_repetition, O(types x tokens) per row on
+    bounded-length documents.  The entropy identity used is
+    H = log2(n) - sum(c*log2(c))/n, which needs only the count vector.
+    The distinct-type list is SORTED before the float fold on both
+    engines so summation order is pinned; terms are rounded at 6dp to
+    absorb last-ulp libm drift (same discipline as every float ratio
+    in this module)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_tokens"),
+        F.expr("size(array_distinct(split(text, ' ')))")
+        .cast("long")
+        .alias("n_types"),
+        F.round(
+            F.expr(
+                "size(array_distinct(split(text, ' '))) / "
+                "cast(size(split(text, ' ')) as double)"
+            ),
+            6,
+        ).alias("ttr"),
+        F.round(
+            F.expr(
+                """
+                log2(cast(size(split(text, ' ')) as double)) -
+                aggregate(
+                    transform(
+                        array_sort(array_distinct(split(text, ' '))),
+                        w -> cast(size(filter(split(text, ' '), x -> x = w))
+                                  as double)),
+                    cast(0 as double),
+                    (acc, c) -> acc + c * log2(c))
+                / cast(size(split(text, ' ')) as double)
+                """
+            ),
+            6,
+        ).alias("entropy_bits"),
+    )

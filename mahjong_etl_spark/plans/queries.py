@@ -871,6 +871,63 @@ def sql_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ROUNDTRIP_SQL)
 
 
+@query(
+    "jsonl_roundtrip_stats",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+               / 1000.0 AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-plurality probe: the purchase stream is written out as
+    JSON Lines (the interchange format every scraped/api-fed corpus
+    arrives in), read BACK with an explicit schema, and aggregated —
+    while the oracle aggregates the original parquet directly.  A
+    hash-match therefore proves the JSONL sink+source round-trip is
+    value-exact end-to-end: int64 ids survive (no double truncation),
+    doubles re-parse to the same bits (Spark writes shortest-round-
+    trip reprs), and timestamps survive via an explicit formatted
+    string (never engine-default JSON timestamp encoding, which is
+    zone-ambiguous).
+
+    Scale notes: the write is one filtered map pass fanned out per
+    partition (no shuffle, no coalesce — small files are the scratch
+    dir's problem, compaction.py's job in a real pipeline); schema-ON-
+    read with an explicit StructType avoids the full-scan schema
+    inference a naive read.json pays at 100 TB."""
+    import tempfile
+
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    out = e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "value",
+    )
+    path = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    out.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_id long, user_id long, ts_s string, value double"
+    ).json(path)
+    return (
+        back.groupBy(F.substring("ts_s", 1, 10).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.sum(F.round(F.col("value") * 1000).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(1000.0)
+            ).alias("total_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subquery plane: EXISTS-aggregates, correlated scalars, HAVING,
 # disjunctive pushdown.  The reference's Athena surface (Presto SQL)

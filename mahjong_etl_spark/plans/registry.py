@@ -99,6 +99,10 @@ _CHECK_WINDOW_HEAD = [
     "q19_disjunctive_predicates",
     "q12_late_line_priority",
     "q21_waiting_suppliers",
+    "text_unigram_entropy",
+    "corpus_chunk_dedup",
+    "embedding_quantize_int8",
+    "jsonl_roundtrip_stats",
     "text_zipf_spectrum",
     "events_rolling_wau",
     "mahjong_placement_stats",
@@ -134,12 +138,20 @@ _CHECK_WINDOW_HEAD = [
     "q4_order_priority",
     "q7_volume_shipping",
     "q18_large_orders",
-    "events_approx_quantiles",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    # rows-only by design (approx/sampling — rows-only driver check
+    # adds little over the pytest recall/property pins; keep the
+    # 50-entry window for oracle-bearing rows)
+    "events_approx_quantiles",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "events_rolling_mau_approx",
+    "corpus_weighted_sample",
+    # r2+r3 driver-green, untouched; semi/anti family witnessed
+    # in-window by q4 (EXISTS) / q22 (anti) / q16 (NOT IN)
+    "customers_semi_anti",
     # driver-green in 2-3 prior rounds, untouched this round, family
     # witnessed in-window (dedup: exact/normalized/cosine stay checked
     # via the in-window connected-components chain in pytest; TPC-H:

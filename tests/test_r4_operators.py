@@ -1,0 +1,278 @@
+"""Semantics pins for the round-4 operators: sub-document chunk
+dedup, unigram entropy, int8 quantization, JSONL round-trip, and the
+Q12/Q21 adaptations.  The strict_sweep/driver oracle proves engine
+parity; these tests pin the MEANING on hand-built inputs where the
+right answer is knowable by inspection."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# corpus_chunk_dedup
+# ---------------------------------------------------------------------------
+
+
+def _chunk_dedup_on(spark, rows):
+    """Run the chunk-dedup pipeline body on an in-memory documents df."""
+    from mahjong_etl_spark.operators import corpus as C
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = C.CHUNK_W
+    chunk_arr = F.expr(
+        f"""
+        transform(
+            sequence(0, cast(ceil(size(split(text, ' ')) / {w}.0) as int) - 1),
+            i -> concat_ws(' ', slice(split(text, ' '), i * {w} + 1, {w})))
+        """
+    )
+    chunks = df.select("doc_id", F.posexplode(chunk_arr).alias("ci", "chunk"))
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("chunk")
+    )
+    kept = chunks.join(hot, "chunk", "left_anti")
+    return {
+        (r.doc_id, r.ci): r.chunk
+        for r in kept.collect()
+    }
+
+
+def test_chunk_dedup_drops_cross_doc_boilerplate_keeps_unique(spark):
+    boiler = " ".join(f"b{i}" for i in range(10))  # exactly one chunk
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (1, boiler + " " + uniq_a),
+        (2, boiler + " " + uniq_b),
+        (3, uniq_a),  # same text as doc 1's tail -> also cross-doc hot
+    ]
+    kept = _chunk_dedup_on(spark, rows)
+    texts = set(kept.values())
+    # the shared boilerplate chunk is gone everywhere
+    assert boiler not in texts
+    # uniq_a appears in docs 1 and 3 -> cross-document -> dropped too
+    assert uniq_a not in texts
+    # uniq_b survives, in doc 2 at chunk index 1
+    assert kept == {(2, 1): uniq_b}
+
+
+def test_chunk_dedup_within_doc_repeat_is_not_dropped(spark):
+    """Repetition INSIDE one document is text_repetition's signal, not
+    chunk dedup's: hotness requires >= 2 distinct documents."""
+    chunk = " ".join(f"x{i}" for i in range(10))
+    rows = [(1, chunk + " " + chunk)]
+    kept = _chunk_dedup_on(spark, rows)
+    assert kept == {(1, 0): chunk, (1, 1): chunk}
+
+
+def test_chunk_dedup_registry_query_reassembly_is_exact(spark, sf_dir):
+    """cleaned_md5 over the sf0.001 corpus matches a driver-side
+    recomputation from first principles (token slice -> filter -> join)."""
+    from mahjong_etl_spark.operators.corpus import CHUNK_W, corpus_chunk_dedup
+    from mahjong_etl_spark.sources.tables import load
+    import hashlib
+    from collections import Counter
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    chunks = {
+        d: [
+            " ".join(t[i : i + CHUNK_W])
+            for i in range(0, len(t), CHUNK_W)
+        ]
+        for d, t in docs.items()
+    }
+    in_docs = Counter()
+    for d, cs in chunks.items():
+        for c in set(cs):
+            in_docs[c] += 1
+    expected = {}
+    for d, cs in chunks.items():
+        keptc = [c for c in cs if in_docs[c] < 2]
+        if keptc:
+            expected[d] = (
+                len(cs),
+                len(keptc),
+                hashlib.md5(" ".join(keptc).encode()).hexdigest(),
+            )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.cleaned_md5)
+        for r in corpus_chunk_dedup(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# text_unigram_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_entropy_hand_case(spark, tmp_path):
+    """'a a b b' -> H = 1 bit; 'a a a a' -> 0 bits; 'a b c d' -> 2."""
+    import pandas as pd
+
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a a b b", "a a a a", "a b c d"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [7, 7, 7],
+        }
+    ).to_parquet(p)
+    from mahjong_etl_spark.operators.text_analysis import text_unigram_entropy
+
+    out = {
+        r.doc_id: (r.n_tokens, r.n_types, r.ttr, r.entropy_bits)
+        for r in text_unigram_entropy(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == (4, 2, 0.5, 1.0)
+    assert out[2] == (4, 1, 0.25, 0.0)
+    assert out[3] == (4, 4, 1.0, 2.0)
+
+
+def test_unigram_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(n_tokens), and H <= log2(n_types) exactly."""
+    from mahjong_etl_spark.operators.text_analysis import text_unigram_entropy
+
+    for r in text_unigram_entropy(spark, sf_dir).collect():
+        assert 0.0 <= r.entropy_bits <= math.log2(r.n_types) + 1e-6
+        assert r.n_types <= r.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize_int8
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_error_bounds_and_scale(spark, sf_dir):
+    """Reconstruction error of symmetric round-to-nearest is bounded by
+    scale/2 per dimension — verify through the fixed-point outputs."""
+    from mahjong_etl_spark.operators.similarity import embedding_quantize_int8
+
+    rows = embedding_quantize_int8(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        scale = r.scale_nano / 1e9
+        # per-dim |err| <= scale/2 (+ fixed-point rounding slack)
+        assert r.max_err_nano <= scale / 2 * 1e9 + 1
+        # mean squared error can't beat the best-case uniform bound by
+        # orders of magnitude or exceed the worst case
+        assert 0 <= r.sse_pico <= r.n_dims * ((scale / 2) ** 2) * 1e12 + r.n_dims
+
+
+def test_quantize_int8_hand_case(spark, tmp_path):
+    import pandas as pd
+
+    p = str(tmp_path / "embeddings.parquet")
+    pd.DataFrame(
+        {
+            "vec_id": [1],
+            "embedding": [[127.0, -127.0, 63.5]],
+            "label": [0],
+        }
+    ).to_parquet(p)
+    from mahjong_etl_spark.operators.similarity import embedding_quantize_int8
+
+    r = embedding_quantize_int8(spark, str(tmp_path)).collect()[0]
+    # scale = 127/127 = 1.0; q = [127, -127, 64]; err = [0, 0, -0.5]
+    assert r.scale_nano == 1_000_000_000
+    assert r.n_dims == 3
+    assert r.sse_pico == int(0.25 * 1e12)
+    assert r.max_err_nano == int(0.5 * 1e9)
+
+
+# ---------------------------------------------------------------------------
+# jsonl round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_matches_direct_aggregate(spark, sf_dir):
+    """The JSONL write->read->aggregate equals aggregating the parquet
+    directly — value-exactness of the sink/source pair."""
+    from mahjong_etl_spark.plans.queries import jsonl_roundtrip_stats
+    from mahjong_etl_spark.sources.tables import load
+
+    via_json = {
+        r.day: (r.n_purchases, r.total_value)
+        for r in jsonl_roundtrip_stats(spark, sf_dir).collect()
+    }
+    direct = {
+        r.day: (r.n, r.tv)
+        for r in (
+            load(spark, sf_dir, "events")
+            .where(F.col("event_type") == "purchase")
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum(F.round(F.col("value") * 1000).cast("long")).cast(
+                        "double"
+                    )
+                    / F.lit(1000.0)
+                ).alias("tv"),
+            )
+            .collect()
+        )
+    }
+    assert via_json == direct
+
+
+# ---------------------------------------------------------------------------
+# Q12 / Q21 adaptations
+# ---------------------------------------------------------------------------
+
+
+def test_q21_aggregate_rewrite_equals_literal_exists(spark, sf_dir):
+    """The Spark-side single-aggregation rewrite must equal the literal
+    correlated EXISTS/NOT-EXISTS formulation computed naively."""
+    from mahjong_etl_spark.plans.queries import q21_waiting_suppliers
+    from mahjong_etl_spark.sources.tables import load
+
+    got = {(r.s_name, r.numwait) for r in q21_waiting_suppliers(spark, sf_dir).collect()}
+
+    l = load(spark, sf_dir, "lineitem").collect()
+    o = {
+        r.o_orderkey: r.o_orderdate
+        for r in load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .collect()
+    }
+    s_name = {
+        r.s_suppkey: r.s_name for r in load(spark, sf_dir, "supplier").collect()
+    }
+    import datetime
+    from collections import defaultdict
+
+    by_order = defaultdict(list)
+    for r in l:
+        if r.l_orderkey in o:
+            late = r.l_shipdate.date() > (
+                o[r.l_orderkey].date() + datetime.timedelta(days=60)
+            )
+            by_order[r.l_orderkey].append((r.l_suppkey, late))
+    numwait = defaultdict(int)
+    for ok, lines in by_order.items():
+        supps = {s for s, _ in lines}
+        late_supps = {s for s, late in lines if late}
+        for supp, late in lines:
+            if (
+                late
+                and len(supps - {supp}) > 0
+                and not (late_supps - {supp})
+            ):
+                numwait[s_name[supp]] += 1
+    expected = set(
+        sorted(numwait.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    )
+    assert got == expected
