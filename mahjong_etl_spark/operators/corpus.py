@@ -910,3 +910,150 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cleaned_md5",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota capping (language/source balance enforcement)
+# ---------------------------------------------------------------------------
+
+QUOTA_PER_SOURCE = 40
+QUOTA_SALT = "quota:"
+
+
+@query(
+    "corpus_source_quota",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{QUOTA_SALT}' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT source,
+           count(*)                                   AS n_kept,
+           CAST(sum(n_chars) AS BIGINT)               AS kept_chars,
+           CAST(sum(CASE WHEN rk = 1 THEN doc_id ELSE 0 END)
+                AS BIGINT)                            AS first_doc_id
+    FROM ranked
+    WHERE rk <= {QUOTA_PER_SOURCE}
+    GROUP BY source
+    """,
+)
+def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard per-source document quota (keep at most N docs per source,
+    chosen by a salted-hash lottery) — the over-represented-domain cap
+    every web-scale mixture applies after soft mixture weighting
+    (corpus_mixture) still leaves a head domain too big.  The lottery
+    key is md5(salt||doc_id): deterministic across runs/engines,
+    uncorrelated with the shuffle and split keys (different salt), and
+    growth-stable (adding documents never changes the relative order
+    of existing ones, so an incremental re-run keeps the same winners
+    until the quota line actually moves).
+
+    One shuffle (window partitioned by source).  A skewed head source
+    concentrates its rows on one task at 100 TB; the documented fix
+    for that shape is a two-phase cap — per-partition pre-cap to N
+    within each map task (any N-subset is a valid lottery prefix
+    candidate superset), then the exact window on survivors — the
+    same pre-aggregation idea hash aggregates already apply.  Output
+    aggregates per source (count, chars, rank-1 winner) so the oracle
+    pins both membership and the lottery ORDER without exporting
+    per-row hashes."""
+    d = load_spread(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit(QUOTA_SALT), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", rk.alias("rk"))
+        .where(F.col("rk") <= QUOTA_PER_SOURCE)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+            F.sum(F.when(F.col("rk") == 1, F.col("doc_id")).otherwise(0))
+            .cast("long")
+            .alias("first_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs historical corpus index
+# ---------------------------------------------------------------------------
+
+INCR_SPLIT_ID = 400  # doc_id < split -> "historical corpus"; >= -> "new batch"
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH hist AS (
+        SELECT DISTINCT md5(lower(trim(text))) AS h
+        FROM documents WHERE doc_id < {INCR_SPLIT_ID}
+    ),
+    batch AS (
+        SELECT doc_id, md5(lower(trim(text))) AS h
+        FROM documents WHERE doc_id >= {INCR_SPLIT_ID}
+    ),
+    first_in_batch AS (
+        SELECT doc_id, h,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+        FROM batch
+    )
+    SELECT f.doc_id,
+           CASE WHEN hist.h IS NOT NULL THEN 'dup_of_corpus'
+                WHEN f.rk > 1            THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM first_in_batch f
+    LEFT JOIN hist ON f.h = hist.h
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the shape every DAILY ingest actually
+    runs: a new batch is checked against the already-deduped corpus
+    index (here: normalized-text md5 digests of docs below the split
+    id) and against itself, and each new document is labeled
+    new / dup_of_corpus / dup_in_batch.  Batch-internal ties keep the
+    lowest doc_id (first_in_batch window), mirroring dedup_exact's
+    canonical-pick rule.
+
+    Scale shape: the historical index at 100 TB is a digest TABLE
+    (32 B/doc — the dedup_exact output re-read from its sink), never
+    the corpus itself; the day's batch is orders of magnitude smaller
+    than the index, so the join shuffles the SMALL side fully and only
+    the matching digest partitions of the index (dynamic partition
+    pruning on the digest prefix if the index is bucketed by it — the
+    layout bucketing.py establishes).  Within-batch dedup is one
+    window over the batch alone.  Labels (not just survivors) come
+    out so the audit trail the reference's quarantine pattern keeps
+    for parse failures exists for dedup drops too."""
+    d = load_spread(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    hist = (
+        d.where(F.col("doc_id") < INCR_SPLIT_ID)
+        .select(h.alias("h"))
+        .distinct()
+        .withColumn("_in_hist", F.lit(1))
+    )
+    batch = d.where(F.col("doc_id") >= INCR_SPLIT_ID).select(
+        "doc_id", h.alias("h")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id")
+    )
+    return (
+        batch.withColumn("rk", rk)
+        .join(hist, "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_in_hist").isNotNull(), "dup_of_corpus")
+            .when(F.col("rk") > 1, "dup_in_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )

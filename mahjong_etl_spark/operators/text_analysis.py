@@ -595,3 +595,85 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity proxy: cross-entropy under the corpus-level unigram LM
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_perplexity_proxy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT term, count(*) AS tf FROM toks GROUP BY term
+    ),
+    total AS (
+        SELECT count(*) AS t FROM toks
+    ),
+    per_tok AS (
+        SELECT toks.doc_id,
+               CAST(round(log2(tf.tf::DOUBLE) * 1e9) AS BIGINT) AS lg_nano
+        FROM toks JOIN tf USING (term)
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round((SELECT log2(t::DOUBLE) FROM total)
+                 - CAST(sum(lg_nano) AS DOUBLE) / 1e9 / count(*),
+                 6) AS cross_entropy_bits
+    FROM per_tok
+    GROUP BY doc_id
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the CORPUS-LEVEL unigram
+    language model — the perplexity-filter stand-in (real pipelines
+    use a KenLM n-gram model; the container has no kenlm, so the
+    unigram LM the corpus itself induces is the honest, fully
+    reproducible proxy).  Documents full of globally-rare tokens score
+    high (surprising), boilerplate scores low — complementary to
+    text_unigram_entropy, which only sees WITHIN-document structure.
+
+    H(doc) = -(1/n) sum_i log2 tf(t_i)/T  =  log2 T - (1/n) sum_i
+    log2 tf(t_i).  Plan: one explode -> term-count aggregate (the same
+    exchange text_top_terms pays), a term-keyed join of tokens against
+    the count table (vocabulary-sized right side — Zipf keeps it a
+    small fraction of corpus size, AQE broadcasts while it fits), and
+    a per-doc aggregate.  Engine exactness: log2 is taken of INTEGER
+    term counts only, each term snapped to nano-bits int64 before the
+    per-doc sum (order-free), one float division at the end."""
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.agg(
+        F.log2(F.count(F.lit(1)).cast("double")).alias("lg_t")
+    )
+    per_tok = toks.join(tf, "term").select(
+        "doc_id",
+        F.round(F.log2(F.col("tf").cast("double")) * 1e9)
+        .cast("long")
+        .alias("lg_nano"),
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lg_nano").alias("_s"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("lg_t")
+                - F.col("_s").cast("double") / 1e9 / F.col("n_tokens"),
+                6,
+            ).alias("cross_entropy_bits"),
+        )
+    )

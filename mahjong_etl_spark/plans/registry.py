@@ -103,6 +103,9 @@ _CHECK_WINDOW_HEAD = [
     "corpus_chunk_dedup",
     "embedding_quantize_int8",
     "jsonl_roundtrip_stats",
+    "text_perplexity_proxy",
+    "corpus_source_quota",
+    "dedup_incremental",
     "text_zipf_spectrum",
     "events_rolling_wau",
     "mahjong_placement_stats",
@@ -125,19 +128,15 @@ _CHECK_WINDOW_HEAD = [
     "events_asof_last_view",
     "events_attribution_window",
     "events_hourly",
-    # fell outside r3's 50-entry window
-    "top_customers",
-    "customer_rank_by_nation",
-    "orders_by_month",
-    "orders_status_priority_cube",
-    "orders_price_rank_dist",
+    # fell outside r3's 50-entry window; events-reading ones stay in
+    # head for the NTZ re-check, the orders/customer-plane ones were
+    # r1+r2 green, are untouched, and their families keep in-window
+    # witnesses (q8-q21 joins/top-k, grouping_sets/unpivot) — rotated
+    # to tail this round
     "events_top3_per_user",
     "orders_price_quantiles",
     "events_json_stats",
     "events_user_type_pivot",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q18_large_orders",
 ]
 
 _CHECK_WINDOW_TAIL = [
@@ -152,6 +151,17 @@ _CHECK_WINDOW_TAIL = [
     # r2+r3 driver-green, untouched; semi/anti family witnessed
     # in-window by q4 (EXISTS) / q22 (anti) / q16 (NOT IN)
     "customers_semi_anti",
+    # r1+r2 driver-green, untouched, non-events tables (unaffected by
+    # the r4 NTZ corpus change); families witnessed in-window by the
+    # q8-q21 suite, orders_grouping_sets, lineitem_unpivot_metrics
+    "top_customers",
+    "customer_rank_by_nation",
+    "orders_by_month",
+    "orders_status_priority_cube",
+    "orders_price_rank_dist",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q18_large_orders",
     # driver-green in 2-3 prior rounds, untouched this round, family
     # witnessed in-window (dedup: exact/normalized/cosine stay checked
     # via the in-window connected-components chain in pytest; TPC-H:
