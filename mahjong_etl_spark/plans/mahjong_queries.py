@@ -349,3 +349,99 @@ def mahjong_machi_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("score").cast("long").alias("total_score"),
         F.max("han").cast("long").alias("max_han"),
     )
+
+
+@query(
+    "mahjong_dealer_advantage",
+    oracle=f"""
+    SELECT CAST(sum(CASE WHEN a.who = k.kyoku_num % 4 THEN 1 ELSE 0 END)
+                AS BIGINT)                                  AS n_dealer_wins,
+           CAST(sum(CASE WHEN a.who <> k.kyoku_num % 4 THEN 1 ELSE 0 END)
+                AS BIGINT)                                  AS n_other_wins,
+           CAST(sum(CASE WHEN a.who = a.by THEN 1 ELSE 0 END)
+                AS BIGINT)                                  AS n_tsumo,
+           CAST(sum(CASE WHEN a.who <> a.by THEN 1 ELSE 0 END)
+                AS BIGINT)                                  AS n_ron,
+           CAST(max(CASE WHEN a.who = k.kyoku_num % 4
+                         THEN a.score ELSE 0 END) AS BIGINT) AS max_dealer_score,
+           CAST(max(CASE WHEN a.who <> k.kyoku_num % 4
+                         THEN a.score ELSE 0 END) AS BIGINT) AS max_other_score
+    FROM {_pq('agaris')} a
+    JOIN {_pq('kyokus')} k ON a.kyoku_id = k.id
+    """,
+    bench=False,
+)
+def mahjong_dealer_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dealer (oya) vs non-dealer win analysis over the written star
+    schema: Tenhou numbers kyokus so the dealer seat is
+    kyoku_num % 4 (East-1 = seat 0, East-2 = seat 1, ..., reference
+    scrape.py INIT/kyoku handling), and a win is a tsumo when the
+    winner and the discarder field coincide (who == by, reference
+    scrape.py AGARI decode).  The dealer-retention question — do
+    dealers win more and bigger — is the first thing every mahjong
+    stats page computes from this schema.  One dim-sized join
+    (kyokus ⋈ agaris on the minted kyoku_id) and a scalar aggregate."""
+    a = _read(spark, "agaris")
+    k = _read(spark, "kyokus")
+    is_dealer = F.col("who") == (F.col("kyoku_num") % 4)
+    is_tsumo = F.col("who") == F.col("by")
+    return (
+        a.join(k, a.kyoku_id == k.id)
+        .agg(
+            F.sum(F.when(is_dealer, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dealer_wins"),
+            F.sum(F.when(~is_dealer, 1).otherwise(0))
+            .cast("long")
+            .alias("n_other_wins"),
+            F.sum(F.when(is_tsumo, 1).otherwise(0))
+            .cast("long")
+            .alias("n_tsumo"),
+            F.sum(F.when(~is_tsumo, 1).otherwise(0))
+            .cast("long")
+            .alias("n_ron"),
+            F.max(F.when(is_dealer, F.col("score")).otherwise(0))
+            .cast("long")
+            .alias("max_dealer_score"),
+            F.max(F.when(~is_dealer, F.col("score")).otherwise(0))
+            .cast("long")
+            .alias("max_other_score"),
+        )
+    )
+
+
+@query(
+    "mahjong_han_fu_table",
+    oracle=f"""
+    SELECT CAST(han AS BIGINT) AS han,
+           CAST(fu AS BIGINT)  AS fu,
+           count(*)            AS n_agari,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score,
+           CAST(sum(CASE WHEN len(yaku) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT)     AS n_with_yaku
+    FROM {_pq('agaris')}
+    GROUP BY han, fu
+    """,
+    bench=False,
+)
+def mahjong_han_fu_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The empirical (han, fu) -> score table over the written agaris —
+    the payout-grid distribution every scoring-correctness audit of a
+    mahjong dataset starts from (score is a deterministic function of
+    han/fu/dealer/tsumo, so min==max within a (han, fu, seat-role)
+    slice flags parser corruption).  Bounded output (han <= 13ish,
+    fu in {{20..110}} steps of 5-10): the aggregate is partial map-side
+    everywhere and the result dim-sized at any corpus scale."""
+    a = _read(spark, "agaris")
+    return a.groupBy(
+        F.col("han").cast("long").alias("han"),
+        F.col("fu").cast("long").alias("fu"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_agari"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+        F.sum(F.when(F.size("yaku") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_yaku"),
+    )

@@ -784,6 +784,61 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_trailing_hour",
+    oracle="""
+    SELECT user_id, event_id,
+           count(*) OVER w AS n_last_hour,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS DOUBLE)
+               / 1000.0 AS sum_last_hour
+    FROM (SELECT user_id, event_id, value,
+                 date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+                     AS usec
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY usec
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based trailing window (RANGE BETWEEN INTERVAL): per-user
+    count and exact sum over the trailing hour of WALL TIME — the frame
+    ROWS BETWEEN cannot express (a burst of 50 events in a minute is
+    one hour-frame, not 50 fixed-width frames).  The ordering key is
+    integer MICROSECONDS since epoch (timestamp_diff — the NTZ-safe
+    idiom, see sources/tables.py) so the range offset is an exact
+    integer in both engines and RANGE peer semantics (all rows with
+    equal key join the frame) agree by the SQL standard.
+
+    Same single-shuffle shape as every window query: one hash exchange
+    on user_id, sort by the numeric key, one pass.  Spark evaluates
+    the moving range frame incrementally (two pointers over the sorted
+    run), so cost is O(rows), not O(rows x frame).  Value sums ride
+    the milli-int fixed-point rule."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 1000).cast("long").alias("_milli"),
+        F.timestamp_diff(
+            "MICROSECOND", F.lit("1970-01-01").cast("timestamp_ntz"), F.col("ts")
+        ).alias("usec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("usec")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        (F.sum("_milli").over(w).cast("double") / F.lit(1000.0)).alias(
+            "sum_last_hour"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Strings and arrays
 # ---------------------------------------------------------------------------

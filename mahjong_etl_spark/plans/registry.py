@@ -106,6 +106,9 @@ _CHECK_WINDOW_HEAD = [
     "text_perplexity_proxy",
     "corpus_source_quota",
     "dedup_incremental",
+    "events_trailing_hour",
+    "mahjong_dealer_advantage",
+    "mahjong_han_fu_table",
     "text_zipf_spectrum",
     "events_rolling_wau",
     "mahjong_placement_stats",

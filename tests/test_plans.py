@@ -235,6 +235,8 @@ _ALLOWED_NESTED_LOOP = {
     "similarity_topk_bruteforce",
     "q22_global_sales_opportunity",
     "dedup_embedding_cosine",
+    # scalar broadcast (1-row corpus-total side), same shape as q22
+    "text_perplexity_proxy",
 }
 
 
