@@ -64,3 +64,61 @@ def test_sorted_write_roundtrips_rows(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == events.count()
     assert sorted(back.columns) == sorted(events.columns)
+
+
+def _avg_norm_width(ranges) -> float:
+    """Average row-group (max-min) width, normalized by the global
+    span — 1.0 means every group spans the whole domain (no skipping),
+    ~1/k means a point predicate touches ~1/k of the groups."""
+    lo = min(r[0] for r in ranges)
+    hi = max(r[1] for r in ranges)
+    span = (hi - lo) or 1
+    return sum((r[1] - r[0]) / span for r in ranges) / len(ranges)
+
+
+def test_zorder_write_tightens_both_dimensions(spark, sf_dir, tmp_path):
+    """Morton layout: BOTH columns' row-group ranges tighten, where
+    lexicographic sort only tightens the leading column and a hash
+    layout tightens neither."""
+    from mahjong_etl_spark.plans.layout import write_zorder
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    zdir = str(tmp_path / "z")
+    lexdir = str(tmp_path / "lex")
+    hashdir = str(tmp_path / "h")
+    write_zorder(events, zdir, ["user_id", "value"], num_files=16)
+    write_sorted(events, lexdir, ["user_id", "value"], num_files=16)
+    events.repartition(16, "event_id").write.parquet(hashdir)
+
+    def widths(d, col):
+        return _avg_norm_width(_rowgroup_ranges(f"{d}/*.parquet", col))
+
+    # hash layout: nothing skips on either dimension (value has a
+    # long tail, so its sampled max varies — bound loosely)
+    assert widths(hashdir, "user_id") > 0.8
+    assert widths(hashdir, "value") > 0.5
+    # lexicographic: leading column tight, trailing column no better
+    # than the hash layout
+    assert widths(lexdir, "user_id") < 0.3
+    assert widths(lexdir, "value") > 0.9 * widths(hashdir, "value")
+    # z-order: BOTH dimensions materially tighter than the hash
+    # baseline (the lexicographic layout only manages one)
+    assert widths(zdir, "user_id") < 0.6 * widths(hashdir, "user_id")
+    assert widths(zdir, "value") < 0.6 * widths(hashdir, "value")
+
+
+def test_zorder_roundtrips_rows(spark, sf_dir, tmp_path):
+    from mahjong_etl_spark.plans.layout import write_zorder
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    out = str(tmp_path / "zrt")
+    write_zorder(events, out, ["user_id", "value"], num_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    assert sorted(back.columns) == ["event_id", "user_id", "value"]
+    # the helper z column must not leak into the written schema
+    assert "_z" not in back.columns
