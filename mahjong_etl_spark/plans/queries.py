@@ -621,6 +621,66 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hourly_incremental",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+               / 1000.0 AS total_value
+    FROM events GROUP BY hour
+    """,
+)
+def events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the hourly rollup
+    is NOT recomputed from scratch — the pre-existing rollup (here:
+    partials over every day but the last) is MERGED with the new day's
+    partials by re-aggregating the partial states (sum of counts, sum
+    of milli-sums), exactly how a daily ETL keeps a 100 TB rollup
+    current without re-reading history.  The oracle is the full direct
+    aggregate, so the driver hash proves the merge is LOSSLESS — the
+    associativity/commutativity contract partial aggregation rests on,
+    here made an explicit, oracle-checked operator instead of an
+    optimizer internal.
+
+    Scale shape: the history scan happens ONCE when the rollup is
+    first built (in a real deployment it is a table read, costing
+    |hours| rows, not |events|); every subsequent day costs one scan
+    of the DAY plus a dim-sized merge.  Both partials and the merge
+    are the same map-side-combine hash aggregate shape as
+    events_hourly.  Milli-int sums keep the merged totals exact."""
+    e = load(spark, sf_dir, "events")
+    cutoff = e.agg(F.max(F.col("ts").cast("date"))).collect()[0][0]
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            )
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("_milli"),
+        )
+
+    history = partials(e.where(F.col("ts").cast("date") < F.lit(cutoff)))
+    new_day = partials(e.where(F.col("ts").cast("date") >= F.lit(cutoff)))
+    return (
+        history.unionByName(new_day)
+        .groupBy("hour")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_milli").alias("_milli"),
+        )
+        .select(
+            "hour",
+            "n_events",
+            (F.col("_milli").cast("double") / F.lit(1000.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+@query(
     "event_user_stats",
     oracle="""
     SELECT event_type,

@@ -109,6 +109,7 @@ _CHECK_WINDOW_HEAD = [
     "events_trailing_hour",
     "mahjong_dealer_advantage",
     "mahjong_han_fu_table",
+    "events_hourly_incremental",
     "text_zipf_spectrum",
     "events_rolling_wau",
     "mahjong_placement_stats",
