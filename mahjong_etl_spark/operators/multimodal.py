@@ -377,3 +377,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_shipped(spark)
     docs = load(spark, sf_dir, "documents")
     return extract_media_features(media_table(docs))
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id,
+               length(text)             AS n,
+               length(text) % 48000 + 1 AS rate,
+               length(text) % 2 + 1     AS ch
+        FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT CAST(ch AS INTEGER)  AS n_channels,
+           count(*)             AS n_clips,
+           CAST(sum(rate) AS DOUBLE) / count(*) AS avg_sample_rate,
+           CAST(sum(n) AS BIGINT)               AS total_bytes
+    FROM a GROUP BY ch
+    """,
+    bench=False,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-plane aggregate over the extracted header features: clip
+    counts, mean sample rate and total payload bytes per channel
+    layout — the corpus-profile query an audio-pretraining mixture
+    starts from (how much mono vs stereo, at what rates).  The
+    extraction is the real WAV-header mapInPandas path
+    (``extract_audio_features``; pytest drives it with planted RIFF
+    bytes); on this corpus the payloads are text stand-ins, so the
+    deterministic fallback arithmetic applies and the oracle re-derives
+    it in SQL — the hash-match pins the Arrow plumbing and the
+    aggregate, the WAV parse itself is pinned by unit fixtures.
+    avg_sample_rate is one exact int-sum division (fixed-point rule)."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    audio = media_table(docs).where(F.col("kind") == "audio")
+    feats = extract_audio_features(audio)
+    return feats.groupBy("n_channels").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        (
+            F.sum("sample_rate").cast("double") / F.count(F.lit(1))
+        ).alias("avg_sample_rate"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )

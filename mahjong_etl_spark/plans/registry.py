@@ -131,7 +131,7 @@ _CHECK_WINDOW_HEAD = [
     "events_sessionized",
     "events_asof_last_view",
     "events_attribution_window",
-    "events_hourly",
+    "multimodal_audio_stats",
     # fell outside r3's 50-entry window; events-reading ones stay in
     # head for the NTZ re-check, the orders/customer-plane ones were
     # r1+r2 green, are untouched, and their families keep in-window
@@ -155,6 +155,11 @@ _CHECK_WINDOW_TAIL = [
     # r2+r3 driver-green, untouched; semi/anti family witnessed
     # in-window by q4 (EXISTS) / q22 (anti) / q16 (NOT IN)
     "customers_semi_anti",
+    # r1-r3 driver-green; the NTZ loader change it shares with the
+    # five heavier events queries still in-window is strict-sweep
+    # green on the new corpus, and events_hourly_incremental covers
+    # the same date_trunc path with a fresh oracle
+    "events_hourly",
     # r1+r2 driver-green, untouched, non-events tables (unaffected by
     # the r4 NTZ corpus change); families witnessed in-window by the
     # q8-q21 suite, orders_grouping_sets, lineitem_unpivot_metrics
