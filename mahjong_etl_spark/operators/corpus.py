@@ -1057,3 +1057,120 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end pipeline funnel (integration of the r4 stages)
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_WORDS = 30
+FUNNEL_MAX_DUP = 0.6
+FUNNEL_QUOTA = 10
+
+
+@query(
+    "corpus_pipeline_funnel",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    s1 AS (SELECT * FROM t WHERE len(ws) >= {FUNNEL_MIN_WORDS}),
+    s2 AS (SELECT * FROM s1
+           WHERE 1.0 - len(list_distinct(ws))::DOUBLE / len(ws)
+                 <= {FUNNEL_MAX_DUP}),
+    chunks AS (
+        SELECT doc_id,
+               array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+        FROM (SELECT doc_id, ws,
+                     unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)))
+                         AS i
+              FROM s2)
+    ),
+    hot AS (SELECT chunk FROM chunks
+            GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+    s3 AS (SELECT DISTINCT doc_id FROM chunks
+           WHERE chunk NOT IN (SELECT chunk FROM hot)),
+    s3d AS (SELECT s2.* FROM s2 JOIN s3 USING (doc_id)),
+    s4 AS (
+        SELECT * FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rk
+            FROM s3d)
+        WHERE rk <= {FUNNEL_QUOTA}
+    )
+    SELECT stage, n_docs FROM (
+        SELECT '00_all' AS stage, count(*) AS n_docs FROM t
+        UNION ALL SELECT '10_min_words', count(*) FROM s1
+        UNION ALL SELECT '20_repetition', count(*) FROM s2
+        UNION ALL SELECT '30_chunk_dedup', count(*) FROM s3d
+        UNION ALL SELECT '40_source_quota', count(*) FROM s4
+    )
+    """,
+)
+def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED corpus pipeline, stage survival per gate: length
+    filter -> repetition filter -> sub-document chunk dedup (hot set
+    computed over the survivors, as a real sequenced pipeline would)
+    -> per-source quota.  Each stage is the registry operator applied
+    to the previous stage's survivors, so this row proves the
+    extension plane COMPOSES — same thresholds families, same salt as
+    corpus_source_quota, same chunk width as corpus_chunk_dedup.
+
+    Plan: the two text gates fuse into one scan (pure row-local
+    expressions); chunk dedup adds its one count-distinct exchange +
+    anti join; the quota adds its one window.  Every stage's exchange
+    runs over the (shrinking) survivor set — the funnel's cost profile
+    is monotone decreasing, which is exactly why real pipelines order
+    cheap row-local gates first.  At 100 TB the chain is 3 shuffles
+    total over progressively smaller data."""
+    d = load_spread(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    base = d.select("doc_id", "source", ws.alias("ws"))
+    s1 = base.where(F.size("ws") >= FUNNEL_MIN_WORDS)
+    s2 = s1.where(
+        F.lit(1.0)
+        - F.size(F.array_distinct("ws")).cast("double") / F.size("ws")
+        <= FUNNEL_MAX_DUP
+    )
+    w = CHUNK_W
+    chunk_arr = F.expr(
+        f"""
+        transform(sequence(0, cast(ceil(size(ws) / {w}.0) as int) - 1),
+                  i -> concat_ws(' ', slice(ws, i * {w} + 1, {w})))
+        """
+    )
+    chunks = s2.select("doc_id", F.explode(chunk_arr).alias("chunk"))
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("chunk")
+    )
+    s3_ids = (
+        chunks.join(hot, "chunk", "left_anti").select("doc_id").distinct()
+    )
+    s3 = s2.join(s3_ids, "doc_id")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit(QUOTA_SALT), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    s4 = s3.withColumn("rk", rk).where(F.col("rk") <= FUNNEL_QUOTA)
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage("00_all", base)
+        .unionByName(stage("10_min_words", s1))
+        .unionByName(stage("20_repetition", s2))
+        .unionByName(stage("30_chunk_dedup", s3))
+        .unionByName(stage("40_source_quota", s4))
+    )

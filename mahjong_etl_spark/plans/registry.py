@@ -127,7 +127,7 @@ _CHECK_WINDOW_HEAD = [
     "events_dedup_consecutive",
     # NTZ-affected (loader/timestamp_diff/watermark changes in r3)
     "events_funnel",
-    "events_user_gaps",
+    "corpus_pipeline_funnel",
     "events_sessionized",
     "events_asof_last_view",
     "events_attribution_window",
@@ -155,11 +155,14 @@ _CHECK_WINDOW_TAIL = [
     # r2+r3 driver-green, untouched; semi/anti family witnessed
     # in-window by q4 (EXISTS) / q22 (anti) / q16 (NOT IN)
     "customers_semi_anti",
-    # r1-r3 driver-green; the NTZ loader change it shares with the
-    # five heavier events queries still in-window is strict-sweep
-    # green on the new corpus, and events_hourly_incremental covers
-    # the same date_trunc path with a fresh oracle
+    # r1-r3 driver-green; the NTZ loader change these share with the
+    # four heavier events queries still in-window (sessionized, asof,
+    # attribution, funnel + the new trailing_hour RANGE probe) is
+    # strict-sweep green on the new corpus, and
+    # events_hourly_incremental covers the date_trunc path with a
+    # fresh oracle
     "events_hourly",
+    "events_user_gaps",
     # r1+r2 driver-green, untouched, non-events tables (unaffected by
     # the r4 NTZ corpus change); families witnessed in-window by the
     # q8-q21 suite, orders_grouping_sets, lineitem_unpivot_metrics
