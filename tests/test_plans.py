@@ -418,3 +418,68 @@ def test_spark_sql_entrypoint_matches_dataframe_for_q10(reg, spark, sf_dir):
     df_rows = _run(reg, "q10_returned_items", spark, sf_dir).collect()
     assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
     assert len(df_rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operator plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_trailing_hour_single_exchange_partitioned_window(reg, spark, sf_dir):
+    """One hash exchange on user_id; the RANGE frame must ride a
+    PARTITIONED window (an unpartitioned one serializes the corpus
+    onto one task)."""
+    plan = plan_of(_run(reg, "events_trailing_hour", spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Window")[1][:400]
+
+
+def test_source_quota_single_exchange(reg, spark, sf_dir):
+    """Window on source + final aggregate reuse the same partitioning:
+    exactly one hash exchange end-to-end."""
+    plan = plan_of(_run(reg, "corpus_source_quota", spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_chunk_dedup_anti_join_and_no_token_explosion(reg, spark, sf_dir):
+    """Hot-chunk removal must be a LEFT ANTI join; chunking must come
+    from the chunk-array transform (one generator), never a per-token
+    explode."""
+    plan = plan_of(_run(reg, "corpus_chunk_dedup", spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the chunk relation has exactly two consumers (hot-set aggregate,
+    # anti-join probe) -> two Generates over the CHUNK array; a
+    # per-token design would generate over the token split instead
+    n_gen = plan.count("Generate explode") + plan.count("Generate posexplode")
+    assert n_gen == 2
+    assert "transform(sequence(" in plan  # chunk-array generator, not tokens
+
+
+def test_unigram_entropy_shuffle_free(reg, spark, sf_dir):
+    plan = plan_of(_run(reg, "text_unigram_entropy", spark, sf_dir))
+    assert "Exchange" not in plan, "entropy must stay a map-only pass"
+
+
+def test_quantize_int8_shuffle_free_no_python(reg, spark, sf_dir):
+    """Map-only pass: no hash shuffle, no Python — the only Exchange
+    allowed is load_spread's round-robin fan-out of tiny local files
+    (a no-op at cluster scale, see sources/tables.py)."""
+    plan = plan_of(_run(reg, "embedding_quantize_int8", spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q21_no_self_join_of_lineitem(reg, spark, sf_dir):
+    """The aggregate rewrite must scan lineitem at most twice (base +
+    per-order stats), never the 3x the literal double-EXISTS form
+    would plan."""
+    plan = plan_of(_run(reg, "q21_waiting_suppliers", spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 2
+
+
+def test_incremental_rollup_partial_aggregates(reg, spark, sf_dir):
+    """The merge path must keep map-side partial aggregation on both
+    the partials and the merge."""
+    plan = plan_of(_run(reg, "events_hourly_incremental", spark, sf_dir))
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
