@@ -681,6 +681,72 @@ def events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH agg AS (
+        SELECT date_diff('hour', TIMESTAMP '1970-01-01', ts) AS h,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+                   / 1000.0 AS total_value
+        FROM events GROUP BY h
+    ),
+    cal AS (
+        SELECT unnest(range((SELECT min(h) FROM agg),
+                            (SELECT max(h) FROM agg) + 1)) AS h
+    )
+    SELECT strftime(make_timestamp(cal.h * 3600 * 1000000),
+                    '%Y-%m-%d %H:00') AS hour,
+           coalesce(agg.n_events, 0)      AS n_events,
+           coalesce(agg.total_value, 0.0) AS total_value,
+           CAST(agg.h IS NULL AS INTEGER) AS is_gap
+    FROM cal LEFT JOIN agg ON cal.h = agg.h
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-calendar resample: the hourly rollup joined onto a
+    GENERATED gap-free hour spine, empty hours emitted as explicit
+    zero rows — what every downstream consumer of a rollup needs
+    (charts, anomaly detectors, forecasting featurizers all break on
+    missing rows, not on zeros).  The spine is integer epoch-hours
+    (sequence between the observed min/max), so generation is exact
+    and NTZ-free; labels format through the pinned-UTC session on both
+    engines.
+
+    Plan: the rollup aggregate is the one fact-sized exchange; the
+    spine is |hours| rows (dimension-sized at any corpus scale —
+    87.6k/decade) generated from a 2-value aggregate, broadcast
+    against the rollup.  Zero rows cost nothing until they exist."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy(
+        F.timestamp_diff(
+            "HOUR", F.lit("1970-01-01").cast("timestamp_ntz"), F.col("ts")
+        ).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 1000).cast("long")).cast("double")
+            / F.lit(1000.0)
+        ).alias("total_value"),
+    )
+    spine = (
+        agg.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("h"))
+    )
+    return (
+        spine.join(agg.withColumnRenamed("h", "h2"), spine.h == F.col("h2"), "left")
+        .select(
+            F.date_format(
+                F.timestamp_micros(F.col("h") * 3600 * 1000000),
+                "yyyy-MM-dd HH:00",
+            ).alias("hour"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            F.col("h2").isNull().cast("int").alias("is_gap"),
+        )
+    )
+
+
+@query(
     "event_user_stats",
     oracle="""
     SELECT event_type,

@@ -129,7 +129,7 @@ _CHECK_WINDOW_HEAD = [
     "events_funnel",
     "corpus_pipeline_funnel",
     "events_sessionized",
-    "events_asof_last_view",
+    "events_hourly_gapfill",
     "events_attribution_window",
     "multimodal_audio_stats",
     # fell outside r3's 50-entry window; events-reading ones stay in
@@ -163,6 +163,9 @@ _CHECK_WINDOW_TAIL = [
     # fresh oracle
     "events_hourly",
     "events_user_gaps",
+    # r1+r3 driver-green; the as-of family keeps the NEW forward-
+    # tolerance variant (events_asof_next_purchase) in-window
+    "events_asof_last_view",
     # r1+r2 driver-green, untouched, non-events tables (unaffected by
     # the r4 NTZ corpus change); families witnessed in-window by the
     # q8-q21 suite, orders_grouping_sets, lineitem_unpivot_metrics

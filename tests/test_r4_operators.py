@@ -428,3 +428,42 @@ def test_dedup_incremental_labels(spark, tmp_path):
         s + 2: "dup_in_batch",
         s + 3: "new",
     }
+
+
+# ---------------------------------------------------------------------------
+# events_hourly_gapfill
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_emits_zero_rows_for_missing_hours(spark, tmp_path):
+    """Three events at hours {0, 3} -> spine 0..3, hours 1-2 emitted
+    as explicit zeros flagged is_gap=1.  (The sf0.01 corpus is dense,
+    so the oracle hash-match there pins spine==rollup equivalence but
+    never exercises an actual hole — this does.)"""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10:00", "2024-01-01 00:50:00",
+                 "2024-01-01 03:30:00"]
+            ).astype("datetime64[us]"),
+            "user_id": [1, 2, 1],
+            "event_type": ["view"] * 3,
+            "value": [1.5, 2.25, 3.0],
+            "props": ["{}"] * 3,
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    from mahjong_etl_spark.plans.queries import events_hourly_gapfill
+
+    rows = {
+        r.hour: (r.n_events, r.total_value, r.is_gap)
+        for r in events_hourly_gapfill(spark, str(tmp_path)).collect()
+    }
+    assert rows == {
+        "2024-01-01 00:00": (2, 3.75, 0),
+        "2024-01-01 01:00": (0, 0.0, 1),
+        "2024-01-01 02:00": (0, 0.0, 1),
+        "2024-01-01 03:00": (1, 3.0, 0),
+    }
