@@ -2037,6 +2037,57 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q11_supplier_value_share",
+    oracle=f"""
+    WITH per_supp AS (
+        SELECT l_suppkey, CAST(sum({_REV_U_SQL}) AS BIGINT) AS value_u
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    total AS (SELECT sum(value_u) AS t FROM per_supp)
+    SELECT s_name,
+           CAST(value_u AS DOUBLE) / 10000.0 AS value,
+           round(CAST(value_u AS DOUBLE) / (SELECT t FROM total), 6)
+               AS share
+    FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+    WHERE value_u > (SELECT t FROM total) * 0.011
+    ORDER BY value_u DESC, s_name
+    """,
+)
+def q11_supplier_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock, adapted): suppliers holding an
+    outsized share of total line value, the group-aggregate-vs-GLOBAL-
+    scalar HAVING shape.  The corpus has no partsupp, so shipped line
+    value stands in for stock value — the plan shape (two aggregates
+    over the same fact scan, the scalar one broadcast back as a
+    filter) is exactly Q11's.
+
+    Spark side: the per-supplier aggregate is computed ONCE and reused
+    for both the total (a second tiny aggregate over |suppliers| rows)
+    and the filtered output — the fact table is scanned exactly once,
+    where the naive correlated form scans it twice.  Exact integer
+    revenue units make the share and the cut line engine-identical."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    per_supp = l.groupBy("l_suppkey").agg(F.sum(_rev_u()).alias("value_u"))
+    total = per_supp.agg(F.sum("value_u").alias("t"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .where(F.col("value_u") > F.col("t") * 0.011)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_name",
+            (F.col("value_u").cast("double") / F.lit(10000.0)).alias("value"),
+            F.round(
+                F.col("value_u").cast("double") / F.col("t"), 6
+            ).alias("share"),
+            "value_u",
+        )
+        .orderBy(F.col("value_u").desc(), "s_name")
+        .drop("value_u")
+    )
+
+
+@query(
     "q12_late_line_priority",
     oracle="""
     SELECT l_linestatus AS ship_class,

@@ -130,7 +130,7 @@ _CHECK_WINDOW_HEAD = [
     "corpus_pipeline_funnel",
     "events_sessionized",
     "events_hourly_gapfill",
-    "events_attribution_window",
+    "q11_supplier_value_share",
     "multimodal_audio_stats",
     # fell outside r3's 50-entry window; events-reading ones stay in
     # head for the NTZ re-check, the orders/customer-plane ones were
@@ -166,6 +166,9 @@ _CHECK_WINDOW_TAIL = [
     # r1+r3 driver-green; the as-of family keeps the NEW forward-
     # tolerance variant (events_asof_next_purchase) in-window
     "events_asof_last_view",
+    # r1-r3 driver-green; bin-bucketed range-join logic untouched and
+    # the stream-stream attribution twin is pytest-pinned
+    "events_attribution_window",
     # r1+r2 driver-green, untouched, non-events tables (unaffected by
     # the r4 NTZ corpus change); families witnessed in-window by the
     # q8-q21 suite, orders_grouping_sets, lineitem_unpivot_metrics

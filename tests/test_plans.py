@@ -70,7 +70,8 @@ def test_no_unconditional_broadcast_hints_on_fact_sides():
 
     src = inspect.getsource(queries)
     hinted = re.findall(r"F\.broadcast\((\w+)", src)
-    allowed = {"s", "n", "r", "n1", "n2", "ns", "nc", "p", "avg_bal", "qa"}
+    # "total" is the 1-row global-aggregate side (q11, perplexity)
+    allowed = {"s", "n", "r", "n1", "n2", "ns", "nc", "p", "avg_bal", "qa", "total"}
     assert set(hinted) <= allowed, f"unexpected broadcast hints: {set(hinted) - allowed}"
 
 
@@ -237,6 +238,7 @@ _ALLOWED_NESTED_LOOP = {
     "dedup_embedding_cosine",
     # scalar broadcast (1-row corpus-total side), same shape as q22
     "text_perplexity_proxy",
+    "q11_supplier_value_share",
 }
 
 
