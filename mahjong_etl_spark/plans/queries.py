@@ -27,6 +27,14 @@ Capability -> query mapping:
 - JSON functions .............................. events_json_stats
 - distinct / approx ........................... event_user_stats (exact),
   events_approx_quantiles (rows-only: approx by design)
+- time-RANGE window frames .................... events_trailing_hour
+- incremental rollup maintenance .............. events_hourly_incremental
+- dense-calendar gap filling .................. events_hourly_gapfill
+- JSONL sink/source round-trip ................ jsonl_roundtrip_stats
+- TPC-H: 20 of 22 queries (Q11/Q12/Q21 adapted to
+  the corpus schema; Q2 and Q20 are out of scope —
+  their semantics are inseparable from partsupp,
+  which the corpus does not ship) ............... q1-q22 entries
 
 Oracle/Spark parity conventions are documented in ``registry.py``.
 """
