@@ -755,6 +755,37 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_exact_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolated percentiles per group (the sorted-
+    neighbor interpolation both engines implement per the SQL
+    standard's PERCENTILE_CONT) — the exact counterpart of the
+    declared-approximate events_approx_quantiles probe, and the pair
+    documents the scale trade: exact percentile holds every group's
+    values (memory O(group) on the aggregating task — fine for
+    bounded groups like event types), approx (KLL/GK sketch) is the
+    declared path when groups are unbounded.  Rounded at 6dp on both
+    engines to absorb interpolation-arithmetic last-bit drift."""
+    e = load(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))")
+    return e.groupBy("event_type").agg(
+        F.round(pct.getItem(0), 6).alias("p25"),
+        F.round(pct.getItem(1), 6).alias("p50"),
+        F.round(pct.getItem(2), 6).alias("p75"),
+        F.round(pct.getItem(3), 6).alias("p95"),
+    )
+
+
+@query(
     "event_user_stats",
     oracle="""
     SELECT event_type,

@@ -126,7 +126,7 @@ _CHECK_WINDOW_HEAD = [
     "events_asof_next_purchase",
     "events_dedup_consecutive",
     # NTZ-affected (loader/timestamp_diff/watermark changes in r3)
-    "events_funnel",
+    "events_exact_quantiles",
     "corpus_pipeline_funnel",
     "events_sessionized",
     "events_hourly_gapfill",
@@ -169,6 +169,9 @@ _CHECK_WINDOW_TAIL = [
     # r1-r3 driver-green; bin-bucketed range-join logic untouched and
     # the stream-stream attribution twin is pytest-pinned
     "events_attribution_window",
+    # r3 driver-green; ordered-pattern logic untouched, NTZ loader
+    # witnessed in-window by sessionized/asof/trailing_hour/gapfill
+    "events_funnel",
     # r1+r2 driver-green, untouched, non-events tables (unaffected by
     # the r4 NTZ corpus change); families witnessed in-window by the
     # q8-q21 suite, orders_grouping_sets, lineitem_unpivot_metrics
