@@ -104,3 +104,58 @@ def run_hourly_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding-window aggregation (1 h window, 30 min slide): each
+    event lands in TWO overlapping windows — the smoothed-rate view
+    tumbling windows cannot give.  Same watermark/state story as
+    ``hourly_counts``; state size doubles with the overlap factor
+    (width/slide), which is the documented knob at scale."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            "n_events",
+        )
+    )
+
+
+def native_session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessions via Spark's NATIVE ``session_window`` (gap-
+    merging inside the aggregation operator) — the built-in
+    counterpart of the custom ``applyInPandasWithState`` sessionizer
+    in operators/sessionize.py.  Both exist deliberately: the native
+    window covers count/sum session aggregates with zero custom code,
+    the stateful UDF covers session payloads the built-in cannot
+    express (ordered event lists, custom merge logic).  Watermark
+    bounds the open-session state exactly as it does for the UDF."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_available_now(spark: SparkSession, sf_dir: str, fn) -> DataFrame:
+    """Drive any of the windowed aggregations above over the file
+    stream with an AvailableNow trigger into a memory sink."""
+    table = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        fn(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)

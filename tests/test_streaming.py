@@ -195,3 +195,76 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_sliding_window_stream_equals_batch(spark, sf_dir):
+    """Sliding (overlapping) windows: the AvailableNow streaming result
+    must equal the same window expression evaluated in batch."""
+    from pyspark.sql import functions as F
+
+    from mahjong_etl_spark.sources.tables import load_events
+    from mahjong_etl_spark.streaming.events import (
+        run_stream_available_now,
+        sliding_counts,
+    )
+
+    got = {
+        (r.win_start, r.n_events)
+        for r in run_stream_available_now(spark, sf_dir, sliding_counts).collect()
+    }
+    batch = load_events(spark, sf_dir)
+    expected = {
+        (r.win_start, r.n_events)
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+                "n_events",
+            )
+            .collect()
+        )
+    }
+    assert got == expected
+    # overlap sanity: events are double-counted across windows
+    assert sum(n for _, n in got) == 2 * batch.count()
+
+
+def test_native_session_window_stream_equals_batch(spark, sf_dir):
+    """Native session_window streaming result == batch evaluation of
+    the same expression (gap merging is engine-side either way)."""
+    from pyspark.sql import functions as F
+
+    from mahjong_etl_spark.sources.tables import load_events
+    from mahjong_etl_spark.streaming.events import (
+        native_session_counts,
+        run_stream_available_now,
+    )
+
+    got = {
+        (r.user_id, r.s_start, r.s_end, r.n_events)
+        for r in run_stream_available_now(
+            spark, sf_dir, native_session_counts
+        ).collect()
+    }
+    batch = load_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    expected = {
+        (r.user_id, r.s_start, r.s_end, r.n_events)
+        for r in (
+            batch.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+                "n_events",
+            )
+            .collect()
+        )
+    }
+    assert got == expected
+    assert got, "session output must not be empty"
