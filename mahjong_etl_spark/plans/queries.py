@@ -786,6 +786,145 @@ def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(n) AS t, count(*) AS k FROM per_key)
+    SELECT CAST((SELECT k FROM tot) AS BIGINT)      AS n_keys,
+           CAST(max(n) AS BIGINT)                   AS max_key_rows,
+           CAST((SELECT t FROM tot) AS BIGINT)      AS total_rows,
+           round(CAST(max(n) AS DOUBLE) * (SELECT k FROM tot)
+                 / (SELECT t FROM tot), 4)          AS skew_factor,
+           CAST(sum(CASE WHEN n * (SELECT k FROM tot)
+                              > 2 * (SELECT t FROM tot)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
+    FROM per_key
+    """,
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: max-key row count vs the uniform
+    expectation (skew_factor = max/mean), and how many keys exceed 2x
+    the mean — the measurement a pipeline runs BEFORE deciding between
+    plain hash join, AQE skew-split, and explicit salting
+    (functions/skew.py).  The engine ships both remedies; this is the
+    instrument that says when.  One aggregate on the key (the same
+    exchange the downstream join would pay) then a scalar fold over
+    |keys| rows."""
+    e = load(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = per_key.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("n").alias("t")
+    )
+    # per-key rows against the broadcast global scalars: one pass
+    # computes max, total and the 2x-mean hot-key count together
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .agg(
+            F.max("k").cast("long").alias("n_keys"),
+            F.max("n").cast("long").alias("max_key_rows"),
+            F.max("t").cast("long").alias("total_rows"),
+            F.round(
+                F.max("n").cast("double") * F.max("k") / F.max("t"), 4
+            ).alias("skew_factor"),
+            F.sum(
+                F.when(F.col("n") * F.col("k") > 2 * F.col("t"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hot_keys"),
+        )
+    )
+
+
+CMS_EPS, CMS_CONF, CMS_SEED = 0.001, 0.99, 42
+
+
+@query("events_heavy_hitters_cms", oracle=None, bench=False)
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: the sketch is built DISTRIBUTED
+    (partial sketches per partition, merged in the agg — the
+    mergeability that makes CMS the right structure for per-shard
+    frequency monitoring at 100 TB), then the driver queries the tiny
+    merged sketch for the exact top-10 keys.  Output pairs each exact
+    count with its CMS estimate so the one-sided error contract
+    (estimate >= exact, <= exact + eps*N w.h.p.) is visible in the
+    result and pinned by pytest.  No oracle by design: DuckDB has no
+    CMS; the declared-approximate row joins the HLL/KLL probes.
+
+    Driver-side work is sketch-sized (eps 0.001 -> ~2 KB x depth),
+    the same legitimately-tiny class as IVF centroids."""
+    e = load(spark, sf_dir, "events")
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.col("exact").desc(), "user_id")
+        .limit(10)
+        .collect()
+    )
+    sk_bytes = bytes(
+        e.agg(
+            F.count_min_sketch(
+                "user_id", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+            )
+        ).collect()[0][0]
+    )
+    jvm = spark.sparkContext._jvm
+    bais = jvm.java.io.ByteArrayInputStream(sk_bytes)
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+    rows = [
+        # the sketch hashed LongType values — query with a java Long,
+        # not a py4j-default Integer, or the hash differs
+        (r.user_id, r.exact, int(cms.estimateCount(jvm.java.lang.Long(str(r.user_id)))))
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, exact long, cms_estimate long"
+    )
+
+
+@query("events_distinct_sketch_merge", oracle=None, bench=False)
+def events_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DISTINCT via mergeable HLL sketches: one sketch per
+    day (the increment a daily job would persist next to its rollup),
+    merged with hll_union_agg into the month's distinct-user estimate.
+    Distinct counts don't add — sketches do; this is the distinct-
+    aggregation counterpart of events_hourly_incremental's lossless
+    partial-state merge, with the declared approximation trade.
+    Rows-only (DataSketches HLL has no DuckDB mirror); pytest pins the
+    relative error against the exact count."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("day_exact"),
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("sketch_distinct"),
+        F.sum("day_exact").alias("sum_daily_exact"),
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return (
+        merged.crossJoin(F.broadcast(exact))
+        .select(
+            "n_days",
+            "exact_distinct",
+            "sketch_distinct",
+            # the naive sum of per-day distincts, shown to document WHY
+            # sketches exist (it overcounts repeat users massively)
+            "sum_daily_exact",
+            F.round(
+                (F.col("sketch_distinct") - F.col("exact_distinct"))
+                .cast("double")
+                / F.col("exact_distinct")
+                * 100,
+                3,
+            ).alias("rel_err_pct"),
+        )
+    )
+
+
+@query(
     "event_user_stats",
     oracle="""
     SELECT event_type,

@@ -161,6 +161,8 @@ _CHECK_WINDOW_TAIL = [
     "similarity_ann_ivf",
     "events_rolling_mau_approx",
     "corpus_weighted_sample",
+    "events_heavy_hitters_cms",
+    "events_distinct_sketch_merge",
     # r2+r3 driver-green, untouched; semi/anti family witnessed
     # in-window by q4 (EXISTS) / q22 (anti) / q16 (NOT IN)
     "customers_semi_anti",

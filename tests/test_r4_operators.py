@@ -467,3 +467,35 @@ def test_gapfill_emits_zero_rows_for_missing_hours(spark, tmp_path):
         "2024-01-01 02:00": (0, 0.0, 1),
         "2024-01-01 03:00": (1, 3.0, 0),
     }
+
+
+# ---------------------------------------------------------------------------
+# sketch probes: CMS heavy hitters, HLL distinct merge
+# ---------------------------------------------------------------------------
+
+
+def test_cms_one_sided_error_contract(spark, sf_dir):
+    """Count-min never underestimates, and overestimates by at most
+    eps * N with the configured confidence."""
+    from mahjong_etl_spark.plans.queries import (
+        CMS_EPS,
+        events_heavy_hitters_cms,
+    )
+    from mahjong_etl_spark.sources.tables import load
+
+    n_total = load(spark, sf_dir, "events").count()
+    rows = events_heavy_hitters_cms(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_estimate >= r.exact
+        assert r.cms_estimate <= r.exact + CMS_EPS * n_total + 1
+
+
+def test_hll_sketch_merge_accuracy_and_naive_sum_overcount(spark, sf_dir):
+    from mahjong_etl_spark.plans.queries import events_distinct_sketch_merge
+
+    r = events_distinct_sketch_merge(spark, sf_dir).collect()[0]
+    assert abs(r.sketch_distinct - r.exact_distinct) <= 0.05 * r.exact_distinct
+    # the naive per-day sum must overcount (repeat users across days),
+    # otherwise this corpus wouldn't demonstrate why sketches exist
+    assert r.sum_daily_exact > r.exact_distinct
