@@ -83,3 +83,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql access."""
     for name in TABLE_NAMES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution-tolerant read across parquet roots written at
+    different times with drifting schemas (columns ADDED over the life
+    of a 100 TB table — the normal case for a multi-month corpus).
+
+    ``mergeSchema`` unions the file footers' schemas: rows from files
+    predating a column surface it as NULL, so queries over the merged
+    relation stay total.  The cost model matters at scale: merging
+    reads every file footer up front (one listing pass, no data), and
+    column pruning still applies afterwards — a query touching only
+    v1 columns reads zero bytes of the added ones.  Columns REMOVED or
+    retyped are NOT handled here by design; that is a breaking change
+    routed through the CDC/SCD plane, not a silent union.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -499,3 +499,55 @@ def test_hll_sketch_merge_accuracy_and_naive_sum_overcount(spark, sf_dir):
     # the naive per-day sum must overcount (repeat users across days),
     # otherwise this corpus wouldn't demonstrate why sketches exist
     assert r.sum_daily_exact > r.exact_distinct
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (load_evolving)
+# ---------------------------------------------------------------------------
+
+
+def test_load_evolving_added_column_null_fills_old_files(spark, tmp_path):
+    """A column added in a later batch reads as NULL for earlier
+    files, and queries over the union stay total."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from mahjong_etl_spark.sources.tables import load_evolving
+
+    v1 = str(tmp_path / "batch1")
+    v2 = str(tmp_path / "batch2")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]})
+    ).write.parquet(v1)
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [3], "text": ["c"], "quality_score": [0.9]}
+        )
+    ).write.parquet(v2)
+
+    df = load_evolving(spark, v1, v2)
+    assert set(df.columns) == {"doc_id", "text", "quality_score"}
+    rows = {r.doc_id: r.quality_score for r in df.collect()}
+    assert rows[1] is None and rows[2] is None and rows[3] == 0.9
+    # aggregates stay total: null-aware avg sees only the new batch
+    avg = df.agg(F.avg("quality_score")).collect()[0][0]
+    assert abs(avg - 0.9) < 1e-9
+
+
+def test_load_evolving_prunes_added_column_for_old_queries(spark, tmp_path):
+    """A query touching only v1 columns must not read the added column
+    (ReadSchema stays pruned)."""
+    import pandas as pd
+    from mahjong_etl_spark.sources.tables import load_evolving
+
+    v1 = str(tmp_path / "b1")
+    v2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a"]})
+    ).write.parquet(v1)
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "text": ["b"], "extra": [1.0]})
+    ).write.parquet(v2)
+    df = load_evolving(spark, v1, v2).select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read = plan.split("ReadSchema")[-1]
+    assert "extra" not in read and "text" not in read
