@@ -517,3 +517,127 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("max_err_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized IVF search (integer dot-product rerank)
+# ---------------------------------------------------------------------------
+
+
+def quantize_for_search(df: DataFrame, vec_col: str = "emb_d") -> DataFrame:
+    """Add symmetric-int8 quantized vectors for search: qvec (ints in
+    [-127, 127]) and their integer self-dot (for the cosine
+    denominator).  In cosine similarity the per-vector scales CANCEL,
+    so the quantized score needs NO float dequantization at all —
+    candidate scoring becomes pure integer dot products, the reason
+    int8 indexes are memory-bandwidth-bound, not FLOP-bound."""
+    qvec = F.expr(
+        f"""
+        transform({vec_col}, x -> cast(round(
+            x / (aggregate({vec_col}, cast(0 as double),
+                           (a, v) -> greatest(a, abs(v))) / 127.0))
+            as int))
+        """
+    )
+    return df.withColumn("qvec", qvec).withColumn(
+        "qnorm2",
+        F.expr(
+            "aggregate(zip_with(qvec, qvec, (a, b) -> a * b),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
+        ),
+    )
+
+
+def ann_ivf_int8_topk(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = TOPK,
+    n_clusters: int = IVF_CLUSTERS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF candidate generation (identical coarse quantizer) with an
+    INT8 rerank: candidates score by integer dot product over the
+    quantized vectors — the two-stage shape (coarse cluster probe →
+    cheap quantized scoring) every billion-vector deployment runs,
+    here with the full-precision refine left to the caller when
+    required.  4× less candidate-scoring bandwidth than float64 with
+    recall within noise of the float path (pinned in pytest)."""
+    from pyspark.sql.window import Window
+
+    q = quantize_for_search(with_norm(queries_df))
+    c = quantize_for_search(with_norm(corpus_df))
+    centroids = train_ivf_centroids(with_norm(corpus_df), n_clusters)
+
+    import numpy as np
+    import pandas as pd
+
+    cent = centroids
+    half_sq = 0.5 * (cent * cent).sum(axis=1)
+
+    def probe_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb_d"].values]
+            )
+            order = np.argsort(-(mat @ cent.T - half_sq), axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(pdf["vec_id"].values, nprobe),
+                    "cluster": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    probes = q.select("vec_id", "emb_d").mapInPandas(
+        probe_batches, "q_id long, cluster int"
+    )
+    inv = _assign_clusters(c, centroids).withColumnRenamed("vec_id", "neighbor_id")
+    cand = (
+        probes.join(inv, "cluster")
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id")
+        .distinct()
+    )
+    qv = q.select(F.col("vec_id").alias("q_id"), F.col("qvec").alias("qa"),
+                  F.col("qnorm2").alias("na"))
+    cv = c.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("qvec").alias("qb"), F.col("qnorm2").alias("nb"))
+    # integer dot product; scales cancel in the cosine ratio
+    dot = F.expr(
+        "aggregate(zip_with(qa, qb, (a, b) -> a * b),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    cos_q8 = F.round(
+        dot.cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        6,
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "neighbor_id")
+        .select("q_id", "neighbor_id", cos_q8.alias("cosine_q8"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine_q8"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "q_id", "neighbor_id", "cosine_q8",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@query("similarity_ann_ivf_int8", oracle=None, bench=False)
+def similarity_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized IVF ANN top-5 (approximate — rows-only; pytest
+    pins recall vs brute force AND overlap vs the float IVF path).
+    This is the embedding_quantize_int8 operator USED: same symmetric
+    scheme, integrated into candidate scoring as pure integer dot
+    products."""
+    e = corpus_embeddings(spark, sf_dir)
+    return ann_ivf_int8_topk(spark, e.where(N_QUERIES_PRED), e, TOPK)

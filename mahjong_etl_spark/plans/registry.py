@@ -163,6 +163,7 @@ _CHECK_WINDOW_TAIL = [
     "corpus_weighted_sample",
     "events_heavy_hitters_cms",
     "events_distinct_sketch_merge",
+    "similarity_ann_ivf_int8",
     # r2+r3 driver-green, untouched; semi/anti family witnessed
     # in-window by q4 (EXISTS) / q22 (anti) / q16 (NOT IN)
     "customers_semi_anti",

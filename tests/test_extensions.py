@@ -314,3 +314,32 @@ def test_rolling_mau_approx_tracks_exact(spark, sf_dir):
     assert set(approx) == set(exact) and len(exact) > 0
     for day, est in approx.items():
         assert abs(est - exact[day]) / exact[day] <= 0.05, (day, est, exact[day])
+
+
+def test_ann_ivf_int8_recall_and_agreement_with_float(spark, sf_dir):
+    """The int8-rerank IVF path must (a) keep the same >=60% recall
+    contract vs brute force and (b) agree with the float IVF result on
+    >=80% of neighbor picks — int8 rounding error is far below the
+    neighbor-separation margin at 64 dims."""
+    from mahjong_etl_spark.operators.similarity import (
+        similarity_ann_ivf,
+        similarity_ann_ivf_int8,
+    )
+
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in similarity_topk_bruteforce(spark, sf_dir).collect()
+    }
+    q8 = {
+        (r.q_id, r.neighbor_id)
+        for r in similarity_ann_ivf_int8(spark, sf_dir).collect()
+    }
+    fl = {
+        (r.q_id, r.neighbor_id)
+        for r in similarity_ann_ivf(spark, sf_dir).collect()
+    }
+    assert len(exact) > 0
+    recall = len(q8 & exact) / len(exact)
+    assert recall >= 0.6, f"int8 IVF recall too low: {recall}"
+    agreement = len(q8 & fl) / len(fl)
+    assert agreement >= 0.8, f"int8 vs float IVF agreement too low: {agreement}"

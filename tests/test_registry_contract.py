@@ -27,6 +27,8 @@ ROWS_ONLY_BY_DESIGN = {
     "one-sided error contract (exact <= est <= exact + eps*N) pinned in pytest",
     "events_distinct_sketch_merge": "DataSketches HLL has no DuckDB mirror; "
     "<=5% relative error vs exact distinct pinned in pytest",
+    "similarity_ann_ivf_int8": "approximate; recall vs brute force AND "
+    "agreement vs the float IVF path pinned in pytest",
 }
 
 
