@@ -91,11 +91,15 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # session, so tail rotation never loses local coverage.
 
 _CHECK_WINDOW_HEAD = [
-    # r3-red, fixed this round — must re-check
+    # r3-red, fixed late in r3 (strict-sweep green) — must re-check
     "events_moving_avg",
     "mahjong_paiyama_walls",
-    # output type changed this round (DECIMAL -> exact-int doubles)
-    "decimal_revenue",
+    # new this round (r4): the last two TPC-H plan shapes
+    "q2_min_cost_supplier",
+    "q20_excess_stock_suppliers",
+    # output type changed in r3 (DECIMAL -> exact-int doubles);
+    # decimal_revenue's new output went driver-green in r03 already,
+    # so only the never-rechecked q6 stays in the head
     "q6_forecast_revenue",
     # new this round (TPC-H widening)
     "q8_market_share",
@@ -137,7 +141,6 @@ _CHECK_WINDOW_HEAD = [
     # NTZ-affected (loader/timestamp_diff/watermark changes in r3)
     "events_exact_quantiles",
     "corpus_pipeline_funnel",
-    "events_sessionized",
     "events_hourly_gapfill",
     "q11_supplier_value_share",
     "multimodal_audio_stats",
@@ -153,6 +156,10 @@ _CHECK_WINDOW_HEAD = [
 ]
 
 _CHECK_WINDOW_TAIL = [
+    # r03 driver-green on the post-NTZ corpus / post-DECIMAL output —
+    # rotated out of the head to make room for the two new TPC-H rows
+    "events_sessionized",
+    "decimal_revenue",
     # rows-only by design (approx/sampling — rows-only driver check
     # adds little over the pytest recall/property pins; keep the
     # 50-entry window for oracle-bearing rows)

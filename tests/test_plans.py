@@ -70,8 +70,12 @@ def test_no_unconditional_broadcast_hints_on_fact_sides():
 
     src = inspect.getsource(queries)
     hinted = re.findall(r"F\.broadcast\((\w+)", src)
-    # "total" is the 1-row global-aggregate side (q11, perplexity)
-    allowed = {"s", "n", "r", "n1", "n2", "ns", "nc", "p", "avg_bal", "qa", "total"}
+    # "total"/"exact" are 1-row global-aggregate sides (q11,
+    # perplexity, sketch-merge)
+    allowed = {
+        "s", "n", "r", "n1", "n2", "ns", "nc", "p",
+        "avg_bal", "qa", "total", "exact",
+    }
     assert set(hinted) <= allowed, f"unexpected broadcast hints: {set(hinted) - allowed}"
 
 
@@ -239,6 +243,9 @@ _ALLOWED_NESTED_LOOP = {
     # scalar broadcast (1-row corpus-total side), same shape as q22
     "text_perplexity_proxy",
     "q11_supplier_value_share",
+    # 1-row aggregate crossed back onto a bounded profile/sketch table
+    "events_key_skew_profile",
+    "events_distinct_sketch_merge",
 }
 
 
