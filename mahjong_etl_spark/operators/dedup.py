@@ -627,3 +627,112 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup) — the 100 TB path for embedding-space dedup
+# ---------------------------------------------------------------------------
+
+SEM_TAU = 0.4  # same threshold as the exact baseline above
+
+
+@query("dedup_semantic", oracle=None, bench=True)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space with the
+    IVF coarse quantizer, enumerate near-duplicate pairs ONLY within
+    each cluster, group them into semantic components, keep one
+    representative per component.
+
+    This is the declared scale path that ``dedup_embedding_cosine``
+    (the exact O(n²) oracle baseline) stands in for at test scale:
+    the pairwise search collapses from |corpus|² to
+    Σ|cluster|² ≈ n²/k, and k grows with the corpus (k ≈ n/10⁴ keeps
+    cluster cost constant) — the published SemDeDup recipe for
+    billion-document corpora.  Every stage is distributed: centroid
+    training moves k×dim floats to the driver per Lloyd round
+    (operators/similarity.py:train_ivf_centroids), assignment is one
+    numpy matmul per Arrow batch, the within-cluster join is an
+    equi-join on cluster id, and grouping is the pointer-jumping
+    connected-components operator (operators/corpus.py).
+
+    Boundary pairs are the known failure mode of hard cell
+    assignment, so each vector is soft-assigned to its top-2 nearest
+    centroids (the IVF-nprobe trick applied to BOTH sides): a pair is
+    a candidate if the two vectors share ANY cell, which at test
+    scale doubles recall for ~2x candidate rows.  Approximation
+    contract (pinned in tests/test_extensions.py): perfect precision
+    — every merged pair really has cosine >= tau, by construction —
+    and recall bounded by cluster assignment (pairs whose cells are
+    fully disjoint are missed; the paper accepts this).
+
+    Output: (vec_id, sem_group, keep) — sem_group is the smallest
+    vec_id in the component (singletons group with themselves),
+    keep=1 exactly for the representative.  Rows-only driver check
+    (k-means is not SQL-expressible); parity with the exact baseline
+    is pytest-pinned.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .corpus import connected_components
+    from .similarity import (
+        corpus_embeddings,
+        cosine_expr,
+        train_ivf_centroids,
+    )
+
+    e = corpus_embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(e)
+
+    half_sq = 0.5 * (cents * cents).sum(axis=1)
+
+    def soft_assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb_d"].values]
+            )
+            score = mat @ cents.T - half_sq  # argmax == nearest (L2)
+            top2 = np.argpartition(-score, 1, axis=1)[:, :2]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, 2),
+                    "cluster": top2.reshape(-1).astype("int32"),
+                }
+            )
+
+    cells = e.select("vec_id", "emb_d").mapInPandas(
+        soft_assign, "vec_id long, cluster int"
+    )
+    assigned = e.join(cells, "vec_id")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = cosine_expr("a", "b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= SEM_TAU)
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+        .distinct()  # a pair may share both cells
+    )
+    comp = connected_components(edges)  # (id, cluster_id=min member)
+    return (
+        e.select("vec_id")
+        .join(comp, F.col("vec_id") == F.col("id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("sem_group"),
+            (
+                F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+                == F.col("vec_id")
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )

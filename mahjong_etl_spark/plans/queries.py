@@ -1000,6 +1000,159 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_variant_stats",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*)                                               AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT)                                        AS sum_k,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)            AS n_no_extra
+    FROM events GROUP BY k_bucket
+    """,
+)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: the
+    JSON payload is parsed ONCE into a binary variant value, then every
+    extraction is a typed path lookup (``variant_get``) on that parsed
+    form — versus ``get_json_object`` (events_json_stats), which
+    re-parses the JSON string per extraction.
+
+    The 100 TB rationale: variant is the declared scale path for
+    schema-flexible columns — parse cost paid once per row regardless
+    of how many paths a query pulls, binary-encoded field access
+    instead of string scanning, and Parquet-level shredding in newer
+    writers.  ``try_variant_get`` on an absent path returns NULL
+    (counted here) instead of raising — the tolerant-read contract a
+    heterogeneous event stream needs.  The DuckDB oracle mirrors the
+    semantics with its JSON operators; the variant representation
+    itself never reaches the output schema (scalar columns only, per
+    registry conventions)."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json("props")
+    )
+    k = F.variant_get("v", "$.k", "bigint")
+    extra = F.try_variant_get("v", "$.missing", "string")
+    return e.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.sum(F.when(extra.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_no_extra"),
+    )
+
+
+@query(
+    "dq_constraint_suite",
+    oracle="""
+    SELECT 'l_quantity_out_of_range' AS check_name,
+           CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           count(*) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount_out_of_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey_null',
+           CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'o_orderkey_duplicates',
+           CAST(sum(n - 1) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkeys',
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(*)
+    FROM (SELECT DISTINCT l_orderkey FROM lineitem) k
+    LEFT JOIN orders ON k.l_orderkey = o_orderkey
+    ORDER BY check_name
+    """,
+)
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ/
+    'observation' pattern): range, null, uniqueness and referential-
+    integrity checks computed as aggregates and emitted as one
+    (check_name, n_violations, n_checked) row each — the verification
+    pass a 100 TB ingest runs before publishing a partition.
+
+    Plan shape: all three row-level lineitem checks share ONE scan
+    (single aggregate, conditional counts — adding a check is +1
+    column, not +1 pass); uniqueness is a two-level aggregate on the
+    orders key; referential integrity is a distinct-key LEFT ANTI join
+    against orders (key-list vs key-list, never fact x fact).  The
+    final union is of five 1-3 row relations — coordination cost is
+    nil.  At scale each check is map-side partial-aggregated, so the
+    suite costs one shuffle-free pass per table plus one key-join."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    # all row-level lineitem checks in ONE aggregate over one scan,
+    # then stacked into (check_name, n_violations, n_checked) rows
+    row_checks = l.agg(
+        viol((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)).alias(
+            "qty_v"
+        ),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "disc_v"
+        ),
+        viol(F.col("l_partkey").isNull()).alias("pk_v"),
+        F.count(F.lit(1)).alias("n"),
+    ).selectExpr(
+        """stack(3,
+           'l_quantity_out_of_range', qty_v, n,
+           'l_discount_out_of_range', disc_v, n,
+           'l_partkey_null',          pk_v,  n
+        ) AS (check_name, n_violations, n_checked)"""
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("n") - 1).cast("long").alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+        .select(
+            F.lit("o_orderkey_duplicates").alias("check_name"),
+            "n_violations",
+            "n_checked",
+        )
+    )
+    orphans = (
+        l.select("l_orderkey")
+        .distinct()
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            viol(F.col("o_orderkey").isNull()).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+        .select(
+            F.lit("lineitem_orphan_orderkeys").alias("check_name"),
+            "n_violations",
+            "n_checked",
+        )
+    )
+    return (
+        row_checks.unionByName(dups).unionByName(orphans).orderBy("check_name")
+    )
+
+
+@query(
     "events_user_type_pivot",
     oracle="""
     SELECT user_id,

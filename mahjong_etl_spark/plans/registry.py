@@ -94,9 +94,12 @@ _CHECK_WINDOW_HEAD = [
     # r3-red, fixed late in r3 (strict-sweep green) — must re-check
     "events_moving_avg",
     "mahjong_paiyama_walls",
-    # new this round (r4): the last two TPC-H plan shapes
+    # new this round (r4): the last two TPC-H plan shapes, the VARIANT
+    # semi-structured path, and the data-quality constraint suite
     "q2_min_cost_supplier",
     "q20_excess_stock_suppliers",
+    "events_variant_stats",
+    "dq_constraint_suite",
     # output type changed in r3 (DECIMAL -> exact-int doubles);
     # decimal_revenue's new output went driver-green in r03 already,
     # so only the never-rechecked q6 stays in the head
@@ -150,8 +153,6 @@ _CHECK_WINDOW_HEAD = [
     # witnesses (q8-q21 joins/top-k, grouping_sets/unpivot) — rotated
     # to tail this round
     "events_top3_per_user",
-    "orders_price_quantiles",
-    "events_json_stats",
     "events_user_type_pivot",
 ]
 
@@ -160,6 +161,16 @@ _CHECK_WINDOW_TAIL = [
     # rotated out of the head to make room for the two new TPC-H rows
     "events_sessionized",
     "decimal_revenue",
+    # r1+r2 driver-green, untouched; rotated out for the r4 VARIANT +
+    # DQ rows — percentile family keeps events_exact_quantiles
+    # in-window, and the JSON-extraction path now has a STRONGER
+    # in-window witness (events_variant_stats, same '$.k' semantics
+    # through the variant codepath)
+    "orders_price_quantiles",
+    "events_json_stats",
+    # rows-only by design (k-means not SQL-expressible); parity with
+    # the exact cosine baseline is pytest-pinned
+    "dedup_semantic",
     # rows-only by design (approx/sampling — rows-only driver check
     # adds little over the pytest recall/property pins; keep the
     # 50-entry window for oracle-bearing rows)

@@ -343,3 +343,70 @@ def test_ann_ivf_int8_recall_and_agreement_with_float(spark, sf_dir):
     assert recall >= 0.6, f"int8 IVF recall too low: {recall}"
     agreement = len(q8 & fl) / len(fl)
     assert agreement >= 0.8, f"int8 vs float IVF agreement too low: {agreement}"
+
+
+def test_semantic_dedup_precision_and_recall(spark, sf_dir):
+    """SemDeDup contract: (a) perfect precision — every pair the op
+    merges into one sem_group is connected through edges with exact
+    cosine >= tau (verified transitively: each component member pairs
+    with its representative via the exact O(n²) pair list's transitive
+    closure — here checked as: all merged PAIRS appear in the exact
+    closure); (b) bounded recall — pairs straddling a k-means cell
+    boundary may be missed, but at test scale most planted dups
+    co-cluster, so >= 50% of exact pairs must be merged; (c) exactly
+    one keep=1 per sem_group."""
+    from mahjong_etl_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_semantic,
+    )
+
+    exact_pairs = {
+        (r.vec_a, r.vec_b) for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    rows = dedup_semantic(spark, sf_dir).collect()
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r.sem_group, []).append(r)
+
+    # (c) one representative per group, and it is the smallest member
+    for g, members in by_group.items():
+        keeps = [r for r in members if r.keep == 1]
+        assert len(keeps) == 1, f"group {g}: {len(keeps)} representatives"
+        assert keeps[0].vec_id == min(r.vec_id for r in members) == g
+
+    # transitive closure of the exact pair list, per component
+    import itertools
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in exact_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    closure_group = {}
+    for a, b in exact_pairs:
+        closure_group[a] = find(a)
+        closure_group[b] = find(b)
+
+    # (a) precision: merged pairs must lie inside one exact component
+    merged_pairs = set()
+    for g, members in by_group.items():
+        ids = sorted(r.vec_id for r in members)
+        merged_pairs.update(itertools.combinations(ids, 2))
+    non_trivial = {p for p in merged_pairs}
+    for a, b in non_trivial:
+        assert closure_group.get(a) is not None and closure_group.get(a) == closure_group.get(b), (
+            f"semantic dedup merged ({a},{b}) not connected in exact closure"
+        )
+
+    # (b) recall against the exact pair list
+    assert len(exact_pairs) > 0
+    merged = sum(1 for p in exact_pairs if p in merged_pairs)
+    recall = merged / len(exact_pairs)
+    assert recall >= 0.5, f"semantic dedup recall too low: {recall}"
