@@ -651,10 +651,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster cost constant) — the published SemDeDup recipe for
     billion-document corpora.  Every stage is distributed: centroid
     training moves k×dim floats to the driver per Lloyd round
-    (operators/similarity.py:train_ivf_centroids), assignment is one
-    numpy matmul per Arrow batch, the within-cluster join is an
-    equi-join on cluster id, and grouping is the pointer-jumping
-    connected-components operator (operators/corpus.py).
+    (operators/similarity.py:train_ivf_centroids, session-cached so
+    one training serves IVF + this operator), assignment is one numpy
+    matmul per Arrow batch, within-cell pair search is one normalized
+    BLAS matmul per cell (applyInPandas over the cluster-keyed
+    shuffle, row-blocked for skewed cells), and grouping is the
+    pointer-jumping connected-components operator (operators/
+    corpus.py).
 
     Boundary pairs are the known failure mode of hard cell
     assignment, so each vector is soft-assigned to its top-2 nearest
@@ -677,13 +680,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .corpus import connected_components
     from .similarity import (
+        IVF_CLUSTERS,
+        IVF_LLOYD_ITERS,
+        corpus_centroids,
         corpus_embeddings,
-        cosine_expr,
-        train_ivf_centroids,
     )
 
     e = corpus_embeddings(spark, sf_dir)
-    cents = train_ivf_centroids(e)
+    # k grows with the corpus (expected soft-cell size ~256) so the
+    # within-cell pairwise cost stays n²/k ≈ 256·n — the SemDeDup
+    # scaling rule; floor at the session IVF k so the cached quantizer
+    # is shared at test scale.  e is persisted, so count() is cheap.
+    k = max(IVF_CLUSTERS, e.count() // 128)
+    cents = corpus_centroids(spark, sf_dir, k, IVF_LLOYD_ITERS)
 
     half_sq = 0.5 * (cents * cents).sum(axis=1)
 
@@ -706,19 +715,42 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.select("vec_id", "emb_d").mapInPandas(
         soft_assign, "vec_id long, cluster int"
     )
-    assigned = e.join(cells, "vec_id")
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = cosine_expr("a", "b")
+    assigned = e.join(cells, "vec_id").select(
+        "cluster", "vec_id", "emb_d", "norm"
+    )
+
+    # Within-cell pair enumeration as ONE normalized matmul per cell
+    # (applyInPandas, cluster-keyed shuffle of 2 cells/vector) instead
+    # of a pairwise join evaluating a per-pair higher-order-function
+    # cosine: the sim matrix for a ~256-vector cell is a single BLAS
+    # call.  Oversized cells (skewed k-means) are processed in row
+    # blocks so memory stays O(block × cell), never cell².
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["emb_d"].values]
+        )
+        mat /= pdf["norm"].to_numpy()[:, None]
+        out_a, out_b = [], []
+        block = 2048
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            sims = mat[lo:hi] @ mat.T  # (block, n)
+            r, c = np.nonzero(sims >= SEM_TAU)
+            keep = (r + lo) < c  # upper triangle: a < b by sorted id
+            out_a.append(ids[(r + lo)[keep]])
+            out_b.append(ids[c[keep]])
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
     edges = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(cos >= SEM_TAU)
-        .select(
-            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
-        )
+        assigned.groupBy("cluster")
+        .applyInPandas(cell_pairs, "doc_a long, doc_b long")
         .distinct()  # a pair may share both cells
     )
     comp = connected_components(edges)  # (id, cluster_id=min member)

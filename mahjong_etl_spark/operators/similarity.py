@@ -70,6 +70,23 @@ def corpus_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e
 
 
+# (sf_dir, k, iters) -> (owning SparkSession, trained centroid matrix).
+# The coarse quantizer is deterministic given the corpus snapshot, so
+# one training pays for every index consumer in the session (float IVF,
+# int8 IVF, semantic dedup) — the "train once per snapshot" move.
+_CENT_CACHE: dict[tuple, tuple[SparkSession, object]] = {}
+
+
+def corpus_centroids(spark: SparkSession, sf_dir: str, k: int, iters: int):
+    key = (sf_dir, k, iters)
+    hit = _CENT_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cents = train_ivf_centroids(corpus_embeddings(spark, sf_dir), k, iters)
+    _CENT_CACHE[key] = (spark, cents)
+    return cents
+
+
 def cosine_expr(a: str, b: str):
     """Cosine between two ``with_norm``-prepared sides (alias names)."""
     dot = F.aggregate(
@@ -347,10 +364,12 @@ def ann_ivf_topk(
     k: int = TOPK,
     n_clusters: int = IVF_CLUSTERS,
     nprobe: int = IVF_NPROBE,
+    centroids=None,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: assign the corpus to coarse
     clusters, probe each query's ``nprobe`` nearest clusters, exact
-    cosine rerank inside the probed inverted lists.
+    cosine rerank inside the probed inverted lists.  A pre-trained
+    ``centroids`` matrix (see corpus_centroids) skips the Lloyd passes.
 
     Scale story: corpus assignment is one map-side matmul pass and the
     candidate join is an equi-join on the cluster id, so per-query
@@ -362,7 +381,8 @@ def ann_ivf_topk(
 
     q = with_norm(queries_df)
     c = with_norm(corpus_df)
-    centroids = train_ivf_centroids(c, n_clusters)
+    if centroids is None:
+        centroids = train_ivf_centroids(c, n_clusters)
 
     import numpy as np
     import pandas as pd
@@ -416,7 +436,8 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-uniform (little cluster structure), so recall needs a wide
     probe — on real clustered embeddings nprobe/n_clusters drops."""
     e = corpus_embeddings(spark, sf_dir)
-    return ann_ivf_topk(spark, e.where(N_QUERIES_PRED), e, TOPK)
+    cents = corpus_centroids(spark, sf_dir, IVF_CLUSTERS, IVF_LLOYD_ITERS)
+    return ann_ivf_topk(spark, e.where(N_QUERIES_PRED), e, TOPK, centroids=cents)
 
 
 # ---------------------------------------------------------------------------
@@ -555,6 +576,7 @@ def ann_ivf_int8_topk(
     k: int = TOPK,
     n_clusters: int = IVF_CLUSTERS,
     nprobe: int = IVF_NPROBE,
+    centroids=None,
 ) -> DataFrame:
     """IVF candidate generation (identical coarse quantizer) with an
     INT8 rerank: candidates score by integer dot product over the
@@ -567,7 +589,8 @@ def ann_ivf_int8_topk(
 
     q = quantize_for_search(with_norm(queries_df))
     c = quantize_for_search(with_norm(corpus_df))
-    centroids = train_ivf_centroids(with_norm(corpus_df), n_clusters)
+    if centroids is None:
+        centroids = train_ivf_centroids(with_norm(corpus_df), n_clusters)
 
     import numpy as np
     import pandas as pd
@@ -640,4 +663,96 @@ def similarity_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme, integrated into candidate scoring as pure integer dot
     products."""
     e = corpus_embeddings(spark, sf_dir)
-    return ann_ivf_int8_topk(spark, e.where(N_QUERIES_PRED), e, TOPK)
+    cents = corpus_centroids(spark, sf_dir, IVF_CLUSTERS, IVF_LLOYD_ITERS)
+    return ann_ivf_int8_topk(
+        spark, e.where(N_QUERIES_PRED), e, TOPK, centroids=cents
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over the embedding column
+# ---------------------------------------------------------------------------
+
+PCA_TOPK = 16
+
+
+@query("embedding_pca", oracle=None, bench=True)
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal-component spectrum of the embedding space — the
+    dimensionality/anisotropy profile a vector pipeline computes before
+    choosing an index (IVF cell count, OPQ rotation, dim truncation):
+    how much variance the top components carry and how fast the tail
+    decays.
+
+    Distributed exactly like the classic large-scale PCA recipe: the
+    dim×dim scatter matrix is a SUM of per-row outer products, so each
+    Arrow batch accumulates its partial (n, Σx, ΣxxT) in one BLAS call
+    (mat.T @ mat) and emits only the flattened partials — a
+    partitions × (dim²+dim+1) row shuffle, independent of corpus size.
+    One element-wise sum aggregate later the driver holds the exact
+    dim×dim covariance (64×64 here = 32 KB — same driver-traffic
+    contract as the IVF centroid pull) and eigendecomposes it locally.
+    Nothing about the shape changes at 100 TB: the reduction is
+    map-side-combined, and dim², not n, bounds every transfer.
+
+    Output (one row per top component): eigenvalue, explained-variance
+    ratio, cumulative ratio.  Rows-only driver check (eigendecomposition
+    is not SQL-expressible); pytest pins the spectrum against an exact
+    single-node numpy PCA of the same table and the trace identity
+    Σλ = total variance.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = corpus_embeddings(spark, sf_dir)
+    dim = len(e.select("emb_d").first()[0])
+
+    def partials(it):
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb_d"].values]
+            )
+            n += len(mat)
+            s += mat.sum(axis=0)
+            g += mat.T @ mat
+        if n == 0:
+            return
+        vals = np.concatenate(([float(n)], s, g.reshape(-1)))
+        yield pd.DataFrame(
+            {"idx": np.arange(len(vals), dtype="int64"), "val": vals}
+        )
+
+    agg = (
+        e.select("emb_d")
+        .mapInPandas(partials, "idx long, val double")
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    flat = np.zeros(1 + dim + dim * dim)
+    for r in agg:
+        flat[r.idx] = r.val
+    n = flat[0]
+    mean = flat[1 : 1 + dim] / n
+    cov = flat[1 + dim :].reshape(dim, dim) / n - np.outer(mean, mean)
+    eig = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(eig.sum())
+    top = eig[:PCA_TOPK]
+    cum = np.cumsum(top) / total
+    rows = [
+        (
+            int(i),
+            round(float(v), 9),
+            round(float(v / total), 9),
+            round(float(c), 9),
+        )
+        for i, (v, c) in enumerate(zip(top, cum))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, evr double, cum_evr double"
+    )

@@ -677,3 +677,101 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cross_entropy_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM tok WHERE term <> '' GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, count(*) AS df,
+               CAST(round(ln((SELECT count(*) FROM documents)::DOUBLE
+                             / count(*)) * 1e9) AS BIGINT) AS idf_nano
+        FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * df.idf_nano AS w_nano,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * df.idf_nano DESC, tf.term
+               ) AS rnk
+        FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df,
+           round(w_nano / 1e9, 6) AS tfidf,
+           CAST(rnk AS INT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by TF-IDF — the
+    keyword-extraction / topic-labeling primitive of a text corpus
+    pipeline (and the weighting scheme behind sparse retrieval).
+
+    Plan: one explode feeds BOTH aggregates — term frequency per
+    (doc, term) and document frequency per term (computed FROM the tf
+    relation, so the heavy token stream is aggregated exactly once) —
+    then a term-keyed join puts idf next to tf (vocabulary-sized right
+    side: Zipf keeps it far below corpus size, AQE broadcasts while it
+    fits), and a per-doc window takes the top-3.  The window partitions
+    by doc_id, so the shuffle is doc-keyed and each partition sorts
+    only its own handful of terms — never a global sort.  The corpus
+    size N enters as a broadcast 1-row aggregate.
+
+    Engine exactness: idf = ln(N/df) is snapped to nano-units int64
+    (absorbing last-ulp libm drift between glibc and the JVM), the
+    ranking weight tf*idf_nano is then an EXACT int64 product — the
+    top-3 cut line cannot move — and the one float division happens
+    after the cut, rounded at 6dp on both engines."""
+    d = load_spread(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            F.round(F.expr("ln(n_docs / df)") * 1e9)
+            .cast("long")
+            .alias("idf_nano"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("w_nano"), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("w_nano", F.col("tf") * F.col("idf_nano"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("w_nano") / 1e9, 6).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -31,6 +31,10 @@ Capability -> query mapping:
 - incremental rollup maintenance .............. events_hourly_incremental
 - dense-calendar gap filling .................. events_hourly_gapfill
 - JSONL sink/source round-trip ................ jsonl_roundtrip_stats
+- VARIANT semi-structured analytics ........... events_variant_stats
+- data-quality constraint suite ............... dq_constraint_suite
+- feature-correlation audit (exact-int) ....... lineitem_feature_corr
+- z-score anomaly screen ...................... events_anomaly_zscore
 - TPC-H: all 22 queries (Q2/Q11/Q12/Q20/Q21 adapted
   to the corpus schema — partsupp, which the corpus
   does not ship, is reconstructed from observed
@@ -1149,6 +1153,225 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         row_checks.unionByName(dups).unionByName(orphans).orderBy("check_name")
+    )
+
+
+@query(
+    "lineitem_feature_corr",
+    oracle="""
+    WITH fx AS (
+        SELECT CAST(round(l_quantity) AS BIGINT)             AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT)  AS pc,
+               CAST(round(l_discount * 100) AS BIGINT)       AS dh
+        FROM lineitem
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(q)  AS sq,  sum(pc) AS sp,  sum(dh) AS sd,
+               sum(q*q)   AS sqq, sum(pc*pc) AS spp, sum(dh*dh) AS sdd,
+               sum(q*pc)  AS sqp, sum(q*dh)  AS sqd, sum(pc*dh) AS spd
+        FROM fx
+    ),
+    d AS (
+        SELECT CAST(n AS DOUBLE) AS n,
+               CAST(sq AS DOUBLE) AS sq, CAST(sp AS DOUBLE) AS sp,
+               CAST(sd AS DOUBLE) AS sd,
+               CAST(sqq AS DOUBLE) AS sqq, CAST(spp AS DOUBLE) AS spp,
+               CAST(sdd AS DOUBLE) AS sdd,
+               CAST(sqp AS DOUBLE) AS sqp, CAST(sqd AS DOUBLE) AS sqd,
+               CAST(spd AS DOUBLE) AS spd,
+               CAST(n AS BIGINT) AS n_rows
+        FROM s
+    )
+    SELECT pair, n_rows, corr FROM (
+        SELECT 'quantity_extendedprice' AS pair, n_rows,
+               round((n * sqp - sq * sp)
+                     / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)),
+                     6) AS corr
+        FROM d
+        UNION ALL
+        SELECT 'quantity_discount', n_rows,
+               round((n * sqd - sq * sd)
+                     / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)),
+                     6)
+        FROM d
+        UNION ALL
+        SELECT 'extendedprice_discount', n_rows,
+               round((n * spd - sp * sd)
+                     / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)),
+                     6)
+        FROM d
+    ) ORDER BY pair
+    """,
+)
+def lineitem_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation audit over the lineitem numeric
+    features — the feature-redundancy / leakage profile a training-data
+    pipeline computes before a model ever sees the table.
+
+    One scan, ONE aggregate producing all ten sufficient statistics
+    (n, Σx, Σx², Σxy per pair) — adding a feature pair is +1 sum
+    column, not +1 pass; every sum is map-side partial-aggregated, so
+    the operator is shuffle-free up to a 10-value exchange.
+
+    Engine exactness (the r1-r3 lesson, applied to corr): the built-in
+    corr() aggregate sums doubles in partition order, so two engines
+    drift in the last bits.  Here every input is snapped to its exact
+    integer grain (quantity units / price cents / discount hundredths),
+    the sufficient statistics are summed EXACTLY (decimal(38,0) in
+    Spark, int128 in DuckDB), both engines cast the identical integers
+    to double, and the correlation formula is the identical IEEE
+    expression tree — bit-equal before the 6dp round even applies."""
+    l = load(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity")).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dh = F.round(F.col("l_discount") * 100).cast("long")
+
+    def xsum(expr):
+        return F.sum(expr.cast("decimal(38,0)"))
+
+    s = l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        xsum(q).alias("sq"),
+        xsum(pc).alias("sp"),
+        xsum(dh).alias("sd"),
+        xsum(q * q).alias("sqq"),
+        xsum(pc * pc).alias("spp"),
+        xsum(dh * dh).alias("sdd"),
+        xsum(q * pc).alias("sqp"),
+        xsum(q * dh).alias("sqd"),
+        xsum(pc * dh).alias("spd"),
+    )
+    d = s.select(
+        "n_rows",
+        F.col("n_rows").cast("double").alias("n"),
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("sq", "sp", "sd", "sqq", "spp", "sdd", "sqp", "sqd", "spd")
+        ],
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        num = F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)
+        vx = F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)
+        vy = F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)
+        return F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6)
+
+    return (
+        d.select(
+            "n_rows",
+            corr("sqp", "sq", "sp", "sqq", "spp").alias("c_qp"),
+            corr("sqd", "sq", "sd", "sqq", "sdd").alias("c_qd"),
+            corr("spd", "sp", "sd", "spp", "sdd").alias("c_pd"),
+        )
+        .selectExpr(
+            """stack(3,
+               'quantity_extendedprice', c_qp,
+               'quantity_discount',      c_qd,
+               'extendedprice_discount', c_pd
+            ) AS (pair, corr)""",
+            "n_rows",
+        )
+        .orderBy("pair")
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, event_type,
+               CAST(round(value * 1000) AS BIGINT) AS xm
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_type, xm,
+               count(*)    OVER g AS n,
+               sum(xm)     OVER g AS sx,
+               sum(xm*xm)  OVER g AS sxx
+        FROM m
+        WINDOW g AS (PARTITION BY user_id, event_type)
+    ),
+    f AS (
+        SELECT user_id, event_type, xm, n,
+               CAST(sx AS DOUBLE)  AS sxd,
+               CAST(n AS DOUBLE)   AS nd,
+               sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS std_m,
+               CAST(n * xm - sx AS DOUBLE) AS dev_m
+        FROM w
+    )
+    SELECT user_id, event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN abs(dev_m) > 3.0 * nd * std_m
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           min(sxd) / min(nd) / 1000.0 AS mean_value,
+           min(std_m) / 1000.0         AS std_value
+    FROM f
+    GROUP BY user_id, event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event-type) z-score anomaly profile: how many events
+    sit more than 3 sample standard deviations from their group mean —
+    the distribution-shift / sensor-glitch screen a training pipeline
+    runs per ingest batch before the data is trusted.
+
+    One window pass (group-keyed shuffle) attaches the sufficient
+    statistics (n, Σx, Σx²) to every row, the outlier test is a per-row
+    comparison, and the final aggregate reuses the SAME partitioning
+    keys so Catalyst plans no second exchange.  At 100 TB the window
+    state per group is three longs — never a sort of the group's rows
+    beyond the one the shuffle already pays.
+
+    Engine exactness: values snap to exact milli-int64, the statistics
+    are EXACT integer sums, and mean/std/threshold are the identical
+    IEEE expression tree on both engines — so the >3σ cut line cannot
+    drift between Spark and the oracle (a rounded-z output column
+    would; a comparison against bit-identical doubles does not)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("xm"),
+    )
+    g = Window.partitionBy("user_id", "event_type")
+    w = e.select(
+        "user_id",
+        "event_type",
+        "xm",
+        F.count(F.lit(1)).over(g).alias("n"),
+        F.sum("xm").over(g).alias("sx"),
+        F.sum(F.col("xm") * F.col("xm")).over(g).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    std_m = F.sqrt(
+        (nd * F.col("sxx").cast("double") - sxd * sxd)
+        / (nd * (F.col("n") - 1).cast("double"))
+    )
+    f = w.select(
+        "user_id",
+        "event_type",
+        "n",
+        sxd.alias("sxd"),
+        nd.alias("nd"),
+        std_m.alias("std_m"),
+        (F.col("n") * F.col("xm") - F.col("sx")).cast("double").alias("dev_m"),
+    )
+    return f.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.abs(F.col("dev_m")) > 3.0 * F.col("nd") * F.col("std_m"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        (F.min("sxd") / F.min("nd") / F.lit(1000.0)).alias("mean_value"),
+        (F.min("std_m") / F.lit(1000.0)).alias("std_value"),
     )
 
 

@@ -100,6 +100,13 @@ _CHECK_WINDOW_HEAD = [
     "q20_excess_stock_suppliers",
     "events_variant_stats",
     "dq_constraint_suite",
+    # new this round (r4): per-doc TF-IDF ranking, the exact-int
+    # correlation audit, the z-score anomaly screen, and the skew
+    # profiler (r3-registered but never yet inside the driver window)
+    "text_tfidf_topk",
+    "lineitem_feature_corr",
+    "events_anomaly_zscore",
+    "events_key_skew_profile",
     # output type changed in r3 (DECIMAL -> exact-int doubles);
     # decimal_revenue's new output went driver-green in r03 already,
     # so only the never-rechecked q6 stays in the head
@@ -127,7 +134,6 @@ _CHECK_WINDOW_HEAD = [
     "mahjong_han_fu_table",
     "events_hourly_incremental",
     "text_zipf_spectrum",
-    "events_rolling_wau",
     "mahjong_placement_stats",
     "mahjong_machi_distribution",
     "cdc_customer_upsert",
@@ -147,13 +153,6 @@ _CHECK_WINDOW_HEAD = [
     "events_hourly_gapfill",
     "q11_supplier_value_share",
     "multimodal_audio_stats",
-    # fell outside r3's 50-entry window; events-reading ones stay in
-    # head for the NTZ re-check, the orders/customer-plane ones were
-    # r1+r2 green, are untouched, and their families keep in-window
-    # witnesses (q8-q21 joins/top-k, grouping_sets/unpivot) — rotated
-    # to tail this round
-    "events_top3_per_user",
-    "events_user_type_pivot",
 ]
 
 _CHECK_WINDOW_TAIL = [
@@ -161,6 +160,22 @@ _CHECK_WINDOW_TAIL = [
     # rotated out of the head to make room for the two new TPC-H rows
     "events_sessionized",
     "decimal_revenue",
+    # rotated out for the four r4 head additions: top3/pivot were
+    # r1+r2 driver-green and untouched (window family witnessed by
+    # moving_avg/trailing_hour; pivot shape by unpivot/grouping_sets);
+    # gapfill's date_trunc rollup path keeps events_hourly_incremental
+    # as its in-window witness and the calendar-sequence logic is
+    # pytest-green every session
+    "events_top3_per_user",
+    "events_user_type_pivot",
+    "events_hourly_gapfill",
+    # never driver-checked, but the sliding-window-over-time family
+    # keeps trailing_hour + moving_avg in-window and the rolling-WAU
+    # arithmetic is oracle-parity-pytest-green every session
+    "events_rolling_wau",
+    # rows-only by design (eigendecomposition not SQL-expressible);
+    # spectrum pinned against exact single-node numpy PCA in pytest
+    "embedding_pca",
     # r1+r2 driver-green, untouched; rotated out for the r4 VARIANT +
     # DQ rows — percentile family keeps events_exact_quantiles
     # in-window, and the JSON-extraction path now has a STRONGER

@@ -410,3 +410,35 @@ def test_semantic_dedup_precision_and_recall(spark, sf_dir):
     merged = sum(1 for p in exact_pairs if p in merged_pairs)
     recall = merged / len(exact_pairs)
     assert recall >= 0.5, f"semantic dedup recall too low: {recall}"
+
+
+def test_embedding_pca_matches_exact_numpy(spark, sf_dir):
+    """The distributed scatter-matrix PCA must reproduce the exact
+    single-node spectrum: same eigenvalues (to float tolerance — the
+    distributed partial sums reorder additions), monotone cum_evr, and
+    the trace identity sum(evr) over ALL dims = 1 (checked on the
+    top-k prefix as cum_evr[-1] <= 1 and equals sum of its evr)."""
+    import numpy as np
+
+    from mahjong_etl_spark.operators.similarity import (
+        PCA_TOPK,
+        embedding_pca,
+    )
+
+    rows = embedding_pca(spark, sf_dir).orderBy("component").collect()
+    assert len(rows) == PCA_TOPK
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    mat = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in emb])
+    cov = np.cov(mat, rowvar=False, bias=True)  # population, as the op
+    exact = np.linalg.eigvalsh(cov)[::-1]
+    total = exact.sum()
+
+    got = np.asarray([r.eigenvalue for r in rows])
+    np.testing.assert_allclose(got, exact[:PCA_TOPK], rtol=1e-6, atol=1e-9)
+
+    evr = np.asarray([r.evr for r in rows])
+    cum = np.asarray([r.cum_evr for r in rows])
+    np.testing.assert_allclose(evr, exact[:PCA_TOPK] / total, rtol=1e-6, atol=1e-9)
+    assert np.all(np.diff(cum) >= -1e-12) and cum[-1] <= 1 + 1e-9
+    np.testing.assert_allclose(cum[-1], evr.sum(), rtol=1e-6, atol=1e-9)

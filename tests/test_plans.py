@@ -243,6 +243,8 @@ _ALLOWED_NESTED_LOOP = {
     # scalar broadcast (1-row corpus-total side), same shape as q22
     "text_perplexity_proxy",
     "q11_supplier_value_share",
+    # 1-row corpus-count side feeding idf = ln(N/df)
+    "text_tfidf_topk",
     # 1-row aggregate crossed back onto a bounded profile/sketch table
     "events_key_skew_profile",
     "events_distinct_sketch_merge",

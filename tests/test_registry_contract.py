@@ -31,6 +31,8 @@ ROWS_ONLY_BY_DESIGN = {
     "agreement vs the float IVF path pinned in pytest",
     "dedup_semantic": "k-means clustering is not SQL-expressible; perfect "
     "precision + recall>=0.5 vs the exact cosine baseline pinned in pytest",
+    "embedding_pca": "eigendecomposition is not SQL-expressible; spectrum "
+    "pinned against exact single-node numpy PCA in pytest",
 }
 
 
