@@ -756,3 +756,79 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, evr double, cum_evr double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal retrieval: filtered vector search joined to doc metadata
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_semantic_search",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE {N_QUERIES_PRED}
+    ),
+    en AS (
+        SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'
+    ),
+    scored AS (
+        SELECT q_id, e.vec_id AS doc_id,
+               round(list_cosine_similarity(qe, e.embedding::DOUBLE[]), 6)
+                   AS cosine
+        FROM q
+        JOIN embeddings e ON e.vec_id != q_id
+        JOIN en ON en.doc_id = e.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, doc_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, doc_id) AS rnk
+        FROM scored
+    )
+    SELECT r.q_id, r.doc_id, en.source, en.n_chars, r.cosine, r.rnk
+    FROM ranked r JOIN en USING (doc_id)
+    WHERE rnk <= 3
+    """,
+)
+def similarity_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-pipeline shape: top-3 semantically-similar ENGLISH
+    documents per query vector, with the matched documents' metadata
+    joined on — the filtered-ANN + metadata-hydration step of a RAG /
+    corpus-exploration stack, exercising the documents ⋈ embeddings
+    cross-modal key.
+
+    Pre-filter-then-search (not search-then-filter): the language
+    predicate prunes the corpus BEFORE scoring, so recall within the
+    filtered set is exact — the known correctness trap of filtering
+    an ANN result list after top-k is sidestepped, and the lang filter
+    is pushed down to the documents parquet scan.  The filter is a
+    key-list semi-join against the vector table; scoring and ranking
+    then reuse the brute-force top-k operator (broadcast query side,
+    JVM-side cosine) — at 100 TB the same pre-filtered corpus feeds
+    ann_ivf_topk instead, identical plan shape around a cheaper
+    scorer.  Metadata hydration joins the ranked id list (|queries|·k
+    rows) back to documents — always the cheap side."""
+    e = corpus_embeddings(spark, sf_dir)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select("doc_id", "source", "n_chars")
+    )
+    corpus = e.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+    topk = cosine_topk(e.where(N_QUERIES_PRED), corpus, 3)
+    return (
+        topk.withColumnRenamed("neighbor_id", "doc_id")
+        .join(docs, "doc_id")
+        .select(
+            "q_id",
+            "doc_id",
+            "source",
+            "n_chars",
+            "cosine",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -107,6 +107,7 @@ _CHECK_WINDOW_HEAD = [
     "lineitem_feature_corr",
     "events_anomaly_zscore",
     "events_key_skew_profile",
+    "similarity_semantic_search",
     # output type changed in r3 (DECIMAL -> exact-int doubles);
     # decimal_revenue's new output went driver-green in r03 already,
     # so only the never-rechecked q6 stays in the head
@@ -141,7 +142,6 @@ _CHECK_WINDOW_HEAD = [
     "lineitem_unpivot_metrics",
     "orders_grouping_sets",
     # r3-new, never driver-checked
-    "tpch_scalar_revenues",
     "events_retention",
     "corpus_mixture",
     "text_c4_filters",
@@ -173,6 +173,10 @@ _CHECK_WINDOW_TAIL = [
     # keeps trailing_hour + moving_avg in-window and the rolling-WAU
     # arithmetic is oracle-parity-pytest-green every session
     "events_rolling_wau",
+    # never driver-checked, rotated for the cross-modal retrieval row:
+    # the scalar-subquery family keeps q6/q11/q14 in-window and the
+    # exact-int revenue arithmetic is oracle-parity-pytest-green
+    "tpch_scalar_revenues",
     # rows-only by design (eigendecomposition not SQL-expressible);
     # spectrum pinned against exact single-node numpy PCA in pytest
     "embedding_pca",

@@ -238,6 +238,9 @@ def test_funnel_pushes_type_filter_and_broadcasts_stages(reg, spark, sf_dir):
 # broadcast row), or the documented O(n²) oracle-baseline operator.
 _ALLOWED_NESTED_LOOP = {
     "similarity_topk_bruteforce",
+    # reuses the brute-force scorer over a pre-filtered corpus (the
+    # documented correctness baseline; ann_ivf_topk is the scale path)
+    "similarity_semantic_search",
     "q22_global_sales_opportunity",
     "dedup_embedding_cosine",
     # scalar broadcast (1-row corpus-total side), same shape as q22
