@@ -9,6 +9,10 @@ table, ordered by cost/accuracy trade-off:
 4. MinHash + LSH banding                      -> dedup_minhash_lsh
 5. SimHash + chunk blocking                   -> dedup_simhash
 
+plus the embedding-space pair (exact baseline ``dedup_embedding_cosine``
+and its SemDeDup scale path ``dedup_semantic``) and the consensus view
+``dedup_ensemble`` (all five strategies with provenance).
+
 Scale notes (the 100 TB story):
 - Nothing here does a cross join.  Pairwise strategies generate
   candidates through an equi-join (shared shingle / LSH band / simhash
@@ -766,5 +770,108 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("int")
             .alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ensemble dedup: consensus across all five strategies
+# ---------------------------------------------------------------------------
+
+
+def _ensemble_oracle() -> str:
+    """Compose the ensemble oracle from the member strategies' own
+    registered oracles (SQL for exact/jaccard/embedding, committed
+    goldens for the hash-based minhash/simhash — see their entries)."""
+    from ..plans.registry import _REGISTRY
+
+    jac = _REGISTRY["dedup_ngram_jaccard"].oracle
+    mh = _REGISTRY["dedup_minhash_lsh"].oracle
+    sh = _REGISTRY["dedup_simhash"].oracle
+    emb = _REGISTRY["dedup_embedding_cosine"].oracle
+    return f"""
+    WITH ex AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM documents a JOIN documents b
+          ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)
+    ),
+    allp AS (
+        SELECT doc_a, doc_b, 'exact' AS src FROM ex
+        UNION ALL SELECT doc_a, doc_b, 'jaccard'   FROM ({jac}) j
+        UNION ALL SELECT doc_a, doc_b, 'minhash'   FROM ({mh}) m
+        UNION ALL SELECT doc_a, doc_b, 'simhash'   FROM ({sh}) s
+        UNION ALL SELECT vec_a, vec_b, 'embedding' FROM ({emb}) e
+    )
+    SELECT doc_a, doc_b,
+           count(*) AS n_strategies,
+           string_agg(src, ',' ORDER BY src) AS strategies
+    FROM allp GROUP BY doc_a, doc_b
+    """
+
+
+@query("dedup_ensemble", oracle=_ensemble_oracle(), bench=False)
+def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus duplicate-pair table: every candidate pair flagged by
+    ANY of the five dedup strategies (exact text hash, n-gram Jaccard,
+    MinHash-LSH, SimHash, embedding cosine), with provenance — how
+    many and which strategies agree.  The curation pattern behind
+    production corpus cleaning: high-confidence removal where
+    strategies agree, human/LLM review queues where exactly one fires.
+
+    Plan: each member relation is the SAME operator the standalone
+    query runs (Jaccard pairs and shingle sets come from the session
+    caches), unioned with a constant provenance tag and grouped by
+    pair — the ensemble itself adds one pair-keyed shuffle over the
+    union of the (sparse) pair lists, which is orders of magnitude
+    smaller than any signature pass.  bench=False because every member
+    is individually benched; timing the union would double-count them.
+    The embedding member uses the exact-cosine baseline for oracle
+    exactness — at 100 TB the composition swaps in dedup_semantic's
+    cell-bounded edge relation, identical shape.
+
+    Driver-hash semantics: the oracle composes the members' own
+    oracles (SQL where expressible, committed goldens for the two
+    hash-signature strategies), so a drift in ANY member's pair list
+    or in the consensus arithmetic flips the hash."""
+    d = load_spread(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.md5("text").alias("h"))
+    ex = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit("exact").alias("src"),
+        )
+    )
+
+    def tag(pairs: DataFrame, src: str) -> DataFrame:
+        return pairs.select("doc_a", "doc_b", F.lit(src).alias("src"))
+
+    jac = tag(corpus_jaccard_pairs(spark, sf_dir), "jaccard")
+    mh = tag(
+        minhash_lsh_pairs(d, sh=corpus_shingle_sets(spark, sf_dir)), "minhash"
+    )
+    sh = tag(simhash_pairs(d), "simhash")
+    emb = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit("embedding").alias("src"),
+    )
+    return (
+        ex.unionByName(jac)
+        .unionByName(mh)
+        .unionByName(sh)
+        .unionByName(emb)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_strategies"),
+            F.concat_ws(",", F.array_sort(F.collect_list("src"))).alias(
+                "strategies"
+            ),
         )
     )

@@ -132,7 +132,8 @@ _CHECK_WINDOW_HEAD = [
     "dedup_incremental",
     "events_trailing_hour",
     "mahjong_dealer_advantage",
-    "mahjong_han_fu_table",
+    # consensus row composed from five member oracles — new this round
+    "dedup_ensemble",
     "events_hourly_incremental",
     "text_zipf_spectrum",
     "mahjong_placement_stats",
@@ -177,6 +178,11 @@ _CHECK_WINDOW_TAIL = [
     # the scalar-subquery family keeps q6/q11/q14 in-window and the
     # exact-int revenue arithmetic is oracle-parity-pytest-green
     "tpch_scalar_revenues",
+    # never driver-checked, rotated for the ensemble consensus row:
+    # the written-agaris read path keeps dealer_advantage + placement
+    # + machi + paiyama in-window, and the han/fu arithmetic is
+    # oracle-parity-pytest-green every session
+    "mahjong_han_fu_table",
     # rows-only by design (eigendecomposition not SQL-expressible);
     # spectrum pinned against exact single-node numpy PCA in pytest
     "embedding_pca",
