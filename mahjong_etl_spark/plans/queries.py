@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load
+from ..streaming.anomaly_stream import MIN_PREV, Z_K
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -1372,6 +1373,104 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         (F.min("sxd") / F.min("nd") / F.lit(1000.0)).alias("mean_value"),
         (F.min("std_m") / F.lit(1000.0)).alias("std_value"),
+    )
+
+
+@query(
+    "events_anomaly_prequential",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_id, user_id, event_type, ts,
+               CAST(round(value * 1000) AS BIGINT) AS xm
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, event_type, xm,
+               count(*)   OVER p AS np,
+               sum(xm)    OVER p AS sx,
+               sum(xm*xm) OVER p AS sxx
+        FROM m
+        WINDOW p AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    f AS (
+        SELECT event_id, user_id, event_type, xm, np,
+               CAST(np AS DOUBLE) AS npd,
+               CAST(np * xm - sx AS DOUBLE) AS dev,
+               sqrt((CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / (CAST(np AS DOUBLE) * CAST(np - 1 AS DOUBLE))) AS std_m
+        FROM w
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(xm AS DOUBLE) / 1000.0 AS value,
+           dev / (npd * std_m)         AS z
+    FROM f
+    WHERE np >= {MIN_PREV} AND abs(dev) > {Z_K} * npd * std_m
+    """,
+)
+def events_anomaly_prequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prequential (test-then-update) z-score anomaly detection: each
+    event is tested against the statistics of the events STRICTLY
+    BEFORE it in its (user, event-type) group — the only causally valid
+    online formulation, and the batch oracle for the streaming operator
+    ``streaming/anomaly_stream.py`` (one AvailableNow drain reproduces
+    this query bit-for-bit; pinned in tests/test_streaming.py).
+
+    Same single-window-shuffle plan and exact-milli-int discipline as
+    ``events_anomaly_zscore``; the frame is UNBOUNDED PRECEDING..1
+    PRECEDING instead of the whole partition, so the running (n, Σx,
+    Σx²) triple IS the streaming state and the 3σ cut compares the
+    identical IEEE doubles both here and in the state function."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 1000).cast("long").alias("xm"),
+    )
+    p = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "xm",
+        F.count(F.lit(1)).over(p).alias("np"),
+        F.sum("xm").over(p).alias("sx"),
+        F.sum(F.col("xm") * F.col("xm")).over(p).alias("sxx"),
+    )
+    npd = F.col("np").cast("double")
+    dev = (F.col("np") * F.col("xm") - F.col("sx")).cast("double")
+    std_m = F.sqrt(
+        (npd * F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / (npd * (F.col("np") - 1).cast("double"))
+    )
+    f = w.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "xm",
+        "np",
+        npd.alias("npd"),
+        dev.alias("dev"),
+        std_m.alias("std_m"),
+    )
+    return f.where(
+        (F.col("np") >= MIN_PREV)
+        & (F.abs(F.col("dev")) > F.lit(Z_K) * F.col("npd") * F.col("std_m"))
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("xm").cast("double") / F.lit(1000.0)).alias("value"),
+        (F.col("dev") / (F.col("npd") * F.col("std_m"))).alias("z"),
     )
 
 

@@ -178,6 +178,12 @@ _CHECK_WINDOW_TAIL = [
     # the scalar-subquery family keeps q6/q11/q14 in-window and the
     # exact-int revenue arithmetic is oracle-parity-pytest-green
     "tpch_scalar_revenues",
+    # new this round but deliberately tailed: the anomaly family's
+    # in-window witness is events_anomaly_zscore (same exact-int 3σ
+    # discipline); the prequential ordering logic is pinned both by
+    # oracle parity in pytest and by the bit-for-bit streaming-equals-
+    # batch test in tests/test_streaming.py
+    "events_anomaly_prequential",
     # never driver-checked, rotated for the ensemble consensus row:
     # the written-agaris read path keeps dealer_advantage + placement
     # + machi + paiyama in-window, and the han/fu arithmetic is

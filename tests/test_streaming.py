@@ -268,3 +268,43 @@ def test_native_session_window_stream_equals_batch(spark, sf_dir):
     }
     assert got == expected
     assert got, "session output must not be empty"
+
+
+def test_streaming_anomaly_matches_batch_prequential(spark, sf_dir):
+    """One AvailableNow drain of the stateful anomaly screen must
+    reproduce the batch prequential query BIT-FOR-BIT: same flagged
+    event ids, same z values (both sides derive the 3-sigma test from
+    exact integer sufficient statistics through the identical IEEE
+    expression tree — the single events.parquet file arrives as one
+    micro-batch, so the within-group event-time order matches)."""
+    import uuid as _uuid
+
+    from mahjong_etl_spark.streaming.anomaly_stream import anomaly_stream
+
+    table = f"anom_{_uuid.uuid4().hex[:8]}"
+    q = (
+        anomaly_stream(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.event_id: (r.user_id, r.event_type, r.value, r.z)
+        for r in spark.table(table).collect()
+    }
+    batch = {
+        r.event_id: (r.user_id, r.event_type, r.value, r.z)
+        for r in registry()["events_anomaly_prequential"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(streamed) == set(batch)
+    assert len(batch) > 0
+    for eid, (u, t, v, z) in batch.items():
+        su, st_, sv, sz = streamed[eid]
+        assert (su, st_) == (u, t)
+        assert sv == v
+        assert abs(sz - z) < 1e-12
