@@ -1475,6 +1475,118 @@ def events_anomaly_prequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_copurchase_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support
+    FROM pairs
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def lineitem_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise frequent-itemset mining (market-basket support): the
+    top-20 part pairs that co-occur in the most orders — the first
+    a-priori pass of any co-occurrence/recommendation pipeline.
+
+    Plan: distinct (order, part) first — duplicate line items must not
+    inflate support — then the pair enumeration is a SELF-EQUI-JOIN on
+    the order key, never a cross join: cost is Σ items_per_order²,
+    bounded by the basket size (TPC-H ~4-7 lines/order), linear in
+    orders.  Support counting shuffles on the pair key with map-side
+    partials; top-20 is TakeOrderedAndProject (per-partition heads,
+    driver merge — no global sort).  A pathological mega-basket is the
+    hot-key risk; the cap discipline of the dedup plane (enumerate
+    first K, link the rest) applies unchanged if baskets are unbounded."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, next_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1
+    )
+    SELECT c.event_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS p
+    FROM c JOIN t ON c.event_type = t.event_type
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: for each (type → next type) edge, its count and the
+    row-normalized transition probability — the sequence-statistics
+    input to session modeling, funnel discovery, and bot detection.
+
+    One user-keyed window shuffle produces the lagged pairs; both
+    aggregates then run over the |types|² edge table (tiny, broadcast-
+    joinable for the normalization).  Exactness: n and row_total are
+    exact longs, and p is ONE double division of identical integers on
+    both engines — no float summation anywhere."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    c = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("event_type").agg(F.sum("n").alias("row_total"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("row_total").cast("double")).alias(
+            "p"
+        ),
+    )
+
+
+@query(
     "events_user_type_pivot",
     oracle="""
     SELECT user_id,

@@ -178,6 +178,14 @@ _CHECK_WINDOW_TAIL = [
     # the scalar-subquery family keeps q6/q11/q14 in-window and the
     # exact-int revenue arithmetic is oracle-parity-pytest-green
     "tpch_scalar_revenues",
+    # new this round but deliberately tailed — the 50-slot window is
+    # already spent on never-checked unique families; both are oracle-
+    # parity-pytest-green every session.  Co-purchase's self-equi-join
+    # + top-k shape is witnessed in-window by q16/q18; the transition
+    # matrix's lead-window + broadcast-normalize shape by moving_avg +
+    # q11's broadcast scalar
+    "lineitem_copurchase_pairs",
+    "events_type_transitions",
     # new this round but deliberately tailed: the anomaly family's
     # in-window witness is events_anomaly_zscore (same exact-int 3σ
     # discipline); the prequential ordering logic is pinned both by
