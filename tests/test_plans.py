@@ -497,3 +497,51 @@ def test_incremental_rollup_partial_aggregates(reg, spark, sf_dir):
     plan = plan_of(_run(reg, "events_hourly_incremental", spark, sf_dir))
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_anomaly_zscore_single_exchange(reg, spark, sf_dir):
+    """Window and final aggregate share the (user_id, event_type)
+    partitioning: Catalyst must plan exactly one hash exchange."""
+    plan = plan_of(_run(reg, "events_anomaly_zscore", spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_anomaly_prequential_single_exchange(reg, spark, sf_dir):
+    """The prequential frame is computed in the same one window pass."""
+    plan = plan_of(_run(reg, "events_anomaly_prequential", spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_feature_corr_one_scan_one_tiny_exchange(reg, spark, sf_dir):
+    """All ten sufficient statistics must come from ONE lineitem scan
+    with map-side partial aggregation; the only exchange is the
+    single-row final-aggregate gather."""
+    plan = plan_of(_run(reg, "lineitem_feature_corr", spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_no_global_sort_and_single_token_pass(reg, spark, sf_dir):
+    """Ranking is a doc-partitioned window (no rangepartitioning /
+    global sort), and the exploded token stream feeds BOTH tf and df
+    from one generator."""
+    plan = plan_of(_run(reg, "text_tfidf_topk", spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_copurchase_no_cartesian_topk_via_take_ordered(reg, spark, sf_dir):
+    """Basket pairs come from the order-key equi-join (never a cross
+    join) and the top-20 is per-partition heads + driver merge."""
+    plan = plan_of(_run(reg, "lineitem_copurchase_pairs", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_type_transitions_broadcast_normalizer(reg, spark, sf_dir):
+    """The |types|-row normalization side must broadcast, not shuffle
+    the edge table a second time."""
+    plan = plan_of(_run(reg, "events_type_transitions", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
