@@ -442,3 +442,60 @@ def test_embedding_pca_matches_exact_numpy(spark, sf_dir):
     np.testing.assert_allclose(evr, exact[:PCA_TOPK] / total, rtol=1e-6, atol=1e-9)
     assert np.all(np.diff(cum) >= -1e-12) and cum[-1] <= 1 + 1e-9
     np.testing.assert_allclose(cum[-1], evr.sum(), rtol=1e-6, atol=1e-9)
+
+
+def test_ensemble_members_match_standalone_strategies(spark, sf_dir):
+    """Every pair the ensemble attributes to a strategy must be exactly
+    that standalone strategy's pair list (and vice versa) — the
+    provenance column is a claim about the members, so pin it against
+    them directly."""
+    from mahjong_etl_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_ensemble,
+        dedup_ngram_jaccard,
+        dedup_minhash_lsh,
+        dedup_simhash,
+    )
+
+    rows = dedup_ensemble(spark, sf_dir).collect()
+    by_src: dict[str, set] = {}
+    for r in rows:
+        assert r.n_strategies == len(r.strategies.split(","))
+        for s in r.strategies.split(","):
+            by_src.setdefault(s, set()).add((r.doc_a, r.doc_b))
+
+    want = {
+        "jaccard": {
+            (r.doc_a, r.doc_b)
+            for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+        },
+        "minhash": {
+            (r.doc_a, r.doc_b)
+            for r in dedup_minhash_lsh(spark, sf_dir).collect()
+        },
+        "simhash": {
+            (r.doc_a, r.doc_b) for r in dedup_simhash(spark, sf_dir).collect()
+        },
+        "embedding": {
+            (r.vec_a, r.vec_b)
+            for r in dedup_embedding_cosine(spark, sf_dir).collect()
+        },
+    }
+    # exact member: derive the md5-identical pair set independently
+    # (the synthetic corpora plant NEAR-dups, so this is usually empty
+    # — the pin is set equality, not non-emptiness)
+    import hashlib
+    from collections import defaultdict
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    groups = defaultdict(list)
+    for r in docs:
+        groups[hashlib.md5(r.text.encode()).hexdigest()].append(r.doc_id)
+    want["exact"] = {
+        (a, b)
+        for ids in groups.values()
+        for i, a in enumerate(sorted(ids))
+        for b in sorted(ids)[i + 1 :]
+    }
+    for src, pairs in want.items():
+        assert by_src.get(src, set()) == pairs, f"{src} provenance mismatch"
