@@ -832,3 +832,61 @@ def similarity_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Topic-cluster corpus profile (cluster-level exploration)
+# ---------------------------------------------------------------------------
+
+
+@query("corpus_topic_clusters", oracle=None, bench=True)
+def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster corpus profile over the k-means cells of the
+    embedding space: document count, exact mean document length, and
+    the dominant source — the "what is in each semantic neighborhood"
+    exploration pass that guides mixture weighting and targeted
+    filtering before training.
+
+    Reuses the session-cached coarse quantizer (one Lloyd training
+    serves IVF/int8/semantic-dedup/this), assigns documents via the
+    same one-matmul-per-batch pass, joins the documents table on the
+    cross-modal doc_id = vec_id key, and aggregates per cell: one
+    cluster-keyed shuffle of (cluster, source, n_chars) triples.  The
+    dominant source is a (count DESC, source ASC) row_number over the
+    |clusters|×|sources| aggregate — a relation bounded by k·sources,
+    not by corpus size.  Rows-only driver check (k-means is not
+    SQL-expressible); cluster-count conservation and determinism are
+    pytest-pinned."""
+    from pyspark.sql.window import Window
+
+    e = corpus_embeddings(spark, sf_dir)
+    cents = corpus_centroids(spark, sf_dir, IVF_CLUSTERS, IVF_LLOYD_ITERS)
+    assigned = _assign_clusters(e, cents)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source", "n_chars"
+    )
+    j = assigned.join(docs, "vec_id")
+    per_cluster = j.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_chars"),
+    )
+    src_counts = j.groupBy("cluster", "source").agg(
+        F.count(F.lit(1)).alias("n_src")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_src"), F.asc("source")
+    )
+    top_src = (
+        src_counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("cluster", F.col("source").alias("top_source"), "n_src")
+    )
+    return per_cluster.join(top_src, "cluster").select(
+        "cluster",
+        "n_docs",
+        "mean_chars",
+        "top_source",
+        F.col("n_src").cast("long").alias("top_source_docs"),
+    )

@@ -200,6 +200,9 @@ _CHECK_WINDOW_TAIL = [
     # rows-only by design (eigendecomposition not SQL-expressible);
     # spectrum pinned against exact single-node numpy PCA in pytest
     "embedding_pca",
+    # rows-only by design (k-means cells); conservation + determinism
+    # pinned in pytest
+    "corpus_topic_clusters",
     # r1+r2 driver-green, untouched; rotated out for the r4 VARIANT +
     # DQ rows — percentile family keeps events_exact_quantiles
     # in-window, and the JSON-extraction path now has a STRONGER

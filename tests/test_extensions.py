@@ -499,3 +499,23 @@ def test_ensemble_members_match_standalone_strategies(spark, sf_dir):
     }
     for src, pairs in want.items():
         assert by_src.get(src, set()) == pairs, f"{src} provenance mismatch"
+
+
+def test_topic_clusters_conservation_and_determinism(spark, sf_dir):
+    """Cluster profile invariants: every document with an embedding is
+    counted exactly once (Σ n_docs = |docs ⋈ embeddings|), the dominant
+    source count never exceeds the cell count, and two runs agree
+    row-for-row (deterministic quantizer + deterministic tie-breaks)."""
+    from mahjong_etl_spark.operators.similarity import corpus_topic_clusters
+
+    a = {r.cluster: r for r in corpus_topic_clusters(spark, sf_dir).collect()}
+    b = {r.cluster: r for r in corpus_topic_clusters(spark, sf_dir).collect()}
+    assert a.keys() == b.keys() and all(a[k] == b[k] for k in a)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+    n = docs.join(emb, docs.doc_id == emb.vec_id).count()
+    assert sum(r.n_docs for r in a.values()) == n
+    for r in a.values():
+        assert 0 < r.top_source_docs <= r.n_docs
+        assert r.mean_chars > 0

@@ -33,6 +33,8 @@ ROWS_ONLY_BY_DESIGN = {
     "precision + recall>=0.5 vs the exact cosine baseline pinned in pytest",
     "embedding_pca": "eigendecomposition is not SQL-expressible; spectrum "
     "pinned against exact single-node numpy PCA in pytest",
+    "corpus_topic_clusters": "k-means cell assignment is not "
+    "SQL-expressible; count conservation + determinism pinned in pytest",
 }
 
 
