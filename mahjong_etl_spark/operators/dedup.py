@@ -270,6 +270,103 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_jaccard_pairs(spark, sf_dir)
 
 
+# Asymmetric near-dup: a short document quoted/subsumed inside a long
+# one has high CONTAINMENT but low Jaccard (the union is dominated by
+# the long side), so a Jaccard threshold misses it.
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {duckdb_shingles_sql(3)} AS shingles FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           round(common::DOUBLE / sa.n_sh, 6) AS contain_a,
+           round(common::DOUBLE / sb.n_sh, 6) AS contain_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common::DOUBLE / sa.n_sh >= {CONTAINMENT_THRESHOLD}
+       OR common::DOUBLE / sb.n_sh >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs: |A∩B|/|A| (and /|B|) over
+    word-3-gram shingles — the quote/subset detector.  A 200-word
+    passage copied verbatim into a 5000-word page has containment ≈ 1
+    from the passage's side but Jaccard ≈ 0.04; symmetric thresholds
+    (Jaccard, MinHash band collision) structurally miss it, which is
+    why corpus-dedup stacks run a containment pass beside them
+    (Broder's original distinction).
+
+    Same inverted-index plan as ``dedup_ngram_jaccard`` — and the same
+    postings pass, shared through the session shingle cache: one
+    explode, one shingle-keyed shuffle to enumerate co-occurrences, one
+    pair-keyed count, then two size joins.  Only the final predicate
+    differs (max of the two one-sided ratios vs the symmetric union
+    ratio).  Exactness: common and both sizes are exact ints; each
+    containment is ONE double division of identical integers on both
+    engines, rounded at 6dp for output after the (drift-free) cut."""
+    return containment_pairs(sh=corpus_shingle_sets(spark, sf_dir))
+
+
+def containment_pairs(
+    df: DataFrame | None = None,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, common, contain_a, contain_b) for pairs where
+    either one-sided shingle containment reaches ``threshold``."""
+    sh = shingle_sets(df) if sh is None else sh
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s0")).select(
+        "doc_id", F.xxhash64("s0").alias("s")
+    )
+    postings = ex.groupBy("s").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    # same hot-shingle guard as the Jaccard path (and the same
+    # test-scale equivalence: df cannot exceed the corpus size there,
+    # so the capped plan still matches the uncapped oracle)
+    postings = postings.where(F.size("ids") <= MAX_SHINGLE_DF)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        "  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+    )
+    common = (
+        postings.where(F.size("ids") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    ca = F.col("common").cast("double") / F.col("n_a")
+    cb = F.col("common").cast("double") / F.col("n_b")
+    t = F.lit(threshold)
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where((ca >= t) | (cb >= t))
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            F.round(ca, 6).alias("contain_a"),
+            F.round(cb, 6).alias("contain_b"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4: MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -186,6 +186,12 @@ _CHECK_WINDOW_TAIL = [
     # q11's broadcast scalar
     "lineitem_copurchase_pairs",
     "events_type_transitions",
+    # same postings machinery as dedup_ngram_jaccard (shared session
+    # shingle cache); the in-window dedup_ensemble row already pins the
+    # postings pass through the composed jaccard member, and the
+    # asymmetric-vs-symmetric contrast is pytest-pinned (planted
+    # subset test) plus oracle-parity-green every session
+    "dedup_containment",
     # new this round but deliberately tailed: the anomaly family's
     # in-window witness is events_anomaly_zscore (same exact-int 3σ
     # discipline); the prequential ordering logic is pinned both by

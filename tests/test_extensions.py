@@ -519,3 +519,30 @@ def test_topic_clusters_conservation_and_determinism(spark, sf_dir):
     for r in a.values():
         assert 0 < r.top_source_docs <= r.n_docs
         assert r.mean_chars > 0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short passage quoted inside a much longer page: containment
+    from the passage side ~1, Jaccard tiny.  The containment operator
+    must flag the pair; the Jaccard operator at its 0.5 threshold must
+    not — the asymmetric detector exists precisely for this case."""
+    from mahjong_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    passage = " ".join(f"tok{i}" for i in range(60))
+    page = passage + " " + " ".join(f"fill{i}" for i in range(600))
+    docs = spark.createDataFrame(
+        [(1, passage), (2, page), (3, "totally unrelated words only here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.contain_a, r.contain_b)
+        for r in containment_pairs(docs).collect()
+    }
+    assert set(got) == {(1, 2)}
+    c_a, c_b = got[(1, 2)]
+    assert c_a == 1.0 and c_b < 0.2
+    jac = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs).collect()}
+    assert (1, 2) not in jac
