@@ -1174,3 +1174,125 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("30_chunk_dedup", s3))
         .unionByName(stage("40_source_quota", s4))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PageRank (iterative) over the co-purchase part graph
+# ---------------------------------------------------------------------------
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 8
+PAGERANK_TOPK = 20
+
+
+def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
+             iters: int = PAGERANK_ITERS) -> DataFrame:
+    """(node, rank) after ``iters`` synchronous power-iteration rounds
+    over a weighted directed edge list (src, dst, w).
+
+    The iterative-relational shape shared with connected_components:
+    per round ONE join (ranks ⋈ normalized edges on src) and ONE
+    dst-keyed aggregate, with ``localCheckpoint`` truncating lineage so
+    Catalyst re-analysis cost stays O(1) per round instead of growing
+    with the unrolled loop.  The normalized edge table is checkpointed
+    once and reused every round — the only per-round state in motion is
+    the (node, rank) table, two values per node.  A fixed iteration
+    count keeps the loop deterministic and action-free (no per-round
+    convergence count()); 8 rounds contract the power iteration by
+    0.85⁸ ≈ 0.27 of the initial error, the usual ranking-stable point.
+
+    No dangling-node correction is applied: callers pass edge lists
+    where every node has out-edges (an undirected graph expanded to
+    both directions, as the co-purchase query below does).
+    """
+    spark = edges.sparkSession
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    norm = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("w_out")).alias("p"))
+        .localCheckpoint()
+    )
+    # the rank table is two values per node — at test scale per-round
+    # cost is task-launch latency, so keep it on few partitions; at
+    # cluster scale callers size this with spark.sql.shuffle.partitions
+    # (the joins repartition to the shuffle setting regardless)
+    nodes = (
+        norm.select(F.col("src").alias("node"))
+        .distinct()
+        .coalesce(8)
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            norm.join(ranks, norm.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+        )
+        nxt = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
+        ).coalesce(8).localCheckpoint()
+        ranks = nxt
+    return ranks
+
+
+@query("graph_pagerank", oracle=None, bench=False)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of parts in the co-purchase graph (edge
+    weight = number of orders containing both parts): which items sit
+    at the center of basket structure — the graph-analytics capability
+    beside connected components, and the canonical iterative workload
+    a distributed engine must run without driver-side loops over data.
+
+    Graph construction is the basket-bounded self-equi-join of
+    ``lineitem_copurchase_pairs`` (never a cross join), expanded to
+    both directions so every node has out-edges (no dangling mass).
+    Then ``pagerank`` runs its action-free synchronous rounds.  Output:
+    top-20 parts by rank.  Rows-only driver check (iterative float
+    fixpoint is not SQL-expressible); pytest pins the distributed
+    result against an exact single-node numpy power iteration of the
+    same graph and the Σrank = 1 invariant.  bench=False: wall time at
+    test scale is iterations × round latency (8 synchronous rounds), a
+    constant the headline set would mis-read as data cost — the
+    per-round plan (one join + one aggregate) is the thing that
+    scales, and it is the same shape the benched
+    dedup_connected_components already times.
+    """
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("x").alias("src"), F.col("y").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("y").alias("src"), F.col("x").alias("dst"), "w")
+    )
+    ranks = pagerank(edges)
+    return (
+        ranks.select(
+            F.col("node").alias("part"), F.round("rank", 9).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("part"))
+        .limit(PAGERANK_TOPK)
+    )

@@ -209,6 +209,9 @@ _CHECK_WINDOW_TAIL = [
     # rows-only by design (k-means cells); conservation + determinism
     # pinned in pytest
     "corpus_topic_clusters",
+    # rows-only by design (iterative float fixpoint); exact numpy
+    # power-iteration parity + Σrank=1 pinned in pytest
+    "graph_pagerank",
     # r1+r2 driver-green, untouched; rotated out for the r4 VARIANT +
     # DQ rows — percentile family keeps events_exact_quantiles
     # in-window, and the JSON-extraction path now has a STRONGER

@@ -244,3 +244,59 @@ def test_weighted_sample_topk_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_pagerank_matches_exact_power_iteration(spark, sf_dir):
+    """The distributed PageRank must reproduce the exact single-node
+    power iteration of the same graph (same damping, iterations,
+    normalization): per-node agreement to float tolerance and the
+    probability-mass invariant sum(rank) = 1."""
+    import numpy as np
+
+    from mahjong_etl_spark.operators.corpus import (
+        PAGERANK_DAMPING,
+        PAGERANK_ITERS,
+        pagerank,
+    )
+    from mahjong_etl_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.select(F.col("x").alias("src"), F.col("y").alias("dst"), "w").unionByName(
+        pairs.select(F.col("y").alias("src"), F.col("x").alias("dst"), "w")
+    )
+    got = {r.node: r.rank for r in pagerank(edges).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # exact reference on the collected graph
+    e = edges.collect()
+    nodes = sorted({r.src for r in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    out_w = {}
+    for r in e:
+        out_w[r.src] = out_w.get(r.src, 0) + r.w
+    for r in e:
+        M[idx[r.dst], idx[r.src]] += r.w / out_w[r.src]
+    rank = np.full(n, 1.0 / n)
+    d = PAGERANK_DAMPING
+    for _ in range(PAGERANK_ITERS):
+        rank = (1 - d) / n + d * (M @ rank)
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert abs(got[node] - rank[idx[node]]) < 1e-9, node
