@@ -323,6 +323,7 @@ def registry() -> dict[str, Query]:
         cdc,
         corpus,
         dedup,
+        er,
         multimodal,
         rangejoin,
         sessionize,

@@ -71,10 +71,12 @@ def test_no_unconditional_broadcast_hints_on_fact_sides():
     src = inspect.getsource(queries)
     hinted = re.findall(r"F\.broadcast\((\w+)", src)
     # "total"/"exact" are 1-row global-aggregate sides (q11,
-    # perplexity, sketch-merge)
+    # perplexity, sketch-merge); "t" is the per-event-type row totals
+    # in events_type_transitions — bounded by the event-type domain
+    # (~5 distinct values), not fact-scaled
     allowed = {
         "s", "n", "r", "n1", "n2", "ns", "nc", "p",
-        "avg_bal", "qa", "total", "exact",
+        "avg_bal", "qa", "total", "exact", "t",
     }
     assert set(hinted) <= allowed, f"unexpected broadcast hints: {set(hinted) - allowed}"
 
