@@ -245,6 +245,10 @@ _ALLOWED_NESTED_LOOP = {
     "similarity_semantic_search",
     "q22_global_sales_opportunity",
     "dedup_embedding_cosine",
+    # unions the five member strategies verbatim, so it inherits the
+    # embedding-cosine member's documented O(n²) oracle-baseline join;
+    # the ANN members are the declared scale path for that leg
+    "dedup_ensemble",
     # scalar broadcast (1-row corpus-total side), same shape as q22
     "text_perplexity_proxy",
     "q11_supplier_value_share",
