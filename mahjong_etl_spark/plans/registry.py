@@ -320,6 +320,7 @@ def registry() -> dict[str, Query]:
     from . import mahjong_queries, queries  # noqa: F401
     from ..operators import (  # noqa: F401
         asof,
+        bpe,
         cdc,
         corpus,
         dedup,
