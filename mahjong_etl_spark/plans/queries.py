@@ -3313,3 +3313,61 @@ def events_rolling_mau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("user_id").alias("mau_approx"))
         .select(F.date_format("anchor", "yyyy-MM-dd").alias("day"), "mau_approx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime Bloom-filter join pruning (functions/bloom.py)
+# ---------------------------------------------------------------------------
+
+BLOOM_PRICE_CUT = 450000.0
+
+
+@query(
+    "bloom_pruned_revenue",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_totalprice > {BLOOM_PRICE_CUT}
+    GROUP BY o_orderpriority
+    """,
+)
+def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective orders ⋈ lineitem with an EXPLICIT runtime Bloom
+    filter: the ~10% of high-value orders build a distributed bitmap
+    (functions/bloom.py), the lineitem scan is pruned MAP-SIDE by a
+    vectorized membership test, and the exact equi-join then runs on
+    the survivors — so the result is identical to the plain join (the
+    oracle IS the plain join; false positives die in the join, false
+    negatives are impossible).
+
+    100 TB story: the join's shuffle volume drops to the build side's
+    selectivity (~10% here) plus the Bloom fp rate, while the filter
+    itself is m/8 bytes broadcast once — the explicit, composable form
+    of Spark's injected runtime filters, usable where the optimizer
+    can't see the selectivity (e.g. the build side is a computed
+    DataFrame, not a filtered scan).  tests/test_bloom.py pins the
+    no-false-negative property, the fp bound, and the prune ratio.
+    """
+    from ..functions.bloom import bloom_build, bloom_prune
+
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > BLOOM_PRICE_CUT
+    )
+    bitmap = bloom_build(o, "o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("pc"),
+    )
+    pruned = bloom_prune(li, "l_orderkey", bitmap)
+    return (
+        pruned.join(o.select("o_orderkey", "o_orderpriority"),
+                    pruned.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("pc").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+    )

@@ -322,6 +322,7 @@ def registry() -> dict[str, Query]:
         asof,
         bpe,
         cdc,
+        classifier,
         corpus,
         dedup,
         er,

@@ -1,0 +1,89 @@
+"""Bloom-filter build/prune properties (functions/bloom.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mahjong_etl_spark.functions.bloom import (
+    _make_positions,
+    bloom_build,
+    bloom_prune,
+)
+from mahjong_etl_spark.sources.tables import load
+
+
+def test_no_false_negatives(spark):
+    keys = list(range(0, 5000, 3)) + [-7, 2**40 + 13]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    bm = bloom_build(df, "k")
+    kept = {r.k for r in bloom_prune(df, "k", bm).collect()}
+    assert kept == set(keys)
+
+
+def test_false_positive_rate_bounded(spark):
+    member = spark.createDataFrame([(k,) for k in range(10_000)], ["k"])
+    bm = bloom_build(member, "k")
+    probe = spark.range(1_000_000, 1_050_000).withColumnRenamed("id", "k")
+    fp = bloom_prune(probe, "k", bm).count()
+    # 1 MiB / k=7 at 10^4 keys: theoretical fp << 1%; allow slack
+    assert fp / 50_000 < 0.01
+
+
+def test_positions_deterministic_and_spread():
+    keys = np.arange(1000, dtype=np.int64)
+    pos = _make_positions(1 << 20, 7)
+    p1 = pos(keys)
+    p2 = pos(keys.copy())
+    assert (p1 == p2).all()
+    # double hashing must not collapse: distinct positions per key
+    assert (np.sort(p1, axis=1)[:, :-1] != np.sort(p1, axis=1)[:, 1:]).any()
+
+
+def test_pruned_join_equals_plain_join(spark, sf_dir):
+    from mahjong_etl_spark.plans.queries import (
+        BLOOM_PRICE_CUT,
+        bloom_pruned_revenue,
+    )
+
+    got = {
+        (r.o_orderpriority, r.n_items, r.revenue)
+        for r in bloom_pruned_revenue(spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > BLOOM_PRICE_CUT
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("pc"),
+    )
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("pc").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+    )
+    want = {(r.o_orderpriority, r.n_items, r.revenue) for r in plain.collect()}
+    assert got == want
+
+
+def test_prune_actually_prunes(spark, sf_dir):
+    # the pruned lineitem stream must be close to the true match count
+    # (selectivity ~10%), far below the full table
+    from mahjong_etl_spark.functions.bloom import bloom_build, bloom_prune
+    from mahjong_etl_spark.plans.queries import BLOOM_PRICE_CUT
+
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > BLOOM_PRICE_CUT
+    )
+    bm = bloom_build(o, "o_orderkey")
+    li = load(spark, sf_dir, "lineitem")
+    total = li.count()
+    pruned = bloom_prune(li, "l_orderkey", bm).count()
+    true = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").count()
+    assert true <= pruned  # no false negatives
+    assert pruned <= true + int(0.01 * total) + 10  # fp slack
+    assert pruned < total / 2
