@@ -1296,3 +1296,91 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("part"))
         .limit(PAGERANK_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+NEG_K = 4
+
+
+@query(
+    "corpus_negative_samples",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS cnt FROM documents),
+    raws AS (
+        SELECT d.doc_id, d.lang, j.neg_rank,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                   || CAST(j.neg_rank AS VARCHAR)), 1, 15)
+               )::BIGINT % (SELECT cnt FROM n) AS raw
+        FROM documents d,
+             (SELECT unnest(range({NEG_K})) AS neg_rank) j
+    ),
+    negs AS (
+        SELECT doc_id, lang, neg_rank,
+               CASE WHEN raw = doc_id
+                    THEN (raw + 1) % (SELECT cnt FROM n)
+                    ELSE raw END AS neg_doc_id
+        FROM raws
+    )
+    SELECT g.doc_id, g.neg_rank, g.neg_doc_id,
+           CAST(g.lang <> nd.lang AS INT) AS cross_lang
+    FROM negs g JOIN documents nd ON nd.doc_id = g.neg_doc_id
+    """,
+)
+def corpus_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: K uniform negatives
+    per anchor document via the md5 ring (hash of "doc_id:j" mod corpus
+    size, +1 skip on self-collision) — the pair generator a contrastive
+    embedding trainer feeds on.
+
+    The md5-keyed draw is the same engine-portable determinism as
+    deterministic_split: a doc's negatives never depend on
+    partitioning, row order, or engine, and the oracle replays the
+    identical arithmetic in SQL (hex-prefix→int is bit-equal across
+    engines, verified both ways).  One fanout (explode K) + one
+    equi-join to hydrate the negative's metadata; at 100 TB the join
+    shuffles on neg_doc_id like any FK hydration.  Doc ids are dense
+    [0, N) in this corpus; a sparse-id corpus inserts the standard
+    rank-table indirection (zipWithIndex equivalent: row_number over a
+    sort) before the ring."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    raw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_rank").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % F.lit(n)
+    anchors = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.lit(NEG_K - 1))).alias("neg_rank"),
+    ).withColumn("raw", raw)
+    negs = anchors.select(
+        "doc_id",
+        "lang",
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        F.when(F.col("raw") == F.col("doc_id"), (F.col("raw") + 1) % n)
+        .otherwise(F.col("raw"))
+        .alias("neg_doc_id"),
+    )
+    nd = docs.select(
+        F.col("doc_id").alias("neg_doc_id"), F.col("lang").alias("neg_lang")
+    )
+    return negs.join(nd, "neg_doc_id").select(
+        "doc_id",
+        "neg_rank",
+        "neg_doc_id",
+        (F.col("lang") != F.col("neg_lang")).cast("int").alias("cross_lang"),
+    )

@@ -3371,3 +3371,99 @@ def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("pc").cast("double") / F.lit(100.0)).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph: triangle counting over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+TRIANGLE_SUPPORT = 2
+TRIANGLE_TOPK = 10
+
+
+@query(
+    "graph_triangle_counts",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {TRIANGLE_SUPPORT}
+    ),
+    tri AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+        SELECT node, count(*) AS n_triangles
+        FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        GROUP BY node
+    )
+    SELECT node, n_triangles
+    FROM per_node
+    ORDER BY n_triangles DESC, node
+    LIMIT {TRIANGLE_TOPK}
+    """,
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the thresholded co-purchase
+    graph (edges = part pairs co-bought in >= {TRIANGLE_SUPPORT}
+    orders): top-{TRIANGLE_TOPK} parts by triangle participation — the
+    clustering-structure probe that complements pagerank (centrality)
+    and connected components (reachability) on the graph plane.
+
+    The classic a < b < c ordered-wedge formulation: each triangle is
+    enumerated exactly once by joining edge (a,b) to edge (b,c) (a
+    wedge) and closing it against edge (a,c).  All three hops are
+    EQUI-joins on node keys — never a cross join — so cost is
+    Σ deg(b)·deg(a) over edges, the standard distributed triangle
+    bound; at 100 TB the usual refinement (orient edges by degree so
+    wedges pivot on the lower-degree endpoint) drops it to
+    O(E^1.5), and the support threshold already prunes the hub edges
+    that dominate that bound.  Per-node counts are an explode +
+    groupBy; top-k is TakeOrderedAndProject."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= TRIANGLE_SUPPORT)
+        .select("a", "b")
+    )
+    e1 = edges.select(F.col("a").alias("a"), F.col("b").alias("b"))
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(TRIANGLE_TOPK)
+    )

@@ -1,0 +1,50 @@
+"""Round-4 additions: negative sampling + triangle counting semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mahjong_etl_spark.operators.corpus import NEG_K, corpus_negative_samples
+from mahjong_etl_spark.plans.queries import graph_triangle_counts
+from mahjong_etl_spark.sources.tables import load
+
+
+def test_negative_samples_shape_and_ring(spark, sf_dir):
+    docs_n = load(spark, sf_dir, "documents").count()
+    negs = corpus_negative_samples(spark, sf_dir)
+    rows = negs.collect()
+    # exactly K negatives per anchor, never self, always in-range
+    assert len(rows) == docs_n * NEG_K
+    assert all(r.neg_doc_id != r.doc_id for r in rows)
+    assert all(0 <= r.neg_doc_id < docs_n for r in rows)
+    per_anchor = (
+        negs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("k")).collect()
+    )
+    assert all(r.k == NEG_K for r in per_anchor)
+    # deterministic across runs and partitioning
+    again = {
+        (r.doc_id, r.neg_rank, r.neg_doc_id)
+        for r in corpus_negative_samples(spark, sf_dir).collect()
+    }
+    assert {(r.doc_id, r.neg_rank, r.neg_doc_id) for r in rows} == again
+
+
+def test_triangle_counts_planted(spark, monkeypatch):
+    # K4 on {1,2,3,4} (all 6 edges, each in 2 baskets to clear the
+    # support threshold) plus a pendant edge (4,5): every K4 node sits
+    # in C(3,2)=3 triangles; node 5 in none.
+    import mahjong_etl_spark.plans.queries as Q
+
+    baskets = []
+    oid = 0
+    for _ in range(2):  # support 2 per edge
+        for x in range(1, 5):
+            for y in range(x + 1, 5):
+                baskets += [(oid, x), (oid, y)]
+                oid += 1
+        baskets += [(oid, 4), (oid, 5)]
+        oid += 1
+    li = spark.createDataFrame(baskets, ["l_orderkey", "l_partkey"])
+    monkeypatch.setattr(Q, "load", lambda s, d, t: li)
+    got = {(r.node, r.n_triangles) for r in graph_triangle_counts(spark, "x").collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
