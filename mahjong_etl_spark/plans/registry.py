@@ -74,24 +74,27 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # tests/test_registry_contract.py pins that every oracle-bearing query
 # outside the tail sits within the first 50 positions.
 #
-# r4 rotation: the two r3-red rows (fixed via the no-DECIMAL/ARRAY-
-# output rule) and the output-type-changed queries lead; every query
-# NEW this round follows (TPC-H q8-q21 widening, cdc, the r4
-# LLM-pipeline operators: chunk dedup / entropy / perplexity / quota /
-# incremental dedup / int8 quantization / jsonl round-trip / trailing
-# hour / gapfill / incremental rollup / pipeline funnel / audio stats
-# / exact quantiles, and the new mahjong analytics); the NTZ-affected
-# heavy events queries keep in-window witnesses (sessionized, asof-
-# next, attribution was demoted last).  Rotated INTO the tail, each
-# with its reason inline: multi-round driver-green untouched probes
-# whose family keeps an in-window witness, plus the rows-only
-# approx/sampling probes (their rows-only driver check adds little
-# over the pytest recall/property pins).  The full local mirror
-# (tests/strict_sweep.py) still runs EVERY oracle-bearing query each
-# session, so tail rotation never loses local coverage.
+# r5 rotation (written at r4 end): the two rows red in CORRECTNESS_r03
+# stay first — r03's snapshot predates their late-r3 fixes (paiyama's
+# list-output fix landed hours after the checked snapshot), so neither
+# fix has ever seen the driver; this round's full from-/tmp driver
+# simulation runs both green.  The eight operators NEW in r4 follow
+# (entity resolution ×2, distributed BPE ×2, Bloom-pruned join,
+# deterministic classifier training, negative sampling, triangle
+# counting — none ever driver-checked).  To make room, seven TPC-H
+# widening probes rotate to the tail: never driver-checked, but
+# oracle-parity-pytest + strict-sweep green every session, and the
+# TPC-H plane keeps four in-window witnesses covering its distinct
+# plan shapes (q8 two-role join, q13 outer-join distribution, q19
+# disjunctive pushdown, q21 correlated NOT-EXISTS rewrite) plus
+# q2/q20.  events_hourly_gapfill was listed in BOTH head and tail in
+# r4 (the head copy silently held a window slot); it now lives only in
+# the tail, witnessed by events_hourly_incremental.  The full local
+# mirror (tests/strict_sweep.py) still runs EVERY oracle-bearing query
+# each session, so tail rotation never loses local coverage.
 
 _CHECK_WINDOW_HEAD = [
-    # r3-red, fixed late in r3 (strict-sweep green) — must re-check
+    # red in CORRECTNESS_r03 (pre-fix snapshot) — must re-check
     "events_moving_avg",
     "mahjong_paiyama_walls",
     # new this round (r4): the last two TPC-H plan shapes, the VARIANT
@@ -108,20 +111,20 @@ _CHECK_WINDOW_HEAD = [
     "events_anomaly_zscore",
     "events_key_skew_profile",
     "similarity_semantic_search",
-    # output type changed in r3 (DECIMAL -> exact-int doubles);
-    # decimal_revenue's new output went driver-green in r03 already,
-    # so only the never-rechecked q6 stays in the head
-    "q6_forecast_revenue",
-    # new this round (TPC-H widening)
+    # NEW in r4 — never driver-checked
+    "er_fuzzy_name_pairs",
+    "er_resolve_entities",
+    "text_bpe_vocab",
+    "text_bpe_doc_tokens",
+    "bloom_pruned_revenue",
+    "classifier_train_eval",
+    "corpus_negative_samples",
+    "graph_triangle_counts",
+    # TPC-H plane witnesses (distinct plan shapes; the other seven
+    # widening probes rotated to the tail this round)
     "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
     "q13_order_count_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
     "q19_disjunctive_predicates",
-    "q12_late_line_priority",
     "q21_waiting_suppliers",
     "text_unigram_entropy",
     "corpus_chunk_dedup",
@@ -151,12 +154,24 @@ _CHECK_WINDOW_HEAD = [
     # NTZ-affected (loader/timestamp_diff/watermark changes in r3)
     "events_exact_quantiles",
     "corpus_pipeline_funnel",
-    "events_hourly_gapfill",
     "q11_supplier_value_share",
     "multimodal_audio_stats",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    # rotated out at r4 end for the eight new-operator rows: never
+    # driver-checked but oracle-parity-pytest + strict-sweep green
+    # every session; the TPC-H plane keeps q2/q20/q8/q13/q19/q21
+    # in-window as witnesses for the same plan shapes (scalar
+    # subqueries: q6~q11/q14; profit rollup: q9~q8's multi-join;
+    # derived-relation reuse: q15~q21; distribution: q16~q13)
+    "q6_forecast_revenue",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q12_late_line_priority",
     # r03 driver-green on the post-NTZ corpus / post-DECIMAL output —
     # rotated out of the head to make room for the two new TPC-H rows
     "events_sessionized",
