@@ -341,6 +341,7 @@ def registry() -> dict[str, Query]:
         corpus,
         dedup,
         er,
+        governance,
         multimodal,
         rangejoin,
         sessionize,

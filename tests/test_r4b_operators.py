@@ -48,3 +48,25 @@ def test_triangle_counts_planted(spark, monkeypatch):
     monkeypatch.setattr(Q, "load", lambda s, d, t: li)
     got = {(r.node, r.n_triangles) for r in graph_triangle_counts(spark, "x").collect()}
     assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_forget_cascade_audit(spark, sf_dir):
+    from mahjong_etl_spark.operators.governance import (
+        forget_keys,
+        governance_forget_cascade,
+    )
+
+    rows = {r.tbl: r for r in governance_forget_cascade(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    # non-vacuous: the md5 bucket actually selects someone
+    assert rows["customer"].n_deleted > 0
+    # no orphans may survive the cascade, and the audit must have
+    # actually computed them (orders/lineitem legs are real joins)
+    assert all(r.n_orphans_after == 0 for r in rows.values())
+    # independent recomputation of the orders leg
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    dk = {r.c_custkey for r in forget_keys(cust).collect()}
+    n_del_orders = orders.where(F.col("o_custkey").isin(dk)).count()
+    assert rows["orders"].n_deleted == n_del_orders
+    assert rows["orders"].n_before == orders.count()

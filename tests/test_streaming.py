@@ -308,3 +308,35 @@ def test_streaming_anomaly_matches_batch_prequential(spark, sf_dir):
         assert (su, st_) == (u, t)
         assert sv == v
         assert abs(sz - z) < 1e-12
+
+
+def test_streaming_scorer_matches_batch_bitforbit(spark, sf_dir):
+    """Train-offline / score-online parity: the AvailableNow drain of
+    the streaming scorer must reproduce batch scoring exactly — the
+    logit is an exact int64 dot product, so equality is integer, not
+    approximate."""
+    from mahjong_etl_spark.operators.classifier import (
+        X_SCALE,
+        corpus_classifier,
+        quantized_weights,
+    )
+    from mahjong_etl_spark.sources.tables import load
+    from mahjong_etl_spark.streaming.scoring import (
+        run_scoring_available_now,
+        score_expr,
+    )
+
+    streamed = {
+        (r.vec_id, r.z_int, r.pred_pos)
+        for r in run_scoring_available_now(spark, sf_dir).collect()
+    }
+    w = quantized_weights(corpus_classifier(spark, sf_dir))
+    z = score_expr(w, X_SCALE)
+    batch = {
+        (r.vec_id, r.z_int, r.pred_pos)
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", z.alias("z_int"), (z > 0).cast("int").alias("pred_pos"))
+        .collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
