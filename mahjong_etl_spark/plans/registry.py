@@ -120,6 +120,7 @@ _CHECK_WINDOW_HEAD = [
     "classifier_train_eval",
     "corpus_negative_samples",
     "graph_triangle_counts",
+    "governance_forget_cascade",
     # TPC-H plane witnesses (distinct plan shapes; the other seven
     # widening probes rotated to the tail this round)
     "q8_market_share",
@@ -138,7 +139,6 @@ _CHECK_WINDOW_HEAD = [
     # consensus row composed from five member oracles — new this round
     "dedup_ensemble",
     "events_hourly_incremental",
-    "text_zipf_spectrum",
     "mahjong_placement_stats",
     "mahjong_machi_distribution",
     "cdc_customer_upsert",
@@ -159,6 +159,11 @@ _CHECK_WINDOW_HEAD = [
 ]
 
 _CHECK_WINDOW_TAIL = [
+    # rotated out at r4 end for the governance-cascade row: r3-new,
+    # never driver-checked, but the text family keeps entropy/tfidf/
+    # perplexity in-window and the Zipf arithmetic is oracle-parity-
+    # pytest + strict-sweep green every session
+    "text_zipf_spectrum",
     # rotated out at r4 end for the eight new-operator rows: never
     # driver-checked but oracle-parity-pytest + strict-sweep green
     # every session; the TPC-H plane keeps q2/q20/q8/q13/q19/q21
