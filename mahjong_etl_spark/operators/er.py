@@ -68,11 +68,11 @@ def fuzzy_name_pairs(names: DataFrame) -> DataFrame:
         F.col("p_name").alias("name_b"),
         F.col("name_key").alias("key_b"),
         F.col("n_parts").alias("parts_b"),
-        "block",
+        F.col("block").alias("block_b"),
     )
     return a.join(
         b,
-        (a.block == b.block)
+        (F.col("block") == F.col("block_b"))
         & (F.col("name_a") < F.col("name_b"))
         & (F.levenshtein("name_a", "name_b") <= LEV_T),
     ).select(

@@ -257,6 +257,11 @@ _ALLOWED_NESTED_LOOP = {
     # 1-row aggregate crossed back onto a bounded profile/sketch table
     "events_key_skew_profile",
     "events_distinct_sketch_merge",
+    # audit assembly: three 1-row count aggregates cross-joined per
+    # table row — every nested-loop side is a single row by
+    # construction; the deletion joins themselves are anti/semi
+    # equi-joins
+    "governance_forget_cascade",
 }
 
 
