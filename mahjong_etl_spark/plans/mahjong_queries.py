@@ -445,3 +445,80 @@ def mahjong_han_fu_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_with_yaku"),
     )
+
+
+# SQL text of the engine-registered dora codec (functions/codec.py::
+# next_dora re-expressed as a Spark SQL scalar UDF — CREATE FUNCTION
+# ... RETURN <expr> inlines into whole-stage codegen, so SQL users get
+# the domain codec at JVM expression speed, never a Python UDF).
+_NEXT_DORA_SQL_UDF = """
+CREATE OR REPLACE TEMPORARY FUNCTION next_dora(ind BIGINT) RETURNS BIGINT RETURN
+  (ind div 36) * 36 +
+  (CASE WHEN (ind div 36) = 3 THEN
+      CASE ((ind % 36) div 4) + 1 WHEN 4 THEN 0 WHEN 7 THEN 4
+           ELSE ((ind % 36) div 4) + 1 END
+   ELSE CASE WHEN ((ind % 36) div 4) + 1 >= 9 THEN 0
+             ELSE ((ind % 36) div 4) + 1 END END) * 4 +
+  (ind % 4)
+"""
+
+
+@query(
+    "mahjong_sql_udf_dora",
+    oracle=f"""
+    WITH ex AS (
+        SELECT unnest(range(len(dora_orig))) + 1 AS i, dora_orig, dora
+        FROM {_pq('agaris')}
+        WHERE len(dora_orig) > 0
+    ),
+    p AS (SELECT dora_orig[i] AS ind, dora[i] AS stored FROM ex),
+    r AS (
+        SELECT ind, stored,
+               (ind // 36) * 36 +
+               (CASE WHEN ind // 36 = 3 THEN
+                   CASE ((ind % 36) // 4) + 1 WHEN 4 THEN 0 WHEN 7 THEN 4
+                        ELSE ((ind % 36) // 4) + 1 END
+                ELSE CASE WHEN ((ind % 36) // 4) + 1 >= 9 THEN 0
+                          ELSE ((ind % 36) // 4) + 1 END END) * 4 +
+               ind % 4 AS rec
+        FROM p
+    )
+    SELECT CAST(ind // 36 AS INT) AS suit,
+           count(*) AS n_indicators,
+           CAST(sum(CASE WHEN rec = stored THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match
+    FROM r GROUP BY 1
+    """,
+    bench=False,
+)
+def mahjong_sql_udf_dora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 lifecycle completion: a SQL user calls the ENGINE-REGISTERED
+    domain codec from verbatim SQL.  ``next_dora`` (the C2 dora
+    derivation, reference scrape.py dora arithmetic) is registered as
+    a Spark SQL scalar UDF — a declarative RETURN expression, so
+    Catalyst inlines it into whole-stage codegen (the probe plan shows
+    pure Project arithmetic, no Python eval).  The query re-derives
+    every agari's dora list from its indicators and counts agreement
+    with the ETL-stored column per suit; the DuckDB oracle recomputes
+    the same arithmetic inline over the same written parquet, so the
+    codec's semantics are pinned through BOTH engines independently of
+    the Python implementation (whose parity with the reference is
+    pinned in tests/test_mahjong_parser.py)."""
+    spark.sql(_NEXT_DORA_SQL_UDF)
+    _read(spark, "agaris").createOrReplaceTempView("agaris_udf_v")
+    return spark.sql(
+        """
+        SELECT CAST(ind div 36 AS INT) AS suit,
+               count(*) AS n_indicators,
+               CAST(sum(CASE WHEN next_dora(ind) = stored THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match
+        FROM (
+            SELECT element_at(dora_orig, i) AS ind,
+                   element_at(dora, i) AS stored
+            FROM agaris_udf_v
+            LATERAL VIEW explode(sequence(1, size(dora_orig))) t AS i
+            WHERE size(dora_orig) > 0
+        )
+        GROUP BY 1
+        """
+    )

@@ -70,3 +70,25 @@ def test_forget_cascade_audit(spark, sf_dir):
     n_del_orders = orders.where(F.col("o_custkey").isin(dk)).count()
     assert rows["orders"].n_deleted == n_del_orders
     assert rows["orders"].n_before == orders.count()
+
+
+def test_sql_udf_dora_matches_python_codec(spark):
+    from mahjong_etl_spark.functions.codec import next_dora
+    from mahjong_etl_spark.plans.mahjong_queries import _NEXT_DORA_SQL_UDF
+
+    spark.sql(_NEXT_DORA_SQL_UDF)
+    got = spark.sql(
+        "SELECT collect_list(next_dora(CAST(id AS BIGINT))) AS d "
+        "FROM range(136)"
+    ).collect()[0].d
+    assert got == [next_dora(i) for i in range(136)]
+
+
+def test_sql_udf_dora_query_full_agreement_and_jvm_plan(spark, sf_dir):
+    from mahjong_etl_spark.plans.mahjong_queries import mahjong_sql_udf_dora
+
+    df = mahjong_sql_udf_dora(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert rows and all(r.n_match == r.n_indicators for r in rows)
