@@ -121,6 +121,7 @@ _CHECK_WINDOW_HEAD = [
     "corpus_negative_samples",
     "graph_triangle_counts",
     "governance_forget_cascade",
+    "mahjong_sql_udf_dora",
     # TPC-H plane witnesses (distinct plan shapes; the other seven
     # widening probes rotated to the tail this round)
     "q8_market_share",
@@ -140,7 +141,6 @@ _CHECK_WINDOW_HEAD = [
     "dedup_ensemble",
     "events_hourly_incremental",
     "mahjong_placement_stats",
-    "mahjong_machi_distribution",
     "cdc_customer_upsert",
     "cdc_orders_scd2",
     "lineitem_unpivot_metrics",
