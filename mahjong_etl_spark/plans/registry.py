@@ -164,6 +164,11 @@ _CHECK_WINDOW_TAIL = [
     # perplexity in-window and the Zipf arithmetic is oracle-parity-
     # pytest + strict-sweep green every session
     "text_zipf_spectrum",
+    # rotated out at r4 end for the SQL-UDF dora row: r3-new, never
+    # driver-checked, but the written-agaris family keeps paiyama/
+    # dealer/placement/sql_udf_dora in-window and the machi decode is
+    # oracle-parity-pytest + strict-sweep green every session
+    "mahjong_machi_distribution",
     # rotated out at r4 end for the eight new-operator rows: never
     # driver-checked but oracle-parity-pytest + strict-sweep green
     # every session; the TPC-H plane keeps q2/q20/q8/q13/q19/q21
