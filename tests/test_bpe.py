@@ -87,3 +87,34 @@ def test_token_conservation(spark, sf_dir):
         F.concat_ws("", F.col("syms")) != F.col("word")
     ).count()
     assert bad == 0
+
+
+def ref_encode(word: str, merges) -> list[str]:
+    syms = list(word)
+    for _, a, b, m, _cnt in merges:
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = m
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def test_oov_encoding_matches_reference_and_training(spark, sf_dir):
+    from mahjong_etl_spark.operators.bpe import corpus_bpe, encode_words_expr
+
+    merges, words = corpus_bpe(spark, sf_dir)
+    enc = encode_words_expr(merges)
+    # 1) re-encoding every TRAINING word reproduces the trained symbols
+    re_enc = words.select("word", "syms", enc.alias("enc"))
+    assert re_enc.where(F.col("syms") != F.col("enc")).count() == 0
+    # 2) UNSEEN words (not in the corpus vocabulary) encode exactly as
+    # the single-node reference application of the learned merges
+    vocab = {r.word for r in words.select("word").collect()}
+    oov = ["tablescan", "sparkly", "quickbrown", "zzz", "ab"]
+    assert not (set(oov) & vocab)
+    df = spark.createDataFrame([(w,) for w in oov], ["word"])
+    got = {r.word: list(r.enc) for r in df.select("word", enc.alias("enc")).collect()}
+    assert got == {w: ref_encode(w, merges) for w in oov}
