@@ -890,3 +890,233 @@ def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_source",
         F.col("n_src").cast("long").alias("top_source_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-scale path
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64 dims -> 8 x 8-dim sub-vectors)
+PQ_KSUB = 16  # centroids per subspace -> 4 bits/subspace, 32x compression
+PQ_ITERS = 3
+PQ_RERANK = 50  # exact-rerank depth over the ADC shortlist
+
+
+def train_pq_codebooks(
+    corpus: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS
+):
+    """Per-subspace k-means codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") over the L2-NORMALIZED
+    corpus, so PQ inner products approximate cosine.
+
+    One distributed pass per Lloyd round trains ALL m subspaces at
+    once: the Arrow batch assigns every sub-vector to its subspace
+    centroid and emits (subspace, cluster, dim) partial sums — the
+    same partial-aggregation shape as train_ivf_centroids, m-fold.
+    Driver traffic per round is m × ksub × dsub floats.  Seeding is
+    the same deterministic smallest-xxhash sample as IVF.
+
+    Returns a (m, ksub, dsub) ndarray.
+    """
+    import numpy as np
+    import pandas as pd
+
+    seed_rows = (
+        corpus.select("vec_id", "emb_d", "norm")
+        .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+        .limit(ksub)
+        .collect()
+    )
+    seeds = np.asarray(
+        [np.asarray(r.emb_d) / (r.norm or 1.0) for r in seed_rows], dtype=np.float64
+    )
+    dim = seeds.shape[1]
+    dsub = dim // m
+    books = np.stack([seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)])
+
+    for _ in range(iters):
+        bk = books  # (m, ksub, dsub)
+
+        def partials(it):
+            sums = np.zeros_like(bk)
+            counts = np.zeros((m, ksub), dtype=np.int64)
+            seen = False
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["emb_d"].values]
+                )
+                nrm = pdf["norm"].to_numpy(dtype=np.float64)
+                nrm[nrm == 0.0] = 1.0
+                mat = mat / nrm[:, None]
+                for s in range(m):
+                    sub = mat[:, s * dsub : (s + 1) * dsub]
+                    d2 = ((sub[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+                    cl = d2.argmin(axis=1)
+                    np.add.at(sums[s], cl, sub)
+                    counts[s] += np.bincount(cl, minlength=ksub)
+            if not seen:
+                return
+            s_i, c_i, d_i = np.nonzero(np.ones_like(sums, dtype=bool))
+            yield pd.DataFrame(
+                {
+                    "sub": s_i.astype("int32"),
+                    "cluster": c_i.astype("int32"),
+                    "d": d_i.astype("int32"),
+                    "s": sums[s_i, c_i, d_i],
+                    "n": counts[s_i, c_i],
+                }
+            )
+
+        agg = (
+            corpus.select("emb_d", "norm")
+            .mapInPandas(partials, "sub int, cluster int, d int, s double, n long")
+            .groupBy("sub", "cluster", "d")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .where(F.col("n") > 0)
+            .collect()
+        )
+        nxt = books.copy()
+        for r in agg:
+            nxt[r.sub, r.cluster, r.d] = r.s / r.n
+        books = nxt
+    return books
+
+
+def pq_encode(corpus: DataFrame, books) -> DataFrame:
+    """(vec_id, code[m]) — each normalized sub-vector's nearest
+    codebook entry.  Map-side, one pass, 4 bits of index per subspace
+    (stored as int array internally; a production sink would pack to
+    m/2 bytes)."""
+    import numpy as np
+    import pandas as pd
+
+    bk = books
+    m, ksub, dsub = bk.shape
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb_d"].values]
+            )
+            nrm = pdf["norm"].to_numpy(dtype=np.float64)
+            nrm[nrm == 0.0] = 1.0
+            mat = mat / nrm[:, None]
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "code": list(codes)}
+            )
+
+    return corpus.select("vec_id", "emb_d", "norm").mapInPandas(
+        batches, "vec_id long, code array<int>"
+    )
+
+
+def ann_pq_topk(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = TOPK,
+    books=None,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """PQ ANN: asymmetric distance computation (ADC) over the coded
+    corpus, then EXACT cosine rerank of the per-query shortlist.
+
+    The scale story is memory: the scored index is m×4 bits per vector
+    (32× below float32), so a 10¹⁰-vector index fits a cluster's RAM
+    where floats could not.  Scoring is a per-batch numpy gather —
+    scores[q, v] = Σ_s table[q, s, code[v, s]] with the (nq, m, ksub)
+    query tables in the closure — and each batch emits only its local
+    per-query top-``rerank``, so the shuffle is bounded by
+    partitions × nq × rerank no matter the corpus size.  The final
+    exact rerank touches float vectors for only nq × rerank rows.
+    Queries are collected to the driver (the bounded-query-set
+    contract all ANN entry points here share).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    q = with_norm(queries_df)
+    c = with_norm(corpus_df)
+    if books is None:
+        books = train_pq_codebooks(c)
+    m, ksub, dsub = books.shape
+
+    q_rows = q.select("vec_id", "emb_d", "norm").collect()
+    q_ids = np.asarray([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.asarray(
+        [np.asarray(r.emb_d) / (r.norm or 1.0) for r in q_rows], dtype=np.float64
+    )
+    # tables[qi, s, j] = <q_sub, codebook[s][j]>  (inner product ~ cosine)
+    tables = np.einsum(
+        "qsd,sjd->qsj",
+        q_mat.reshape(len(q_mat), m, dsub),
+        books,
+    )
+    qi = q_ids
+    tb = tables
+
+    def score_batches(it):
+        s_idx = np.arange(m)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            codes = np.asarray(list(pdf["code"].values), dtype=np.int64)  # (n, m)
+            # advanced-index gather: (nq, n, m) -> sum over subspaces
+            scores = tb[:, s_idx, codes].sum(axis=2)
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            top = min(len(vids), rerank)
+            part = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            out_q = np.repeat(qi, top)
+            out_v = vids[part].reshape(-1)
+            out_s = np.take_along_axis(scores, part, axis=1).reshape(-1)
+            yield pd.DataFrame(
+                {"q_id": out_q, "neighbor_id": out_v, "adc": out_s}
+            )
+
+    codes = pq_encode(c, books)
+    shortlist = (
+        codes.mapInPandas(score_batches, "q_id long, neighbor_id long, adc double")
+        .where(F.col("q_id") != F.col("neighbor_id"))
+    )
+    w0 = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        shortlist.withColumn("r0", F.row_number().over(w0))
+        .where(F.col("r0") <= rerank)
+        .select("q_id", "neighbor_id")
+    )
+    qv = q.select(F.col("vec_id").alias("q_id"), "emb_d", "norm").alias("q")
+    cv = c.select(F.col("vec_id").alias("neighbor_id"), "emb_d", "norm").alias("c")
+    cos = F.round(cosine_expr("q", "c"), 6)
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "neighbor_id")
+        .select("q_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@query("similarity_ann_pq", oracle=None)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN top-5 with exact rerank (approximate — no SQL
+    oracle; tests pin recall vs the brute-force baseline, same
+    contract as the LSH/IVF variants).  The 32x-compressed code table
+    is the declared path for indexes too large to hold as floats."""
+    e = corpus_embeddings(spark, sf_dir)
+    return ann_pq_topk(spark, e.where(N_QUERIES_PRED), e, TOPK)

@@ -254,6 +254,7 @@ _CHECK_WINDOW_TAIL = [
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "events_rolling_mau_approx",
+    "similarity_ann_pq",
     "corpus_weighted_sample",
     "events_heavy_hitters_cms",
     "events_distinct_sketch_merge",

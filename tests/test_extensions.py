@@ -546,3 +546,37 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert c_a == 1.0 and c_b < 0.2
     jac = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs).collect()}
     assert (1, 2) not in jac
+
+
+def test_ann_pq_recall(spark, sf_dir):
+    """PQ-ADC + exact rerank must recover most of the brute-force
+    top-k (same recall contract as the LSH/IVF variants), and the
+    codes must be valid 4-bit indices."""
+    from mahjong_etl_spark.operators.similarity import (
+        N_QUERIES_PRED,
+        PQ_KSUB,
+        TOPK,
+        corpus_embeddings,
+        cosine_topk,
+        pq_encode,
+        similarity_ann_pq,
+        train_pq_codebooks,
+        with_norm,
+    )
+
+    e = corpus_embeddings(spark, sf_dir)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in cosine_topk(e.where(N_QUERIES_PRED), e, TOPK).collect()
+    }
+    ann = {
+        (r.q_id, r.neighbor_id)
+        for r in similarity_ann_pq(spark, sf_dir).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.6, f"PQ recall too low: {recall}"
+
+    books = train_pq_codebooks(with_norm(e))
+    codes = pq_encode(with_norm(e), books).collect()
+    assert all(0 <= x < PQ_KSUB for r in codes for x in r.code)
+    assert len(codes) == e.count()
