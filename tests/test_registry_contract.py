@@ -29,6 +29,8 @@ ROWS_ONLY_BY_DESIGN = {
     "<=5% relative error vs exact distinct pinned in pytest",
     "similarity_ann_ivf_int8": "approximate; recall vs brute force AND "
     "agreement vs the float IVF path pinned in pytest",
+    "similarity_ann_pq": "approximate; recall vs brute force + code-range "
+    "validity pinned in pytest",
     "dedup_semantic": "k-means clustering is not SQL-expressible; perfect "
     "precision + recall>=0.5 vs the exact cosine baseline pinned in pytest",
     "embedding_pca": "eigendecomposition is not SQL-expressible; spectrum "
