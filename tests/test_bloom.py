@@ -87,3 +87,45 @@ def test_prune_actually_prunes(spark, sf_dir):
     assert true <= pruned  # no false negatives
     assert pruned <= true + int(0.01 * total) + 10  # fp slack
     assert pruned < total / 2
+
+
+# -- property-based invariants (numpy level, no Spark session cost) --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_keys = st.lists(
+    st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=500
+)
+
+
+@given(_keys)
+@settings(max_examples=200, deadline=None)
+def test_membership_never_false_negative_property(keys):
+    import numpy as np
+
+    from mahjong_etl_spark.functions.bloom import _make_positions
+
+    m_bits, k = 1 << 16, 7
+    pos_fn = _make_positions(m_bits, k)
+    arr = np.asarray(keys, dtype=np.int64)
+    bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+    pos = pos_fn(arr).ravel()
+    np.bitwise_or.at(bitmap, pos // 64, np.uint64(1) << (pos % np.uint64(64)))
+    # every inserted key must test positive
+    probe = pos_fn(arr)
+    bits = (bitmap[probe // 64] >> (probe % np.uint64(64))) & np.uint64(1)
+    assert bits.all()
+
+
+@given(_keys)
+@settings(max_examples=100, deadline=None)
+def test_positions_in_range_property(keys):
+    import numpy as np
+
+    from mahjong_etl_spark.functions.bloom import _make_positions
+
+    m_bits, k = 1 << 16, 7
+    pos = _make_positions(m_bits, k)(np.asarray(keys, dtype=np.int64))
+    assert pos.shape == (len(keys), k)
+    assert (pos < m_bits).all()
