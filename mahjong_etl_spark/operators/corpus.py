@@ -1384,3 +1384,87 @@ def corpus_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_doc_id",
         (F.col("lang") != F.col("neg_lang")).cast("int").alias("cross_lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping context-window chunking (RAG / long-doc pretraining)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 64  # window size in whitespace tokens
+CHUNK_O = 16  # overlap between consecutive windows
+
+
+@query(
+    "corpus_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, t, n,
+               CASE WHEN n <= {CHUNK_W} THEN 1
+                    ELSE CAST(ceil((n - {CHUNK_O})
+                              / ({CHUNK_W} - {CHUNK_O}.0)) AS BIGINT)
+               END AS k
+        FROM toks
+    ),
+    ex AS (
+        SELECT doc_id, t, n,
+               unnest(range(k)) AS chunk_id
+        FROM spans
+    )
+    SELECT doc_id,
+           chunk_id,
+           CAST(chunk_id * ({CHUNK_W} - {CHUNK_O}) AS BIGINT) AS start_tok,
+           CAST(least(CAST({CHUNK_W} AS BIGINT),
+                      n - chunk_id * ({CHUNK_W} - {CHUNK_O})) AS BIGINT)
+               AS n_toks,
+           array_to_string(
+               list_slice(t,
+                          chunk_id * ({CHUNK_W} - {CHUNK_O}) + 1,
+                          chunk_id * ({CHUNK_W} - {CHUNK_O}) + {CHUNK_W}),
+               ' ') AS chunk_text
+    FROM ex
+    """,
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunker: every document split into
+    W={CHUNK_W}-token windows with O={CHUNK_O}-token overlap — the
+    retrieval-indexing / long-document-pretraining splitter (each
+    window carries its token offset so spans map back to the source).
+
+    Chunk count per doc is ceil((n - O) / (W - O)) (one window for
+    docs that fit), so consecutive windows share exactly O tokens and
+    the final window is the only short one.  Pure JVM expression work:
+    split once, explode a generated chunk-id sequence, slice per
+    chunk — one scan, no shuffle, no UDF; the full chunk TEXT is
+    hash-checked against DuckDB recomputing the identical slicing.
+    At 100 TB this is the map-side fanout stage ahead of the
+    embedding/index pipeline (fanout factor ≈ n/(W-O) per doc)."""
+    s = CHUNK_W - CHUNK_O
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    k = F.when(F.col("n") <= CHUNK_W, F.lit(1).cast("long")).otherwise(
+        F.ceil((F.col("n") - F.lit(CHUNK_O)) / F.lit(float(s))).cast("long")
+    )
+    ex = d.withColumn("k", k).select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.expr("sequence(0, k - 1)")).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * s
+    return ex.select(
+        "doc_id",
+        "chunk_id",
+        start.cast("long").alias("start_tok"),
+        F.least(F.lit(CHUNK_W).cast("long"), (F.col("n") - start).cast("long")).alias(
+            "n_toks"
+        ),
+        F.concat_ws(
+            " ", F.slice(F.col("t"), start + 1, F.lit(CHUNK_W))
+        ).alias("chunk_text"),
+    )

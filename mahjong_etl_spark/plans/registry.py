@@ -122,6 +122,7 @@ _CHECK_WINDOW_HEAD = [
     "graph_triangle_counts",
     "governance_forget_cascade",
     "mahjong_sql_udf_dora",
+    "corpus_chunk_windows",
     # TPC-H plane witnesses (distinct plan shapes; the other seven
     # widening probes rotated to the tail this round)
     "q8_market_share",
@@ -146,7 +147,6 @@ _CHECK_WINDOW_HEAD = [
     "lineitem_unpivot_metrics",
     "orders_grouping_sets",
     # r3-new, never driver-checked
-    "events_retention",
     "corpus_mixture",
     "text_c4_filters",
     "events_asof_next_purchase",
@@ -164,6 +164,12 @@ _CHECK_WINDOW_TAIL = [
     # perplexity in-window and the Zipf arithmetic is oracle-parity-
     # pytest + strict-sweep green every session
     "text_zipf_spectrum",
+    # rotated out at r4 end for the chunk-windows row: r3-new, never
+    # driver-checked, but the integer week-cohort arithmetic is
+    # oracle-parity-pytest + strict-sweep green every session and the
+    # events rollup family keeps hourly_incremental/trailing_hour/
+    # moving_avg in-window
+    "events_retention",
     # rotated out at r4 end for the SQL-UDF dora row: r3-new, never
     # driver-checked, but the written-agaris family keeps paiyama/
     # dealer/placement/sql_udf_dora in-window and the machi decode is

@@ -92,3 +92,33 @@ def test_sql_udf_dora_query_full_agreement_and_jvm_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     rows = df.collect()
     assert rows and all(r.n_match == r.n_indicators for r in rows)
+
+
+def test_chunk_windows_cover_and_overlap(spark, sf_dir):
+    from mahjong_etl_spark.operators.corpus import (
+        CHUNK_O,
+        CHUNK_W,
+        corpus_chunk_windows,
+    )
+
+    docs = {r.doc_id: r.text.split(" ") for r in
+            load(spark, sf_dir, "documents").collect()}
+    chunks = corpus_chunk_windows(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    s = CHUNK_W - CHUNK_O
+    for doc_id, rs in by_doc.items():
+        toks = docs[doc_id]
+        rs.sort(key=lambda r: r.chunk_id)
+        # chunk text is exactly the claimed token span
+        for r in rs:
+            assert r.chunk_text.split(" ") == toks[r.start_tok : r.start_tok + r.n_toks]
+        # stride and coverage: last chunk reaches the end of the doc
+        assert rs[0].start_tok == 0
+        assert all(b.start_tok - a.start_tok == s for a, b in zip(rs, rs[1:]))
+        assert rs[-1].start_tok + rs[-1].n_toks == len(toks)
+        # consecutive full chunks share exactly O tokens
+        for a, b in zip(rs, rs[1:]):
+            assert a.start_tok + a.n_toks - b.start_tok in (CHUNK_O, a.n_toks - s)
