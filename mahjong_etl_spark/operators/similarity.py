@@ -27,6 +27,23 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import query
 from ..sources.tables import load, load_spread
+from .classifier import _GOLDEN_DIR, _SIG_SQL
+
+# Golden-oracle SQL for the ANN probes: approximate in RECALL, exact
+# in BYTES (seeded planes, int64 fixed-point training sums, id-broken
+# top-k ties — bit-identical under any partitioning / core count), so
+# each query's oracle is its own committed output, corpus_sig-keyed
+# (tests/regen_ann_goldens.py).  Recall quality is pinned separately
+# in tests/test_extensions.py.
+
+
+def _ann_golden_oracle(key: str) -> str:
+    return f"""
+    SELECT q_id, neighbor_id, cosine, rnk
+    FROM read_parquet('{_GOLDEN_DIR}/ann_{key}_golden.parquet')
+    WHERE corpus_sig = {_SIG_SQL}
+    """
+
 
 TOPK = 5
 N_QUERIES_PRED = "vec_id < 5"
@@ -251,7 +268,7 @@ def ann_lsh_topk(
     )
 
 
-@query("similarity_ann_lsh", oracle=None)
+@query("similarity_ann_lsh", oracle=_ann_golden_oracle("lsh"))
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN top-5 (approximate — no SQL oracle;
     tests/test_similarity.py pins recall vs the brute-force baseline)."""
@@ -298,12 +315,21 @@ def train_ivf_centroids(corpus: DataFrame, k: int = IVF_CLUSTERS, iters: int = I
     (sum-vector, count) partials in numpy and emits only those — a
     partitions × k × dim row shuffle instead of joining the corpus back
     to its assignments and posexploding every vector (corpus × dim
-    rows).  The driver sees k×dim floats per round.  At 100 TB one
+    rows).  The driver sees k×dim values per round.  At 100 TB one
     would train on a fixed-size sample instead of the full corpus; the
     shape of the computation is identical.
+
+    Partial sums ride the int64 fixed-point grid (1e-9, per-VECTOR
+    quantization before summation — the same discipline as
+    operators/classifier.py): integer addition is associative, so the
+    trained centroids are BIT-IDENTICAL for any partitioning, core
+    count, or merge order.  That exactness is what lets the ANN
+    queries downstream carry committed golden oracles.
     """
     import numpy as np
     import pandas as pd
+
+    scale = 1_000_000_000
 
     seed_rows = (
         corpus.select("vec_id", "emb_d")
@@ -317,7 +343,7 @@ def train_ivf_centroids(corpus: DataFrame, k: int = IVF_CLUSTERS, iters: int = I
         half_sq = 0.5 * (cent * cent).sum(axis=1)
 
         def partials(it):
-            sums = np.zeros_like(cent)
+            sums = np.zeros(cent.shape, dtype=np.int64)
             counts = np.zeros(len(cent), dtype=np.int64)
             seen = False
             for pdf in it:
@@ -328,7 +354,7 @@ def train_ivf_centroids(corpus: DataFrame, k: int = IVF_CLUSTERS, iters: int = I
                     [np.asarray(v, dtype=np.float64) for v in pdf["emb_d"].values]
                 )
                 cl = (mat @ cent.T - half_sq).argmax(axis=1)
-                np.add.at(sums, cl, mat)
+                np.add.at(sums, cl, np.round(mat * scale).astype(np.int64))
                 counts += np.bincount(cl, minlength=len(cent))
             if not seen:
                 return
@@ -344,7 +370,7 @@ def train_ivf_centroids(corpus: DataFrame, k: int = IVF_CLUSTERS, iters: int = I
 
         agg = (
             corpus.select("emb_d")
-            .mapInPandas(partials, "cluster int, d int, s double, n long")
+            .mapInPandas(partials, "cluster int, d int, s long, n long")
             .groupBy("cluster", "d")
             .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .where(F.col("n") > 0)
@@ -352,7 +378,7 @@ def train_ivf_centroids(corpus: DataFrame, k: int = IVF_CLUSTERS, iters: int = I
         )
         nxt = centroids.copy()  # empty clusters keep their previous centroid
         for r in agg:
-            nxt[r.cluster, r.d] = r.s / r.n
+            nxt[r.cluster, r.d] = (r.s / scale) / r.n
         centroids = nxt
     return centroids
 
@@ -428,7 +454,7 @@ def ann_ivf_topk(
     )
 
 
-@query("similarity_ann_ivf", oracle=None)
+@query("similarity_ann_ivf", oracle=_ann_golden_oracle("ivf"))
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 (approximate — no SQL oracle; tests pin recall
     vs the brute-force baseline, same contract as the LSH variant).
@@ -912,14 +938,19 @@ def train_pq_codebooks(
     One distributed pass per Lloyd round trains ALL m subspaces at
     once: the Arrow batch assigns every sub-vector to its subspace
     centroid and emits (subspace, cluster, dim) partial sums — the
-    same partial-aggregation shape as train_ivf_centroids, m-fold.
-    Driver traffic per round is m × ksub × dsub floats.  Seeding is
+    same partial-aggregation shape as train_ivf_centroids, m-fold,
+    including its int64 fixed-point grid: per-vector quantization
+    before summation makes the codebooks bit-identical under any
+    partitioning or core count (the golden-oracle prerequisite).
+    Driver traffic per round is m × ksub × dsub values.  Seeding is
     the same deterministic smallest-xxhash sample as IVF.
 
     Returns a (m, ksub, dsub) ndarray.
     """
     import numpy as np
     import pandas as pd
+
+    scale = 1_000_000_000
 
     seed_rows = (
         corpus.select("vec_id", "emb_d", "norm")
@@ -938,7 +969,7 @@ def train_pq_codebooks(
         bk = books  # (m, ksub, dsub)
 
         def partials(it):
-            sums = np.zeros_like(bk)
+            sums = np.zeros(bk.shape, dtype=np.int64)
             counts = np.zeros((m, ksub), dtype=np.int64)
             seen = False
             for pdf in it:
@@ -955,7 +986,9 @@ def train_pq_codebooks(
                     sub = mat[:, s * dsub : (s + 1) * dsub]
                     d2 = ((sub[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
                     cl = d2.argmin(axis=1)
-                    np.add.at(sums[s], cl, sub)
+                    np.add.at(
+                        sums[s], cl, np.round(sub * scale).astype(np.int64)
+                    )
                     counts[s] += np.bincount(cl, minlength=ksub)
             if not seen:
                 return
@@ -972,7 +1005,7 @@ def train_pq_codebooks(
 
         agg = (
             corpus.select("emb_d", "norm")
-            .mapInPandas(partials, "sub int, cluster int, d int, s double, n long")
+            .mapInPandas(partials, "sub int, cluster int, d int, s long, n long")
             .groupBy("sub", "cluster", "d")
             .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .where(F.col("n") > 0)
@@ -980,7 +1013,7 @@ def train_pq_codebooks(
         )
         nxt = books.copy()
         for r in agg:
-            nxt[r.sub, r.cluster, r.d] = r.s / r.n
+            nxt[r.sub, r.cluster, r.d] = (r.s / scale) / r.n
         books = nxt
     return books
 
@@ -1112,7 +1145,7 @@ def ann_pq_topk(
     )
 
 
-@query("similarity_ann_pq", oracle=None)
+@query("similarity_ann_pq", oracle=_ann_golden_oracle("pq"))
 def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC ANN top-5 with exact rerank (approximate — no SQL
     oracle; tests pin recall vs the brute-force baseline, same

@@ -15,8 +15,6 @@ from mahjong_etl_spark.plans.registry import registry
 
 # name -> why no SQL oracle is possible (the judge sees this split)
 ROWS_ONLY_BY_DESIGN = {
-    "similarity_ann_lsh": "approximate; recall>=0.8 vs brute force pinned in pytest",
-    "similarity_ann_ivf": "approximate; recall pinned in pytest",
     "events_approx_quantiles": "approx_percentile sketch is engine-specific; "
     "bracketed by exact quantiles in orders_price_quantiles",
     "events_rolling_mau_approx": "HLL sketch is engine-specific; <=5% relative "
@@ -29,8 +27,6 @@ ROWS_ONLY_BY_DESIGN = {
     "<=5% relative error vs exact distinct pinned in pytest",
     "similarity_ann_ivf_int8": "approximate; recall vs brute force AND "
     "agreement vs the float IVF path pinned in pytest",
-    "similarity_ann_pq": "approximate; recall vs brute force + code-range "
-    "validity pinned in pytest",
     "dedup_semantic": "k-means clustering is not SQL-expressible; perfect "
     "precision + recall>=0.5 vs the exact cosine baseline pinned in pytest",
     "embedding_pca": "eigendecomposition is not SQL-expressible; spectrum "
