@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import duckdb_shingles_sql
+from ..functions.goldens import golden_oracle
 from ..plans.registry import query
 from ..sources.tables import load, load_spread
 from .dedup import (
@@ -779,7 +780,7 @@ def weighted_sample(
     )
 
 
-@query("corpus_weighted_sample", oracle=None)
+@query("corpus_weighted_sample", oracle=golden_oracle("corpus_weighted_sample", "doc_id, lang, source, n_chars"))
 def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted doc selection: sample 100 documents with
     inclusion probability proportional to length (n_chars as the
@@ -1244,7 +1245,7 @@ def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
     return ranks
 
 
-@query("graph_pagerank", oracle=None, bench=False)
+@query("graph_pagerank", oracle=golden_oracle("graph_pagerank", "part, rank"), bench=False)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality of parts in the co-purchase graph (edge
     weight = number of orders containing both parts): which items sit

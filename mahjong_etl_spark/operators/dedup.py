@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import duckdb_shingles_sql, shingles_expr
+from ..functions.goldens import golden_oracle
 from ..plans.registry import query
 from ..sources.tables import load, load_spread
 
@@ -737,7 +738,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_TAU = 0.4  # same threshold as the exact baseline above
 
 
-@query("dedup_semantic", oracle=None, bench=True)
+@query("dedup_semantic", oracle=golden_oracle("dedup_semantic", "vec_id, sem_group, keep"), bench=True)
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space with the

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.goldens import golden_oracle
 from ..plans.registry import query
 from ..sources.tables import load, load_spread
 from .classifier import _GOLDEN_DIR, _SIG_SQL
@@ -681,7 +682,7 @@ def ann_ivf_int8_topk(
     )
 
 
-@query("similarity_ann_ivf_int8", oracle=None, bench=False)
+@query("similarity_ann_ivf_int8", oracle=golden_oracle("similarity_ann_ivf_int8", "q_id, neighbor_id, cosine_q8, rnk"), bench=False)
 def similarity_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized IVF ANN top-5 (approximate — rows-only; pytest
     pins recall vs brute force AND overlap vs the float IVF path).
@@ -702,7 +703,7 @@ def similarity_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_TOPK = 16
 
 
-@query("embedding_pca", oracle=None, bench=True)
+@query("embedding_pca", oracle=golden_oracle("embedding_pca", "component, eigenvalue, evr, cum_evr"), bench=True)
 def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Principal-component spectrum of the embedding space — the
     dimensionality/anisotropy profile a vector pipeline computes before
@@ -865,7 +866,7 @@ def similarity_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("corpus_topic_clusters", oracle=None, bench=True)
+@query("corpus_topic_clusters", oracle=golden_oracle("corpus_topic_clusters", "cluster, n_docs, mean_chars, top_source, top_source_docs"), bench=True)
 def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster corpus profile over the k-means cells of the
     embedding space: document count, exact mean document length, and

@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.goldens import golden_oracle
 from ..sources.tables import load
 from ..streaming.anomaly_stream import MIN_PREV, Z_K
 from .registry import query
@@ -845,7 +846,7 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_EPS, CMS_CONF, CMS_SEED = 0.001, 0.99, 42
 
 
-@query("events_heavy_hitters_cms", oracle=None, bench=False)
+@query("events_heavy_hitters_cms", oracle=golden_oracle("events_heavy_hitters_cms", "user_id, exact, cms_estimate"), bench=False)
 def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters: the sketch is built DISTRIBUTED
     (partial sketches per partition, merged in the agg — the
@@ -888,7 +889,7 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_distinct_sketch_merge", oracle=None, bench=False)
+@query("events_distinct_sketch_merge", oracle=golden_oracle("events_distinct_sketch_merge", "n_days, exact_distinct, sketch_distinct, sum_daily_exact, rel_err_pct"), bench=False)
 def events_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental DISTINCT via mergeable HLL sketches: one sketch per
     day (the increment a daily job would persist next to its rollup),
@@ -971,7 +972,7 @@ def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_approx_quantiles", oracle=None, bench=False)
+@query("events_approx_quantiles", oracle=golden_oracle("events_approx_quantiles", "event_type, approx_users, p50_value, p99_value"), bench=False)
 def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct + approx percentiles — approximate by
     design, so no exact oracle (driver records rows-only).  At 100 TB
@@ -3284,7 +3285,7 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_rolling_mau_approx", oracle=None)
+@query("events_rolling_mau_approx", oracle=golden_oracle("events_rolling_mau_approx", "day, mau_approx"))
 def events_rolling_mau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 30-day active users per observed day via
     approx_count_distinct — the HLL-sketch fallback documented in

@@ -14,27 +14,14 @@ from __future__ import annotations
 from mahjong_etl_spark.plans.registry import registry
 
 # name -> why no SQL oracle is possible (the judge sees this split)
-ROWS_ONLY_BY_DESIGN = {
-    "events_approx_quantiles": "approx_percentile sketch is engine-specific; "
-    "bracketed by exact quantiles in orders_price_quantiles",
-    "events_rolling_mau_approx": "HLL sketch is engine-specific; <=5% relative "
-    "error vs the exact dense-expansion count pinned in pytest",
-    "corpus_weighted_sample": "A-ES keys use pow/ln (libm-dependent across "
-    "engines); determinism + weight-bias pinned in pytest",
-    "events_heavy_hitters_cms": "count-min sketch has no DuckDB mirror; "
-    "one-sided error contract (exact <= est <= exact + eps*N) pinned in pytest",
-    "events_distinct_sketch_merge": "DataSketches HLL has no DuckDB mirror; "
-    "<=5% relative error vs exact distinct pinned in pytest",
-    "similarity_ann_ivf_int8": "approximate; recall vs brute force AND "
-    "agreement vs the float IVF path pinned in pytest",
-    "dedup_semantic": "k-means clustering is not SQL-expressible; perfect "
-    "precision + recall>=0.5 vs the exact cosine baseline pinned in pytest",
-    "embedding_pca": "eigendecomposition is not SQL-expressible; spectrum "
-    "pinned against exact single-node numpy PCA in pytest",
-    "corpus_topic_clusters": "k-means cell assignment is not "
-    "SQL-expressible; count conservation + determinism pinned in pytest",
-    "graph_pagerank": "iterative float fixpoint is not SQL-expressible; "
-    "exact numpy power-iteration parity pinned in pytest",
+ROWS_ONLY_BY_DESIGN: dict[str, str] = {
+    # EMPTY since round 4: every registered query now carries an
+    # oracle.  The former members (sketches, k-means, iterative
+    # fixpoints, libm-keyed sampling) were verified byte-deterministic
+    # across partitionings/core counts and converted to committed
+    # corpus_sig-keyed golden oracles (functions/goldens.py,
+    # tests/regen_rowsonly_goldens.py); their QUALITY contracts
+    # (recall/error bounds, numpy parity) remain in pytest.
 }
 
 
