@@ -38,7 +38,7 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 class Query:
     name: str
     spark_fn: SparkQuery
-    oracle: str | None  # DuckDB SQL, or None => driver does rows-only check
+    oracle: str | None  # DuckDB SQL (None => rows-only; empty since r4)
     bench: bool  # include in bench.py headline set
     doc: str = field(default="")
 
@@ -234,14 +234,11 @@ _CHECK_WINDOW_TAIL = [
     # + machi + paiyama in-window, and the han/fu arithmetic is
     # oracle-parity-pytest-green every session
     "mahjong_han_fu_table",
-    # rows-only by design (eigendecomposition not SQL-expressible);
-    # spectrum pinned against exact single-node numpy PCA in pytest
+    # golden-oracle since r4 (no SQL twin, but byte-deterministic —
+    # functions/goldens.py); quality contracts (numpy PCA parity,
+    # conservation/determinism, power-iteration parity) stay in pytest
     "embedding_pca",
-    # rows-only by design (k-means cells); conservation + determinism
-    # pinned in pytest
     "corpus_topic_clusters",
-    # rows-only by design (iterative float fixpoint); exact numpy
-    # power-iteration parity + Σrank=1 pinned in pytest
     "graph_pagerank",
     # r1+r2 driver-green, untouched; rotated out for the r4 VARIANT +
     # DQ rows — percentile family keeps events_exact_quantiles
@@ -250,12 +247,13 @@ _CHECK_WINDOW_TAIL = [
     # through the variant codepath)
     "orders_price_quantiles",
     "events_json_stats",
-    # rows-only by design (k-means not SQL-expressible); parity with
-    # the exact cosine baseline is pytest-pinned
+    # golden-oracle since r4 (see above); exact-cosine-closure parity
+    # stays pytest-pinned
     "dedup_semantic",
-    # rows-only by design (approx/sampling — rows-only driver check
-    # adds little over the pytest recall/property pins; keep the
-    # 50-entry window for oracle-bearing rows)
+    # approx/sampling family, golden-oracle since r4 (sketch merges are
+    # commutative-exact, sampling keys elementwise — byte-deterministic);
+    # recall/error contracts stay pytest-pinned.  Tail-parked to keep
+    # the 50-entry window for the never-yet-checked relational rows
     "events_approx_quantiles",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
