@@ -1391,8 +1391,8 @@ def corpus_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Overlapping context-window chunking (RAG / long-doc pretraining)
 # ---------------------------------------------------------------------------
 
-CHUNK_W = 64  # window size in whitespace tokens
-CHUNK_O = 16  # overlap between consecutive windows
+WIN_W = 64  # window size in whitespace tokens
+WIN_O = 16  # overlap between consecutive windows
 
 
 @query(
@@ -1405,9 +1405,9 @@ CHUNK_O = 16  # overlap between consecutive windows
     ),
     spans AS (
         SELECT doc_id, t, n,
-               CASE WHEN n <= {CHUNK_W} THEN 1
-                    ELSE CAST(ceil((n - {CHUNK_O})
-                              / ({CHUNK_W} - {CHUNK_O}.0)) AS BIGINT)
+               CASE WHEN n <= {WIN_W} THEN 1
+                    ELSE CAST(ceil((n - {WIN_O})
+                              / ({WIN_W} - {WIN_O}.0)) AS BIGINT)
                END AS k
         FROM toks
     ),
@@ -1418,21 +1418,21 @@ CHUNK_O = 16  # overlap between consecutive windows
     )
     SELECT doc_id,
            chunk_id,
-           CAST(chunk_id * ({CHUNK_W} - {CHUNK_O}) AS BIGINT) AS start_tok,
-           CAST(least(CAST({CHUNK_W} AS BIGINT),
-                      n - chunk_id * ({CHUNK_W} - {CHUNK_O})) AS BIGINT)
+           CAST(chunk_id * ({WIN_W} - {WIN_O}) AS BIGINT) AS start_tok,
+           CAST(least(CAST({WIN_W} AS BIGINT),
+                      n - chunk_id * ({WIN_W} - {WIN_O})) AS BIGINT)
                AS n_toks,
            array_to_string(
                list_slice(t,
-                          chunk_id * ({CHUNK_W} - {CHUNK_O}) + 1,
-                          chunk_id * ({CHUNK_W} - {CHUNK_O}) + {CHUNK_W}),
+                          chunk_id * ({WIN_W} - {WIN_O}) + 1,
+                          chunk_id * ({WIN_W} - {WIN_O}) + {WIN_W}),
                ' ') AS chunk_text
     FROM ex
     """,
 )
 def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping context-window chunker: every document split into
-    W={CHUNK_W}-token windows with O={CHUNK_O}-token overlap — the
+    W={WIN_W}-token windows with O={WIN_O}-token overlap — the
     retrieval-indexing / long-document-pretraining splitter (each
     window carries its token offset so spans map back to the source).
 
@@ -1444,12 +1444,12 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against DuckDB recomputing the identical slicing.
     At 100 TB this is the map-side fanout stage ahead of the
     embedding/index pipeline (fanout factor ≈ n/(W-O) per doc)."""
-    s = CHUNK_W - CHUNK_O
+    s = WIN_W - WIN_O
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     ).withColumn("n", F.size("t"))
-    k = F.when(F.col("n") <= CHUNK_W, F.lit(1).cast("long")).otherwise(
-        F.ceil((F.col("n") - F.lit(CHUNK_O)) / F.lit(float(s))).cast("long")
+    k = F.when(F.col("n") <= WIN_W, F.lit(1).cast("long")).otherwise(
+        F.ceil((F.col("n") - F.lit(WIN_O)) / F.lit(float(s))).cast("long")
     )
     ex = d.withColumn("k", k).select(
         "doc_id",
@@ -1462,10 +1462,10 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "chunk_id",
         start.cast("long").alias("start_tok"),
-        F.least(F.lit(CHUNK_W).cast("long"), (F.col("n") - start).cast("long")).alias(
+        F.least(F.lit(WIN_W).cast("long"), (F.col("n") - start).cast("long")).alias(
             "n_toks"
         ),
         F.concat_ws(
-            " ", F.slice(F.col("t"), start + 1, F.lit(CHUNK_W))
+            " ", F.slice(F.col("t"), start + 1, F.lit(WIN_W))
         ).alias("chunk_text"),
     )

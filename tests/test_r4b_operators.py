@@ -96,8 +96,8 @@ def test_sql_udf_dora_query_full_agreement_and_jvm_plan(spark, sf_dir):
 
 def test_chunk_windows_cover_and_overlap(spark, sf_dir):
     from mahjong_etl_spark.operators.corpus import (
-        CHUNK_O,
-        CHUNK_W,
+        WIN_O,
+        WIN_W,
         corpus_chunk_windows,
     )
 
@@ -108,7 +108,7 @@ def test_chunk_windows_cover_and_overlap(spark, sf_dir):
     for r in chunks:
         by_doc.setdefault(r.doc_id, []).append(r)
     assert set(by_doc) == set(docs)
-    s = CHUNK_W - CHUNK_O
+    s = WIN_W - WIN_O
     for doc_id, rs in by_doc.items():
         toks = docs[doc_id]
         rs.sort(key=lambda r: r.chunk_id)
@@ -121,4 +121,4 @@ def test_chunk_windows_cover_and_overlap(spark, sf_dir):
         assert rs[-1].start_tok + rs[-1].n_toks == len(toks)
         # consecutive full chunks share exactly O tokens
         for a, b in zip(rs, rs[1:]):
-            assert a.start_tok + a.n_toks - b.start_tok in (CHUNK_O, a.n_toks - s)
+            assert a.start_tok + a.n_toks - b.start_tok in (WIN_O, a.n_toks - s)
