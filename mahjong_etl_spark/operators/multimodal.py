@@ -584,3 +584,150 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)
+
+
+def encode_png(px, filters=(0, 1, 2, 3, 4)):
+    """PNG SINK: uint8 (h, w, c) ndarray -> valid 8-bit PNG bytes,
+    cycling the given per-row filter types (spec-forward application of
+    None/Sub/Up/Average/Paeth).  Pure stdlib like the decoder — the
+    encode half of the PNG pipeline, used by the roundtrip oracle query
+    and available to any sink that must emit real image bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    flat = px.reshape(h, w * c).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        row = flat[y]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            enc = row
+        elif f == 2:
+            enc = (row - prev) & 0xFF
+        elif f == 1:
+            enc = row.copy()
+            for x in range(w * c - 1, c - 1, -1):
+                enc[x] = (enc[x] - row[x - c]) & 0xFF
+        elif f == 3:
+            enc = row.copy()
+            for x in range(w * c - 1, -1, -1):
+                a = row[x - c] if x >= c else 0
+                enc[x] = (enc[x] - ((a + prev[x]) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = row.copy()
+            for x in range(w * c - 1, -1, -1):
+                a = row[x - c] if x >= c else 0
+                b = prev[x]
+                cc = prev[x - c] if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[x] = (enc[x] - pred) & 0xFF
+        raw.extend(int(v) & 0xFF for v in enc)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+PNG_RT_H, PNG_RT_W, PNG_RT_C = 8, 8, 3
+PNG_RT_N = PNG_RT_H * PNG_RT_W * PNG_RT_C
+
+
+@query(
+    "multimodal_png_roundtrip",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               (doc_id * 131 + i.i * 7919) % 256 AS v
+        FROM documents,
+             (SELECT unnest(range({PNG_RT_N})) AS i) i
+    )
+    SELECT doc_id,
+           CAST({PNG_RT_H} AS INT) AS px_h,
+           CAST({PNG_RT_W} AS INT) AS px_w,
+           CAST({PNG_RT_C} AS INT) AS channels,
+           CAST(round(sum(v) / {PNG_RT_N}.0 * 1000) AS BIGINT)
+               AS px_mean_milli,
+           CAST(min(v) AS INT) AS px_min,
+           CAST(max(v) AS INT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full REAL image pipeline, hash-pinned through SQL: per document,
+    a deterministic pixel grid (value = (doc_id·131 + i·7919) mod 256)
+    is ENCODED to genuine PNG bytes (zlib, cycling all five scanline
+    filters), DECODED back by the pure-stdlib decoder, and reduced to
+    pixel statistics — while the DuckDB oracle computes the same
+    statistics from the generating arithmetic alone.  Any corruption in
+    chunk layout, filter forward/inverse application, or the inflate
+    path flips the driver hash.  (The mean rides the exact-int rule:
+    sum of integer pixel values, ONE division, round to milli.)
+
+    Scale shape: one Arrow-batched mapInPandas pass, CPU-bound per
+    image like any codec; no shuffle before the per-doc aggregate
+    (which is the map-side-combined groupBy every decode stat uses)."""
+    from ..shipping import ensure_shipped
+    from ..sources.tables import load
+
+    ensure_shipped(spark)
+    enc, dec = encode_png, decode_png_pixels
+    h, w, c, n = PNG_RT_H, PNG_RT_W, PNG_RT_C, PNG_RT_N
+
+    def _rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                i = np.arange(n, dtype=np.int64)
+                px = ((d * 131 + i * 7919) % 256).astype(np.uint8).reshape(h, w, c)
+                back = dec(enc(px))
+                assert back is not None and (back == px).all()
+                s = int(px.astype(np.int64).sum())
+                rows.append(
+                    (
+                        d, h, w, c,
+                        int(round(s / n * 1000)),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "px_h", "px_w", "channels",
+                    "px_mean_milli", "px_min", "px_max",
+                ],
+            )
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            _rt,
+            "doc_id long, px_h int, px_w int, channels int, "
+            "px_mean_milli long, px_min int, px_max int",
+        )
+    )

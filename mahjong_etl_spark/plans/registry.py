@@ -159,6 +159,12 @@ _CHECK_WINDOW_HEAD = [
 ]
 
 _CHECK_WINDOW_TAIL = [
+    # r4-new but deliberately tailed (the 50-slot window is spent on
+    # higher-risk relational rows): the PNG encode→decode roundtrip is
+    # oracle-parity-pytest + strict-sweep green every session, and its
+    # codec layer is additionally pinned byte-exact against an
+    # independent in-test encoder across all filter types
+    "multimodal_png_roundtrip",
     # rotated out at r4 end for the governance-cascade row: r3-new,
     # never driver-checked, but the text family keeps entropy/tfidf/
     # perplexity in-window and the Zipf arithmetic is oracle-parity-
