@@ -3468,3 +3468,219 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(TRIANGLE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer-analytics batch: RFM segmentation, multi-touch attribution,
+# quantile feature binning
+# ---------------------------------------------------------------------------
+
+RFM_ANCHOR = "2001-08-02"  # max(o_orderdate) + 1 day, pinned for determinism
+
+
+@query(
+    "customers_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), TIMESTAMP '{RFM_ANCHOR}')
+                   AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_c
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_q,
+               ntile(5) OVER (ORDER BY frequency DESC, o_custkey)   AS f_q,
+               ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey)  AS m_q,
+               monetary_c
+        FROM cust
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_c) AS DOUBLE) / 100.0 AS segment_revenue
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    the standard customer-base partitioning for retention and
+    campaign targeting.  Each dimension is an ntile(5) window with a
+    custkey tie-break so the quintile cut lines are deterministic in
+    both engines; monetary rides exact cents.  Plan: one groupBy
+    shuffle to the customer grain, then three window sorts over the
+    CUSTOMER-sized table (≪ fact), then a dim-sized aggregate — at
+    100 TB the fact scan dominates and the window table is ~customers
+    × 3 longs."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "monetary_c"
+        ),
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary_c"), F.asc("o_custkey"))
+    scored = cust.select(
+        "o_custkey",
+        "monetary_c",
+        F.ntile(5).over(r_w).alias("r_q"),
+        F.ntile(5).over(f_w).alias("f_q"),
+        F.ntile(5).over(m_w).alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("monetary_c").cast("double") / F.lit(100.0)).alias(
+            "segment_revenue"
+        ),
+    )
+
+
+@query(
+    "events_multitouch_attribution",
+    oracle="""
+    WITH views AS (
+        SELECT user_id, event_id AS view_id, ts AS view_ts FROM events
+        WHERE event_type = 'view'
+    ),
+    purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+               CAST(round(value * 1000) AS BIGINT) AS value_milli
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT p.purchase_id, p.value_milli, v.view_id, v.view_ts,
+               count(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+        FROM purchases p JOIN views v
+          ON v.user_id = p.user_id
+         AND v.view_ts <= p.purchase_ts
+         AND v.view_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+    ),
+    credited AS (
+        -- // is DuckDB integer division, matching Spark's truncating
+        -- long cast of the equal split (exact on non-negative operands)
+        SELECT view_id, view_ts, n_touch,
+               value_milli // n_touch AS credit_milli
+        FROM touches
+    )
+    SELECT strftime(date_trunc('hour', view_ts), '%Y-%m-%d %H:00')
+               AS view_hour,
+           CAST(count(*) AS BIGINT) AS n_credited_touches,
+           CAST(sum(credit_milli) AS DOUBLE) / 1000.0
+               AS credited_value
+    FROM credited GROUP BY 1
+    """,
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    EQUALLY across the views in its 30-minute look-back, credited to
+    the view's hour — the per-channel revenue attribution a marketing
+    warehouse materializes hourly.  Arithmetic is exact end-to-end:
+    value in int milli-units, equal-split via INTEGER division (both
+    engines truncate identically on non-negative operands), int sums,
+    ONE final double division.  The touch join is the binned
+    range-join shape (operators/rangejoin.py) at heart; here the
+    window count runs on the joined pair table partitioned by
+    purchase.  At 100 TB the pair table is bounded by purchases ×
+    views-per-half-hour — the same state bound the streaming
+    attribution twin enforces with its watermark."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("value_milli"),
+    )
+    touches = purchases.join(
+        views,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = touches.select(
+        "view_id",
+        "view_ts",
+        (F.col("value_milli") / F.count(F.lit(1)).over(w))
+        .cast("long")
+        .alias("credit_milli"),
+    )
+    return credited.groupBy(
+        F.date_format(F.date_trunc("hour", "view_ts"), "yyyy-MM-dd HH:00").alias(
+            "view_hour"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_credited_touches"),
+        (F.sum("credit_milli").cast("double") / F.lit(1000.0)).alias(
+            "credited_value"
+        ),
+    )
+
+
+@query(
+    "lineitem_quantile_bins",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_extendedprice,
+               percent_rank() OVER (ORDER BY l_extendedprice) AS pr
+        FROM lineitem
+    ),
+    binned AS (
+        SELECT l_extendedprice,
+               least(CAST(floor(pr * 4) AS INT), 3) AS bin
+        FROM ranked
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS bin_revenue
+    FROM binned GROUP BY bin
+    """,
+)
+def lineitem_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature binning (the QuantileDiscretizer a feature
+    pipeline applies before training): quartile bins from
+    percent_rank, which handles ties identically in both engines
+    (equal values share a rank, hence a bin — no cut can split a tie
+    group).  One global window sort; at 100 TB the standard
+    refinement is approx-quantile cut points broadcast as literals
+    (events_approx_quantiles is that probe), with this exact form as
+    the correctness baseline."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    pr = F.percent_rank().over(Window.orderBy("l_extendedprice"))
+    binned = li.select(
+        "l_extendedprice",
+        F.least(F.floor(pr * 4).cast("int"), F.lit(3)).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        (
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).cast(
+                "double"
+            )
+            / F.lit(100.0)
+        ).alias("bin_revenue"),
+    )

@@ -123,13 +123,15 @@ _CHECK_WINDOW_HEAD = [
     "governance_forget_cascade",
     "mahjong_sql_udf_dora",
     "corpus_chunk_windows",
+    "customers_rfm_segments",
+    "events_multitouch_attribution",
+    "lineitem_quantile_bins",
     # TPC-H plane witnesses (distinct plan shapes; the other seven
     # widening probes rotated to the tail this round)
     "q8_market_share",
     "q13_order_count_distribution",
     "q19_disjunctive_predicates",
     "q21_waiting_suppliers",
-    "text_unigram_entropy",
     "corpus_chunk_dedup",
     "embedding_quantize_int8",
     "jsonl_roundtrip_stats",
@@ -147,10 +149,8 @@ _CHECK_WINDOW_HEAD = [
     "lineitem_unpivot_metrics",
     "orders_grouping_sets",
     # r3-new, never driver-checked
-    "corpus_mixture",
     "text_c4_filters",
     "events_asof_next_purchase",
-    "events_dedup_consecutive",
     # NTZ-affected (loader/timestamp_diff/watermark changes in r3)
     "events_exact_quantiles",
     "corpus_pipeline_funnel",
@@ -159,6 +159,15 @@ _CHECK_WINDOW_HEAD = [
 ]
 
 _CHECK_WINDOW_TAIL = [
+    # rotated out at r4 end for the RFM / multi-touch / quantile-bin
+    # rows: never driver-checked but oracle-parity-pytest +
+    # strict-sweep green every session, and each family keeps
+    # in-window witnesses (corpus: quota/negatives/chunk_windows;
+    # text: tfidf/perplexity/bpe; events dedup/window: sessionized,
+    # asof_next, trailing_hour, moving_avg)
+    "corpus_mixture",
+    "text_unigram_entropy",
+    "events_dedup_consecutive",
     # r4-new but deliberately tailed (the 50-slot window is spent on
     # higher-risk relational rows): the PNG encode→decode roundtrip is
     # oracle-parity-pytest + strict-sweep green every session, and its
@@ -166,8 +175,8 @@ _CHECK_WINDOW_TAIL = [
     # independent in-test encoder across all filter types
     "multimodal_png_roundtrip",
     # rotated out at r4 end for the governance-cascade row: r3-new,
-    # never driver-checked, but the text family keeps entropy/tfidf/
-    # perplexity in-window and the Zipf arithmetic is oracle-parity-
+    # never driver-checked, but the text family keeps tfidf/
+    # perplexity/bpe in-window and the Zipf arithmetic is oracle-parity-
     # pytest + strict-sweep green every session
     "text_zipf_spectrum",
     # rotated out at r4 end for the chunk-windows row: r3-new, never
