@@ -111,17 +111,19 @@ def quantized_weights(w: np.ndarray) -> np.ndarray:
     return np.round(w * W_SCALE).astype(np.int64)
 
 
-# (session id, sf_dir) -> learned weights; one training per session per
-# corpus (same session-cache pattern as corpus_bpe / shingle sets).
-_CLS_CACHE: dict[tuple[int, str], np.ndarray] = {}
+# sf_dir -> (owning SparkSession, learned weights); one training per
+# session per corpus.  Holds the session and checks identity (see
+# bpe._BPE_CACHE for why id(spark) keys alone are unsafe).
+_CLS_CACHE: dict[str, tuple[SparkSession, np.ndarray]] = {}
 
 
 def corpus_classifier(spark: SparkSession, sf_dir: str) -> np.ndarray:
-    key = (id(spark), sf_dir)
-    if key not in _CLS_CACHE:
-        e = load(spark, sf_dir, "embeddings")
-        _CLS_CACHE[key] = train_logreg(e)
-    return _CLS_CACHE[key]
+    hit = _CLS_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    w = train_logreg(load(spark, sf_dir, "embeddings"))
+    _CLS_CACHE[sf_dir] = (spark, w)
+    return w
 
 
 _SIG_SQL = """(SELECT CAST(count(*)

@@ -23,12 +23,15 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
-_SHIPPED_SESSIONS: set[int] = set()
+# id -> the session itself: holding the reference keeps the id from
+# being reused by a NEW session after a GC (an id()-only set would then
+# wrongly skip shipping for the new session and break worker imports)
+_SHIPPED_SESSIONS: dict[int, SparkSession] = {}
 
 
 def ensure_shipped(spark: SparkSession) -> None:
     key = id(spark)
-    if key in _SHIPPED_SESSIONS:
+    if _SHIPPED_SESSIONS.get(key) is spark:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     fd, zip_path = tempfile.mkstemp(prefix="mahjong_etl_spark_", suffix=".zip")
@@ -44,4 +47,4 @@ def ensure_shipped(spark: SparkSession) -> None:
                 )
                 zf.write(full, rel)
     spark.sparkContext.addPyFile(zip_path)
-    _SHIPPED_SESSIONS.add(key)
+    _SHIPPED_SESSIONS[key] = spark
