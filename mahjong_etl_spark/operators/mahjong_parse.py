@@ -25,7 +25,6 @@ compat=True reproduces the reference's two quirks (SURVEY.md §1.6):
 
 from __future__ import annotations
 
-import re
 import urllib.parse
 import xml.etree.ElementTree as ET
 from datetime import date
@@ -39,13 +38,11 @@ from ..functions.codec import (
     decode_meld,
     next_dora_list,
     render_tiles,
+    single_render_table,
 )
 
 # wind assignment per seat given the dealer seat (reference scrape.py:442)
 KAZE_TABLE = [[0, 1, 2, 3], [3, 0, 1, 2], [2, 3, 0, 1], [1, 2, 3, 0]]
-
-_DRAW_RE = re.compile(r"^[TUVW]\d+$")
-_DISCARD_RE = re.compile(r"^[DEFG]\d+$")
 
 TABLES = (
     "games",
@@ -113,6 +110,10 @@ def parse_game(
     out: dict[str, list[dict[str, Any]]] = {t: [] for t in TABLES}
 
     has_aka = False
+    # per-game binding of the 136-entry single-tile render table: the
+    # draw/discard loop renders ONE tile per action (~435/game), so a
+    # list index here replaces a render_tiles call (~30% of parse CPU)
+    single = single_render_table(False)
     kyoku_local: int | None = None
     oya = 0
     riichi_pending = False
@@ -127,6 +128,7 @@ def parse_game(
             g, r, has_aka = _decode_go_flags(
                 int(el.attrib["type"]), game_id, started_at
             )
+            single = single_render_table(has_aka)
             out["games"].append(g)
             out["rules"].append(r)
 
@@ -281,8 +283,8 @@ def parse_game(
                 if kind == "kan":
                     after_kan = True
 
-        elif _DRAW_RE.match(tag):
-            seat = (ord(tag[0]) - ord("T") + 4 - oya) % 4
+        elif tag[0] in "TUVW" and tag[1:].isdigit():
+            seat = (ord(tag[0]) - 84 + 4 - oya) % 4  # 84 = ord("T")
             last_drawn = int(tag[1:])
             out["actions"].append(
                 {
@@ -290,21 +292,21 @@ def parse_game(
                     "player_index": seat,
                     "seq": action_seq,
                     "type": "tsumo_k" if after_kan else "tsumo",
-                    "pais": render_tiles([last_drawn], has_aka),
+                    "pais": single[last_drawn],
                     "pai_id": None,
                 }
             )
             action_seq += 1
             after_kan = False
 
-        elif _DISCARD_RE.match(tag):
-            seat = (ord(tag[0]) - ord("D") + 4 - oya) % 4
+        elif tag[0] in "DEFG" and tag[1:].isdigit():
+            seat = (ord(tag[0]) - 68 + 4 - oya) % 4  # 68 = ord("D")
             discarded = int(tag[1:])
             # compat: reference renders the DRAWN tile here, not the
             # discarded one (scrape.py:597) — every non-tsumogiri
             # discard string is wrong; sutehai only feeds the '_' check
             shown = last_drawn if compat else discarded
-            pais = render_tiles([shown], has_aka)
+            pais = single[shown]
             if discarded == last_drawn:
                 pais += "_"
             if riichi_pending:
