@@ -1,0 +1,74 @@
+"""Exact distributed global ranking.
+
+``percent_rank() OVER (ORDER BY x)`` with no PARTITION BY collapses
+the whole relation into ONE window task — the measured 100×-probe cost
+of the naive quantile binner was exactly that single-task sort.  This
+module computes the SAME exact percent_rank distributed:
+
+  1. ``repartitionByRange`` on the key — the range partitioner
+     colocates equal keys (every value compares to the boundaries the
+     same way), so no tie group ever spans partitions;
+  2. per-partition ``rank()`` windows (ties share the min rank, the
+     SQL-standard semantics) run in parallel;
+  3. per-partition row counts (one tiny collect: n_partitions longs)
+     become cumulative offsets broadcast back as a literal map, and
+     global_rank = offset[pid] + local_rank.
+
+Exactness argument: within a partition, rank() is exact by the window
+semantics; across partitions, range partitioning guarantees every row
+in partition p sorts strictly after all rows of partitions < p OR ties
+only within p, so adding the preceding-row offset reproduces the
+global rank() bit-for-bit.  percent_rank = (rank-1)/(n-1) is then one
+exact integer-derived division.  The result is deterministic and
+partitioning-invariant (tests pin equality against the single-window
+form).
+
+Cost: one range shuffle + parallel windows instead of a single-task
+global sort — the standard exact-rank shape at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_percent_rank(
+    df: DataFrame, col: str, out_col: str = "pr", num_partitions: int | None = None
+) -> DataFrame:
+    """Return ``df`` with an exact global percent_rank over ``col``.
+
+    Output rows keep all input columns; ``out_col`` holds the same
+    double the single-window ``percent_rank() OVER (ORDER BY col)``
+    would produce.
+    """
+    parts = (
+        df.repartitionByRange(num_partitions, F.col(col))
+        if num_partitions
+        else df.repartitionByRange(F.col(col))
+    ).withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r._pid: r.n
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())  # one action covers sizing AND total
+    if n_total <= 1:
+        return df.withColumn(out_col, F.lit(0.0))
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr: Column = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(col)
+    g_rank = off_expr + F.rank().over(w)
+    return parts.withColumn(
+        out_col,
+        (g_rank - F.lit(1)).cast("double") / F.lit(float(n_total - 1)),
+    ).drop("_pid")

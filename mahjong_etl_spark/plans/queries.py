@@ -3658,20 +3658,26 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def lineitem_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile feature binning (the QuantileDiscretizer a feature
-    pipeline applies before training): quartile bins from
-    percent_rank, which handles ties identically in both engines
-    (equal values share a rank, hence a bin — no cut can split a tie
-    group).  One global window sort; at 100 TB the standard
-    refinement is approx-quantile cut points broadcast as literals
-    (events_approx_quantiles is that probe), with this exact form as
-    the correctness baseline."""
-    from pyspark.sql.window import Window
+    pipeline applies before training): quartile bins from an EXACT
+    global percent_rank, which handles ties identically in both
+    engines (equal values share a rank, hence a bin — no cut can
+    split a tie group).
+
+    The rank comes from functions/ranks.py::with_percent_rank — range
+    shuffle + parallel per-partition windows + broadcast offsets —
+    NOT from an unpartitioned window (which Spark executes as ONE
+    task: the naive form measured 48× at the 100×-probe; the
+    distributed form keeps the same bit-exact result, pinned by
+    tests/test_ranks.py, at range-shuffle cost).  Approx cut points
+    (events_approx_quantiles) remain the cheaper sketch path when
+    exactness is negotiable."""
+    from ..functions.ranks import with_percent_rank
 
     li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
-    pr = F.percent_rank().over(Window.orderBy("l_extendedprice"))
-    binned = li.select(
+    ranked = with_percent_rank(li, "l_extendedprice", "pr")
+    binned = ranked.select(
         "l_extendedprice",
-        F.least(F.floor(pr * 4).cast("int"), F.lit(3)).alias("bin"),
+        F.least(F.floor(F.col("pr") * 4).cast("int"), F.lit(3)).alias("bin"),
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_rows"),
