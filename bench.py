@@ -146,7 +146,41 @@ def main() -> None:
         out["etl_vs_ref_speedup"] = round(
             ref_parse / timings["mahjong_etl_1k"], 2
         )
-    print(json.dumps(out))
+
+    # Full per-query detail always lands on disk next to this script —
+    # the committed round-over-round record.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    # The driver captures only the LAST ~2000 chars of stdout and
+    # json-parses the final line (BENCH_r04 was `parsed: null` because
+    # the per-query dict outgrew that window).  If the full line no
+    # longer fits with headroom for the trailing newline and any \r
+    # progress junk, print a compact line instead: per-family subtotals
+    # (prefix grouping, q\d+ -> tpch) plus the slowest individuals,
+    # trimmed until the line fits.
+    line = json.dumps(out)
+    if len(line) > 1500:
+        fams: dict[str, float] = {}
+        for name, t in timings.items():
+            fam = "tpch" if re.match(r"q\d+_", name) else name.split("_", 1)[0]
+            fams[fam] = round(fams.get(fam, 0.0) + t, 3)
+        slow = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        )
+        out_c = dict(out)
+        out_c["queries"] = fams
+        out_c["n_queries"] = len(timings)
+        out_c["slowest"] = slow
+        out_c["detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(out_c)
+        while len(line) > 1500 and out_c["slowest"]:
+            out_c["slowest"].popitem()
+            line = json.dumps(out_c)
+    print(line)
 
 
 if __name__ == "__main__":

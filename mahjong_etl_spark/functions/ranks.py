@@ -48,6 +48,14 @@ def with_percent_rank(
         if num_partitions
         else df.repartitionByRange(F.col(col))
     ).withColumn("_pid", F.spark_partition_id())
+    # Materialize ONCE before the counts collect: repartitionByRange
+    # samples boundaries with an RDD-id-derived seed and AQE may
+    # coalesce shuffle partitions, so two executions of the same plan
+    # can assign different partition ids — offset[pid] + local_rank
+    # would then silently mix two different partitionings.  The eager
+    # localCheckpoint pins one physical partitioning that BOTH the
+    # counts job and the ranking job read.
+    parts = parts.localCheckpoint(eager=True)
     counts = {
         r._pid: r.n
         for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

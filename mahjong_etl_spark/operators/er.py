@@ -89,7 +89,7 @@ def fuzzy_name_pairs(names: DataFrame) -> DataFrame:
 _ER_NAMES_CTE = """
     WITH RECURSIVE names AS (
         SELECT p_name,
-               split_part(p_name, ' ', 2) AS block,
+               split_part(p_name, ' ', -1) AS block,
                count(*) AS n_parts,
                min(p_partkey) AS name_key
         FROM part GROUP BY 1, 2

@@ -564,13 +564,18 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
                 px = decode(bytes(p))
                 if px is None:
                     continue
+                # exact-int milli mean with HALF-UP ties, matching the
+                # SQL oracle's round() (half away from zero on the
+                # non-negative sums here).  Python round() is banker's
+                # rounding — a .5-milli boundary would flip the hash.
+                s, npx = int(px.astype(np.int64).sum()), int(px.size)
                 rows.append(
                     (
                         int(mid),
                         px.shape[0],
                         px.shape[1],
                         px.shape[2],
-                        int(round(float(np.mean(px)) * 1000)),
+                        (s * 1000 + npx // 2) // npx,
                         int(px.min()),
                         int(px.max()),
                     )
@@ -709,7 +714,9 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(
                     (
                         d, h, w, c,
-                        int(round(s / n * 1000)),
+                        # half-up on the integer sum = the oracle's
+                        # round() tie semantics (not Python banker's)
+                        (s * 1000 + n // 2) // n,
                         int(px.min()),
                         int(px.max()),
                     )

@@ -1111,10 +1111,19 @@ def ann_pq_topk(
             scores = tb[:, s_idx, codes].sum(axis=2)
             vids = pdf["vec_id"].to_numpy(dtype=np.int64)
             top = min(len(vids), rerank)
-            part = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            # Deterministic batch cut: pre-sort columns by neighbor id,
+            # then a STABLE descending-score sort breaks score ties by
+            # ascending vec_id — the same composite order as the global
+            # (-adc, neighbor_id) window below.  Any global top-rerank
+            # element therefore survives its batch cut under EVERY
+            # partitioning (an argpartition cut kept/dropped boundary
+            # ties by in-batch row position — round-4 advice).
+            vorder = np.argsort(vids)
+            vids_s = vids[vorder]
+            idx = np.argsort(-scores[:, vorder], axis=1, kind="stable")[:, :top]
             out_q = np.repeat(qi, top)
-            out_v = vids[part].reshape(-1)
-            out_s = np.take_along_axis(scores, part, axis=1).reshape(-1)
+            out_v = vids_s[idx].reshape(-1)
+            out_s = np.take_along_axis(scores[:, vorder], idx, axis=1).reshape(-1)
             yield pd.DataFrame(
                 {"q_id": out_q, "neighbor_id": out_v, "adc": out_s}
             )
