@@ -80,3 +80,46 @@ def with_percent_rank(
         out_col,
         (g_rank - F.lit(1)).cast("double") / F.lit(float(n_total - 1)),
     ).drop("_pid")
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact distributed ``row_number() OVER (ORDER BY ...)``.
+
+    Same range-partition + per-partition-window + offset construction
+    as :func:`with_percent_rank`, but for an arbitrary (possibly
+    descending) total ordering.  The caller must make the ordering
+    TOTAL (include a unique tiebreak column) or the numbering within a
+    tie group is partition-local choice.
+
+    The eager localCheckpoint pins ONE physical partitioning for both
+    the counts collect and the numbering job — see with_percent_rank.
+    """
+    parts = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    ).withColumn("_pid", F.spark_partition_id())
+    parts = parts.localCheckpoint(eager=True)
+    counts = {
+        r._pid: r.n
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    off_expr: Column = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return parts.withColumn(
+        out_col, (off_expr + F.row_number().over(w)).cast("long")
+    ).drop("_pid")

@@ -1469,3 +1469,62 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.col("t"), start + 1, F.lit(WIN_W))
         ).alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shard manifest — balanced output sharding for training dataloaders
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM t
+    )
+    SELECT (rn - 1) % {N_SHARDS} AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_doc_tokens
+    FROM r GROUP BY shard_id
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced shard manifest: documents dealt round-robin over the
+    size-DESC order, so every shard's token total lands within one
+    max-document of the mean (the greedy longest-processing-time
+    bound) — the deterministic layout a training dataloader wants.
+
+    Scale shape: the only global step is the exact distributed
+    row_number (range shuffle + per-partition windows + an
+    n_partitions-long offset collect — functions/ranks.py); the deal
+    and the per-shard rollup are one map-side-combined groupBy.  No
+    single-task global window anywhere.
+    """
+    from ..functions.ranks import with_global_row_number
+
+    t = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    ranked = with_global_row_number(
+        t, [F.col("n_tokens").desc(), F.col("doc_id").asc()], out_col="rn"
+    )
+    return (
+        ranked.withColumn(
+            "shard_id", ((F.col("rn") - 1) % N_SHARDS).cast("long")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+            F.min("n_tokens").alias("min_doc_tokens"),
+        )
+    )

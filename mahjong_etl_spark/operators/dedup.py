@@ -973,3 +973,138 @@ def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 8: exact duplicate SPANS — substring-level dedup across documents
+# ---------------------------------------------------------------------------
+
+# Window width (in words) for position-level duplicate detection.  A
+# span is reported once every one of its K-word windows occurs at
+# least twice anywhere in the corpus — the distributed reformulation
+# of suffix-array exact-substring dedup (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): any
+# repeated substring of >= K words is a run of repeated K-grams, so
+# K-gram postings find exactly the same spans a suffix array would,
+# with shuffles instead of a monolithic index.
+SPAN_K = 5
+
+
+def duplicate_span_stats(df: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Per-document duplicated-span statistics.
+
+    Pipeline (all JVM expressions, one logical pass per stage):
+
+    1. position sites: ``posexplode`` of the K-gram at every word
+       offset — rows are (doc_id, n_words, pos, md5(gram));
+    2. duplicated grams: groupBy the 128-bit digest, keep ``count>1``
+       (map-side combine makes a hot boilerplate gram ONE count row,
+       never a pair blowup — this stage is linear in corpus size,
+       unlike pairwise candidate generation);
+    3. mark sites whose gram is duplicated (left-semi join on the
+       digest: shuffle carries 16 bytes + two longs per site);
+    4. per-doc gap-merge: positions whose K-windows overlap (gap
+       <= K-1) fuse into maximal spans via a running new-span flag —
+       the window is per-document, so parallelism is per-doc, never a
+       global sort.
+
+    Output: one row per document that carries at least one duplicated
+    span — span count, total duplicated word coverage (union of
+    windows, not the double-counted sum), longest span, and an exact
+    integer permille ratio.
+    """
+    from pyspark.sql.window import Window
+
+    ws = F.split(F.col("text"), " ")
+    sites = (
+        df.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.size("ws").alias("n_words"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {k}),"
+                    f" i -> md5(concat_ws(' ', slice(ws, i + 1, {k}))))"
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    dup = (
+        sites.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") > 1)
+        .select("gram")
+    )
+    marked = sites.join(dup, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lagpos = F.lag("pos").over(w)
+    new_span = F.when(
+        lagpos.isNotNull() & (F.col("pos") - lagpos <= k - 1), F.lit(0)
+    ).otherwise(F.lit(1))
+    numbered = marked.withColumn("span_id", F.sum(new_span).over(w))
+    spans = numbered.groupBy("doc_id", "span_id").agg(
+        F.first("n_words").alias("n_words"),
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(k - 1)).alias("e"),
+    )
+    span_len = F.col("e") - F.col("s") + 1
+    return (
+        spans.groupBy("doc_id", "n_words")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(span_len).alias("dup_words"),
+            F.max(span_len).alias("max_span_words"),
+        )
+        .withColumn(
+            "dup_permille",
+            F.expr("(dup_words * 1000 + n_words div 2) div n_words"),
+        )
+    )
+
+
+@query(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), site AS (
+      SELECT doc_id, len(w) AS n_words, CAST(i AS BIGINT) AS pos,
+             array_to_string(w[i + 1 : i + {SPAN_K}], ' ') AS sh
+      FROM ws, unnest(range(len(w) - {SPAN_K - 1})) AS t(i)
+      WHERE len(w) >= {SPAN_K}
+    ), dup AS (
+      SELECT sh FROM site GROUP BY sh HAVING count(*) > 1
+    ), m AS (
+      SELECT s.doc_id, s.n_words, s.pos FROM site s JOIN dup USING (sh)
+    ), flagged AS (
+      SELECT doc_id, n_words, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                      <= {SPAN_K - 1}
+                  THEN 0 ELSE 1 END AS new_span
+      FROM m
+    ), numbered AS (
+      SELECT doc_id, n_words, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, any_value(n_words) AS n_words,
+             min(pos) AS s, max(pos) + {SPAN_K - 1} AS e
+      FROM numbered GROUP BY doc_id, span_id
+    )
+    SELECT doc_id, n_words,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_words,
+           CAST(max(e - s + 1) AS BIGINT) AS max_span_words,
+           (CAST(sum(e - s + 1) AS BIGINT) * 1000 + n_words // 2) // n_words
+               AS dup_permille
+    FROM spans GROUP BY doc_id, n_words
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup: per-document maximal duplicated
+    spans (>= SPAN_K words repeated anywhere in the corpus).  The
+    digest-postings reformulation keeps every stage linear — the 100 TB
+    path where doc-level dedup isn't enough (boilerplate headers,
+    quoted passages) and a suffix array won't distribute."""
+    return duplicate_span_stats(load_spread(spark, sf_dir, "documents"))
