@@ -340,3 +340,44 @@ def test_streaming_scorer_matches_batch_bitforbit(spark, sf_dir):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_state_store_introspection_sees_open_sessions(spark, sf_dir, tmp_path):
+    """The statestore reader must expose exactly the sessions the
+    drain left OPEN: for every user, the state row's event count equals
+    the batch-computed final session's count, and start/last match."""
+    import uuid as _uuid
+
+    from mahjong_etl_spark.streaming.introspect import (
+        open_sessions,
+        state_metadata,
+    )
+
+    ensure_shipped(spark)
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        sessionize_stream(stream_events(spark, sf_dir), watermark_delay=None)
+        .writeStream.format("memory")
+        .queryName(f"intro_{_uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    meta = state_metadata(spark, ckpt).collect()
+    assert len(meta) == 1 and meta[0].operatorName == "applyInPandasWithState"
+
+    live = {r.user_id: r for r in open_sessions(spark, ckpt).collect()}
+
+    # batch sessionization: each user's LAST session is the open one
+    final = {}
+    for r in events_sessionized(spark, sf_dir).collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.session_num > cur.session_num:
+            final[r.user_id] = r
+    assert set(live) == set(final)
+    for uid, row in live.items():
+        assert row.n_events == final[uid].n_events
+        assert round(row.duration_sec, 3) == final[uid].duration_sec
