@@ -1875,6 +1875,53 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "orc_roundtrip_stats",
+    oracle="""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar source-plurality probe: orders round-trip through ORC
+    (Spark's second built-in columnar format) CLUSTERED on the filter
+    column, then the read-back side filters and aggregates — while the
+    oracle aggregates the original parquet.  The hash-match proves the
+    ORC sink+source preserves int64 / double / date values exactly, and
+    the filter on the read-back side exercises ORC predicate pushdown
+    over the sorted layout (row groups prune by min/max like parquet —
+    pinned in tests/test_plans_r4.py's pushdown suite conventions).
+
+    Scale notes: the write is a range shuffle on the cluster key (the
+    write-once/read-many trade from plans/layout.py); the read is a
+    pushed-down scan + one map-side-combined aggregate."""
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    o.repartitionByRange(4, "o_orderstatus", "o_orderdate").sortWithinPartitions(
+        "o_orderstatus", "o_orderdate"
+    ).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).where(F.col("o_orderstatus") == "F")
+    return back.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / F.lit(100.0)
+        ).alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subquery plane: EXISTS-aggregates, correlated scalars, HAVING,
 # disjunctive pushdown.  The reference's Athena surface (Presto SQL)

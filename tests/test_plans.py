@@ -556,3 +556,33 @@ def test_type_transitions_broadcast_normalizer(reg, spark, sf_dir):
     plan = plan_of(_run(reg, "events_type_transitions", spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_topk_windows_use_group_limit_pushdown(reg, spark, sf_dir):
+    """rank()/row_number() <= k filters must compile to
+    WindowGroupLimit: per-partition top-k heaps ahead of the window
+    sort, so non-surviving rows never reach the full sort — the
+    difference between sorting k rows/group and sorting 100 TB."""
+    for q in ("events_top3_per_user", "customer_rank_by_nation"):
+        plan = plan_of(_run(reg, q, spark, sf_dir))
+        assert "WindowGroupLimit" in plan, q
+
+
+def test_duplicate_spans_no_pair_blowup_and_pushdown(reg, spark, sf_dir):
+    """The span finder must stay linear: duplicate marking is a
+    count-filtered aggregate + (broadcast'able) semi join on the gram
+    digest — never a self-join that enumerates occurrence pairs, and
+    never a Python eval in the pipeline."""
+    plan = plan_of(_run(reg, "dedup_duplicate_spans", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_shard_manifest_no_single_task_sort(reg, spark, sf_dir):
+    """The manifest's global ordering must be the distributed
+    range-partitioned rank, never a single-partition window over the
+    whole corpus."""
+    plan = plan_of(_run(reg, "corpus_shard_manifest", spark, sf_dir))
+    # a single-task global window shows up as Window over SinglePartition
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
