@@ -198,3 +198,81 @@ def cdc_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_closed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff — dataset versioning audit
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(v1: DataFrame, v2: DataFrame, key: str, payload: str) -> DataFrame:
+    """Content-level diff of two corpus snapshots: one row per key with
+    status added / removed / changed / unchanged.
+
+    The payload is fingerprinted BEFORE the join, so the full-outer
+    join shuffles (key, 16-byte digest) only — never document bodies.
+    At 100 TB that makes the version diff an O(n) fingerprint shuffle,
+    the same discipline as exact dedup.
+    """
+    a = v1.select(F.col(key), F.md5(F.col(payload)).alias("h1"))
+    b = v2.select(F.col(key), F.md5(F.col(payload)).alias("h2"))
+    j = a.join(b, key, "full_outer")
+    return j.select(
+        F.col(key),
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+@query(
+    "corpus_version_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 11 <> 3
+    ), v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 1 THEN text || ' v2-rescore'
+                      ELSE text END) AS h2
+      FROM documents WHERE doc_id % 7 <> 2
+    ), j AS (
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN h1 <> h2 THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status, count(*) AS n_docs,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM j GROUP BY status
+    """,
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning audit: two deterministic snapshots of the
+    documents corpus (v2 drops some docs, adds others, and re-scores a
+    stripe of texts) are diffed by content hash and rolled up per
+    status — the release-gate report ("what changed between corpus
+    v1 and v2?") every re-crawl/reprocess cycle needs."""
+    d = load(spark, sf_dir, "documents")
+    v1 = d.where(F.col("doc_id") % 11 != 3).select("doc_id", "text")
+    v2 = (
+        d.where(F.col("doc_id") % 7 != 2)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(F.col("text"), F.lit(" v2-rescore")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    diff = snapshot_diff(v1, v2, "doc_id", "text")
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -136,10 +136,11 @@ _CHECK_WINDOW_HEAD = [
     "cdc_orders_scd2",
     "governance_forget_cascade",
     "graph_triangle_counts",
-    "corpus_chunk_dedup",
+    "corpus_version_diff",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    "corpus_chunk_dedup",
     "q2_min_cost_supplier",
     "q20_excess_stock_suppliers",
     "text_tfidf_topk",
