@@ -257,3 +257,28 @@ def test_incremental_date_scoped_etl(spark, tmp_path):
 
     with _pytest.raises(Exception):  # typo'd date must fail loudly
         run_etl(spark, FIXTURE_ROOT, str(tmp_path / "x"), date_prefix="2099")
+
+
+def test_output_manifest_reconciles_with_reported_counts(spark, tmp_path):
+    """The footer-only manifest must account for every written file and
+    its row totals must reconcile EXACTLY with what run_etl reported —
+    the release-gate audit, paid in footer reads, never a second scan."""
+    from mahjong_etl_spark.plans.manifest import output_manifest
+    from mahjong_etl_spark.schemas import TABLE_SCHEMAS
+
+    out = str(tmp_path / "etl_manifest")
+    counts = run_etl(spark, FIXTURE_ROOT, out)
+    man = output_manifest(spark, out, list(TABLE_SCHEMAS)).collect()
+    assert man, "manifest must list the written files"
+    by_table: dict[str, int] = {}
+    for r in man:
+        assert r.file.endswith(".parquet") and r.bytes > 0
+        assert r.dt is not None, "partition value must be recovered"
+        assert r.n_rows >= 0 and r.n_row_groups >= 1
+        by_table[r.table] = by_table.get(r.table, 0) + r.n_rows
+    for t, n in by_table.items():
+        assert n == counts[t], (t, n, counts[t])
+    # tables that wrote nothing simply have no manifest rows
+    for t, n in counts.items():
+        if t != "_corrupt" and n > 0:
+            assert by_table.get(t) == n
