@@ -671,7 +671,7 @@ PNG_RT_N = PNG_RT_H * PNG_RT_W * PNG_RT_C
            CAST({PNG_RT_H} AS INT) AS px_h,
            CAST({PNG_RT_W} AS INT) AS px_w,
            CAST({PNG_RT_C} AS INT) AS channels,
-           CAST(round(sum(v) / {PNG_RT_N}.0 * 1000) AS BIGINT)
+           (CAST(sum(v) AS BIGINT) * 1000 + {PNG_RT_N // 2}) // {PNG_RT_N}
                AS px_mean_milli,
            CAST(min(v) AS INT) AS px_min,
            CAST(max(v) AS INT) AS px_max
