@@ -737,6 +737,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEM_TAU = 0.4  # same threshold as the exact baseline above
 
+# Hard cap on the SemDeDup cluster count.  k grows with the corpus so
+# per-cell pairwise cost stays ~constant, but centroids are trained
+# with a per-Lloyd-round driver collect of k x dim floats and shipped
+# to every task — uncapped (the r5 `n // 128` rule alone), a 10^10-doc
+# corpus would put a ~100 GB centroid matrix on the driver and in
+# every closure.  The published SemDeDup runs used k ~= 1.1e5 on
+# billion-scale corpora; 131072 keeps the matrix <= ~0.5 GB at
+# dim=1024 (float64) — a bounded broadcast, while per-cell cost decay
+# simply stops improving past the cap (cells grow linearly again,
+# still row-blocked at 2048 so executor memory stays flat).
+SEM_K_CAP = 131_072
+
 
 @query("dedup_semantic", oracle=golden_oracle("dedup_semantic", "vec_id, sem_group, keep"), bench=True)
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,9 +761,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the declared scale path that ``dedup_embedding_cosine``
     (the exact O(n²) oracle baseline) stands in for at test scale:
     the pairwise search collapses from |corpus|² to
-    Σ|cluster|² ≈ n²/k, and k grows with the corpus (k ≈ n/10⁴ keeps
-    cluster cost constant) — the published SemDeDup recipe for
-    billion-document corpora.  Every stage is distributed: centroid
+    Σ|cluster|² ≈ n²/k, and k grows with the corpus up to SEM_K_CAP
+    (the published SemDeDup recipe for billion-document corpora used
+    k ≈ 1.1e5; past the cap, cells grow linearly again but stay
+    row-blocked so executor memory is flat and the driver/broadcast
+    footprint is bounded at k_cap × dim).  Every stage is distributed:
+    centroid
     training moves k×dim floats to the driver per Lloyd round
     (operators/similarity.py:train_ivf_centroids, session-cached so
     one training serves IVF + this operator), assignment is one numpy
@@ -793,12 +808,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-cell pairwise cost stays n²/k ≈ 256·n — the SemDeDup
     # scaling rule; floor at the session IVF k so the cached quantizer
     # is shared at test scale.  e is persisted, so count() is cheap.
-    k = max(IVF_CLUSTERS, e.count() // 128)
+    k = min(SEM_K_CAP, max(IVF_CLUSTERS, e.count() // 128))
     cents = corpus_centroids(spark, sf_dir, k, IVF_LLOYD_ITERS)
 
-    half_sq = 0.5 * (cents * cents).sum(axis=1)
+    # Ship the centroid matrix to executors ONCE via a torrent
+    # broadcast, not by closure capture: a captured ndarray is
+    # re-pickled into every task description, so at the k cap it
+    # would ride every one of thousands of task launches instead of
+    # landing on each executor once.
+    b_cents = spark.sparkContext.broadcast(cents)
 
     def soft_assign(it):
+        cents = b_cents.value
+        half_sq = 0.5 * (cents * cents).sum(axis=1)
         for pdf in it:
             if len(pdf) == 0:
                 continue

@@ -48,6 +48,37 @@ FEATURE_SCHEMA = StructType(
 
 KINDS = ["image", "audio", "video"]
 
+# Imaging-library probe happens ONCE at module import, never inside a
+# decode call: an installed-but-unwired library must degrade to the
+# deterministic arithmetic path with a warning, not detonate every
+# query in the multimodal plane mid-batch (the r5 failure mode: a
+# NotImplementedError raised inside the per-payload try sat outside
+# its own except-ImportError and would have killed decode_payload for
+# every non-header payload the moment Pillow appeared on the image).
+try:  # pragma: no cover - library absent in this environment
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+_PIL_WARNED = False
+
+
+def _warn_pil_unwired() -> None:
+    """Log (once per process) that Pillow is present but full-pixel
+    decode is not wired; the arithmetic fallback stays in effect."""
+    global _PIL_WARNED
+    if not _PIL_WARNED:
+        _PIL_WARNED = True
+        import warnings
+
+        warnings.warn(
+            "Pillow is installed but full pixel decode is not wired; "
+            "using deterministic arithmetic dims",
+            stacklevel=2,
+        )
+
 
 def media_table(docs: DataFrame) -> DataFrame:
     """Adapt the documents table into a (media_id, kind, payload,
@@ -189,9 +220,12 @@ def decode_payload(payload: bytes, kind: str) -> dict:
        to deterministic arithmetic dims.
     2. Full pixel decode: REAL for 8-bit PNG via the pure-stdlib
        decoder (decode_png_pixels / extract_pixel_stats below); for
-       JPEG/GIF pixels it stays gated on an imaging library and
-       stubbed honestly (raise, don't silently fake) — those need
-       real entropy codecs, absent here.
+       JPEG/GIF pixels it stays gated on an imaging library (probed
+       once at module import, see _HAVE_PIL above) — those need real
+       entropy codecs, absent here.  If the library ever appears
+       before the decode is wired, the gate logs one warning and
+       keeps the arithmetic fallback: a half-installed capability
+       must never raise mid-query.
     3. Deterministic arithmetic fallback for everything else, so tests
        and the SQL oracle can verify the mapInPandas plumbing
        end-to-end on synthetic payloads.
@@ -207,12 +241,8 @@ def decode_payload(payload: bytes, kind: str) -> dict:
     if real_dims is not None:
         width, height = real_dims
     else:
-        try:  # pragma: no cover - libs absent in this environment
-            import PIL.Image  # noqa: F401
-
-            raise NotImplementedError("real pixel decode not wired yet")
-        except ImportError:
-            pass
+        if _HAVE_PIL:  # pragma: no cover - library absent here
+            _warn_pil_unwired()
         width = n % 640 + 1
         height = (n * 31) % 480 + 1
     return {

@@ -39,6 +39,11 @@ PROBES = [
     "text_token_stats",
     "events_rolling_wau",
     "dedup_minhash_lsh",
+    # SemDeDup: k is capped (dedup.SEM_K_CAP) and centroids are
+    # broadcast, not closure-captured, so the thing to watch here is
+    # BOTH the time ratio and driver_rss_delta_mb staying ~flat as n
+    # grows 10x (r5 verdict item 2).
+    "dedup_semantic",
 ]
 
 # table -> (id columns to shift, rows-per-sf0.1 offset stride)
@@ -75,11 +80,21 @@ def synthesize(spark, base: str, out: str, copies: int = 10) -> None:
         u.repartition(32).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
 
 
-def time_query(reg, name, spark, sf_dir) -> float:
+def _driver_rss_mb() -> float:
+    """Driver-process resident set in MB (linux /proc, no psutil)."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def time_query(reg, name, spark, sf_dir) -> tuple[float, float]:
+    rss0 = _driver_rss_mb()
     t0 = time.time()
     # count() forces full execution without driver-side materialization
     reg[name].spark_fn(spark, sf_dir).count()
-    return time.time() - t0
+    return time.time() - t0, _driver_rss_mb() - rss0
 
 
 def main(base: str, out_json: str, copies: int = 10, probes=None) -> int:
@@ -105,14 +120,18 @@ def main(base: str, out_json: str, copies: int = 10, probes=None) -> int:
     results = {}
     for name in probes or PROBES:
         # warm both paths once (JIT/IO cache), then measure
-        t1 = time_query(reg, name, spark, base)
-        t10 = time_query(reg, name, spark, scratch)
-        t1b = time_query(reg, name, spark, base)
-        t10b = time_query(reg, name, spark, scratch)
+        t1, rss1 = time_query(reg, name, spark, base)
+        t10, rss10 = time_query(reg, name, spark, scratch)
+        t1b, _ = time_query(reg, name, spark, base)
+        t10b, _ = time_query(reg, name, spark, scratch)
         r = {
             "t_1x_sec": round(min(t1, t1b), 3),
             f"t_{copies}x_sec": round(min(t10, t10b), 3),
             "ratio": round(min(t10, t10b) / max(min(t1, t1b), 1e-9), 2),
+            # first-run (cold) driver RSS growth at each scale: a plan
+            # that collects O(n) state shows rss growing with copies
+            "driver_rss_delta_mb_1x": round(rss1, 1),
+            f"driver_rss_delta_mb_{copies}x": round(rss10, 1),
         }
         results[name] = r
         print(f"{name:28} 1x={r['t_1x_sec']:7.3f}s  {copies}x="

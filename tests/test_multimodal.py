@@ -267,3 +267,56 @@ def test_pixel_stats_through_spark(spark):
     assert r.px_mean_milli == round(float(np.mean(px)) * 1000)
     assert r.px_min == int(px.min()) and r.px_max == int(px.max())
     assert decode_png_pixels(bytes(png)) is not None
+
+
+def test_pil_present_degrades_to_fallback_not_raise(monkeypatch):
+    """An installed-but-unwired imaging library must NOT detonate the
+    decode plane (r5 verdict: the old in-call `import PIL` +
+    `raise NotImplementedError` sat outside its except-ImportError and
+    would have killed every non-header decode the moment Pillow
+    appeared).  Force the import-time probe flag on and assert
+    decode_payload returns arithmetic dims with exactly one warning."""
+    import warnings
+
+    import mahjong_etl_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+    monkeypatch.setattr(mm, "_PIL_WARNED", False)
+    payload = b"\xff\xfe not utf8, not a known header"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        d = mm.decode_payload(payload, "image")
+        d2 = mm.decode_payload(payload, "image")
+    n = len(payload)
+    assert (d["width"], d["height"]) == (n % 640 + 1, (n * 31) % 480 + 1)
+    assert d == d2
+    assert sum("arithmetic dims" in str(x.message) for x in w) == 1
+
+
+def test_pil_probe_happens_at_import(tmp_path):
+    """The probe must run at module import (workers import fresh), so
+    plant a fake PIL package on a subprocess's path and import the
+    module there: the probe must set _HAVE_PIL and the module import
+    itself must not raise."""
+    import subprocess
+    import sys
+
+    pkg = tmp_path / "PIL"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "Image.py").write_text("")
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import mahjong_etl_spark.operators.multimodal as mm; "
+        "assert mm._HAVE_PIL is True; "
+        "d = mm.decode_payload(b'\\xff\\xfe not a header', 'image'); "
+        "print(d['width'], d['height'])"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        check=True,
+    )
+    assert out.stdout.strip()
