@@ -148,11 +148,27 @@ def main() -> None:
         )
 
     # Full per-query detail always lands on disk next to this script —
-    # the committed round-over-round record.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
+    # the committed round-over-round record.  BENCH_r{N}.json (written
+    # by the driver from the printed line) may hold only the compact
+    # family view, so ALSO keep a per-round full-detail copy: the
+    # driver writes BENCH_r{N}.json after this run, so the current
+    # round is 1 + the highest round file already on disk (r5 verdict
+    # item 5: BENCH_r04's per-query map was lost to the driver's
+    # stdout window, making round-over-round comparison partial).
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    this_round = max(rounds, default=0) + 1
+    with open(
+        os.path.join(here, f"BENCH_DETAIL_r{this_round:02d}.json"), "w"
+    ) as f:
         json.dump(out, f, indent=1, sort_keys=True)
 
     # The driver captures only the LAST ~2000 chars of stdout and

@@ -563,8 +563,14 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     The distinct-type list is SORTED before the float fold on both
     engines so summation order is pinned; terms are rounded at 6dp to
     absorb last-ulp libm drift (same discipline as every float ratio
-    in this module)."""
-    d = load(spark, sf_dir, "documents")
+    in this module).
+
+    load_spread, not load: the per-row fold is O(types x tokens), so
+    a single-split local file would serialize the whole corpus onto
+    one core (r5 bench showed exactly that — the one 1-task stage in
+    the text plane); at cluster scale the input arrives pre-split and
+    the spread is a no-op."""
+    d = load_spread(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.expr("size(split(text, ' '))").cast("long").alias("n_tokens"),

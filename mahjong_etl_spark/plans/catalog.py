@@ -40,4 +40,16 @@ def register_tables(spark: SparkSession, root: str) -> list[str]:
             """
         )
         registered.append("games_wide")
+    if "games" in registered:
+        # ER entity `experiments` (er/mahjong.md:14-16): declared
+        # upstream, never produced by the reference — realized as the
+        # scrape-batch dimension (one row per dt batch; schemas.py
+        # EXPERIMENTS).  A view, not a sink: it is fully derivable.
+        spark.sql(
+            """
+            CREATE OR REPLACE TEMP VIEW experiments AS
+            SELECT DISTINCT CAST(dt AS STRING) AS id FROM games
+            """
+        )
+        registered.append("experiments")
     return registered

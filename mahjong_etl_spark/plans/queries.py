@@ -3429,6 +3429,36 @@ TRIANGLE_SUPPORT = 2
 TRIANGLE_TOPK = 10
 
 
+def orient_edges_by_degree(edges):
+    """Orient an undirected edge set (a, b) into (src, dst, rk_dst)
+    with rank(src) < rank(dst), rank = (degree, node id).
+
+    The rank rides a single long — deg * 2^33 + node — so the wedge
+    inequality stays one comparison instead of a struct compare
+    (node ids and degrees both fit well under 2^33 at any TPC-H SF;
+    an external graph would widen the encoding).  The degree table is
+    one row per node, so both enrichment joins broadcast under AQE.
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    rk = (F.col("deg") * F.lit(1 << 33) + F.col("node")).cast("long")
+    ranked = deg.select("node", rk.alias("rk"))
+    e = (
+        edges.join(ranked.withColumnsRenamed({"node": "a", "rk": "rk_a"}), "a")
+        .join(ranked.withColumnsRenamed({"node": "b", "rk": "rk_b"}), "b")
+    )
+    lo_first = F.col("rk_a") < F.col("rk_b")
+    return e.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.greatest("rk_a", "rk_b").alias("rk_dst"),
+    )
+
+
 @query(
     "graph_triangle_counts",
     oracle=f"""
@@ -3470,16 +3500,22 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering-structure probe that complements pagerank (centrality)
     and connected components (reachability) on the graph plane.
 
-    The classic a < b < c ordered-wedge formulation: each triangle is
-    enumerated exactly once by joining edge (a,b) to edge (b,c) (a
-    wedge) and closing it against edge (a,c).  All three hops are
-    EQUI-joins on node keys — never a cross join — so cost is
-    Σ deg(b)·deg(a) over edges, the standard distributed triangle
-    bound; at 100 TB the usual refinement (orient edges by degree so
-    wedges pivot on the lower-degree endpoint) drops it to
-    O(E^1.5), and the support threshold already prunes the hub edges
-    that dominate that bound.  Per-node counts are an explode +
-    groupBy; top-k is TakeOrderedAndProject."""
+    Degree-oriented wedge enumeration (the O(E^1.5) compact-forward
+    algorithm): orient every undirected edge from its lower-(degree,
+    id) endpoint to its higher one, enumerate wedges ONLY at the
+    minimum-rank vertex of each triangle (out-neighbors v < w by
+    rank), and close them against the oriented edge v->w.  Out-degree
+    under this orientation is bounded by O(sqrt(E)) for every vertex
+    — a hub of degree d contributes wedges only through its LOW-rank
+    incident edges — which is exactly the refinement over the naive
+    Σ deg² wedge join that survives skewed external graphs at 100 TB
+    (the r5 plan audit's named fix).  All hops remain EQUI-joins —
+    never a cross join; the degree table is tiny (one row per node)
+    and broadcasts under AQE.  Each triangle is counted exactly once
+    at its min-rank pivot; per-node counts are orientation-invariant,
+    so the oracle keeps the classic a<b<c formulation.  Per-node
+    counts are an explode + groupBy; top-k is TakeOrderedAndProject.
+    """
     items = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -3500,14 +3536,16 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s") >= TRIANGLE_SUPPORT)
         .select("a", "b")
     )
-    e1 = edges.select(F.col("a").alias("a"), F.col("b").alias("b"))
-    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    oriented = orient_edges_by_degree(edges)
+    w1 = oriented.select("src", F.col("dst").alias("v"), F.col("rk_dst").alias("rk_v"))
+    w2 = oriented.select("src", F.col("dst").alias("w"), F.col("rk_dst").alias("rk_w"))
+    wedges = w1.join(w2, "src").where(F.col("rk_v") < F.col("rk_w"))
+    closure = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closure, ["v", "w"])
     nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.col("src").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
     )
     return (
         nodes.groupBy("node")

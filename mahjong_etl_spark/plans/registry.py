@@ -73,47 +73,165 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # tests/test_registry_contract.py pins that every oracle-bearing query
 # outside the tail sits within the first 50 positions.
 #
-# r5 rotation (window set at r5 start so any driver snapshot this
-# round sees it): after r4's 50/50-green board only 32 queries had
-# never been driver-checked — this window holds ALL of them, so by
-# round end every oracle-bearing query in the registry will have at
-# least one hard CORRECTNESS row across r1-r5.  The head leads with
-# the five queries whose code changed this round (the round-4-advice
-# fixes: ER oracle block-key alignment, the rank-binner's pinned
-# partitioning, the PQ batch-cut tie-break, the pixel-mean rounding)
-# and the three new operators (duplicate spans, shard manifest, ORC
-# round-trip); twelve regression witnesses close the window
-# (historically-red or training/iterative rows whose determinism is
-# the thing to keep proving).
+# r6 rotation rule (fixes the r5 miss): a query counts as "checked"
+# ONLY if some CORRECTNESS round holds a hash_match=true row for it —
+# a rows-only/no_oracle row does NOT retire it from the head (that
+# conflation is exactly how similarity_ann_lsh / similarity_ann_ivf /
+# events_approx_quantiles sat unverified through r5 despite having
+# committed golden oracles since r4).  tests/test_registry_contract.py
+# ::test_head_leads_with_unproven_queries pins the rule against the
+# committed CORRECTNESS_r*.json history.
+#
+# r6 window: the three never-hash-checked queries lead, then the new
+# round-6 query (experiments FK join), then every query whose code
+# changed this round (SemDeDup k-cap/broadcast, degree-oriented
+# triangles, spread entropy scan, the multimodal decode-gate rework),
+# then the r2-last-green witnesses (oldest standing evidence), and the
+# window fills with the alphabetically-first half of the r3-last-green
+# cohort; the other half heads the tail and rotates in next round.
 
 _CHECK_WINDOW_HEAD = [
-    "er_fuzzy_name_pairs",
-    "er_resolve_entities",
-    "lineitem_quantile_bins",
-    "similarity_ann_pq",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "events_approx_quantiles",
+    "mahjong_experiments_games",
+    "dedup_semantic",
+    "graph_triangle_counts",
+    "text_unigram_entropy",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_stats",
     "multimodal_png_roundtrip",
-    "dedup_duplicate_spans",
-    "corpus_shard_manifest",
-    "orc_roundtrip_stats",
+    "customer_rank_by_nation",
+    "events_json_stats",
+    "events_top3_per_user",
+    "events_user_gaps",
+    "events_user_type_pivot",
+    "orders_by_month",
+    "orders_price_quantiles",
+    "orders_price_rank_dist",
+    "orders_status_priority_cube",
+    "q18_large_orders",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "top_customers",
+    "corpus_canonical_docs",
+    "corpus_decontaminate",
+    "corpus_global_shuffle",
+    "corpus_pack_sequences",
+    "corpus_quality_funnel",
+    "corpus_stratified_sample",
+    "corpus_train_val_split",
+    "customers_semi_anti",
+    "decimal_revenue",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_normalized",
+    "dedup_simhash",
+    "embedding_dim_stats",
+    "embedding_norm_profile",
+    "event_user_stats",
+    "events_asof_last_view",
+    "events_attribution_window",
+    "events_funnel",
+    "events_hourly",
+    "events_pii_scrub",
+    "events_sessionized",
+]
+
+_CHECK_WINDOW_TAIL = [
+    "events_value_histogram",
+    "lineitem_rollup",
+    "mahjong_action_sequences",
+    "mahjong_agari_yaku_stats",
+    "mahjong_er_join_graph",
+    "mahjong_riichi_outcomes",
+    "part_string_stats",
+    "q1_pricing_summary",
+    "q22_global_sales_opportunity",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "segment_set_ops",
+    "similarity_topk_bruteforce",
+    "sql_text_roundtrip",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_token_stats",
+    "text_top_terms",
+    "bloom_pruned_revenue",
+    "cdc_customer_upsert",
+    "corpus_chunk_dedup",
+    "corpus_chunk_windows",
+    "corpus_negative_samples",
+    "corpus_pipeline_funnel",
+    "corpus_source_quota",
+    "customers_rfm_segments",
+    "dedup_incremental",
+    "embedding_quantize_int8",
+    "events_anomaly_zscore",
+    "events_asof_next_purchase",
+    "events_exact_quantiles",
+    "events_hourly_incremental",
+    "events_key_skew_profile",
+    "events_multitouch_attribution",
+    "events_trailing_hour",
+    "jsonl_roundtrip_stats",
+    "lineitem_feature_corr",
+    "lineitem_unpivot_metrics",
+    "mahjong_dealer_advantage",
+    "mahjong_placement_stats",
+    "mahjong_sql_udf_dora",
+    "orders_grouping_sets",
+    "q11_supplier_value_share",
+    "q13_order_count_distribution",
+    "q19_disjunctive_predicates",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "similarity_semantic_search",
+    "text_c4_filters",
+    "text_perplexity_proxy",
+    "text_tfidf_topk",
+    "cdc_orders_scd2",
+    "classifier_train_eval",
     "corpus_mixture",
+    "corpus_shard_manifest",
     "corpus_topic_clusters",
+    "corpus_version_diff",
     "corpus_weighted_sample",
     "dedup_containment",
-    "dedup_semantic",
+    "dedup_duplicate_spans",
+    "dedup_ensemble",
+    "dq_constraint_suite",
     "embedding_pca",
+    "er_fuzzy_name_pairs",
+    "er_resolve_entities",
     "events_anomaly_prequential",
     "events_dedup_consecutive",
     "events_distinct_sketch_merge",
     "events_heavy_hitters_cms",
     "events_hourly_gapfill",
+    "events_moving_avg",
     "events_retention",
     "events_rolling_mau_approx",
     "events_rolling_wau",
     "events_type_transitions",
+    "events_variant_stats",
+    "governance_forget_cascade",
     "graph_pagerank",
     "lineitem_copurchase_pairs",
+    "lineitem_quantile_bins",
     "mahjong_han_fu_table",
     "mahjong_machi_distribution",
+    "mahjong_paiyama_walls",
+    "orc_roundtrip_stats",
     "q10_returned_items",
     "q12_late_line_priority",
     "q14_promo_share",
@@ -122,124 +240,11 @@ _CHECK_WINDOW_HEAD = [
     "q6_forecast_revenue",
     "q9_profit_by_nation_year",
     "similarity_ann_ivf_int8",
-    "text_unigram_entropy",
+    "similarity_ann_pq",
+    "text_bpe_doc_tokens",
+    "text_bpe_vocab",
     "text_zipf_spectrum",
     "tpch_scalar_revenues",
-    "events_moving_avg",
-    "mahjong_paiyama_walls",
-    "classifier_train_eval",
-    "text_bpe_vocab",
-    "text_bpe_doc_tokens",
-    "dedup_ensemble",
-    "dq_constraint_suite",
-    "events_variant_stats",
-    "cdc_orders_scd2",
-    "governance_forget_cascade",
-    "graph_triangle_counts",
-    "corpus_version_diff",
-]
-
-_CHECK_WINDOW_TAIL = [
-    "corpus_chunk_dedup",
-    "q2_min_cost_supplier",
-    "q20_excess_stock_suppliers",
-    "text_tfidf_topk",
-    "lineitem_feature_corr",
-    "events_anomaly_zscore",
-    "events_key_skew_profile",
-    "similarity_semantic_search",
-    "bloom_pruned_revenue",
-    "corpus_negative_samples",
-    "mahjong_sql_udf_dora",
-    "corpus_chunk_windows",
-    "customers_rfm_segments",
-    "events_multitouch_attribution",
-    "q8_market_share",
-    "q13_order_count_distribution",
-    "q19_disjunctive_predicates",
-    "q21_waiting_suppliers",
-    "embedding_quantize_int8",
-    "jsonl_roundtrip_stats",
-    "text_perplexity_proxy",
-    "corpus_source_quota",
-    "dedup_incremental",
-    "events_trailing_hour",
-    "mahjong_dealer_advantage",
-    "events_hourly_incremental",
-    "mahjong_placement_stats",
-    "cdc_customer_upsert",
-    "lineitem_unpivot_metrics",
-    "orders_grouping_sets",
-    "text_c4_filters",
-    "events_asof_next_purchase",
-    "events_exact_quantiles",
-    "corpus_pipeline_funnel",
-    "q11_supplier_value_share",
-    "multimodal_audio_stats",
-    "events_sessionized",
-    "decimal_revenue",
-    "events_top3_per_user",
-    "events_user_type_pivot",
-    "orders_price_quantiles",
-    "events_json_stats",
-    "events_approx_quantiles",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "customers_semi_anti",
-    "events_hourly",
-    "events_user_gaps",
-    "events_asof_last_view",
-    "events_attribution_window",
-    "events_funnel",
-    "top_customers",
-    "customer_rank_by_nation",
-    "orders_by_month",
-    "orders_status_priority_cube",
-    "orders_price_rank_dist",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q18_large_orders",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_normalized",
-    "embedding_dim_stats",
-    "event_user_stats",
-    "lineitem_rollup",
-    "q1_pricing_summary",
-    "q22_global_sales_opportunity",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "segment_set_ops",
-    "sql_text_roundtrip",
-    "part_string_stats",
-    "mahjong_er_join_graph",
-    "mahjong_agari_yaku_stats",
-    "corpus_pack_sequences",
-    "corpus_train_val_split",
-    "corpus_quality_funnel",
-    "dedup_connected_components",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "text_top_terms",
-    "text_fingerprint",
-    "text_repetition",
-    "events_value_histogram",
-    "similarity_topk_bruteforce",
-    "multimodal_resize",
-    "corpus_stratified_sample",
-    "embedding_norm_profile",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "corpus_decontaminate",
-    "corpus_global_shuffle",
-    "events_pii_scrub",
-    "mahjong_action_sequences",
-    "mahjong_riichi_outcomes",
-    "corpus_canonical_docs",
 ]
 
 

@@ -37,6 +37,18 @@ def _f(name, dtype):
 
 GAMES = StructType([_f("id", StringType()), _f("started_at", DateType())])
 
+# The ER diagram's last entity (reference er/mahjong.md:14-16):
+# ``experiments { string id PK }`` with experiments ||--|{ games.  The
+# reference DECLARES it but never writes it (no producer anywhere in
+# scrape.py), so there is no physical layout to reproduce; the engine
+# realizes it as a DERIVED dimension — one experiment per scrape batch
+# (the dt the scraper was launched for, reference run_scraper.sh:3-7),
+# registered as a view over the written games table (plans/catalog.py)
+# rather than a tenth sink.  Kept OUT of TABLE_SCHEMAS on purpose:
+# that dict drives the parser/sink fan-out and experiments has no
+# parsed rows.
+EXPERIMENTS = StructType([_f("id", StringType())])
+
 RULES = StructType(
     [_f("game_id", StringType())]
     + [

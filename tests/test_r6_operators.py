@@ -1,0 +1,87 @@
+"""Round-6 operator tests: degree-oriented triangle counting."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from mahjong_etl_spark.plans.queries import orient_edges_by_degree
+
+
+def _undirected_triangle_counts(spark, edges):
+    """Reference per-node triangle counts via the naive a<b<c
+    three-way self-join (the pre-r6 formulation)."""
+    e1 = edges.select(F.col("a").alias("a"), F.col("b").alias("b"))
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return {
+        r.node: r.n
+        for r in nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def _oriented_triangle_counts(spark, edges):
+    """Per-node counts via the degree-oriented wedge enumeration,
+    mirroring graph_triangle_counts' production plan."""
+    o = orient_edges_by_degree(edges)
+    w1 = o.select("src", F.col("dst").alias("v"), F.col("rk_dst").alias("rk_v"))
+    w2 = o.select("src", F.col("dst").alias("w"), F.col("rk_dst").alias("rk_w"))
+    wedges = w1.join(w2, "src").where(F.col("rk_v") < F.col("rk_w"))
+    closure = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closure, ["v", "w"])
+    nodes = (
+        tri.select(F.col("src").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return {
+        r.node: r.n
+        for r in nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_orientation_is_total_and_low_to_high(spark):
+    """Every oriented edge must run lower-(degree, id) -> higher:
+    the property that bounds out-degree at O(sqrt(E)) and makes the
+    wedge join survive hub-skewed graphs."""
+    rng = random.Random(7)
+    raw = {tuple(sorted(rng.sample(range(1, 40), 2))) for _ in range(150)}
+    edges = spark.createDataFrame(sorted(raw), "a long, b long")
+    deg: dict[int, int] = {}
+    for a, b in raw:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    rows = orient_edges_by_degree(edges).collect()
+    assert len(rows) == len(raw)  # orientation is a bijection on edges
+    for r in rows:
+        assert (deg[r.src], r.src) < (deg[r.dst], r.dst)
+        assert r.rk_dst == deg[r.dst] * (1 << 33) + r.dst
+
+
+def test_oriented_counts_match_naive_formulation(spark):
+    """Per-node triangle counts are orientation-invariant: the
+    degree-oriented plan must reproduce the naive three-way join's
+    answer exactly, including on a hub-skewed graph (star + cliques)
+    where the orientations differ most."""
+    rng = random.Random(21)
+    raw = {tuple(sorted(rng.sample(range(1, 30), 2))) for _ in range(120)}
+    # plant a hub: node 0 connected to everything (max skew)
+    raw |= {(0, v) for v in range(1, 30)}
+    edges = spark.createDataFrame(sorted(raw), "a long, b long")
+    assert _oriented_triangle_counts(spark, edges) == _undirected_triangle_counts(
+        spark, edges
+    )
+
+
+def test_triangle_query_runs_on_sf0001(spark):
+    from mahjong_etl_spark.plans.queries import graph_triangle_counts
+
+    rows = graph_triangle_counts(spark, "/root/testdata/sf0.001").collect()
+    assert all(r.n_triangles >= 1 for r in rows)

@@ -80,3 +80,31 @@ def test_entry_surface_matches_registry():
     qs, osql = E.queries(), E.oracle_sql()
     assert set(qs) == set(reg)
     assert set(osql) == {n for n, q in reg.items() if q.oracle is not None}
+
+
+def test_head_leads_with_unproven_queries():
+    """The r6 rotation rule: any oracle-bearing query that has NEVER
+    earned a hash_match=true row in a committed CORRECTNESS round must
+    sit inside the 50-entry driver check window.  (r5 regression: the
+    rotation counted no_oracle rows as 'checked', so three queries
+    with committed golden oracles were never hash-verified.)"""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proven: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("hash_match") is True:
+                    proven.add(name)
+    reg = registry()
+    window = set(list(reg)[:50])
+    unproven = {
+        n for n, q in reg.items() if q.oracle is not None and n not in proven
+    }
+    out = unproven - window
+    assert not out, (
+        f"never-hash-verified queries parked outside the check window: {sorted(out)}"
+    )
