@@ -5,6 +5,7 @@ reference               -> here
 python extractor.py ... -> python -m mahjong_etl_spark extract ...
 python main.py ...      -> python -m mahjong_etl_spark etl ...
 python random_pailist.py-> python -m mahjong_etl_spark walls ...
+upload.sh / run_scraper -> python -m mahjong_etl_spark sync ...
 (Athena, external)      -> python -m mahjong_etl_spark sql ...
 
 Flag names mirror the reference where one exists (reference
@@ -65,6 +66,29 @@ def cmd_walls(args: argparse.Namespace) -> int:
     dt = datetime.datetime.strptime(args.date, "%Y%m%d").date()
     write_walls(spark, args.num, dt, args.output_dir, seed=args.seed)
     print(f"wrote {args.num} walls for dt={dt.isoformat()} under {args.output_dir}")
+    return 0
+
+
+def cmd_sync(args: argparse.Namespace) -> int:
+    from .sources.sync import DEFAULT_EXCLUDE, run_sync
+
+    spark = _spark("mahjong-sync")
+    summary = run_sync(
+        spark,
+        args.src,
+        args.dst,
+        exclude=args.exclude if args.exclude is not None else DEFAULT_EXCLUDE,
+        delete=args.delete,
+        dry_run=args.dry_run,
+    )
+    verb = "would copy" if args.dry_run else "copied"
+    print(
+        f"{verb} {summary['n_copied']} files ({summary['bytes_copied']} bytes), "
+        f"deleted {summary['n_deleted']}"
+    )
+    if args.dry_run:
+        for op, rel in summary["actions"]:
+            print(f"  {op} {rel}")
     return 0
 
 
@@ -140,6 +164,25 @@ def build_parser() -> argparse.ArgumentParser:
     wa.add_argument("-d", "--date", required=True, help="YYYYMMDD")
     wa.add_argument("--seed", type=int, default=0)
     wa.set_defaults(fn=cmd_walls)
+
+    sy = sub.add_parser(
+        "sync",
+        help="incremental dir sync (upload.sh / run_scraper.sh parity; "
+        "any Hadoop-FS scheme)",
+    )
+    sy.add_argument("src")
+    sy.add_argument("dst")
+    sy.add_argument(
+        "-x",
+        "--exclude",
+        default=None,
+        help=r"exclude regex on relative paths (default: .*\.DS_Store)",
+    )
+    sy.add_argument(
+        "--delete", action="store_true", help="remove dst files absent from src"
+    )
+    sy.add_argument("--dry-run", action="store_true")
+    sy.set_defaults(fn=cmd_sync)
 
     sq = sub.add_parser("sql", help="Spark SQL over the written tables")
     sq.add_argument("-D", "--data-dir", required=True)

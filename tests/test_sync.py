@@ -1,0 +1,96 @@
+"""Sync orchestration (sources/sync.py): rsync semantics the
+reference delegates to `gcloud storage rsync` (upload.sh:4)."""
+
+from __future__ import annotations
+
+import os
+
+from mahjong_etl_spark.sources.sync import plan_sync, run_sync
+
+
+def _write(root, rel, data: bytes):
+    p = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "wb") as f:
+        f.write(data)
+
+
+def _tree(root):
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = fh.read()
+    return out
+
+
+def test_initial_sync_copies_everything(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write(src, "games/dt=2024-01-01/part-0.parquet", b"AAA")
+    _write(src, "games/dt=2024-01-02/part-0.parquet", b"BBBB")
+    _write(src, "rules/dt=2024-01-01/part-0.parquet", b"CC")
+    s = run_sync(spark, src, dst)
+    assert s["n_copied"] == 3 and s["n_deleted"] == 0
+    assert s["bytes_copied"] == 9
+    assert _tree(dst) == _tree(src)
+
+
+def test_second_sync_is_incremental(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write(src, "a/x.parquet", b"one")
+    _write(src, "b/y.parquet", b"two")
+    run_sync(spark, src, dst)
+    # unchanged tree -> zero planned actions
+    assert run_sync(spark, src, dst)["n_copied"] == 0
+    # touch one file (size change) -> exactly one copy
+    _write(src, "a/x.parquet", b"one-changed")
+    s = run_sync(spark, src, dst)
+    assert s["n_copied"] == 1 and s["actions"] == [("copy", "a/x.parquet")]
+    assert _tree(dst) == _tree(src)
+
+
+def test_exclude_pattern_mirrors_reference(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write(src, "a/x.parquet", b"keep")
+    _write(src, "a/.DS_Store", b"junk")
+    s = run_sync(spark, src, dst)  # default exclude = .*\.DS_Store
+    assert s["n_copied"] == 1
+    assert sorted(_tree(dst)) == ["a/x.parquet"]
+
+
+def test_delete_removes_extraneous_destination_files(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write(src, "keep.parquet", b"k")
+    _write(dst, "keep.parquet", b"k")
+    _write(dst, "stale.parquet", b"s")
+    # without --delete the extra file survives
+    assert run_sync(spark, src, dst)["n_deleted"] == 0
+    assert "stale.parquet" in _tree(dst)
+    s = run_sync(spark, src, dst, delete=True)
+    assert s["n_deleted"] == 1 and s["n_copied"] == 0
+    assert sorted(_tree(dst)) == ["keep.parquet"]
+
+
+def test_dry_run_plans_without_touching(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write(src, "a.parquet", b"data")
+    s = run_sync(spark, src, dst, dry_run=True)
+    assert s["n_copied"] == 1 and s["dry_run"] is True
+    assert not os.path.exists(dst) or _tree(dst) == {}
+
+
+def test_plan_against_missing_destination(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write(src, "x", b"1")
+    actions = plan_sync(spark, src, str(tmp_path / "nope"))
+    assert [(a.op, a.rel) for a in actions] == [("copy", "x")]
+
+
+def test_cli_sync_roundtrip(tmp_path):
+    from mahjong_etl_spark.cli import main
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write(src, "t/part-0.parquet", b"payload")
+    assert main(["sync", src, dst]) == 0
+    assert _tree(dst) == _tree(src)
