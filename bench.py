@@ -166,9 +166,8 @@ def main() -> None:
         if (m := re.search(r"BENCH_r(\d+)\.json$", p))
     ]
     this_round = max(rounds, default=0) + 1
-    with open(
-        os.path.join(here, f"BENCH_DETAIL_r{this_round:02d}.json"), "w"
-    ) as f:
+    detail_name = f"BENCH_DETAIL_r{this_round:02d}.json"
+    with open(os.path.join(here, detail_name), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
 
     # The driver captures only the LAST ~2000 chars of stdout and
@@ -191,7 +190,7 @@ def main() -> None:
         out_c["queries"] = fams
         out_c["n_queries"] = len(timings)
         out_c["slowest"] = slow
-        out_c["detail"] = "BENCH_DETAIL.json"
+        out_c["detail"] = detail_name
         line = json.dumps(out_c)
         while len(line) > 1500 and out_c["slowest"]:
             out_c["slowest"].popitem()
