@@ -3536,6 +3536,15 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s") >= TRIANGLE_SUPPORT)
         .select("a", "b")
     )
+    # Materialize the thresholded edge set ONCE: it feeds four
+    # consumers (degree union x2, rank-join enrichment, wedge sides,
+    # closure probe) whose subplans differ, so AQE exchange-reuse
+    # cannot dedupe them and each would otherwise recompute the full
+    # co-purchase aggregation — the single most expensive stage here,
+    # at any scale.  Same pinned-materialization move as
+    # functions/ranks.py; the edge list after support-thresholding is
+    # a small fraction of the input.
+    edges = edges.localCheckpoint()
     oriented = orient_edges_by_degree(edges)
     w1 = oriented.select("src", F.col("dst").alias("v"), F.col("rk_dst").alias("rk_v"))
     w2 = oriented.select("src", F.col("dst").alias("w"), F.col("rk_dst").alias("rk_w"))
