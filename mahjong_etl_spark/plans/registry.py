@@ -95,6 +95,7 @@ _CHECK_WINDOW_HEAD = [
     "similarity_ann_ivf",
     "events_approx_quantiles",
     "mahjong_experiments_games",
+    "csv_roundtrip_stats",
     "dedup_semantic",
     "graph_triangle_counts",
     "text_unigram_entropy",
@@ -140,10 +141,10 @@ _CHECK_WINDOW_HEAD = [
     "events_funnel",
     "events_hourly",
     "events_pii_scrub",
-    "events_sessionized",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    "events_sessionized",
     "events_value_histogram",
     "lineitem_rollup",
     "mahjong_action_sequences",
