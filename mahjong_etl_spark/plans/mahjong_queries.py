@@ -573,3 +573,54 @@ def mahjong_experiments_games(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("experiment_id")
     )
+
+
+@query(
+    "tenhou_source_actions",
+    oracle=f"""
+    SELECT CAST(k.dt AS VARCHAR) AS dt,
+           a.type                AS action_type,
+           count(*)              AS n_actions,
+           CAST(count(DISTINCT a.kyoku_id) AS BIGINT) AS n_kyokus
+    FROM {_pq('actions')} a
+    JOIN {_pq('kyokus')}  k ON k.id = a.kyoku_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    bench=False,
+)
+def tenhou_source_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource (sources/tenhou_datasource.py) on
+    the driver-verified surface: actions and kyokus are read DIRECTLY
+    off the raw fixture log tree via ``format("tenhou")`` — no ETL
+    run, no parquet materialization — and the per-(date, action-type)
+    profile must hash-match the oracle aggregating the COMMITTED
+    golden parquet the full pipeline wrote.  Green here proves the
+    source's per-date-partition parse + kyoku-id minting is
+    row-identical to the 9-sink ETL, end-to-end, from a second
+    independent code path."""
+    from ..sources.tenhou_datasource import register_tenhou_source
+
+    register_tenhou_source(spark)
+    a = (
+        spark.read.format("tenhou")
+        .option("table", "actions")
+        .load(FIXTURE_LOGS)
+    )
+    k = (
+        spark.read.format("tenhou")
+        .option("table", "kyokus")
+        .load(FIXTURE_LOGS)
+    )
+    return (
+        a.join(k.select(F.col("id").alias("kid")), a.kyoku_id == F.col("kid"))
+        .groupBy(
+            F.col("dt").cast("string").alias("dt"),
+            F.col("type").alias("action_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_actions"),
+            F.countDistinct("kyoku_id").alias("n_kyokus"),
+        )
+        .orderBy("dt", "action_type")
+    )

@@ -96,6 +96,7 @@ _CHECK_WINDOW_HEAD = [
     "events_approx_quantiles",
     "mahjong_experiments_games",
     "csv_roundtrip_stats",
+    "tenhou_source_actions",
     "dedup_semantic",
     "graph_triangle_counts",
     "text_unigram_entropy",
@@ -140,10 +141,10 @@ _CHECK_WINDOW_HEAD = [
     "events_attribution_window",
     "events_funnel",
     "events_hourly",
-    "events_pii_scrub",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    "events_pii_scrub",
     "events_sessionized",
     "events_value_histogram",
     "lineitem_rollup",

@@ -1,0 +1,169 @@
+"""Tenhou mjloggm as a first-class Spark data source (Spark 4 Python
+DataSource API): ``spark.read.format("tenhou")``.
+
+The reference treats its log format as a pre-ETL artifact — you must
+run the whole pipeline (reference main.py) before anything is
+queryable.  This module makes the raw format itself queryable: after
+``register_tenhou_source(spark)``,
+
+    spark.read.format("tenhou")
+         .option("table", "agaris")      # any of the 9 tables
+         .load("/data/logs")             # logs/YYYYMMDD/{game_id}.xml
+
+yields the SAME rows the ETL would write for that table — minted
+kyoku ids included — without materializing the other eight.  Ad-hoc
+exploration of a new log drop, schema-on-read for one table, or
+feeding a single-table consumer no longer costs a full 9-sink run.
+
+Semantics contract (pinned by tests/test_tenhou_datasource.py against
+the written-parquet output of plans/etl.py::run_etl):
+
+- **Partition = date directory.**  The reference scopes all key
+  minting to the date (plans/etl.py::_with_offsets partitions by dt),
+  so a per-date partition can mint exact kyoku ids with zero
+  cross-partition coordination: within the partition, games are
+  processed in game_id order and the running hand-count offset
+  reproduces the window the ETL computes.  This is the natural unit
+  of parallelism at scale too — one task per date dir, horizontal
+  across years of history.
+- **Listing via pyarrow.fs** (baked into every PySpark install), so
+  local, HDFS and object-store URIs all resolve; the ``date`` option
+  prunes date directories BEFORE any file listing, mirroring the
+  CLI's ``-d`` prefix semantics (sources/xml_source.py).
+- **compat flag** threads through to the parser exactly as in the
+  ETL; ``on_error=skip`` reproduces the quarantine behavior (a bad
+  log contributes no rows and no offset), ``fail`` (default) raises.
+
+Row production is plain-tuple yields — correctness-first; the Arrow
+RecordBatch fast path slots into ``read`` without interface changes
+if this source ever carries bulk traffic (the ETL's mapInPandas path
+remains the bulk ingest route).
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..plans.etl import _EPOCH, _KYOKU_KEYED
+from ..schemas import TABLE_SCHEMAS
+
+
+class TenhouDatePartition(InputPartition):
+    def __init__(self, dt_raw: str, files: list[tuple[str, str]]):
+        self.dt_raw = dt_raw  # YYYYMMDD directory name
+        self.files = files  # [(game_id, full_path)] — unsorted
+
+
+def _fs_and_path(path: str):
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+class TenhouReader(DataSourceReader):
+    def __init__(self, options: dict, table: str):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("tenhou source requires a path: .load(log_dir)")
+        self.table = table
+        self.compat = options.get("compat", "true").lower() != "false"
+        self.date_prefix = options.get("date")
+        self.on_error = options.get("on_error", "fail")
+        if self.on_error not in ("fail", "skip"):
+            raise ValueError(f"on_error must be fail|skip, got {self.on_error}")
+
+    def partitions(self):
+        import pyarrow.fs as pafs
+
+        fs, root = _fs_and_path(self.path)
+        sel = pafs.FileSelector(root, recursive=False)
+        date_dirs = [
+            f.base_name
+            for f in fs.get_file_info(sel)
+            if f.type == pafs.FileType.Directory
+            and re.fullmatch(r"\d{8}", f.base_name)
+            and (self.date_prefix is None or f.base_name.startswith(self.date_prefix))
+        ]
+        if self.date_prefix is not None and not date_dirs:
+            # same loud-failure contract as sources/xml_source.py — a
+            # typo'd date must not succeed as an empty run
+            raise FileNotFoundError(
+                f"no date directory matches {self.date_prefix!r} under {root}"
+            )
+        parts = []
+        for d in sorted(date_dirs):
+            files = [
+                (f.base_name[:-4], f.path)
+                for f in fs.get_file_info(pafs.FileSelector(f"{root}/{d}"))
+                if f.type == pafs.FileType.File and f.base_name.endswith(".xml")
+            ]
+            parts.append(TenhouDatePartition(d, files))
+        return parts
+
+    def read(self, partition: TenhouDatePartition):
+        from ..operators.mahjong_parse import parse_game
+
+        fs, _ = _fs_and_path(self.path)
+        d = datetime.datetime.strptime(partition.dt_raw, "%Y%m%d").date()
+        dt_iso = d.isoformat()
+        days = (d - _EPOCH).days
+        key = _KYOKU_KEYED.get(self.table)
+        fields = TABLE_SCHEMAS[self.table].fields
+        offset = 0
+        # game_id order is the minting order (plans/etl.py::_with_offsets)
+        for game_id, full_path in sorted(partition.files):
+            with fs.open_input_stream(full_path) as f:
+                content = f.read()
+            try:
+                tables = parse_game(content, game_id, d, compat=self.compat)
+            except Exception:
+                if self.on_error == "skip":
+                    continue  # quarantined: no rows, no offset
+                raise
+            for r in tables[self.table]:
+                vals = []
+                for fld in fields:
+                    if key is not None and fld.name == key:
+                        local = r["kyoku_local"]
+                        vals.append(
+                            0 if local is None
+                            else days * 100000 + offset + local
+                        )
+                    else:
+                        vals.append(r[fld.name])
+                yield (dt_iso, *vals)
+            offset += len(tables["kyokus"])
+
+
+class TenhouDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tenhou"
+
+    def _table(self) -> str:
+        table = self.options.get("table", "games")
+        if table not in TABLE_SCHEMAS:
+            raise ValueError(
+                f"unknown table {table!r}; expected one of {sorted(TABLE_SCHEMAS)}"
+            )
+        return table
+
+    def schema(self) -> StructType:
+        return StructType(
+            [StructField("dt", StringType(), True), *TABLE_SCHEMAS[self._table()].fields]
+        )
+
+    def reader(self, schema: StructType) -> TenhouReader:
+        return TenhouReader(self.options, self._table())
+
+
+def register_tenhou_source(spark) -> None:
+    """Idempotent registration: ``spark.read.format("tenhou")`` works
+    afterwards for the session's lifetime."""
+    spark.dataSource.register(TenhouDataSource)

@@ -1,0 +1,73 @@
+"""The tenhou Python DataSource must reproduce the ETL's written
+tables — minted kyoku ids included — straight off the raw log tree."""
+
+from __future__ import annotations
+
+import pytest
+
+from mahjong_etl_spark.plans.mahjong_queries import FIXTURE_LOGS, _ensure_etl
+from mahjong_etl_spark.schemas import TABLE_SCHEMAS
+from mahjong_etl_spark.sources.tenhou_datasource import register_tenhou_source
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(v) for v in row) for row in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def etl_root(spark):
+    register_tenhou_source(spark)
+    return _ensure_etl(spark)
+
+
+@pytest.mark.parametrize("table", sorted(TABLE_SCHEMAS))
+def test_source_matches_written_table(spark, etl_root, table):
+    via_source = (
+        spark.read.format("tenhou").option("table", table).load(FIXTURE_LOGS)
+    )
+    written = spark.read.parquet(f"{etl_root}/{table}").select(
+        *[f.name for f in via_source.schema.fields]
+    )
+    # written dt is a hive partition value; normalize both to strings
+    assert _canon(via_source) == _canon(written)
+
+
+def test_partition_per_date_dir(spark, etl_root):
+    import glob
+    import os
+
+    n_dates = len(glob.glob(os.path.join(FIXTURE_LOGS, "*")))
+    df = spark.read.format("tenhou").option("table", "games").load(FIXTURE_LOGS)
+    assert df.rdd.getNumPartitions() == n_dates
+
+
+def test_date_prefix_prunes_and_typo_raises(spark, etl_root):
+    import glob
+    import os
+
+    dates = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(FIXTURE_LOGS, "*"))
+    )
+    one = dates[0]
+    df = (
+        spark.read.format("tenhou")
+        .option("table", "kyokus")
+        .option("date", one)
+        .load(FIXTURE_LOGS)
+    )
+    got_dts = {r.dt for r in df.select("dt").distinct().collect()}
+    assert got_dts == {f"{one[:4]}-{one[4:6]}-{one[6:]}"}
+    bad = (
+        spark.read.format("tenhou")
+        .option("table", "kyokus")
+        .option("date", "19990101")
+        .load(FIXTURE_LOGS)
+    )
+    with pytest.raises(Exception, match="no date directory"):
+        bad.collect()
+
+
+def test_unknown_table_rejected(spark, etl_root):
+    with pytest.raises(Exception, match="unknown table"):
+        spark.read.format("tenhou").option("table", "nope").load(FIXTURE_LOGS).schema
