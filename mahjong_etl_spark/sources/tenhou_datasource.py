@@ -45,7 +45,12 @@ from __future__ import annotations
 import datetime
 import re
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..plans.etl import _EPOCH, _KYOKU_KEYED
@@ -162,8 +167,128 @@ class TenhouDataSource(DataSource):
     def reader(self, schema: StructType) -> TenhouReader:
         return TenhouReader(self.options, self._table())
 
+    def streamReader(self, schema: StructType) -> "TenhouStreamReader":
+        return TenhouStreamReader(TenhouReader(self.options, self._table()))
+
 
 def register_tenhou_source(spark) -> None:
     """Idempotent registration: ``spark.read.format("tenhou")`` works
     afterwards for the session's lifetime."""
     spark.dataSource.register(TenhouDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming: watch a live log drop, parse incrementally
+# ---------------------------------------------------------------------------
+
+_INIT_RE = re.compile(rb"<INIT[ />]")
+
+
+def _count_kyokus(content: bytes) -> int:
+    """Hand count without a full XML parse: the parser emits exactly
+    one kyokus row per <INIT> tag (operators/mahjong_parse.py:144-151),
+    so a byte scan reconstructs a file's contribution to the date's
+    minting offset at listing cost, not parse cost."""
+    return len(_INIT_RE.findall(content))
+
+
+class TenhouStreamPartition(InputPartition):
+    def __init__(
+        self,
+        dt_raw: str,
+        new_files: list[tuple[str, str]],
+        prior_files: list[str],
+    ):
+        self.dt_raw = dt_raw
+        self.new_files = new_files  # this micro-batch, (game_id, path)
+        self.prior_files = prior_files  # same date, earlier batches
+
+
+class TenhouStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over an append-only Tenhou log tree.
+
+    Offset = length of the globally (date, game_id)-sorted file-list
+    prefix already processed.  Tenhou game ids begin with their wall
+    clock (YYYYMMDDHH...), so arrival order IS sort order and a new
+    file can never land inside the committed prefix — the property
+    that makes a sorted-prefix offset exactly-once.  Each micro-batch
+    partition carries its date's already-committed files so the
+    executor can rebuild the kyoku-minting offset with the cheap
+    <INIT> byte scan above; minted ids are therefore identical to a
+    batch read (and to the ETL) no matter how the stream was chopped
+    into batches.  With ``on_error=skip`` a corrupt PRIOR file whose
+    bytes still contain <INIT> tags would inflate the rebuilt offset
+    relative to the batch path (which excludes corrupt games) — the
+    default ``fail`` has no such divergence, and the parity test pins
+    the clean-tree case."""
+
+    def __init__(self, batch: TenhouReader):
+        self._b = batch
+
+    def _sorted_files(self):
+        out = []
+        for p in self._b.partitions():
+            for game_id, path in sorted(p.files):
+                out.append((p.dt_raw, game_id, path))
+        out.sort()
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def latestOffset(self) -> dict:
+        return {"files": len(self._sorted_files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._sorted_files()
+        s, e = start["files"], end["files"]
+        by_date: dict[str, TenhouStreamPartition] = {}
+        for dt_raw, game_id, path in files[s:e]:
+            part = by_date.get(dt_raw)
+            if part is None:
+                part = by_date[dt_raw] = TenhouStreamPartition(dt_raw, [], [])
+            part.new_files.append((game_id, path))
+        for dt_raw, game_id, path in files[:s]:
+            if dt_raw in by_date:
+                by_date[dt_raw].prior_files.append(path)
+        return list(by_date.values())
+
+    def read(self, partition: TenhouStreamPartition):
+        from ..operators.mahjong_parse import parse_game
+
+        b = self._b
+        fs, _ = _fs_and_path(b.path)
+        d = datetime.datetime.strptime(partition.dt_raw, "%Y%m%d").date()
+        dt_iso = d.isoformat()
+        days = (d - _EPOCH).days
+        key = _KYOKU_KEYED.get(b.table)
+        fields = TABLE_SCHEMAS[b.table].fields
+        offset = 0
+        for path in partition.prior_files:
+            with fs.open_input_stream(path) as f:
+                offset += _count_kyokus(f.read())
+        for game_id, path in sorted(partition.new_files):
+            with fs.open_input_stream(path) as f:
+                content = f.read()
+            try:
+                tables = parse_game(content, game_id, d, compat=b.compat)
+            except Exception:
+                if b.on_error == "skip":
+                    continue
+                raise
+            for r in tables[b.table]:
+                vals = []
+                for fld in fields:
+                    if key is not None and fld.name == key:
+                        local = r["kyoku_local"]
+                        vals.append(
+                            0 if local is None
+                            else days * 100000 + offset + local
+                        )
+                    else:
+                        vals.append(r[fld.name])
+                yield (dt_iso, *vals)
+            offset += len(tables["kyokus"])
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are pure file positions; nothing to release

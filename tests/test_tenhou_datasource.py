@@ -71,3 +71,66 @@ def test_date_prefix_prunes_and_typo_raises(spark, etl_root):
 def test_unknown_table_rejected(spark, etl_root):
     with pytest.raises(Exception, match="unknown table"):
         spark.read.format("tenhou").option("table", "nope").load(FIXTURE_LOGS).schema
+
+
+def test_stream_matches_batch_across_incremental_batches(spark, etl_root, tmp_path):
+    """Chop the fixture tree into three arrivals; minted ids streamed
+    across micro-batches must equal one batch read of the final tree."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    src_files = sorted(glob.glob(os.path.join(FIXTURE_LOGS, "*", "*.xml")))
+    assert len(src_files) >= 3
+    logs = tmp_path / "logs"
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def arrive(files):
+        for f in files:
+            d = logs / os.path.basename(os.path.dirname(f))
+            d.mkdir(parents=True, exist_ok=True)
+            shutil.copy(f, d / os.path.basename(f))
+
+    def drain():
+        # availableNow falls back to single-batch execution for Python
+        # micro-batch sources — same drain semantics for this test;
+        # the parquet sink + checkpoint give restartable exactly-once
+        q = (
+            spark.readStream.format("tenhou")
+            .option("table", "kyokus")
+            .load(str(logs))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        time.sleep(0.2)
+
+    third = max(1, len(src_files) // 3)
+    arrive(src_files[:third])
+    drain()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first > 0
+    arrive(src_files[third:])
+    drain()
+
+    streamed = {
+        tuple(str(v) for v in r)
+        for r in spark.read.parquet(sink).select("dt", "id", "kyoku_num").collect()
+    }
+    batch = {
+        tuple(str(v) for v in r)
+        for r in spark.read.format("tenhou")
+        .option("table", "kyokus")
+        .load(str(logs))
+        .select("dt", "id", "kyoku_num")
+        .collect()
+    }
+    assert streamed == batch
+    # incremental: the second drain added only the new files' rows
+    assert len(streamed) > n_first
