@@ -227,7 +227,14 @@ class TenhouStreamReader(DataSourceStreamReader):
 
     def _sorted_files(self):
         out = []
-        for p in self._b.partitions():
+        try:
+            parts = self._b.partitions()
+        except FileNotFoundError:
+            # a watched date directory that has not arrived yet is a
+            # NORMAL streaming state (batch keeps the loud-typo
+            # contract; a stream waits for data instead of dying)
+            return out
+        for p in parts:
             for game_id, path in sorted(p.files):
                 out.append((p.dt_raw, game_id, path))
         out.sort()

@@ -134,3 +134,20 @@ def test_stream_matches_batch_across_incremental_batches(spark, etl_root, tmp_pa
     assert streamed == batch
     # incremental: the second drain added only the new files' rows
     assert len(streamed) > n_first
+
+
+def test_stream_tolerates_not_yet_arrived_date(spark, tmp_path):
+    """Watching a date that hasn't landed yet is a normal streaming
+    state: latestOffset must report no data, not raise (batch keeps
+    the loud-typo contract)."""
+    from mahjong_etl_spark.sources.tenhou_datasource import (
+        TenhouReader,
+        TenhouStreamReader,
+    )
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    r = TenhouStreamReader(
+        TenhouReader({"path": str(logs), "date": "20990101"}, "kyokus")
+    )
+    assert r.latestOffset() == {"files": 0}
