@@ -392,11 +392,15 @@ def ann_ivf_topk(
     n_clusters: int = IVF_CLUSTERS,
     nprobe: int = IVF_NPROBE,
     centroids=None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: assign the corpus to coarse
     clusters, probe each query's ``nprobe`` nearest clusters, exact
     cosine rerank inside the probed inverted lists.  A pre-trained
-    ``centroids`` matrix (see corpus_centroids) skips the Lloyd passes.
+    ``centroids`` matrix (see corpus_centroids) skips the Lloyd passes;
+    pre-computed ``postings`` (cluster, vec_id — see write_ivf_index)
+    skip the corpus assignment pass too, the read path of a persisted
+    index snapshot.
 
     Scale story: corpus assignment is one map-side matmul pass and the
     candidate join is an equi-join on the cluster id, so per-query
@@ -432,7 +436,7 @@ def ann_ivf_topk(
             yield out
 
     probes = q.select("vec_id", "emb_d").mapInPandas(probe_batches, "q_id long, cluster int")
-    inv = _assign_clusters(c, centroids).withColumnRenamed("vec_id", "neighbor_id")
+    inv = (postings if postings is not None else _assign_clusters(c, centroids)).withColumnRenamed("vec_id", "neighbor_id")
     cand = (
         probes.join(inv, "cluster")
         .where(F.col("q_id") != F.col("neighbor_id"))
@@ -465,6 +469,106 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = corpus_embeddings(spark, sf_dir)
     cents = corpus_centroids(spark, sf_dir, IVF_CLUSTERS, IVF_LLOYD_ITERS)
     return ann_ivf_topk(spark, e.where(N_QUERIES_PRED), e, TOPK, centroids=cents)
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence: train once per corpus snapshot, query forever
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    path: str,
+    n_clusters: int = IVF_CLUSTERS,
+    iters: int = IVF_LLOYD_ITERS,
+    centroids=None,
+) -> None:
+    """Persist a trained IVF index as two parquet relations:
+    ``{path}/centroids`` (cluster, d, value) and ``{path}/postings``
+    (cluster, vec_id) — the inverted lists.
+
+    The index lifecycle concern at 100 TB: training reads the full
+    corpus (Lloyd passes) and assignment is another full pass; neither
+    belongs in the query path of every session.  Centroids are exact
+    under round-trip (trained on the int64 fixed-point grid →
+    float64 → parquet DOUBLE is bit-exact), so a query served from the
+    persisted snapshot returns BIT-IDENTICAL results to one served
+    from a freshly trained index — pinned by
+    similarity_ann_ivf_persisted sharing similarity_ann_ivf's golden
+    oracle.  The centroid relation is k×dim rows (bounded by the
+    SemDeDup cap discipline); postings are one row per corpus vector,
+    written distributed."""
+    import numpy as np
+
+    c = with_norm(corpus_df)
+    if centroids is None:
+        centroids = train_ivf_centroids(c, n_clusters, iters)
+    k, dim = centroids.shape
+    cent_rows = [
+        (int(ci), int(di), float(centroids[ci, di]))
+        for ci in range(k)
+        for di in range(dim)
+    ]
+    spark.createDataFrame(
+        cent_rows, "cluster int, d int, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _assign_clusters(c, centroids).write.mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+
+
+def read_ivf_index(spark: SparkSession, path: str):
+    """(centroids ndarray, postings DataFrame) from a written index."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    k = max(r.cluster for r in rows) + 1
+    dim = max(r.d for r in rows) + 1
+    cents = np.zeros((k, dim), dtype=np.float64)
+    for r in rows:
+        cents[r.cluster, r.d] = r.value
+    return cents, spark.read.parquet(f"{path}/postings")
+
+
+_IVF_INDEX_DIR: dict[str, str] = {}
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write the corpus's IVF index into a per-process scratch dir
+    once (same once-per-process pattern as the mahjong fixture ETL)."""
+    hit = _IVF_INDEX_DIR.get(sf_dir)
+    if hit is None:
+        import tempfile
+
+        hit = tempfile.mkdtemp(prefix="ivf_index_")
+        cents = corpus_centroids(spark, sf_dir, IVF_CLUSTERS, IVF_LLOYD_ITERS)
+        write_ivf_index(
+            spark, corpus_embeddings(spark, sf_dir), hit, centroids=cents
+        )
+        _IVF_INDEX_DIR[sf_dir] = hit
+    return hit
+
+
+@query("similarity_ann_ivf_persisted", oracle=_ann_golden_oracle("ivf"), bench=False)
+def similarity_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write→read→query index lifecycle end-to-end: the IVF index
+    is persisted to parquet (write_ivf_index), read back cold
+    (read_ivf_index), and the query is served from the PERSISTED
+    centroids + inverted lists — skipping both Lloyd training and the
+    corpus assignment pass.  Shares similarity_ann_ivf's golden
+    oracle: the round-trip must be bit-exact, so both paths return
+    identical rows."""
+    e = corpus_embeddings(spark, sf_dir)
+    cents, postings = read_ivf_index(spark, _ensure_ivf_index(spark, sf_dir))
+    return ann_ivf_topk(
+        spark,
+        e.where(N_QUERIES_PRED),
+        e,
+        TOPK,
+        centroids=cents,
+        postings=postings,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -604,6 +708,7 @@ def ann_ivf_int8_topk(
     n_clusters: int = IVF_CLUSTERS,
     nprobe: int = IVF_NPROBE,
     centroids=None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """IVF candidate generation (identical coarse quantizer) with an
     INT8 rerank: candidates score by integer dot product over the

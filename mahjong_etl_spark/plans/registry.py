@@ -97,6 +97,7 @@ _CHECK_WINDOW_HEAD = [
     "mahjong_experiments_games",
     "csv_roundtrip_stats",
     "tenhou_source_actions",
+    "similarity_ann_ivf_persisted",
     "dedup_semantic",
     "graph_triangle_counts",
     "text_unigram_entropy",
@@ -140,10 +141,10 @@ _CHECK_WINDOW_HEAD = [
     "events_asof_last_view",
     "events_attribution_window",
     "events_funnel",
-    "events_hourly",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    "events_hourly",
     "events_pii_scrub",
     "events_sessionized",
     "events_value_histogram",

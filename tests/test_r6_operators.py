@@ -85,3 +85,34 @@ def test_triangle_query_runs_on_sf0001(spark):
 
     rows = graph_triangle_counts(spark, "/root/testdata/sf0.001").collect()
     assert all(r.n_triangles >= 1 for r in rows)
+
+
+def test_ivf_index_roundtrip_bit_exact(spark, tmp_path):
+    """write_ivf_index -> read_ivf_index must reproduce the trained
+    centroid matrix bit-for-bit (the property that lets the persisted
+    query share the fresh query's golden oracle) and postings must
+    cover every corpus vector exactly once."""
+    import numpy as np
+
+    from mahjong_etl_spark.operators.similarity import (
+        IVF_CLUSTERS,
+        IVF_LLOYD_ITERS,
+        corpus_centroids,
+        corpus_embeddings,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = corpus_embeddings(spark, sf)
+    cents = corpus_centroids(spark, sf, IVF_CLUSTERS, IVF_LLOYD_ITERS)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(spark, e, path, centroids=cents)
+    got, postings = read_ivf_index(spark, path)
+    assert got.shape == cents.shape
+    assert np.array_equal(got, cents)  # bit-exact, not allclose
+    n = e.count()
+    assert postings.count() == n
+    assert postings.select("vec_id").distinct().count() == n
+    k = postings.select("cluster").distinct().count()
+    assert 1 <= k <= IVF_CLUSTERS
