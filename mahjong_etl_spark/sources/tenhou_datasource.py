@@ -57,6 +57,41 @@ from ..plans.etl import _EPOCH, _KYOKU_KEYED
 from ..schemas import TABLE_SCHEMAS
 
 
+def _minted_tuple(r: dict, fields, key: str | None, days: int, offset: int):
+    """One parsed row dict -> output tuple in schema order, minting
+    the final kyoku id exactly as plans/etl.py::table_df does."""
+    vals = []
+    for fld in fields:
+        if key is not None and fld.name == key:
+            local = r["kyoku_local"]
+            vals.append(0 if local is None else days * 100000 + offset + local)
+        else:
+            vals.append(r[fld.name])
+    return tuple(vals)
+
+
+# Pseudo-table exposing one row per GAME with every table's rows as a
+# minted struct array — the single-parse feed for the streaming ETL
+# (streaming/etl_stream.py): nine per-table streams would parse the
+# same XML nine times; this parses once and lets foreachBatch fan out.
+PARSED_TABLE = "_parsed"
+
+
+def parsed_stream_schema() -> StructType:
+    from pyspark.sql.types import ArrayType
+
+    return StructType(
+        [
+            StructField("dt", StringType(), True),
+            StructField("game_id", StringType(), True),
+            *[
+                StructField(t, ArrayType(TABLE_SCHEMAS[t]), True)
+                for t in TABLE_SCHEMAS
+            ],
+        ]
+    )
+
+
 class TenhouDatePartition(InputPartition):
     def __init__(self, dt_raw: str, files: list[tuple[str, str]]):
         self.dt_raw = dt_raw  # YYYYMMDD directory name
@@ -112,38 +147,57 @@ class TenhouReader(DataSourceReader):
         return parts
 
     def read(self, partition: TenhouDatePartition):
-        from ..operators.mahjong_parse import parse_game
+        yield from _read_files(
+            self, partition.dt_raw, sorted(partition.files), prior_offset=0
+        )
 
-        fs, _ = _fs_and_path(self.path)
-        d = datetime.datetime.strptime(partition.dt_raw, "%Y%m%d").date()
-        dt_iso = d.isoformat()
-        days = (d - _EPOCH).days
-        key = _KYOKU_KEYED.get(self.table)
-        fields = TABLE_SCHEMAS[self.table].fields
-        offset = 0
-        # game_id order is the minting order (plans/etl.py::_with_offsets)
-        for game_id, full_path in sorted(partition.files):
-            with fs.open_input_stream(full_path) as f:
-                content = f.read()
-            try:
-                tables = parse_game(content, game_id, d, compat=self.compat)
-            except Exception:
-                if self.on_error == "skip":
-                    continue  # quarantined: no rows, no offset
-                raise
-            for r in tables[self.table]:
-                vals = []
-                for fld in fields:
-                    if key is not None and fld.name == key:
-                        local = r["kyoku_local"]
-                        vals.append(
-                            0 if local is None
-                            else days * 100000 + offset + local
+
+def _read_files(b: TenhouReader, dt_raw, files, prior_offset: int):
+    """Parse ``files`` (sorted (game_id, path)) of one date dir and
+    yield output tuples for b.table — or whole-game _parsed rows —
+    starting the kyoku-minting offset at ``prior_offset``."""
+    from ..operators.mahjong_parse import parse_game
+
+    fs, _ = _fs_and_path(b.path)
+    d = datetime.datetime.strptime(dt_raw, "%Y%m%d").date()
+    dt_iso = d.isoformat()
+    days = (d - _EPOCH).days
+    parsed_mode = b.table == PARSED_TABLE
+    key = None if parsed_mode else _KYOKU_KEYED.get(b.table)
+    fields = None if parsed_mode else TABLE_SCHEMAS[b.table].fields
+    offset = prior_offset
+    # game_id order is the minting order (plans/etl.py::_with_offsets)
+    for game_id, full_path in files:
+        with fs.open_input_stream(full_path) as f:
+            content = f.read()
+        try:
+            tables = parse_game(content, game_id, d, compat=b.compat)
+        except Exception:
+            if b.on_error == "skip":
+                continue  # quarantined: no rows, no offset
+            raise
+        if parsed_mode:
+            yield (
+                dt_iso,
+                game_id,
+                *[
+                    [
+                        _minted_tuple(
+                            r,
+                            TABLE_SCHEMAS[t].fields,
+                            _KYOKU_KEYED.get(t),
+                            days,
+                            offset,
                         )
-                    else:
-                        vals.append(r[fld.name])
-                yield (dt_iso, *vals)
-            offset += len(tables["kyokus"])
+                        for r in tables[t]
+                    ]
+                    for t in TABLE_SCHEMAS
+                ],
+            )
+        else:
+            for r in tables[b.table]:
+                yield (dt_iso, *_minted_tuple(r, fields, key, days, offset))
+        offset += len(tables["kyokus"])
 
 
 class TenhouDataSource(DataSource):
@@ -153,15 +207,19 @@ class TenhouDataSource(DataSource):
 
     def _table(self) -> str:
         table = self.options.get("table", "games")
-        if table not in TABLE_SCHEMAS:
+        if table != PARSED_TABLE and table not in TABLE_SCHEMAS:
             raise ValueError(
-                f"unknown table {table!r}; expected one of {sorted(TABLE_SCHEMAS)}"
+                f"unknown table {table!r}; expected one of "
+                f"{sorted(TABLE_SCHEMAS)} or {PARSED_TABLE!r}"
             )
         return table
 
     def schema(self) -> StructType:
+        table = self._table()
+        if table == PARSED_TABLE:
+            return parsed_stream_schema()
         return StructType(
-            [StructField("dt", StringType(), True), *TABLE_SCHEMAS[self._table()].fields]
+            [StructField("dt", StringType(), True), *TABLE_SCHEMAS[table].fields]
         )
 
     def reader(self, schema: StructType) -> TenhouReader:
@@ -261,41 +319,15 @@ class TenhouStreamReader(DataSourceStreamReader):
         return list(by_date.values())
 
     def read(self, partition: TenhouStreamPartition):
-        from ..operators.mahjong_parse import parse_game
-
         b = self._b
         fs, _ = _fs_and_path(b.path)
-        d = datetime.datetime.strptime(partition.dt_raw, "%Y%m%d").date()
-        dt_iso = d.isoformat()
-        days = (d - _EPOCH).days
-        key = _KYOKU_KEYED.get(b.table)
-        fields = TABLE_SCHEMAS[b.table].fields
         offset = 0
         for path in partition.prior_files:
             with fs.open_input_stream(path) as f:
                 offset += _count_kyokus(f.read())
-        for game_id, path in sorted(partition.new_files):
-            with fs.open_input_stream(path) as f:
-                content = f.read()
-            try:
-                tables = parse_game(content, game_id, d, compat=b.compat)
-            except Exception:
-                if b.on_error == "skip":
-                    continue
-                raise
-            for r in tables[b.table]:
-                vals = []
-                for fld in fields:
-                    if key is not None and fld.name == key:
-                        local = r["kyoku_local"]
-                        vals.append(
-                            0 if local is None
-                            else days * 100000 + offset + local
-                        )
-                    else:
-                        vals.append(r[fld.name])
-                yield (dt_iso, *vals)
-            offset += len(tables["kyokus"])
+        yield from _read_files(
+            b, partition.dt_raw, sorted(partition.new_files), prior_offset=offset
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are pure file positions; nothing to release
