@@ -69,6 +69,28 @@ def cmd_walls(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_stream(args: argparse.Namespace) -> int:
+    from .streaming.etl_stream import run_etl_stream
+
+    spark = _spark("mahjong-etl-stream")
+    q = run_etl_stream(
+        spark,
+        args.log_dir,
+        args.output_dir,
+        args.checkpoint,
+        compat=not args.no_compat,
+        available_now=not args.follow,
+    )
+    if args.follow:
+        print("streaming ETL running; ctrl-c to stop")
+        q.awaitTermination()
+    else:
+        q.awaitTermination()
+        q.stop()
+        print(f"drained available logs into {args.output_dir}")
+    return 0
+
+
 def cmd_sync(args: argparse.Namespace) -> int:
     from .sources.sync import DEFAULT_EXCLUDE, run_sync
 
@@ -164,6 +186,21 @@ def build_parser() -> argparse.ArgumentParser:
     wa.add_argument("-d", "--date", required=True, help="YYYYMMDD")
     wa.add_argument("--seed", type=int, default=0)
     wa.set_defaults(fn=cmd_walls)
+
+    st = sub.add_parser(
+        "stream",
+        help="streaming ETL: watch a log dir, fan out to the 9 sinks per micro-batch",
+    )
+    st.add_argument("-L", "--log-dir", required=True)
+    st.add_argument("-O", "--output-dir", required=True)
+    st.add_argument("-C", "--checkpoint", required=True)
+    st.add_argument("--no-compat", action="store_true")
+    st.add_argument(
+        "--follow",
+        action="store_true",
+        help="keep watching for new files (default: drain available and exit)",
+    )
+    st.set_defaults(fn=cmd_stream)
 
     sy = sub.add_parser(
         "sync",

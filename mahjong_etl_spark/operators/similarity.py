@@ -499,8 +499,6 @@ def write_ivf_index(
     oracle.  The centroid relation is k×dim rows (bounded by the
     SemDeDup cap discipline); postings are one row per corpus vector,
     written distributed."""
-    import numpy as np
-
     c = with_norm(corpus_df)
     if centroids is None:
         centroids = train_ivf_centroids(c, n_clusters, iters)

@@ -51,3 +51,31 @@ def test_stream_etl_converges_to_batch_etl(spark, tmp_path):
         streamed = spark.read.parquet(f"{out}/{t}")
         batch = spark.read.parquet(f"{out_batch}/{t}")
         assert _canon(streamed) == _canon(batch), f"table {t} diverged"
+
+
+def test_cli_stream_drains_available(tmp_path):
+    from mahjong_etl_spark.cli import main
+
+    src_files = sorted(glob.glob(os.path.join(FIXTURE_LOGS, "*", "*.xml")))[:2]
+    logs = tmp_path / "logs"
+    for f in src_files:
+        d = logs / os.path.basename(os.path.dirname(f))
+        d.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f, d / os.path.basename(f))
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "stream",
+            "-L",
+            str(logs),
+            "-O",
+            out,
+            "-C",
+            str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    from mahjong_etl_spark.session import get_spark
+
+    spark = get_spark("cli-stream-check")
+    assert spark.read.parquet(f"{out}/games").count() == len(src_files)
