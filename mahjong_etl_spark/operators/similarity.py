@@ -1164,9 +1164,12 @@ def ann_pq_topk(
     k: int = TOPK,
     books=None,
     rerank: int = PQ_RERANK,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ ANN: asymmetric distance computation (ADC) over the coded
     corpus, then EXACT cosine rerank of the per-query shortlist.
+    Pre-computed ``codes`` (vec_id, code[m] — see write_pq_index)
+    skip the encode pass: the read path of a persisted PQ index.
 
     The scale story is memory: the scored index is m×4 bits per vector
     (32× below float32), so a 10¹⁰-vector index fits a cluster's RAM
@@ -1231,7 +1234,8 @@ def ann_pq_topk(
                 {"q_id": out_q, "neighbor_id": out_v, "adc": out_s}
             )
 
-    codes = pq_encode(c, books)
+    if codes is None:
+        codes = pq_encode(c, books)
     shortlist = (
         codes.mapInPandas(score_batches, "q_id long, neighbor_id long, adc double")
         .where(F.col("q_id") != F.col("neighbor_id"))
@@ -1266,3 +1270,75 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the declared path for indexes too large to hold as floats."""
     e = corpus_embeddings(spark, sf_dir)
     return ann_pq_topk(spark, e.where(N_QUERIES_PRED), e, TOPK)
+# ---------------------------------------------------------------------------
+# PQ index persistence (same lifecycle contract as the IVF snapshot)
+# ---------------------------------------------------------------------------
+
+
+def write_pq_index(
+    spark: SparkSession, corpus_df: DataFrame, path: str, books=None
+) -> None:
+    """Persist a PQ index: ``{path}/codebooks`` (sub, cluster, d,
+    value — m×ksub×dsub rows, driver-built, bounded) and
+    ``{path}/codes`` (vec_id, code[m] — one row per vector, written
+    distributed).  Codebooks are exact under parquet round-trip (the
+    same int64-grid / DOUBLE argument as write_ivf_index) and codes
+    are integers, so a query from the persisted snapshot is
+    bit-identical to one from a fresh index — pinned by
+    similarity_ann_pq_persisted sharing similarity_ann_pq's golden."""
+    c = with_norm(corpus_df)
+    if books is None:
+        books = train_pq_codebooks(c)
+    m, ksub, dsub = books.shape
+    rows = [
+        (si, ci, di, float(books[si, ci, di]))
+        for si in range(m)
+        for ci in range(ksub)
+        for di in range(dsub)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, cluster int, d int, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    pq_encode(c, books).write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def read_pq_index(spark: SparkSession, path: str):
+    """(codebooks ndarray, codes DataFrame) from a written index."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r.sub for r in rows) + 1
+    ksub = max(r.cluster for r in rows) + 1
+    dsub = max(r.d for r in rows) + 1
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        books[r.sub, r.cluster, r.d] = r.value
+    return books, spark.read.parquet(f"{path}/codes")
+
+
+_PQ_INDEX_DIR: dict[str, str] = {}
+
+
+def _ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    hit = _PQ_INDEX_DIR.get(sf_dir)
+    if hit is None:
+        import tempfile
+
+        hit = tempfile.mkdtemp(prefix="pq_index_")
+        write_pq_index(spark, corpus_embeddings(spark, sf_dir), hit)
+        _PQ_INDEX_DIR[sf_dir] = hit
+    return hit
+
+
+@query("similarity_ann_pq_persisted", oracle=_ann_golden_oracle("pq"), bench=False)
+def similarity_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ write→read→query lifecycle: codebooks + 32x-compressed code
+    table persisted to parquet, read back cold, ADC served from the
+    PERSISTED codes (no re-train, no re-encode).  Shares
+    similarity_ann_pq's golden oracle — the round-trip must be
+    bit-exact."""
+    e = corpus_embeddings(spark, sf_dir)
+    books, codes = read_pq_index(spark, _ensure_pq_index(spark, sf_dir))
+    return ann_pq_topk(
+        spark, e.where(N_QUERIES_PRED), e, TOPK, books=books, codes=codes
+    )

@@ -98,6 +98,7 @@ _CHECK_WINDOW_HEAD = [
     "csv_roundtrip_stats",
     "tenhou_source_actions",
     "similarity_ann_ivf_persisted",
+    "similarity_ann_pq_persisted",
     "dedup_semantic",
     "graph_triangle_counts",
     "text_unigram_entropy",
@@ -140,10 +141,10 @@ _CHECK_WINDOW_HEAD = [
     "event_user_stats",
     "events_asof_last_view",
     "events_attribution_window",
-    "events_funnel",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    "events_funnel",
     "events_hourly",
     "events_pii_scrub",
     "events_sessionized",

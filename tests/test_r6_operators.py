@@ -116,3 +116,28 @@ def test_ivf_index_roundtrip_bit_exact(spark, tmp_path):
     assert postings.select("vec_id").distinct().count() == n
     k = postings.select("cluster").distinct().count()
     assert 1 <= k <= IVF_CLUSTERS
+
+
+def test_pq_index_roundtrip_bit_exact(spark, tmp_path):
+    import numpy as np
+
+    from mahjong_etl_spark.operators.similarity import (
+        corpus_embeddings,
+        read_pq_index,
+        train_pq_codebooks,
+        write_pq_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = corpus_embeddings(spark, sf)
+    books = train_pq_codebooks(e)
+    path = str(tmp_path / "pq")
+    write_pq_index(spark, e, path, books=books)
+    got, codes = read_pq_index(spark, path)
+    assert got.shape == books.shape
+    assert np.array_equal(got, books)  # bit-exact
+    n = e.count()
+    assert codes.count() == n
+    m = books.shape[0]
+    lens = {len(r.code) for r in codes.limit(20).collect()}
+    assert lens == {m}
