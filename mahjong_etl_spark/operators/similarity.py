@@ -476,6 +476,36 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _write_ndarray(spark: SparkSession, arr, path: str) -> None:
+    """Persist a float64 ndarray as chunked little-endian binary rows
+    (chunk, shape, data).  One Python object per ~16 MiB chunk, not
+    one tuple per ELEMENT: at the SemDeDup k-cap (131072 x 1024) a
+    row-per-element encoding would build ~134M driver-side tuples —
+    tens of GB for a matrix whose raw bytes are ~1 GB (r6 review
+    finding).  Exactness: float64 -> raw bytes is the identity, so
+    the round-trip is bit-exact by construction."""
+    import numpy as np
+
+    raw = np.ascontiguousarray(arr, dtype="<f8").tobytes()
+    chunk = 16 * 1024 * 1024
+    shape = list(arr.shape)
+    rows = [
+        (i, shape, bytearray(raw[off : off + chunk]))
+        for i, off in enumerate(range(0, len(raw), chunk))
+    ]
+    spark.createDataFrame(
+        rows, "chunk int, shape array<int>, data binary"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _read_ndarray(spark: SparkSession, path: str):
+    import numpy as np
+
+    rows = sorted(spark.read.parquet(path).collect(), key=lambda r: r.chunk)
+    raw = b"".join(bytes(r.data) for r in rows)
+    return np.frombuffer(raw, dtype="<f8").reshape(rows[0].shape).copy()
+
+
 def write_ivf_index(
     spark: SparkSession,
     corpus_df: DataFrame,
@@ -496,21 +526,13 @@ def write_ivf_index(
     persisted snapshot returns BIT-IDENTICAL results to one served
     from a freshly trained index — pinned by
     similarity_ann_ivf_persisted sharing similarity_ann_ivf's golden
-    oracle.  The centroid relation is k×dim rows (bounded by the
-    SemDeDup cap discipline); postings are one row per corpus vector,
-    written distributed."""
+    oracle.  The centroid matrix is written as ~16 MiB binary chunks
+    (driver cost = raw array size, see _write_ndarray); postings are
+    one row per corpus vector, written distributed."""
     c = with_norm(corpus_df)
     if centroids is None:
         centroids = train_ivf_centroids(c, n_clusters, iters)
-    k, dim = centroids.shape
-    cent_rows = [
-        (int(ci), int(di), float(centroids[ci, di]))
-        for ci in range(k)
-        for di in range(dim)
-    ]
-    spark.createDataFrame(
-        cent_rows, "cluster int, d int, value double"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_ndarray(spark, centroids, f"{path}/centroids")
     _assign_clusters(c, centroids).write.mode("overwrite").parquet(
         f"{path}/postings"
     )
@@ -518,15 +540,10 @@ def write_ivf_index(
 
 def read_ivf_index(spark: SparkSession, path: str):
     """(centroids ndarray, postings DataFrame) from a written index."""
-    import numpy as np
-
-    rows = spark.read.parquet(f"{path}/centroids").collect()
-    k = max(r.cluster for r in rows) + 1
-    dim = max(r.d for r in rows) + 1
-    cents = np.zeros((k, dim), dtype=np.float64)
-    for r in rows:
-        cents[r.cluster, r.d] = r.value
-    return cents, spark.read.parquet(f"{path}/postings")
+    return (
+        _read_ndarray(spark, f"{path}/centroids"),
+        spark.read.parquet(f"{path}/postings"),
+    )
 
 
 _IVF_INDEX_DIR: dict[str, str] = {}
@@ -714,7 +731,9 @@ def ann_ivf_int8_topk(
     cheap quantized scoring) every billion-vector deployment runs,
     here with the full-precision refine left to the caller when
     required.  4× less candidate-scoring bandwidth than float64 with
-    recall within noise of the float path (pinned in pytest)."""
+    recall within noise of the float path (pinned in pytest).
+    Pre-computed ``postings`` (see write_ivf_index) skip the corpus
+    assignment pass, same as the float path."""
     from pyspark.sql.window import Window
 
     q = quantize_for_search(with_norm(queries_df))
@@ -746,7 +765,9 @@ def ann_ivf_int8_topk(
     probes = q.select("vec_id", "emb_d").mapInPandas(
         probe_batches, "q_id long, cluster int"
     )
-    inv = _assign_clusters(c, centroids).withColumnRenamed("vec_id", "neighbor_id")
+    inv = (
+        postings if postings is not None else _assign_clusters(c, centroids)
+    ).withColumnRenamed("vec_id", "neighbor_id")
     cand = (
         probes.join(inv, "cluster")
         .where(F.col("q_id") != F.col("neighbor_id"))
@@ -1285,35 +1306,22 @@ def write_pq_index(
     same int64-grid / DOUBLE argument as write_ivf_index) and codes
     are integers, so a query from the persisted snapshot is
     bit-identical to one from a fresh index — pinned by
-    similarity_ann_pq_persisted sharing similarity_ann_pq's golden."""
+    similarity_ann_pq_persisted sharing similarity_ann_pq's golden.
+    Codebooks ride the same chunked-binary encoding as the IVF
+    centroids (_write_ndarray)."""
     c = with_norm(corpus_df)
     if books is None:
         books = train_pq_codebooks(c)
-    m, ksub, dsub = books.shape
-    rows = [
-        (si, ci, di, float(books[si, ci, di]))
-        for si in range(m)
-        for ci in range(ksub)
-        for di in range(dsub)
-    ]
-    spark.createDataFrame(
-        rows, "sub int, cluster int, d int, value double"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_ndarray(spark, books, f"{path}/codebooks")
     pq_encode(c, books).write.mode("overwrite").parquet(f"{path}/codes")
 
 
 def read_pq_index(spark: SparkSession, path: str):
     """(codebooks ndarray, codes DataFrame) from a written index."""
-    import numpy as np
-
-    rows = spark.read.parquet(f"{path}/codebooks").collect()
-    m = max(r.sub for r in rows) + 1
-    ksub = max(r.cluster for r in rows) + 1
-    dsub = max(r.d for r in rows) + 1
-    books = np.zeros((m, ksub, dsub), dtype=np.float64)
-    for r in rows:
-        books[r.sub, r.cluster, r.d] = r.value
-    return books, spark.read.parquet(f"{path}/codes")
+    return (
+        _read_ndarray(spark, f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/codes"),
+    )
 
 
 _PQ_INDEX_DIR: dict[str, str] = {}

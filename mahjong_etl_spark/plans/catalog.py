@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-from ..schemas import TABLE_SCHEMAS
+from ..schemas import EXPERIMENTS, TABLE_SCHEMAS
 
 ALL_TABLES = list(TABLE_SCHEMAS) + ["paiyamas"]
 
@@ -43,12 +43,14 @@ def register_tables(spark: SparkSession, root: str) -> list[str]:
     if "games" in registered:
         # ER entity `experiments` (er/mahjong.md:14-16): declared
         # upstream, never produced by the reference — realized as the
-        # scrape-batch dimension (one row per dt batch; schemas.py
-        # EXPERIMENTS).  A view, not a sink: it is fully derivable.
+        # scrape-batch dimension (one row per dt batch).  A view, not
+        # a sink: it is fully derivable.  Column list comes from the
+        # EXPERIMENTS schema constant so view and schema cannot drift.
+        (id_col,) = [f.name for f in EXPERIMENTS.fields]
         spark.sql(
-            """
+            f"""
             CREATE OR REPLACE TEMP VIEW experiments AS
-            SELECT DISTINCT CAST(dt AS STRING) AS id FROM games
+            SELECT DISTINCT CAST(dt AS STRING) AS {id_col} FROM games
             """
         )
         registered.append("experiments")

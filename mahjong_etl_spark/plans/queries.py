@@ -3483,11 +3483,14 @@ def orient_edges_by_degree(edges):
     """Orient an undirected edge set (a, b) into (src, dst, rk_dst)
     with rank(src) < rank(dst), rank = (degree, node id).
 
-    The rank rides a single long — deg * 2^33 + node — so the wedge
-    inequality stays one comparison instead of a struct compare
-    (node ids and degrees both fit well under 2^33 at any TPC-H SF;
-    an external graph would widen the encoding).  The degree table is
-    one row per node, so both enrichment joins broadcast under AQE.
+    The rank is a STRUCT (deg, node) compared lexicographically —
+    Spark's struct ordering compiles to the same codegen comparison
+    chain, with no packing: a packed-long encoding (the first r6 cut
+    used deg * 2^33 + node) silently corrupts the order once node ids
+    or degrees cross the packing boundary, which TPC-H part keys do
+    around SF 10^5 — exactly the 100 TB scale this plan targets.  The
+    degree table is one row per node, so both enrichment joins
+    broadcast under AQE.
     """
     deg = (
         edges.select(F.col("a").alias("node"))
@@ -3495,7 +3498,7 @@ def orient_edges_by_degree(edges):
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    rk = (F.col("deg") * F.lit(1 << 33) + F.col("node")).cast("long")
+    rk = F.struct(F.col("deg"), F.col("node"))
     ranked = deg.select("node", rk.alias("rk"))
     e = (
         edges.join(ranked.withColumnsRenamed({"node": "a", "rk": "rk_a"}), "a")
@@ -3505,7 +3508,7 @@ def orient_edges_by_degree(edges):
     return e.select(
         F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.greatest("rk_a", "rk_b").alias("rk_dst"),
+        F.when(lo_first, F.col("rk_b")).otherwise(F.col("rk_a")).alias("rk_dst"),
     )
 
 

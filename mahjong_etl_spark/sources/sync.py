@@ -60,20 +60,21 @@ def _fs_and_path(spark: SparkSession, path: str):
     return jpath.getFileSystem(jconf), jpath
 
 
-def _list_tree(spark: SparkSession, root: str) -> dict[str, int]:
-    """Recursive {relative_path: size} listing via Hadoop FileSystem.
-    Missing root -> empty tree (first sync into a fresh destination)."""
+def _list_tree(spark: SparkSession, root: str) -> dict[str, tuple[int, int]]:
+    """Recursive {relative_path: (size, mtime_ms)} listing via Hadoop
+    FileSystem.  Missing root -> empty tree (first sync into a fresh
+    destination)."""
     fs, jroot = _fs_and_path(spark, root)
     if not fs.exists(jroot):
         return {}
     base = fs.getFileStatus(jroot).getPath().toUri().getPath()
-    out: dict[str, int] = {}
+    out: dict[str, tuple[int, int]] = {}
     it = fs.listFiles(jroot, True)  # recursive remote iterator
     while it.hasNext():
         st = it.next()
         p = st.getPath().toUri().getPath()
         rel = os.path.relpath(p, base)
-        out[rel] = st.getLen()
+        out[rel] = (st.getLen(), st.getModificationTime())
     return out
 
 
@@ -86,10 +87,13 @@ def plan_sync(
 ) -> list[SyncAction]:
     """Diff source against destination and return the action list.
 
-    Copy when missing or size-changed (the reference's rsync also
-    defaults to size+mtime; mtime is not stable across object stores,
-    so size is the portable signal and callers with content-hash needs
-    use plans/manifest.py's footer audit instead)."""
+    Copy when the destination file is missing, size-different, or
+    OLDER than the source (src mtime > dst mtime — rsync's --update
+    rule, which catches same-size content rewrites: a re-scraped log
+    regenerated at identical length still syncs because its mtime
+    advanced past the copy's).  A dst at least as new as src with
+    equal size is treated as in-sync; callers needing content-hash
+    certainty use plans/manifest.py's footer audit instead."""
     pat = re.compile(exclude) if exclude else None
     s_tree = _list_tree(spark, src)
     d_tree = _list_tree(spark, dst)
@@ -97,13 +101,15 @@ def plan_sync(
     for rel in sorted(s_tree):
         if pat and pat.fullmatch(rel):
             continue
-        if d_tree.get(rel) != s_tree[rel]:
-            actions.append(SyncAction("copy", rel, s_tree[rel]))
+        s_size, s_mtime = s_tree[rel]
+        d = d_tree.get(rel)
+        if d is None or d[0] != s_size or s_mtime > d[1]:
+            actions.append(SyncAction("copy", rel, s_size))
     if delete:
         for rel in sorted(set(d_tree) - set(s_tree)):
             if pat and pat.fullmatch(rel):
                 continue
-            actions.append(SyncAction("delete", rel, d_tree[rel]))
+            actions.append(SyncAction("delete", rel, d_tree[rel][0]))
     return actions
 
 
@@ -113,8 +119,11 @@ def _is_local(spark: SparkSession, path: str) -> bool:
 
 
 def _local_root(spark: SparkSession, path: str) -> str:
-    _, jpath = _fs_and_path(spark, path)
-    return jpath.toUri().getPath()
+    # makeQualified resolves relative paths against the FS working
+    # directory ON THE DRIVER — executors must receive an absolute
+    # path or each would resolve against its own cwd
+    fs, jpath = _fs_and_path(spark, path)
+    return fs.makeQualified(jpath).toUri().getPath()
 
 
 def run_sync(

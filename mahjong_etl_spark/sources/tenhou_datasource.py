@@ -263,60 +263,81 @@ class TenhouStreamPartition(InputPartition):
 
 
 class TenhouStreamReader(DataSourceStreamReader):
-    """Micro-batch reader over an append-only Tenhou log tree.
+    """Micro-batch reader over a Tenhou log tree.
 
-    Offset = length of the globally (date, game_id)-sorted file-list
-    prefix already processed.  Tenhou game ids begin with their wall
-    clock (YYYYMMDDHH...), so arrival order IS sort order and a new
-    file can never land inside the committed prefix — the property
-    that makes a sorted-prefix offset exactly-once.  Each micro-batch
-    partition carries its date's already-committed files so the
-    executor can rebuild the kyoku-minting offset with the cheap
-    <INIT> byte scan above; minted ids are therefore identical to a
-    batch read (and to the ETL) no matter how the stream was chopped
-    into batches.  With ``on_error=skip`` a corrupt PRIOR file whose
-    bytes still contain <INIT> tags would inflate the rebuilt offset
-    relative to the batch path (which excludes corrupt games) — the
-    default ``fail`` has no such divergence, and the parity test pins
-    the clean-tree case."""
+    Offset = {"v": 2, "dates": {dt: [committed game ids]}} — the full
+    per-date committed SET, not a sorted-prefix count: Tenhou file
+    names encode a game's START time but files land when the game
+    ENDS, so a long game can arrive after a later-started short one
+    was already committed.  A prefix-count offset mis-slices exactly
+    there (the first r6 cut did: the late file was treated as already
+    processed — skipped forever — while the file at its slot was
+    re-emitted as a duplicate with a shifted kyoku offset).  Set
+    difference has no such failure mode: every listed-but-uncommitted
+    file is processed exactly once, whenever it arrives.
+
+    Each micro-batch partition carries its date's committed files so
+    the executor can rebuild the kyoku-minting offset with the cheap
+    <INIT> byte scan above.  For in-order arrivals minted ids equal a
+    batch read of the same tree (the parity test pins it); a LATE
+    arrival gets the next free ordinal in commit order — internally
+    consistent, but a batch re-run would renumber the date, so the
+    batch ETL's dynamic-partition-overwrite backfill is the repair
+    path for out-of-order days (streaming/etl_stream.py docstring).
+    With ``on_error=skip`` a corrupt PRIOR file whose bytes still
+    contain <INIT> tags would inflate the rebuilt offset relative to
+    the batch path (which excludes corrupt games) — the default
+    ``fail`` has no such divergence.
+
+    Offset size is one entry per committed file, and each batch
+    re-reads its date's committed files for the offset rebuild — both
+    bounded by the files of the WATCHED dates, so scope standing
+    streams with the ``date`` option (e.g. the current day's dir, the
+    reference's own ingestion grain); archive-scale backfill belongs
+    to the batch ETL."""
 
     def __init__(self, batch: TenhouReader):
         self._b = batch
 
-    def _sorted_files(self):
-        out = []
+    def _listing(self) -> dict[str, dict[str, str]]:
+        """{dt_raw: {game_id: path}} of everything currently on disk."""
         try:
             parts = self._b.partitions()
         except FileNotFoundError:
             # a watched date directory that has not arrived yet is a
             # NORMAL streaming state (batch keeps the loud-typo
             # contract; a stream waits for data instead of dying)
-            return out
-        for p in parts:
-            for game_id, path in sorted(p.files):
-                out.append((p.dt_raw, game_id, path))
-        out.sort()
-        return out
+            return {}
+        return {p.dt_raw: dict(p.files) for p in parts}
 
     def initialOffset(self) -> dict:
-        return {"files": 0}
+        return {"v": 2, "dates": {}}
 
     def latestOffset(self) -> dict:
-        return {"files": len(self._sorted_files())}
+        return {
+            "v": 2,
+            "dates": {
+                dt: sorted(files) for dt, files in self._listing().items() if files
+            },
+        }
 
     def partitions(self, start: dict, end: dict):
-        files = self._sorted_files()
-        s, e = start["files"], end["files"]
-        by_date: dict[str, TenhouStreamPartition] = {}
-        for dt_raw, game_id, path in files[s:e]:
-            part = by_date.get(dt_raw)
-            if part is None:
-                part = by_date[dt_raw] = TenhouStreamPartition(dt_raw, [], [])
-            part.new_files.append((game_id, path))
-        for dt_raw, game_id, path in files[:s]:
-            if dt_raw in by_date:
-                by_date[dt_raw].prior_files.append(path)
-        return list(by_date.values())
+        listing = self._listing()
+        committed = {dt: set(ids) for dt, ids in start.get("dates", {}).items()}
+        out = []
+        for dt, target_ids in end.get("dates", {}).items():
+            done = committed.get(dt, set())
+            files = listing.get(dt, {})
+            new = [
+                (gid, files[gid])
+                for gid in target_ids
+                if gid not in done and gid in files
+            ]
+            if not new:
+                continue
+            prior = [files[gid] for gid in sorted(done) if gid in files]
+            out.append(TenhouStreamPartition(dt, new, prior))
+        return out
 
     def read(self, partition: TenhouStreamPartition):
         b = self._b

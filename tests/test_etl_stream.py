@@ -13,9 +13,7 @@ from mahjong_etl_spark.schemas import TABLE_SCHEMAS
 from mahjong_etl_spark.streaming.etl_stream import run_etl_stream
 
 
-def _canon(df):
-    cols = sorted(df.columns)
-    return sorted(tuple(str(v) for v in row) for row in df.select(*cols).collect())
+from .helpers import canon as _canon
 
 
 def test_stream_etl_converges_to_batch_etl(spark, tmp_path):

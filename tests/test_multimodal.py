@@ -312,11 +312,14 @@ def test_pil_probe_happens_at_import(tmp_path):
         "d = mm.decode_payload(b'\\xff\\xfe not a header', 'image'); "
         "print(d['width'], d['height'])"
     )
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [sys.executable, "-c", code, str(tmp_path)],
         capture_output=True,
         text=True,
-        cwd="/root/repo",
+        cwd=repo_root,
         check=True,
     )
     assert out.stdout.strip()

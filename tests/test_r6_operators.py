@@ -62,7 +62,9 @@ def test_orientation_is_total_and_low_to_high(spark):
     assert len(rows) == len(raw)  # orientation is a bijection on edges
     for r in rows:
         assert (deg[r.src], r.src) < (deg[r.dst], r.dst)
-        assert r.rk_dst == deg[r.dst] * (1 << 33) + r.dst
+        # struct rank, not a packed long: packing overflows/collides
+        # at large node-id/degree scales (r6 review finding)
+        assert (r.rk_dst.deg, r.rk_dst.node) == (deg[r.dst], r.dst)
 
 
 def test_oriented_counts_match_naive_formulation(spark):

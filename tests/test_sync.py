@@ -94,3 +94,22 @@ def test_cli_sync_roundtrip(tmp_path):
     _write(src, "t/part-0.parquet", b"payload")
     assert main(["sync", src, dst]) == 0
     assert _tree(dst) == _tree(src)
+
+
+def test_same_size_rewrite_syncs_by_mtime(spark, tmp_path):
+    """rsync's --update rule: a same-length content rewrite must still
+    sync because the source mtime advanced past the copy's (r6 review
+    finding: a size-only diff left it silently stale)."""
+    import time
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write(src, "a.log", b"AAAA")
+    run_sync(spark, src, dst)
+    assert _tree(dst)["a.log"] == b"AAAA"
+    # same size, new content, mtime strictly after the copy
+    _write(src, "a.log", b"BBBB")
+    future = time.time() + 5
+    os.utime(os.path.join(src, "a.log"), (future, future))
+    s = run_sync(spark, src, dst)
+    assert s["n_copied"] == 1
+    assert _tree(dst)["a.log"] == b"BBBB"

@@ -10,9 +10,7 @@ from mahjong_etl_spark.schemas import TABLE_SCHEMAS
 from mahjong_etl_spark.sources.tenhou_datasource import register_tenhou_source
 
 
-def _canon(df):
-    cols = sorted(df.columns)
-    return sorted(tuple(str(v) for v in row) for row in df.select(*cols).collect())
+from .helpers import canon as _canon
 
 
 @pytest.fixture(scope="module")
@@ -150,4 +148,54 @@ def test_stream_tolerates_not_yet_arrived_date(spark, tmp_path):
     r = TenhouStreamReader(
         TenhouReader({"path": str(logs), "date": "20990101"}, "kyokus")
     )
-    assert r.latestOffset() == {"files": 0}
+    assert r.latestOffset() == {"v": 2, "dates": {}}
+
+
+def test_stream_late_arrival_no_dupes_no_skips(spark, tmp_path):
+    """A file that sorts INSIDE the committed set (long game finishing
+    after a later-started one) must still be processed exactly once —
+    the failure mode of a sorted-prefix offset (r6 review finding)."""
+    register_tenhou_source(spark)
+    import glob
+    import os
+    import shutil
+
+    # pool fixture games under ONE synthetic date dir so a
+    # middle-sorted file can arrive late (any log parses under any
+    # date — started_at comes from the directory name)
+    files = sorted(glob.glob(os.path.join(FIXTURE_LOGS, "*", "*.xml")),
+                   key=os.path.basename)
+    dt = "20240101"
+    assert len(files) >= 3
+    logs = tmp_path / "logs"
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    (logs / dt).mkdir(parents=True)
+
+    def arrive(f):
+        shutil.copy(f, logs / dt / os.path.basename(f))
+
+    def drain():
+        q = (
+            spark.readStream.format("tenhou")
+            .option("table", "games")
+            .load(str(logs))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # first and LAST arrive first; the middle file arrives late
+    arrive(files[0])
+    arrive(files[-1])
+    drain()
+    arrive(files[1])
+    drain()
+
+    got = sorted(r.id for r in spark.read.parquet(sink).select("id").collect())
+    want = sorted(os.path.splitext(os.path.basename(f))[0] for f in [files[0], files[1], files[-1]])
+    assert got == want  # exactly once each: no dupes, no skips
