@@ -241,6 +241,11 @@ def register_tenhou_source(spark) -> None:
 
 _INIT_RE = re.compile(rb"<INIT[ />]")
 
+# executor-side (worker-process) cache: path -> <INIT> count.  Safe
+# because landed log files are immutable; bounded by the watched
+# dates' file count; best-effort (a fresh worker re-scans once).
+_INIT_COUNT_CACHE: dict[str, int] = {}
+
 
 def _count_kyokus(content: bytes) -> int:
     """Hand count without a full XML parse: the parser emits exactly
@@ -344,8 +349,17 @@ class TenhouStreamReader(DataSourceStreamReader):
         fs, _ = _fs_and_path(b.path)
         offset = 0
         for path in partition.prior_files:
-            with fs.open_input_stream(path) as f:
-                offset += _count_kyokus(f.read())
+            # log files are immutable once landed, so the byte-scan
+            # count is cached per path in the (reused) Python worker:
+            # steady-state micro-batches rebuild a date's offset from
+            # memory instead of re-reading every committed file's
+            # bytes each batch (cold workers re-read once)
+            n = _INIT_COUNT_CACHE.get(path)
+            if n is None:
+                with fs.open_input_stream(path) as f:
+                    n = _count_kyokus(f.read())
+                _INIT_COUNT_CACHE[path] = n
+            offset += n
         yield from _read_files(
             b, partition.dt_raw, sorted(partition.new_files), prior_offset=offset
         )
