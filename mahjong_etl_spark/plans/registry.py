@@ -82,13 +82,16 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r6 window: the three never-hash-checked queries lead, then the new
-# round-6 query (experiments FK join), then every query whose code
-# changed this round (SemDeDup k-cap/broadcast, degree-oriented
-# triangles, spread entropy scan, the multimodal decode-gate rework),
-# then the r2-last-green witnesses (oldest standing evidence), and the
-# window fills with the alphabetically-first half of the r3-last-green
-# cohort; the other half heads the tail and rotates in next round.
+# r6 window: the three never-hash-checked queries lead, then the five
+# queries NEW this round (experiments FK join, CSV round-trip, the
+# tenhou data source, the persisted IVF/PQ index lifecycles), then
+# every query whose code changed this round (SemDeDup
+# k-cap/broadcast, degree-oriented triangles, spread entropy scan,
+# the multimodal decode-gate rework), then the r2-last-green
+# witnesses (oldest standing evidence); the window fills with the
+# alphabetically-first slice of the r3-last-green cohort — each new
+# r6 query displaced that slice's tail entry to the head of
+# _CHECK_WINDOW_TAIL, where the rest of the r3 cohort queues for r7.
 
 _CHECK_WINDOW_HEAD = [
     "similarity_ann_lsh",
