@@ -104,6 +104,23 @@ def main() -> None:
             """
         ).collect()
         timings["mahjong_query_1k"] = time.perf_counter() - t0
+        # The Python DataSource path over the SAME corpus: actions is
+        # the widest table, so this prices the per-row tuple yield
+        # against the ETL's Arrow-batched mapInPandas (the documented
+        # bulk-ingest route) — the number that justifies that routing.
+        from mahjong_etl_spark.sources.tenhou_datasource import (
+            register_tenhou_source,
+        )
+
+        register_tenhou_source(spark)
+        t0 = time.perf_counter()
+        spark.read.format("tenhou").option("table", "actions").load(
+            log_dir
+        ).count()
+        # informational, like the reference baseline: kept OUT of the
+        # headline sum (it re-reads the same corpus the ETL already
+        # timed; adding it would double-count that work in `value`)
+        tenhou_source_sec = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(etl_out, ignore_errors=True)
 
@@ -143,6 +160,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    out["tenhou_source_actions_1k_sec"] = tenhou_source_sec
     if ref_parse:
         out["baseline_ref_parse_1k_sec"] = ref_parse
         out["etl_vs_ref_speedup"] = round(
