@@ -93,9 +93,18 @@ def parsed_stream_schema() -> StructType:
 
 
 class TenhouDatePartition(InputPartition):
-    def __init__(self, dt_raw: str, files: list[tuple[str, str]]):
+    def __init__(
+        self,
+        dt_raw: str,
+        files: list[tuple[str, str]],
+        prior_files: list[str] | None = None,
+    ):
         self.dt_raw = dt_raw  # YYYYMMDD directory name
-        self.files = files  # [(game_id, full_path)] — unsorted
+        self.files = files  # [(game_id, full_path)] — this partition's slice
+        # same-date files that precede this slice in game_id order;
+        # their <INIT> counts rebuild the kyoku-minting offset so a
+        # date dir can split across partitions (see partitions())
+        self.prior_files = prior_files or []
 
 
 def _fs_and_path(path: str):
@@ -117,6 +126,15 @@ class TenhouReader(DataSourceReader):
         self.on_error = options.get("on_error", "fail")
         if self.on_error not in ("fail", "skip"):
             raise ValueError(f"on_error must be fail|skip, got {self.on_error}")
+        # max files per partition: a hot date directory (the common
+        # case — one dir holds a whole day) splits into multiple
+        # tasks instead of serializing on one core.  Later slices
+        # rebuild their minting offset from the cheap <INIT> byte
+        # scan over the preceding slice's files (~2x byte reads for
+        # the date in the worst case, bounded, cached per worker).
+        self.split = int(options.get("split", "256"))
+        if self.split < 1:
+            raise ValueError("split must be >= 1")
 
     def partitions(self):
         import pyarrow.fs as pafs
@@ -138,17 +156,33 @@ class TenhouReader(DataSourceReader):
             )
         parts = []
         for d in sorted(date_dirs):
-            files = [
+            files = sorted(
                 (f.base_name[:-4], f.path)
                 for f in fs.get_file_info(pafs.FileSelector(f"{root}/{d}"))
                 if f.type == pafs.FileType.File and f.base_name.endswith(".xml")
-            ]
-            parts.append(TenhouDatePartition(d, files))
+            )
+            for lo in range(0, len(files), self.split):
+                parts.append(
+                    TenhouDatePartition(
+                        d,
+                        files[lo : lo + self.split],
+                        prior_files=[p for _, p in files[:lo]],
+                    )
+                )
         return parts
 
     def read(self, partition: TenhouDatePartition):
+        fs, _ = _fs_and_path(self.path)
+        offset = 0
+        for path in partition.prior_files:
+            n = _INIT_COUNT_CACHE.get(path)
+            if n is None:
+                with fs.open_input_stream(path) as f:
+                    n = _count_kyokus(f.read())
+                _INIT_COUNT_CACHE[path] = n
+            offset += n
         yield from _read_files(
-            self, partition.dt_raw, sorted(partition.files), prior_offset=0
+            self, partition.dt_raw, sorted(partition.files), prior_offset=offset
         )
 
 
@@ -313,7 +347,10 @@ class TenhouStreamReader(DataSourceStreamReader):
             # NORMAL streaming state (batch keeps the loud-typo
             # contract; a stream waits for data instead of dying)
             return {}
-        return {p.dt_raw: dict(p.files) for p in parts}
+        out: dict[str, dict[str, str]] = {}
+        for p in parts:
+            out.setdefault(p.dt_raw, {}).update(dict(p.files))
+        return out
 
     def initialOffset(self) -> dict:
         return {"v": 2, "dates": {}}

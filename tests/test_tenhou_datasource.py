@@ -199,3 +199,20 @@ def test_stream_late_arrival_no_dupes_no_skips(spark, tmp_path):
     got = sorted(r.id for r in spark.read.parquet(sink).select("id").collect())
     want = sorted(os.path.splitext(os.path.basename(f))[0] for f in [files[0], files[1], files[-1]])
     assert got == want  # exactly once each: no dupes, no skips
+
+
+def test_split_date_dir_minting_is_slice_invariant(spark, etl_root):
+    """A hot date dir split across partitions must mint the SAME ids
+    as the one-partition read: later slices rebuild their offset from
+    the preceding files' <INIT> counts."""
+    whole = (
+        spark.read.format("tenhou").option("table", "kyokus").load(FIXTURE_LOGS)
+    )
+    split = (
+        spark.read.format("tenhou")
+        .option("table", "kyokus")
+        .option("split", "1")  # one file per partition — maximal split
+        .load(FIXTURE_LOGS)
+    )
+    assert split.rdd.getNumPartitions() > whole.rdd.getNumPartitions()
+    assert _canon(split) == _canon(whole)
