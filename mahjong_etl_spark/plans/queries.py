@@ -33,6 +33,7 @@ Capability -> query mapping:
 - JSONL sink/source round-trip ................ jsonl_roundtrip_stats
 - VARIANT semi-structured analytics ........... events_variant_stats
 - data-quality constraint suite ............... dq_constraint_suite
+- whole-table column profiler ................. dq_column_profile
 - feature-correlation audit (exact-int) ....... lineitem_feature_corr
 - z-score anomaly screen ...................... events_anomaly_zscore
 - TPC-H: all 22 queries (Q2/Q11/Q12/Q20/Q21 adapted
@@ -1155,6 +1156,81 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         row_checks.unionByName(dups).unionByName(orphans).orderBy("check_name")
+    )
+
+
+_PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
+
+
+def _profile_block(c: str) -> str:
+    return f"""
+      SELECT '{c}' AS col_name,
+             count(*) AS n_rows,
+             CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+             CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             CAST(min(length(CAST({c} AS VARCHAR))) AS BIGINT) AS min_len,
+             CAST(max(length(CAST({c} AS VARCHAR))) AS BIGINT) AS max_len,
+             round(CAST(sum(length(CAST({c} AS VARCHAR))) AS DOUBLE)
+                   / count({c}), 4) AS avg_len
+      FROM documents"""
+
+
+@query(
+    "dq_column_profile",
+    oracle="SELECT * FROM ("
+    + " UNION ALL ".join(_profile_block(c) for c in _PROFILE_COLS)
+    + ") ORDER BY col_name",
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profiler (the Deequ `ColumnProfilerRunner` /
+    'analyze before publish' pattern): one row per column of
+    `documents` with row/null/distinct counts and the min/max/mean
+    rendered-length — the summary a 100 TB ingest computes per
+    partition to catch schema drift, null floods, and truncation
+    before downstream training jobs consume the data.
+
+    Plan shape: ONE aggregate over one scan computes every non-
+    distinct statistic for all five columns simultaneously
+    (conditional counts + length min/max/sum — adding a column is +5
+    agg expressions, not +1 pass); the per-column exact
+    count(DISTINCT) rides the same aggregate via Spark's expand
+    rewrite (x5 row expansion, one shuffle).  The final stack() emits
+    the 5-row profile.  At 100 TB the expand is the knob to watch:
+    swap count(DISTINCT) for approx_count_distinct and the whole
+    profile collapses to a single expand-free map-side-partial pass —
+    the code keeps exact counts because the driver oracle demands
+    bit-equality, and notes the swap here.  Lengths are measured on
+    CAST(col AS STRING) so numeric and string columns profile
+    uniformly (both engines render int64 identically)."""
+    d = load(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        s = F.length(F.col(c).cast("string"))
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(s).cast("long").alias(f"{c}__minlen"),
+            F.max(s).cast("long").alias(f"{c}__maxlen"),
+            F.round(F.sum(s).cast("double") / F.count(F.col(c)), 4).alias(
+                f"{c}__avglen"
+            ),
+        ]
+    rows = ", ".join(
+        f"'{c}', n_rows, {c}__nulls, {c}__distinct, "
+        f"{c}__minlen, {c}__maxlen, {c}__avglen"
+        for c in _PROFILE_COLS
+    )
+    return (
+        d.agg(*aggs)
+        .selectExpr(
+            f"stack({len(_PROFILE_COLS)}, {rows}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, "
+            "min_len, max_len, avg_len)"
+        )
+        .orderBy("col_name")
     )
 
 

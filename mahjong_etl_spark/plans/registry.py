@@ -82,9 +82,10 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r6 window: the three never-hash-checked queries lead, then the five
+# r6 window: the three never-hash-checked queries lead, then the six
 # queries NEW this round (experiments FK join, CSV round-trip, the
-# tenhou data source, the persisted IVF/PQ index lifecycles), then
+# tenhou data source, the persisted IVF/PQ index lifecycles, the
+# column profiler), then
 # every query whose code changed this round (SemDeDup
 # k-cap/broadcast, degree-oriented triangles, spread entropy scan,
 # the multimodal decode-gate rework), then the r2-last-green
@@ -102,6 +103,7 @@ _CHECK_WINDOW_HEAD = [
     "tenhou_source_actions",
     "similarity_ann_ivf_persisted",
     "similarity_ann_pq_persisted",
+    "dq_column_profile",
     "dedup_semantic",
     "graph_triangle_counts",
     "text_unigram_entropy",
@@ -143,10 +145,10 @@ _CHECK_WINDOW_HEAD = [
     "embedding_norm_profile",
     "event_user_stats",
     "events_asof_last_view",
-    "events_attribution_window",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    "events_attribution_window",
     "events_funnel",
     "events_hourly",
     "events_pii_scrub",
