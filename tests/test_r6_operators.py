@@ -143,3 +143,61 @@ def test_pq_index_roundtrip_bit_exact(spark, tmp_path):
     m = books.shape[0]
     lens = {len(r.code) for r in codes.limit(20).collect()}
     assert lens == {m}
+
+
+# ---------------------------------------------------------------------------
+# dq_column_profile: whole-table column profiler
+# ---------------------------------------------------------------------------
+
+
+def test_column_profile_single_scan_with_expand(spark):
+    """The profiler must stay a ONE-scan plan: every per-column
+    statistic (nulls, length min/max/sum) plus the five exact
+    count(DISTINCT)s ride a single documents scan via Spark's expand
+    rewrite — a refactor that profiles column-by-column (N scans)
+    must fail here."""
+    from mahjong_etl_spark.plans.registry import registry
+
+    df = registry()["dq_column_profile"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2, plan
+    assert "Expand" in plan, "distinct stats should use the expand rewrite"
+
+
+def test_column_profile_counts_nulls_and_all_null_columns(spark, tmp_path):
+    """Null floods and even an all-NULL column must profile cleanly:
+    n_nulls counts them, length stats and avg_len go NULL (never a
+    crash or a zero-division Infinity)."""
+    import pandas as pd
+
+    from mahjong_etl_spark.plans.registry import registry
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["ab", None, "cdef", None],
+            "lang": pd.array([None, None, None, None], dtype="string"),
+            "source": ["s1", "s1", "s2", "s2"],
+            "n_chars": [2, 0, 4, 0],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r.col_name: r
+        for r in registry()["dq_column_profile"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows["text"].n_nulls == 2
+    assert rows["text"].n_distinct == 2
+    assert (rows["text"].min_len, rows["text"].max_len) == (2, 4)
+    assert rows["text"].avg_len == 3.0
+    lang = rows["lang"]
+    assert lang.n_nulls == 4 and lang.n_distinct == 0
+    assert lang.min_len is None and lang.max_len is None
+    assert lang.avg_len is None
+    assert rows["doc_id"].n_rows == 4 and rows["doc_id"].n_nulls == 0
