@@ -6,13 +6,15 @@ struct, partition by (kind, dt), and run decode / feature-extraction
 as Arrow-batched ``mapInPandas`` — the payload bytes stay columnar
 end-to-end and each Python worker sees whole batches, not rows.
 
-The real decoders (PIL / librosa / av) are not available in this
-container; ``decode_payload`` gates them behind an import-try and
-falls back to a DETERMINISTIC fake decode (documented arithmetic over
-the payload bytes).  The Spark-side plumbing — binary schema, batch
-iteration, UDF signature, output schema — is real and is what the
-tests + oracle verify: the mapInPandas output must equal the same
-arithmetic expressed in SQL.
+PNG and GIF pixel codecs are REAL and pure Python/stdlib
+(decode_png_pixels/encode_png, decode_gif_pixels/encode_gif) — no
+imaging library needed; WAV/PNG/GIF/JPEG header parsing is real too.
+Only JPEG pixel decode stays gated behind an import-try (DCT entropy
+coding), with ``decode_payload`` falling back to a DETERMINISTIC
+arithmetic decode so the Spark-side plumbing — binary schema, batch
+iteration, UDF signature, output schema — is verifiable end-to-end:
+the mapInPandas output must equal the same arithmetic expressed in
+SQL.
 """
 
 from __future__ import annotations
@@ -218,11 +220,12 @@ def decode_payload(payload: bytes, kind: str) -> dict:
        a real GIF is ruled out by its binary descriptor bytes in all
        but pathological hand-crafted cases, which then just fall back
        to deterministic arithmetic dims.
-    2. Full pixel decode: REAL for 8-bit PNG via the pure-stdlib
-       decoder (decode_png_pixels / extract_pixel_stats below); for
-       JPEG/GIF pixels it stays gated on an imaging library (probed
-       once at module import, see _HAVE_PIL above) — those need real
-       entropy codecs, absent here.  If the library ever appears
+    2. Full pixel decode: REAL for 8-bit PNG (pure-stdlib inflate +
+       filter reconstruction, decode_png_pixels) and for GIF (pure-
+       Python LZW, decode_gif_pixels) — see extract_pixel_stats; only
+       JPEG pixels stay gated on an imaging library (probed once at
+       module import, see _HAVE_PIL above) — DCT entropy coding is
+       the one codec not reimplemented here.  If the library appears
        before the decode is wired, the gate logs one warning and
        keeps the arithmetic fallback: a half-installed capability
        must never raise mid-query.
@@ -573,17 +576,23 @@ PIXEL_STATS_SCHEMA = StructType(
 
 
 def extract_pixel_stats(media: DataFrame) -> DataFrame:
-    """REAL pixel statistics for decodable PNG payloads (rows whose
-    payload the pure-Python decoder can't handle are dropped — the
-    honest subset, no arithmetic fakes here).  px_mean is emitted in
-    exact milli-units (round(mean*1000)) per the repo-wide fixed-point
-    output rule.  Same Arrow-batched mapInPandas shape as every decode
-    operator; the decoder reaches workers via ensure_shipped like the
-    other multimodal passes."""
+    """REAL pixel statistics for decodable PNG and GIF payloads (rows
+    whose payload neither pure-Python decoder can handle are dropped —
+    the honest subset, no arithmetic fakes here).  px_mean is emitted
+    in exact milli-units (round(mean*1000)) per the repo-wide
+    fixed-point output rule.  Same Arrow-batched mapInPandas shape as
+    every decode operator; the decoders reach workers via
+    ensure_shipped like the other multimodal passes."""
     from ..shipping import ensure_shipped
 
     ensure_shipped(media.sparkSession)
-    decode = decode_png_pixels
+
+    def decode(p: bytes):
+        return (
+            decode_png_pixels(p)
+            if p.startswith(b"\x89PNG")
+            else decode_gif_pixels(p)
+        )
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -720,10 +729,11 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum of integer pixel values, ONE division, round to milli.)
 
     Scale shape: one Arrow-batched mapInPandas pass, CPU-bound per
-    image like any codec; no shuffle before the per-doc aggregate
-    (which is the map-side-combined groupBy every decode stat uses)."""
+    image like any codec; the per-doc stats reduce inside the batch.
+    The scan goes through load_spread so the single-file test corpus
+    fans out across cores like a many-split 100 TB input would."""
     from ..shipping import ensure_shipped
-    from ..sources.tables import load
+    from ..sources.tables import load_spread
 
     ensure_shipped(spark)
     enc, dec = encode_png, decode_png_pixels
@@ -760,7 +770,330 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            _rt,
+            "doc_id long, px_h int, px_w int, channels int, "
+            "px_mean_milli long, px_min int, px_max int",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real GIF pixel decode + encode (pure Python — no imaging library)
+# ---------------------------------------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
+    """GIF-variant LZW: variable code width starting at min+1 bits,
+    growing to 12, LSB-first bit packing, clear/EOI control codes.
+
+    The width rule is implemented symmetrically with the encoder below
+    as width = clamp(min+1, bit_length(next_code), 12): the largest
+    code the stream can legally contain at any point is ``next_code``
+    (the KwKwK case), so that expression IS the spec's "increase the
+    width when next_code no longer fits" — stated closed-form instead
+    of as a mutable bump flag, which is the classic off-by-one trap.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = bits = pos = 0
+    while True:
+        width = min(12, max(min_code_size + 1, next_code.bit_length()))
+        while bits < width:
+            if pos >= len(data):
+                return out if prev is not None else None
+            acc |= data[pos] << bits
+            pos += 1
+            bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table) and (code < clear or table[code]):
+            seq = table[code]
+        elif code == next_code and prev is not None:
+            seq = prev + prev[:1]
+        else:
+            return None  # corrupt stream
+        out.extend(seq)
+        if prev is not None and next_code < 4096:
+            table.append(prev + seq[:1])
+            next_code += 1
+        prev = seq
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """Encoder half, width-synchronized with _gif_lzw_decode (same
+    closed-form width rule over next_code-1 — the decoder's table lags
+    one entry, so the value that must fit at emission time is the
+    code being emitted, bounded by next_code-1).  Emits a clear and
+    resets when the table hits the 4096-entry spec ceiling."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, next_code: int) -> None:
+        nonlocal acc, bits
+        width = min(12, max(min_code_size + 1, (next_code - 1).bit_length()))
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    emit(clear, next_code)
+    w = -1
+    for k in indices:
+        k = int(k)
+        if w < 0:
+            w = k
+            continue
+        got = table.get((w, k))
+        if got is not None:
+            w = got
+            continue
+        emit(w, next_code)
+        table[(w, k)] = next_code
+        next_code += 1
+        w = k
+        if next_code == 4096:
+            emit(clear, next_code)
+            table = {}
+            next_code = eoi + 1
+    if w >= 0:
+        emit(w, next_code)
+        next_code += 1  # the decoder adds an entry for this code too
+    emit(eoi, next_code)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes):
+    """Full pixel decode for the first image of a GIF87a/GIF89a stream
+    — pure Python, the GIF half of the real-codec plane beside
+    decode_png_pixels.  Walks the logical-screen descriptor and
+    global/local color tables, skips extension blocks, LZW-decodes the
+    first image descriptor's sub-block stream (including interlaced
+    row order), and maps palette indices to RGB.  Returns an
+    (h, w, 3) uint8 ndarray for the image sub-rectangle, or None for
+    anything malformed — callers fall back to the header/arithmetic
+    ladder, same contract as decode_png_pixels.  (Transparency and
+    later frames are out of scope: pixel statistics are over the
+    rendered first frame.)"""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            return None
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer before any image
+            return None
+        if block == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C or pos + 10 > len(payload):
+            return None
+        w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        ipacked = payload[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                return None
+            table = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if table is None or not w or not h or pos >= len(payload):
+            return None
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            return None
+        data = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(bytes(data), min_code_size)
+        if idx is None or len(idx) < w * h:
+            return None
+        grid = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = [r for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, h, step)]
+            un = np.empty_like(grid)
+            un[rows] = grid
+            grid = un
+        if grid.max() >= len(table):
+            return None
+        return table[grid]
+    return None
+
+
+def encode_gif(px, interlace: bool = False) -> bytes:
+    """GIF SINK: uint8 (h, w, 3) ndarray -> valid GIF89a bytes (global
+    color table built from the image's unique colors, real LZW).  Pure
+    Python like the decoder — the encode half of the GIF pipeline,
+    used by the roundtrip oracle query.  Raises ValueError beyond the
+    format's 256-color ceiling (quantization is a modeling choice the
+    caller must make, not something a sink should silently do)."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    colors, inverse = np.unique(
+        px.reshape(-1, 3), axis=0, return_inverse=True
+    )
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <=256 colors, image has {len(colors)}")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    table = np.zeros((2 << (bits - 1), 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    grid = inverse.reshape(h, w)
+    if interlace:
+        rows = [r for start, step in _GIF_INTERLACE_PASSES
+                for r in range(start, h, step)]
+        grid = grid[rows]
+    min_code_size = max(2, bits)
+    data = _gif_lzw_encode(grid.ravel(), min_code_size)
+    out = bytearray()
+    out += b"GIF89a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | 0x70 | (bits - 1))  # GCT present, 8-bit colors
+    out += b"\x00\x00"  # bg color index, aspect
+    out += table.tobytes()
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x40 if interlace else 0x00)
+    out.append(min_code_size)
+    for i in range(0, len(data), 255):
+        sub = data[i : i + 255]
+        out.append(len(sub))
+        out += sub
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+GIF_RT_H, GIF_RT_W = 16, 16
+GIF_RT_NCOL = 64  # palette colors per document (format ceiling is 256)
+GIF_RT_NPX = GIF_RT_H * GIF_RT_W
+GIF_RT_N = GIF_RT_NPX * 3
+
+
+@query(
+    "multimodal_gif_roundtrip",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               (doc_id * 17
+                + ((doc_id * 131 + i.i * 7919) % {GIF_RT_NCOL}) * 37
+                + c.c * 101) % 256 AS v
+        FROM documents,
+             (SELECT unnest(range({GIF_RT_NPX})) AS i) i,
+             (SELECT unnest(range(3)) AS c) c
+    )
+    SELECT doc_id,
+           CAST({GIF_RT_H} AS INT) AS px_h,
+           CAST({GIF_RT_W} AS INT) AS px_w,
+           CAST(3 AS INT) AS channels,
+           (CAST(sum(v) AS BIGINT) * 1000 + {GIF_RT_N // 2}) // {GIF_RT_N}
+               AS px_mean_milli,
+           CAST(min(v) AS INT) AS px_min,
+           CAST(max(v) AS INT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full REAL GIF pipeline, hash-pinned through SQL — the palette-
+    codec twin of multimodal_png_roundtrip.  Per document, a
+    deterministic {GIF_RT_NCOL}-color palette (color j, channel c =
+    (doc_id·17 + j·37 + c·101) mod 256) and index grid (pixel i =
+    (doc_id·131 + i·7919) mod {GIF_RT_NCOL}) are ENCODED to genuine
+    GIF89a bytes (global color table + real variable-width LZW,
+    interlaced for odd doc_ids so both row orders stay exercised),
+    DECODED back by the pure-Python decoder, and reduced to pixel
+    statistics — while the DuckDB oracle computes the same statistics
+    from the generating arithmetic alone.  Any desync in LZW code
+    widths, sub-block framing, color-table layout, or the interlace
+    permutation flips the driver hash.
+
+    Scale shape: one Arrow-batched mapInPandas pass, CPU-bound per
+    image like any codec; the per-doc stats reduce inside the batch.
+    The scan goes through load_spread so the single-file test corpus
+    fans out across cores like a many-split 100 TB input would."""
+    from ..shipping import ensure_shipped
+    from ..sources.tables import load_spread
+
+    ensure_shipped(spark)
+    enc, dec = encode_gif, decode_gif_pixels
+    h, w, ncol, n = GIF_RT_H, GIF_RT_W, GIF_RT_NCOL, GIF_RT_N
+
+    def _rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                j = np.arange(ncol, dtype=np.int64)[:, None]
+                c = np.arange(3, dtype=np.int64)[None, :]
+                pal = ((d * 17 + j * 37 + c * 101) % 256).astype(np.uint8)
+                i = np.arange(h * w, dtype=np.int64)
+                idx = ((d * 131 + i * 7919) % ncol).reshape(h, w)
+                px = pal[idx]
+                back = dec(enc(px, interlace=bool(d % 2)))
+                assert back is not None and (back == px).all()
+                s = int(px.astype(np.int64).sum())
+                rows.append(
+                    (
+                        d, h, w, 3,
+                        # half-up integer milli-mean = oracle round()
+                        (s * 1000 + n // 2) // n,
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "px_h", "px_w", "channels",
+                    "px_mean_milli", "px_min", "px_max",
+                ],
+            )
+
+    return (
+        load_spread(spark, sf_dir, "documents")
         .select("doc_id")
         .mapInPandas(
             _rt,

@@ -323,3 +323,115 @@ def test_pil_probe_happens_at_import(tmp_path):
         check=True,
     )
     assert out.stdout.strip()
+
+
+# ---------------------------------------------------------------------------
+# GIF codec: pure-Python LZW encode/decode
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_shapes_palettes_interlace():
+    import numpy as np
+
+    from mahjong_etl_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w, ncol, inter in [
+        (1, 1, 1, False),
+        (3, 5, 2, True),
+        (8, 8, 4, False),
+        (16, 16, 64, False),
+        (16, 16, 64, True),
+        (17, 13, 256, True),  # odd dims, full palette
+    ]:
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, ncol, size=(h, w))]
+        back = decode_gif_pixels(encode_gif(px, interlace=inter))
+        assert back is not None and back.shape == (h, w, 3)
+        assert np.array_equal(back, px), (h, w, ncol, inter)
+
+
+def test_gif_lzw_table_full_clear_path():
+    """A 128x128 256-color noise image forces the LZW dictionary past
+    the 4096-entry spec ceiling: the encoder must emit a clear and
+    reset, and the decoder must follow — byte-exact roundtrip."""
+    import numpy as np
+
+    from mahjong_etl_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(128, 128))
+    px = pal[idx]
+    assert np.array_equal(decode_gif_pixels(encode_gif(px)), px)
+    # noise at 256 symbols adds ~1 entry per code: the table must
+    # have wrapped (>4096 entries worth of additions)
+    assert 128 * 128 / 2 > 4096
+
+
+def test_gif_decode_never_raises_on_garbage():
+    import numpy as np
+
+    from mahjong_etl_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    g = encode_gif(pal[rng.integers(0, 16, size=(12, 12))])
+    for cut in range(0, len(g), 23):
+        r = decode_gif_pixels(g[:cut])
+        assert r is None or r.shape[2] == 3
+    for i in range(0, len(g), 17):
+        b = bytearray(g)
+        b[i] ^= 0xFF
+        r = decode_gif_pixels(bytes(b))
+        assert r is None or (r.ndim == 3 and r.shape[2] == 3)
+    assert decode_gif_pixels(b"GIF89a") is None
+    assert decode_gif_pixels(b"not a gif at all") is None
+
+
+def test_gif_encode_rejects_over_256_colors():
+    import numpy as np
+    import pytest as _pytest
+
+    from mahjong_etl_spark.operators.multimodal import encode_gif
+
+    grad = np.zeros((32, 32, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(32)[:, None] * 8
+    grad[:, :, 1] = np.arange(32)[None, :] * 8
+    with _pytest.raises(ValueError):
+        encode_gif(grad)
+
+
+def test_pixel_stats_cover_gif_payloads(spark):
+    import numpy as np
+
+    from mahjong_etl_spark.operators.multimodal import (
+        encode_gif,
+        extract_pixel_stats,
+    )
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, size=(32, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 32, size=(7, 9))]
+    rows = [
+        (1, "image", bytearray(encode_gif(px, interlace=True))),
+        (2, "image", bytearray(b"plain text payload")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    got = {r.media_id: r for r in extract_pixel_stats(media).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert (r.px_h, r.px_w, r.channels) == (7, 9, 3)
+    assert r.px_min == int(px.min()) and r.px_max == int(px.max())
