@@ -1,0 +1,549 @@
+"""Baseline JPEG codec — pure Python + numpy, no imaging library.
+
+The third REAL image codec beside PNG (``multimodal.decode_png_pixels``)
+and GIF (``multimodal.decode_gif_pixels``): ITU-T T.81 baseline
+sequential DCT, 8-bit, Huffman entropy coding.  The encoder emits
+JFIF files with Annex-K-style quantization tables (libjpeg quality
+scaling) and standard Huffman tables at 4:4:4 sampling; the decoder
+reads ANY baseline file within the honest subset below — it takes its
+quantization and Huffman tables from the file's own DQT/DHT segments,
+so table fidelity affects only compression ratio, never correctness.
+
+Honest subset (everything else returns None, same contract as the
+PNG/GIF decoders — callers fall back to the header/arithmetic
+ladder):
+
+- baseline sequential (SOF0) only — progressive (SOF2) and the other
+  frame types are out of scope;
+- 8-bit precision, 1 or 3 components, 1x1 sampling factors (4:4:4 or
+  grayscale) — chroma subsampling's upsample filter is a modeling
+  choice this engine does not need for payload verification;
+- no restart markers (DRI/RSTn).
+
+JPEG is lossy, so unlike PNG/GIF there is no bit-exact roundtrip: the
+pipeline contract is a committed-golden oracle (functions/goldens.py)
+plus pytest error bounds and a hand-derivable flat-block interop
+vector (a single-DC-coefficient file must decode to the flat level
+the spec's IDCT equation gives by hand).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- zigzag --------------------------------------------------------------
+# Generated, not transcribed: diagonal s = i+j walked upward (i
+# decreasing) on even s and downward on odd s — the T.81 Figure 5
+# pattern — so a typo cannot silently desync encoder and decoder.
+
+
+def _zigzag() -> np.ndarray:
+    order = []
+    for s in range(15):
+        ij = [(i, s - i) for i in range(max(0, s - 7), min(s, 7) + 1)]
+        order.extend(ij if s % 2 else ij[::-1])
+    return np.array([i * 8 + j for i, j in order], dtype=np.int64)
+
+
+ZIGZAG = _zigzag()  # natural index for each zigzag position
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# --- quantization (Annex K tables, libjpeg quality scaling) --------------
+
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+
+def scaled_quant(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255)
+
+
+# --- Huffman tables (standard layout; embedded in every file) ------------
+# (bits-per-length, values) pairs.  The decoder never assumes these —
+# it always builds its codes from the file's DHT — so the constants
+# only shape OUR encoder's output.
+
+STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+
+
+def _ac_values(first: list[int]) -> list[int]:
+    """Standard AC value lists share a regular tail: after the
+    table-specific head, the symbols run through each size class 1..10
+    for runs 0..15 in the documented order.  Rather than transcribing
+    162 bytes from memory, build the canonical ordering and let the
+    head pin the table-specific prefix."""
+    seen = list(first)
+    have = set(seen)
+    # remaining symbols in (run, size) column-major spec order
+    for run in range(16):
+        for size in range(1, 11):
+            v = (run << 4) | size
+            if v not in have:
+                seen.append(v)
+                have.add(v)
+    for v in (0xF0, 0x00):  # ZRL and EOB if the head missed them
+        if v not in have:
+            seen.append(v)
+            have.add(v)
+    return seen
+
+
+# Heads follow T.81 Tables K.5/K.6; the generated tail keeps the code
+# a valid prefix table even if the canonical ordering drifts (the
+# decoder reads whatever we wrote).
+STD_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+STD_AC_LUMA_HEAD = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72,
+]
+STD_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+STD_AC_CHROMA_HEAD = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1,
+]
+
+STD_AC_LUMA = (STD_AC_LUMA_BITS, _ac_values(STD_AC_LUMA_HEAD)[:162])
+STD_AC_CHROMA = (STD_AC_CHROMA_BITS, _ac_values(STD_AC_CHROMA_HEAD)[:162])
+
+
+def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical Huffman assignment (T.81
+    Annex C): codes of each length count up from twice the previous
+    length's end."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# --- DCT -----------------------------------------------------------------
+
+_C = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            / 2.0
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _fdct(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial -> (n, 8, 8) coefficients."""
+    return _C @ blocks @ _C.T
+
+
+def _idct(coefs: np.ndarray) -> np.ndarray:
+    return _C.T @ coefs @ _C
+
+
+# --- color ---------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
+    y, cb, cr = (px[..., i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# --- bit IO --------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-segment reader: unstuffs 0xFF00, stops at any other
+    marker.  Raises _Corrupt past the end (decode returns None)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.done = False
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise _Corrupt
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:  # a real marker terminates the entropy segment
+                self.done = True
+                raise _Corrupt
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise _Corrupt
+
+
+class _Corrupt(Exception):
+    pass
+
+
+def _extend(val: int, size: int) -> int:
+    """T.81 EXTEND: map the raw magnitude bits to a signed value."""
+    if size == 0:
+        return 0
+    return val if val >= (1 << (size - 1)) else val - (1 << size) + 1
+
+
+def _size_cat(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+# --- encoder -------------------------------------------------------------
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w, 3) RGB or (h, w) / (h, w, 1) grayscale -> baseline
+    JFIF bytes at 4:4:4 sampling."""
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[..., 0]
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        planes = [ycc[..., i] for i in range(3)]
+
+    qluma = scaled_quant(QUANT_LUMA, quality)
+    qchroma = scaled_quant(QUANT_CHROMA, quality)
+    qtabs = [qluma] if gray else [qluma, qchroma]
+
+    # pad to 8x8 multiple by edge replication
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    bh, bw = ph // 8, pw // 8
+
+    comp_coefs = []
+    for ci, plane in enumerate(planes):
+        q = qtabs[min(ci, len(qtabs) - 1)]
+        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        blocks = (
+            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coefs = _fdct(blocks)
+        quant = np.round(coefs / q).astype(np.int64)
+        comp_coefs.append(quant.reshape(bh, bw, 8, 8))
+
+    dc_codes = [_build_codes(*STD_DC_LUMA), _build_codes(*STD_DC_CHROMA)]
+    ac_codes = [_build_codes(*STD_AC_LUMA), _build_codes(*STD_AC_CHROMA)]
+
+    bw_out = _BitWriter()
+    prev_dc = [0] * len(planes)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(len(planes)):
+                t = min(ci, 1)
+                zz = comp_coefs[ci][by, bx].reshape(64)[ZIGZAG]
+                dc = int(zz[0])
+                diff = dc - prev_dc[ci]
+                prev_dc[ci] = dc
+                size = _size_cat(diff)
+                code, ln = dc_codes[t][size]
+                bw_out.write(code, ln)
+                if size:
+                    v = diff if diff >= 0 else diff + (1 << size) - 1
+                    bw_out.write(v, size)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[t][0xF0]  # ZRL
+                        bw_out.write(code, ln)
+                        run -= 16
+                    size = _size_cat(v)
+                    code, ln = ac_codes[t][(run << 4) | size]
+                    bw_out.write(code, ln)
+                    bits = v if v >= 0 else v + (1 << size) - 1
+                    bw_out.write(bits, size)
+                    run = 0
+                if run:
+                    code, ln = ac_codes[t][0x00]  # EOB
+                    bw_out.write(code, ln)
+    data = bw_out.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(qtabs):
+        out += seg(0xDB, bytes([ti]) + bytes(int(v) for v in q.reshape(64)[ZIGZAG]))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, min(ci, len(qtabs) - 1)])
+    out += seg(0xC0, sof)
+    huffs = [(0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA)]
+    if not gray:
+        huffs += [(0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA)]
+    for tc, (bits, vals) in huffs:
+        out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = min(ci, 1)
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder -------------------------------------------------------------
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Baseline JPEG -> (h, w, 3) or (h, w, 1) uint8, or None outside
+    the honest subset / on any malformed input (never raises)."""
+    try:
+        return _decode(payload)
+    except (
+        _Corrupt,
+        IndexError,
+        KeyError,
+        OverflowError,
+        ValueError,
+        ZeroDivisionError,
+    ):
+        return None
+
+
+def _decode(payload: bytes):
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            return None
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:  # 16-bit tables out of subset
+                    return None
+                tab = np.zeros(64, dtype=np.int64)
+                tab[ZIGZAG] = np.frombuffer(body, np.uint8, 64, i + 1)
+                qtabs[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                if len(vals) != nv:
+                    return None
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = (
+                body[0],
+                int.from_bytes(body[1:3], "big"),
+                int.from_bytes(body[3:5], "big"),
+                body[5],
+            )
+            if prec != 8 or nc not in (1, 3) or not fh or not fw:
+                return None
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:  # subsampling out of subset
+                    return None
+                comps.append((cid, tq))
+            frame = (fh, fw, comps)
+        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # progressive/extended frames out of subset
+        elif marker == 0xDD:  # restart interval out of subset
+            return None
+        elif marker == 0xDA:  # SOS: entropy decode
+            if frame is None:
+                return None
+            fh, fw, comps = frame
+            ns = body[0]
+            if ns != len(comps):
+                return None
+            sel = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                sel.append((tt >> 4, tt & 0x0F))
+            reader = _BitReader(payload, pos + 2 + seg_len)
+            bh, bw_ = (fh + 7) // 8, (fw + 7) // 8
+            planes = [
+                np.zeros((bh * 8, bw_ * 8), dtype=np.float64) for _ in comps
+            ]
+            prev_dc = [0] * len(comps)
+            for by in range(bh):
+                for bx in range(bw_):
+                    for ci, (cid, tq) in enumerate(comps):
+                        dct_t = huff.get((0, sel[ci][0]))
+                        act = huff.get((1, sel[ci][1]))
+                        q = qtabs.get(tq)
+                        if dct_t is None or act is None or q is None:
+                            return None
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = reader.read_symbol(dct_t)
+                        if size > 15:  # baseline DC categories stop at 11
+                            raise _Corrupt
+                        diff = _extend(reader.read(size), size) if size else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = reader.read_symbol(act)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise _Corrupt
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise _Corrupt
+                            zz[k] = _extend(reader.read(size), size)
+                            k += 1
+                        coefs = np.zeros(64, dtype=np.float64)
+                        coefs[ZIGZAG] = zz * q.reshape(64)[ZIGZAG]
+                        block = _idct(coefs.reshape(8, 8)) + 128.0
+                        planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = block
+            if len(comps) == 1:
+                out = np.clip(np.round(planes[0][:fh, :fw]), 0, 255)
+                return out.astype(np.uint8)[..., None]
+            ycc = np.stack([p[:fh, :fw] for p in planes], axis=-1)
+            return _ycbcr_to_rgb(ycc)
+        pos += 2 + seg_len
+    return None

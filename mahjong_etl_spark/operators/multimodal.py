@@ -6,15 +6,16 @@ struct, partition by (kind, dt), and run decode / feature-extraction
 as Arrow-batched ``mapInPandas`` — the payload bytes stay columnar
 end-to-end and each Python worker sees whole batches, not rows.
 
-PNG and GIF pixel codecs are REAL and pure Python/stdlib
-(decode_png_pixels/encode_png, decode_gif_pixels/encode_gif) — no
-imaging library needed; WAV/PNG/GIF/JPEG header parsing is real too.
-Only JPEG pixel decode stays gated behind an import-try (DCT entropy
-coding), with ``decode_payload`` falling back to a DETERMINISTIC
-arithmetic decode so the Spark-side plumbing — binary schema, batch
-iteration, UDF signature, output schema — is verifiable end-to-end:
-the mapInPandas output must equal the same arithmetic expressed in
-SQL.
+PNG, GIF and baseline-JPEG pixel codecs are REAL and pure
+Python/stdlib (decode_png_pixels/encode_png,
+decode_gif_pixels/encode_gif, jpeg_codec.decode_jpeg_pixels/
+encode_jpeg) — no imaging library needed; WAV/PNG/GIF/JPEG header
+parsing is real too.  Payloads outside the codecs' honest subsets
+(progressive JPEG, subsampled chroma, palette PNG, …) fall back to
+``decode_payload``'s DETERMINISTIC arithmetic decode so the
+Spark-side plumbing — binary schema, batch iteration, UDF signature,
+output schema — stays verifiable end-to-end: the mapInPandas output
+must equal the same arithmetic expressed in SQL.
 """
 
 from __future__ import annotations
@@ -221,11 +222,13 @@ def decode_payload(payload: bytes, kind: str) -> dict:
        but pathological hand-crafted cases, which then just fall back
        to deterministic arithmetic dims.
     2. Full pixel decode: REAL for 8-bit PNG (pure-stdlib inflate +
-       filter reconstruction, decode_png_pixels) and for GIF (pure-
-       Python LZW, decode_gif_pixels) — see extract_pixel_stats; only
-       JPEG pixels stay gated on an imaging library (probed once at
-       module import, see _HAVE_PIL above) — DCT entropy coding is
-       the one codec not reimplemented here.  If the library appears
+       filter reconstruction, decode_png_pixels), GIF (pure-Python
+       LZW, decode_gif_pixels) and baseline JPEG (pure-Python Huffman
+       + IDCT, jpeg_codec.decode_jpeg_pixels) — see
+       extract_pixel_stats.  Out-of-subset payloads (progressive
+       JPEG, subsampled chroma, …) could ride an imaging library
+       (probed once at module import, see _HAVE_PIL above) but that
+       path is unwired here.  If the library appears
        before the decode is wired, the gate logs one warning and
        keeps the arithmetic fallback: a half-installed capability
        must never raise mid-query.
@@ -576,9 +579,9 @@ PIXEL_STATS_SCHEMA = StructType(
 
 
 def extract_pixel_stats(media: DataFrame) -> DataFrame:
-    """REAL pixel statistics for decodable PNG and GIF payloads (rows
-    whose payload neither pure-Python decoder can handle are dropped —
-    the honest subset, no arithmetic fakes here).  px_mean is emitted
+    """REAL pixel statistics for decodable PNG, GIF and baseline-JPEG
+    payloads (rows no pure-Python decoder can handle are dropped — the
+    honest subset, no arithmetic fakes here).  px_mean is emitted
     in exact milli-units (round(mean*1000)) per the repo-wide
     fixed-point output rule.  Same Arrow-batched mapInPandas shape as
     every decode operator; the decoders reach workers via
@@ -588,11 +591,13 @@ def extract_pixel_stats(media: DataFrame) -> DataFrame:
     ensure_shipped(media.sparkSession)
 
     def decode(p: bytes):
-        return (
-            decode_png_pixels(p)
-            if p.startswith(b"\x89PNG")
-            else decode_gif_pixels(p)
-        )
+        from .jpeg_codec import decode_jpeg_pixels
+
+        if p.startswith(b"\x89PNG"):
+            return decode_png_pixels(p)
+        if p.startswith(b"\xff\xd8"):
+            return decode_jpeg_pixels(p)
+        return decode_gif_pixels(p)
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1099,5 +1104,96 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             _rt,
             "doc_id long, px_h int, px_w int, channels int, "
             "px_mean_milli long, px_min int, px_max int",
+        )
+    )
+
+
+JPEG_RT_H, JPEG_RT_W = 16, 16
+JPEG_RT_QUALITY = 85
+
+
+from ..functions.goldens import golden_oracle as _golden_oracle  # noqa: E402
+
+
+@query(
+    "multimodal_jpeg_roundtrip",
+    # JPEG is lossy — no arithmetic SQL twin; committed-golden oracle
+    oracle=_golden_oracle(
+        "multimodal_jpeg_roundtrip",
+        "doc_id, n_bytes, px_mean_milli, px_min, px_max, max_abs_err",
+    ),
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full REAL JPEG pipeline — the lossy sibling of the PNG/GIF
+    roundtrips.  Per document, a deterministic 16x16 RGB ramp
+    (pixel (i,j,c) = (doc_id·13 + i·17 + j·23 + c·29) mod 256) is
+    ENCODED to genuine baseline JFIF bytes (FDCT, Annex-K-scaled
+    quantization at quality 85, standard Huffman tables, byte
+    stuffing) and DECODED back by the pure-Python baseline decoder
+    (operators/jpeg_codec.py); the emitted row carries the compressed
+    size, the decoded-pixel statistics and the max reconstruction
+    error.  JPEG quantization is lossy, so there is no arithmetic SQL
+    twin: the oracle is the query's own committed output keyed by the
+    corpus signature (functions/goldens.py), with the error CONTRACT
+    (max_abs_err bound, flat-block exactness, hand-built spec vector)
+    pinned in tests/test_jpeg_codec.py where regeneration cannot
+    weaken it.
+
+    Scale shape: identical to the PNG/GIF roundtrips — one
+    Arrow-batched mapInPandas pass over a load_spread scan, CPU-bound
+    per image, stats reduced inside the batch."""
+    from ..shipping import ensure_shipped
+    from ..sources.tables import load_spread
+    from .jpeg_codec import decode_jpeg_pixels, encode_jpeg
+
+    ensure_shipped(spark)
+    enc, dec = encode_jpeg, decode_jpeg_pixels
+    h, w, qual = JPEG_RT_H, JPEG_RT_W, JPEG_RT_QUALITY
+
+    def _rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                i = np.arange(h, dtype=np.int64)[:, None, None]
+                j = np.arange(w, dtype=np.int64)[None, :, None]
+                c = np.arange(3, dtype=np.int64)[None, None, :]
+                px = ((d * 13 + i * 17 + j * 23 + c * 29) % 256).astype(
+                    np.uint8
+                )
+                data = enc(px, qual)
+                back = dec(data)
+                assert back is not None and back.shape == (h, w, 3)
+                err = np.abs(
+                    back.astype(np.int64) - px.astype(np.int64)
+                )
+                s, npx = int(back.astype(np.int64).sum()), back.size
+                rows.append(
+                    (
+                        d,
+                        len(data),
+                        (s * 1000 + npx // 2) // npx,
+                        int(back.min()),
+                        int(back.max()),
+                        int(err.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "px_mean_milli",
+                    "px_min", "px_max", "max_abs_err",
+                ],
+            )
+
+    return (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            _rt,
+            "doc_id long, n_bytes int, px_mean_milli long, "
+            "px_min int, px_max int, max_abs_err int",
         )
     )

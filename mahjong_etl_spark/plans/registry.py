@@ -82,10 +82,10 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r6 window: the three never-hash-checked queries lead, then the seven
+# r6 window: the three never-hash-checked queries lead, then the eight
 # queries NEW this round (experiments FK join, CSV round-trip, the
 # tenhou data source, the persisted IVF/PQ index lifecycles, the
-# column profiler, the GIF codec roundtrip), then
+# column profiler, the GIF and JPEG codec roundtrips), then
 # every query whose code changed this round (SemDeDup
 # k-cap/broadcast, degree-oriented triangles, spread entropy scan,
 # the multimodal decode-gate rework), then the r2-last-green
@@ -105,6 +105,7 @@ _CHECK_WINDOW_HEAD = [
     "similarity_ann_pq_persisted",
     "dq_column_profile",
     "multimodal_gif_roundtrip",
+    "multimodal_jpeg_roundtrip",
     "dedup_semantic",
     "graph_triangle_counts",
     "text_unigram_entropy",
@@ -144,10 +145,10 @@ _CHECK_WINDOW_HEAD = [
     "dedup_simhash",
     "embedding_dim_stats",
     "embedding_norm_profile",
-    "event_user_stats",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    "event_user_stats",
     "events_asof_last_view",
     "events_attribution_window",
     "events_funnel",

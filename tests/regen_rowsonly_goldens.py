@@ -40,6 +40,7 @@ NAMES = [
     "similarity_ann_ivf_int8",
     "embedding_pca",
     "corpus_topic_clusters",
+    "multimodal_jpeg_roundtrip",
 ]
 
 
