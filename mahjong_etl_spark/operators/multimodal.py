@@ -1197,3 +1197,97 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "px_min int, px_max int, max_abs_err int",
         )
     )
+
+
+PXRS_H, PXRS_W = 12, 12  # source dims
+PXRS_T = 8  # resize target (t x t)
+
+
+@query(
+    "multimodal_pixel_resize",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               (doc_id * 131
+                + (((ri.ri * {PXRS_H}) // {PXRS_T}) * {PXRS_W * 3}
+                   + ((rj.rj * {PXRS_W}) // {PXRS_T}) * 3
+                   + c.c) * 7919) % 256 AS v
+        FROM documents,
+             (SELECT unnest(range({PXRS_T})) AS ri) ri,
+             (SELECT unnest(range({PXRS_T})) AS rj) rj,
+             (SELECT unnest(range(3)) AS c) c
+    )
+    SELECT doc_id,
+           CAST({PXRS_T} AS INT) AS px_h,
+           CAST({PXRS_T} AS INT) AS px_w,
+           (CAST(sum(v) AS BIGINT) * 1000 + {PXRS_T * PXRS_T * 3 // 2})
+               // {PXRS_T * PXRS_T * 3} AS px_mean_milli,
+           CAST(min(v) AS INT) AS px_min,
+           CAST(max(v) AS INT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_pixel_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, hash-pinned end-to-end through a lossless
+    codec: per document a deterministic {PXRS_H}x{PXRS_W} RGB grid is
+    encoded to genuine PNG bytes, decoded back (bit-exact), resized to
+    {PXRS_T}x{PXRS_T} by nearest-neighbor pixel sampling
+    (src = (dst * src_dim) // target — real pixels, not the byte
+    resample of multimodal_resize), and reduced to statistics the
+    DuckDB oracle recomputes from the generating arithmetic composed
+    with the SAME index map.  Any error in the codec roundtrip or the
+    resampling geometry flips the driver hash.
+
+    Scale shape: identical to the roundtrip queries — one
+    Arrow-batched mapInPandas pass over a load_spread scan, CPU-bound
+    per image, no shuffle."""
+    from ..shipping import ensure_shipped
+    from ..sources.tables import load_spread
+
+    ensure_shipped(spark)
+    enc, dec = encode_png, decode_png_pixels
+    h, w, t = PXRS_H, PXRS_W, PXRS_T
+    n = t * t * 3
+
+    def _rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                i = np.arange(h * w * 3, dtype=np.int64)
+                px = ((d * 131 + i * 7919) % 256).astype(np.uint8).reshape(
+                    h, w, 3
+                )
+                back = dec(enc(px))
+                assert back is not None and (back == px).all()
+                si = (np.arange(t) * h) // t
+                sj = (np.arange(t) * w) // t
+                rs = back[si][:, sj]
+                s = int(rs.astype(np.int64).sum())
+                rows.append(
+                    (
+                        d, t, t,
+                        (s * 1000 + n // 2) // n,
+                        int(rs.min()),
+                        int(rs.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "px_h", "px_w",
+                    "px_mean_milli", "px_min", "px_max",
+                ],
+            )
+
+    return (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            _rs,
+            "doc_id long, px_h int, px_w int, "
+            "px_mean_milli long, px_min int, px_max int",
+        )
+    )

@@ -82,10 +82,11 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r6 window: the three never-hash-checked queries lead, then the eight
+# r6 window: the three never-hash-checked queries lead, then the nine
 # queries NEW this round (experiments FK join, CSV round-trip, the
 # tenhou data source, the persisted IVF/PQ index lifecycles, the
-# column profiler, the GIF and JPEG codec roundtrips), then
+# column profiler, the GIF/JPEG codec roundtrips, the real pixel
+# resize), then
 # every query whose code changed this round (SemDeDup
 # k-cap/broadcast, degree-oriented triangles, spread entropy scan,
 # the multimodal decode-gate rework), then the r2-last-green
@@ -106,6 +107,7 @@ _CHECK_WINDOW_HEAD = [
     "dq_column_profile",
     "multimodal_gif_roundtrip",
     "multimodal_jpeg_roundtrip",
+    "multimodal_pixel_resize",
     "dedup_semantic",
     "graph_triangle_counts",
     "text_unigram_entropy",
@@ -144,10 +146,10 @@ _CHECK_WINDOW_HEAD = [
     "dedup_normalized",
     "dedup_simhash",
     "embedding_dim_stats",
-    "embedding_norm_profile",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    "embedding_norm_profile",
     "event_user_stats",
     "events_asof_last_view",
     "events_attribution_window",
