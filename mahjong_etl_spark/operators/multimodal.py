@@ -1291,3 +1291,145 @@ def multimodal_pixel_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "px_mean_milli long, px_min int, px_max int",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Real WAV PCM sample codec (pure Python — PCM is uncompressed)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """int16 mono samples -> canonical RIFF/WAVE bytes (PCM fmt chunk
+    + data chunk) — the encode half of the audio pipeline, used by the
+    sample-roundtrip oracle query."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav_samples(payload: bytes):
+    """RIFF/WAVE 16-bit PCM -> (samples int16 ndarray, sample_rate,
+    n_channels), or None for anything outside that honest subset
+    (compressed codecs, 8/24/32-bit) or malformed — the sample-level
+    twin of parse_wav_header, walking the same chunk layout but
+    decoding the data chunk's PCM frames for real."""
+    import numpy as np
+
+    hdr = parse_wav_header(payload)
+    if hdr is None:
+        return None
+    rate, channels, bits = hdr
+    if bits != 16 or not 1 <= channels <= 8:
+        return None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"data":
+            if i + 8 + clen > len(payload):
+                return None
+            pcm = np.frombuffer(payload, dtype="<i2", count=clen // 2, offset=i + 8)
+            return pcm, rate, channels
+        i += 8 + clen + (clen & 1)
+    return None
+
+
+WAV_RT_N = 256  # samples per synthetic clip
+WAV_RT_RATE = 8000
+
+
+@query(
+    "multimodal_wav_roundtrip",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               ((doc_id * 37 + k.k * 97) % 65536) - 32768 AS v
+        FROM documents,
+             (SELECT unnest(range({WAV_RT_N})) AS k) k
+    )
+    SELECT doc_id,
+           CAST({WAV_RT_N} AS INT) AS n_samples,
+           CAST({WAV_RT_RATE} AS INT) AS sample_rate,
+           CAST(sum(v) AS BIGINT) AS sum_samples,
+           CAST(sum(v * v) AS BIGINT) AS sum_squares,
+           CAST(min(v) AS INT) AS min_sample,
+           CAST(max(v) AS INT) AS max_sample
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full REAL audio pipeline: per document a deterministic int16
+    waveform (sample k = ((doc_id·37 + k·97) mod 65536) − 32768) is
+    ENCODED to genuine RIFF/WAVE PCM bytes and DECODED back by the
+    sample decoder — PCM is uncompressed, so the roundtrip is
+    bit-exact and the DuckDB oracle recomputes the sample statistics
+    from the generating arithmetic alone.  Energy is emitted as the
+    exact integer sum of squares (no sqrt, no float drift); any error
+    in RIFF framing, chunk walking, or the little-endian int16 layout
+    flips the driver hash.
+
+    Scale shape: same as the image roundtrips — one Arrow-batched
+    mapInPandas pass over a load_spread scan, no shuffle."""
+    from ..shipping import ensure_shipped
+    from ..sources.tables import load_spread
+
+    ensure_shipped(spark)
+    enc, dec = encode_wav, decode_wav_samples
+    n, rate = WAV_RT_N, WAV_RT_RATE
+
+    def _rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = np.arange(n, dtype=np.int64)
+                v = ((d * 37 + k * 97) % 65536) - 32768
+                got = dec(enc(v.astype(np.int16), rate))
+                assert got is not None
+                back, grate, gch = got
+                assert grate == rate and gch == 1
+                b = back.astype(np.int64)
+                assert np.array_equal(b, v)
+                rows.append(
+                    (
+                        d, n, rate,
+                        int(b.sum()),
+                        int((b * b).sum()),
+                        int(b.min()),
+                        int(b.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "sum_samples", "sum_squares", "min_sample", "max_sample",
+                ],
+            )
+
+    return (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            _rt,
+            "doc_id long, n_samples int, sample_rate int, "
+            "sum_samples long, sum_squares long, "
+            "min_sample int, max_sample int",
+        )
+    )

@@ -435,3 +435,51 @@ def test_pixel_stats_cover_gif_payloads(spark):
     r = got[1]
     assert (r.px_h, r.px_w, r.channels) == (7, 9, 3)
     assert r.px_min == int(px.min()) and r.px_max == int(px.max())
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM sample codec
+# ---------------------------------------------------------------------------
+
+
+def test_wav_sample_roundtrip_bit_exact():
+    import numpy as np
+
+    from mahjong_etl_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+        parse_wav_header,
+    )
+
+    rng = np.random.default_rng(17)
+    for n, rate in [(1, 8000), (256, 8000), (1000, 44100)]:
+        v = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        w = encode_wav(v, rate)
+        assert parse_wav_header(w) == (rate, 1, 16)
+        got = decode_wav_samples(w)
+        assert got is not None
+        s, r, c = got
+        assert (r, c) == (rate, 1)
+        assert np.array_equal(s, v)
+
+
+def test_wav_decode_rejects_out_of_subset_and_garbage():
+    import numpy as np
+
+    from mahjong_etl_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    v = np.arange(64, dtype=np.int16)
+    w = bytearray(encode_wav(v))
+    # 8-bit PCM flag -> out of subset
+    bits_off = w.find(b"fmt ") + 8 + 14
+    w8 = bytearray(w)
+    w8[bits_off] = 8
+    assert decode_wav_samples(bytes(w8)) is None
+    # truncation fuzz: never raises
+    for cut in range(0, len(w), 11):
+        r = decode_wav_samples(bytes(w[:cut]))
+        assert r is None or len(r) == 3
+    assert decode_wav_samples(b"not audio") is None
