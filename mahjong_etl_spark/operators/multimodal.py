@@ -892,18 +892,9 @@ def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def decode_gif_pixels(payload: bytes):
-    """Full pixel decode for the first image of a GIF87a/GIF89a stream
-    — pure Python, the GIF half of the real-codec plane beside
-    decode_png_pixels.  Walks the logical-screen descriptor and
-    global/local color tables, skips extension blocks, LZW-decodes the
-    first image descriptor's sub-block stream (including interlaced
-    row order), and maps palette indices to RGB.  Returns an
-    (h, w, 3) uint8 ndarray for the image sub-rectangle, or None for
-    anything malformed — callers fall back to the header/arithmetic
-    ladder, same contract as decode_png_pixels.  (Transparency and
-    later frames are out of scope: pixel statistics are over the
-    rendered first frame.)"""
+def _gif_open(payload: bytes):
+    """Parse header + logical-screen descriptor + global color table.
+    Returns (gct_or_None, pos) or None."""
     import numpy as np
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -917,10 +908,20 @@ def decode_gif_pixels(payload: bytes):
             return None
         gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
+    return gct, pos
+
+
+def _gif_next_image(payload: bytes, pos: int, gct):
+    """Decode the next image descriptor starting at or after ``pos``
+    (skipping extension blocks).  Returns ((h, w, 3) pixels, newpos),
+    the string "trailer" when the stream ends cleanly, or None on
+    anything malformed."""
+    import numpy as np
+
     while pos < len(payload):
         block = payload[pos]
-        if block == 0x3B:  # trailer before any image
-            return None
+        if block == 0x3B:  # trailer: clean end of stream
+            return "trailer"
         if block == 0x21:  # extension: label + data sub-blocks
             pos += 2
             while pos < len(payload) and payload[pos]:
@@ -951,6 +952,7 @@ def decode_gif_pixels(payload: bytes):
             ln = payload[pos]
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+        pos += 1  # the 0-length terminator sub-block
         idx = _gif_lzw_decode(bytes(data), min_code_size)
         if idx is None or len(idx) < w * h:
             return None
@@ -963,50 +965,100 @@ def decode_gif_pixels(payload: bytes):
             grid = un
         if grid.max() >= len(table):
             return None
-        return table[grid]
+        return table[grid], pos
     return None
 
 
+def decode_gif_pixels(payload: bytes):
+    """Full pixel decode for the first image of a GIF87a/GIF89a stream
+    — pure Python, the GIF half of the real-codec plane beside
+    decode_png_pixels.  Walks the logical-screen descriptor and
+    global/local color tables, skips extension blocks, LZW-decodes the
+    first image descriptor's sub-block stream (including interlaced
+    row order), and maps palette indices to RGB.  Returns an
+    (h, w, 3) uint8 ndarray for the image sub-rectangle, or None for
+    anything malformed — callers fall back to the header/arithmetic
+    ladder, same contract as decode_png_pixels.  (Transparency and
+    disposal compositing are out of scope: pixel statistics are over
+    independently rendered frames — see decode_gif_frames for the
+    rest of an animation.)"""
+    opened = _gif_open(payload)
+    if opened is None:
+        return None
+    gct, pos = opened
+    got = _gif_next_image(payload, pos, gct)
+    if got is None or got == "trailer":
+        return None
+    return got[0]
+
+
+def decode_gif_frames(payload: bytes):
+    """ALL frames of a GIF animation as a list of (h, w, 3) uint8
+    arrays, each rendered independently from its own image descriptor
+    (no disposal-method compositing — the honest subset; our encoder
+    writes exactly this shape).  Returns None on any malformed frame
+    or a stream that ends without the 0x3B trailer."""
+    opened = _gif_open(payload)
+    if opened is None:
+        return None
+    gct, pos = opened
+    frames = []
+    while True:
+        got = _gif_next_image(payload, pos, gct)
+        if got == "trailer":
+            return frames if frames else None
+        if got is None:
+            return None
+        px, pos = got
+        frames.append(px)
+
+
 def encode_gif(px, interlace: bool = False) -> bytes:
-    """GIF SINK: uint8 (h, w, 3) ndarray -> valid GIF89a bytes (global
-    color table built from the image's unique colors, real LZW).  Pure
-    Python like the decoder — the encode half of the GIF pipeline,
-    used by the roundtrip oracle query.  Raises ValueError beyond the
-    format's 256-color ceiling (quantization is a modeling choice the
-    caller must make, not something a sink should silently do)."""
+    """GIF SINK: uint8 (h, w, 3) ndarray — or a LIST of same-shape
+    frames for an animation — -> valid GIF89a bytes (one global color
+    table built from the union of unique colors, one image descriptor
+    per frame, real LZW).  Pure Python like the decoder — the encode
+    half of the GIF pipeline, used by the roundtrip oracle queries.
+    Raises ValueError beyond the format's 256-color ceiling
+    (quantization is a modeling choice the caller must make, not
+    something a sink should silently do)."""
     import numpy as np
 
-    h, w, _ = px.shape
-    colors, inverse = np.unique(
-        px.reshape(-1, 3), axis=0, return_inverse=True
-    )
+    frames = list(px) if isinstance(px, (list, tuple)) else [px]
+    h, w, _ = frames[0].shape
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("all frames must share one (h, w, 3) shape")
+    stacked = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inverse = np.unique(stacked, axis=0, return_inverse=True)
     if len(colors) > 256:
         raise ValueError(f"GIF needs <=256 colors, image has {len(colors)}")
     bits = max(1, int(len(colors) - 1).bit_length())
     table = np.zeros((2 << (bits - 1), 3), dtype=np.uint8)
     table[: len(colors)] = colors
-    grid = inverse.reshape(h, w)
-    if interlace:
-        rows = [r for start, step in _GIF_INTERLACE_PASSES
-                for r in range(start, h, step)]
-        grid = grid[rows]
     min_code_size = max(2, bits)
-    data = _gif_lzw_encode(grid.ravel(), min_code_size)
     out = bytearray()
     out += b"GIF89a"
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
     out.append(0x80 | 0x70 | (bits - 1))  # GCT present, 8-bit colors
     out += b"\x00\x00"  # bg color index, aspect
     out += table.tobytes()
-    out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
-    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out.append(0x40 if interlace else 0x00)
-    out.append(min_code_size)
-    for i in range(0, len(data), 255):
-        sub = data[i : i + 255]
-        out.append(len(sub))
-        out += sub
-    out += b"\x00\x3b"
+    for fi in range(len(frames)):
+        grid = inverse[fi * h * w : (fi + 1) * h * w].reshape(h, w)
+        if interlace:
+            rows = [r for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, h, step)]
+            grid = grid[rows]
+        data = _gif_lzw_encode(grid.ravel(), min_code_size)
+        out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out.append(0x40 if interlace else 0x00)
+        out.append(min_code_size)
+        for i in range(0, len(data), 255):
+            sub = data[i : i + 255]
+            out.append(len(sub))
+            out += sub
+        out.append(0x00)  # sub-block terminator
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -1431,5 +1483,111 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, n_samples int, sample_rate int, "
             "sum_samples long, sum_squares long, "
             "min_sample int, max_sample int",
+        )
+    )
+
+
+GIF_FR_H = GIF_FR_W = 8
+GIF_FR_NCOL = 48
+GIF_FR_NPX = GIF_FR_H * GIF_FR_W * 3
+GIF_FR_STRIDE = 2
+
+
+@query(
+    "multimodal_gif_frames",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(doc_id % 3 + 2 AS INT) AS n_frames,
+               CAST(fr.f AS INT) AS frame_idx
+        FROM documents,
+             (SELECT unnest(range(0, 4, {GIF_FR_STRIDE})) AS f) fr
+        WHERE fr.f < doc_id % 3 + 2
+    ), px AS (
+        SELECT doc_id, n_frames, frame_idx,
+               (doc_id * 17
+                + ((doc_id * 131 + frame_idx * 503 + i.i * 7919)
+                   % {GIF_FR_NCOL}) * 37
+                + c.c * 101) % 256 AS v
+        FROM f,
+             (SELECT unnest(range({GIF_FR_H * GIF_FR_W})) AS i) i,
+             (SELECT unnest(range(3)) AS c) c
+    )
+    SELECT doc_id, frame_idx, n_frames,
+           (CAST(sum(v) AS BIGINT) * 1000 + {GIF_FR_NPX // 2})
+               // {GIF_FR_NPX} AS px_mean_milli,
+           CAST(min(v) AS INT) AS px_min,
+           CAST(max(v) AS INT) AS px_max
+    FROM px GROUP BY doc_id, frame_idx, n_frames
+    """,
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animation frame sampling, hash-pinned through SQL: per
+    document a deterministic {GIF_FR_H}x{GIF_FR_W} animation of
+    (doc_id mod 3 + 2) frames is ENCODED to one genuine multi-frame
+    GIF89a stream (one image descriptor per frame, shared global color
+    table), DECODED back frame-by-frame (decode_gif_frames), and every
+    {GIF_FR_STRIDE}nd frame reduced to pixel statistics — the real
+    twin of multimodal_frame_sample's fanout check, with the DuckDB
+    oracle recomputing both the stride geometry AND the pixels from
+    the generating arithmetic.  A desync in per-frame LZW state,
+    descriptor framing, or the frame walk flips the driver hash.
+
+    Scale shape: one Arrow-batched mapInPandas pass over a
+    load_spread scan; the per-frame fanout happens inside the batch,
+    no shuffle."""
+    from ..shipping import ensure_shipped
+    from ..sources.tables import load_spread
+
+    ensure_shipped(spark)
+    enc, dec = encode_gif, decode_gif_frames
+    h, w, ncol = GIF_FR_H, GIF_FR_W, GIF_FR_NCOL
+    npx, stride = GIF_FR_NPX, GIF_FR_STRIDE
+
+    def _fr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = d % 3 + 2
+                j = np.arange(ncol, dtype=np.int64)[:, None]
+                c = np.arange(3, dtype=np.int64)[None, :]
+                pal = ((d * 17 + j * 37 + c * 101) % 256).astype(np.uint8)
+                i = np.arange(h * w, dtype=np.int64)
+                frames = [
+                    pal[((d * 131 + f * 503 + i * 7919) % ncol).reshape(h, w)]
+                    for f in range(nf)
+                ]
+                back = dec(enc(frames))
+                assert back is not None and len(back) == nf
+                for f in range(0, nf, stride):
+                    fr = back[f]
+                    assert np.array_equal(fr, frames[f])
+                    s = int(fr.astype(np.int64).sum())
+                    rows.append(
+                        (
+                            d, f, nf,
+                            (s * 1000 + npx // 2) // npx,
+                            int(fr.min()),
+                            int(fr.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames",
+                    "px_mean_milli", "px_min", "px_max",
+                ],
+            )
+
+    return (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            _fr,
+            "doc_id long, frame_idx int, n_frames int, "
+            "px_mean_milli long, px_min int, px_max int",
         )
     )

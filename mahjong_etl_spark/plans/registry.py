@@ -82,11 +82,12 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r6 window: the three never-hash-checked queries lead, then the ten
-# queries NEW this round (experiments FK join, CSV round-trip, the
-# tenhou data source, the persisted IVF/PQ index lifecycles, the
+# r6 window: the three never-hash-checked queries lead, then the
+# eleven queries NEW this round (experiments FK join, CSV round-trip,
+# the tenhou data source, the persisted IVF/PQ index lifecycles, the
 # column profiler, the GIF/JPEG codec roundtrips, the real pixel
-# resize, the WAV PCM sample roundtrip), then
+# resize, the WAV PCM sample roundtrip, the multi-frame GIF
+# sampler), then
 # every query whose code changed this round (SemDeDup
 # k-cap/broadcast, degree-oriented triangles, spread entropy scan,
 # the multimodal decode-gate rework), then the r2-last-green
@@ -109,6 +110,7 @@ _CHECK_WINDOW_HEAD = [
     "multimodal_jpeg_roundtrip",
     "multimodal_pixel_resize",
     "multimodal_wav_roundtrip",
+    "multimodal_gif_frames",
     "dedup_semantic",
     "graph_triangle_counts",
     "text_unigram_entropy",
@@ -145,10 +147,10 @@ _CHECK_WINDOW_HEAD = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_normalized",
-    "dedup_simhash",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    "dedup_simhash",
     "embedding_dim_stats",
     "embedding_norm_profile",
     "event_user_stats",

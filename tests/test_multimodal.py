@@ -483,3 +483,34 @@ def test_wav_decode_rejects_out_of_subset_and_garbage():
         r = decode_wav_samples(bytes(w[:cut]))
         assert r is None or len(r) == 3
     assert decode_wav_samples(b"not audio") is None
+
+
+def test_gif_multiframe_roundtrip_and_first_frame_compat():
+    import numpy as np
+
+    from mahjong_etl_spark.operators.multimodal import (
+        decode_gif_frames,
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 64, size=(8, 8))] for _ in range(5)]
+    g = encode_gif(frames, interlace=True)
+    back = decode_gif_frames(g)
+    assert back is not None and len(back) == 5
+    for a, b in zip(back, frames):
+        assert np.array_equal(a, b)
+    # first-frame decoder sees frame 0 of an animation
+    assert np.array_equal(decode_gif_pixels(g), frames[0])
+    # a single ndarray still encodes as a 1-frame stream
+    fr = decode_gif_frames(encode_gif(frames[0]))
+    assert len(fr) == 1 and np.array_equal(fr[0], frames[0])
+    # missing trailer -> None (frame walk must not silently truncate)
+    assert decode_gif_frames(g[:-1]) is None
+    # mismatched frame shapes refused at encode time
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_gif([frames[0], pal[rng.integers(0, 64, size=(4, 4))]])
