@@ -4,10 +4,13 @@ The third REAL image codec beside PNG (``multimodal.decode_png_pixels``)
 and GIF (``multimodal.decode_gif_pixels``): ITU-T T.81 baseline
 sequential DCT, 8-bit, Huffman entropy coding.  The encoder emits
 JFIF files with Annex-K-style quantization tables (libjpeg quality
-scaling) and standard Huffman tables at 4:4:4 sampling; the decoder
-reads ANY baseline file within the honest subset below — it takes its
-quantization and Huffman tables from the file's own DQT/DHT segments,
-so table fidelity affects only compression ratio, never correctness.
+scaling) and standard Huffman tables, at 4:4:4 or 4:2:0 chroma
+sampling; the decoder reads ANY baseline file within the honest
+subset below — it takes its quantization and Huffman tables from the
+file's own DQT/DHT segments, so table fidelity affects only
+compression ratio, never correctness, and it implements the general
+MCU interleave (spec A.2.3) for sampling factors up to 2x2 with
+replication upsampling (4:2:0, 4:2:2, 4:4:0 and 4:4:4 all decode).
 
 Honest subset (everything else returns None, same contract as the
 PNG/GIF decoders — callers fall back to the header/arithmetic
@@ -15,9 +18,7 @@ ladder):
 
 - baseline sequential (SOF0) only — progressive (SOF2) and the other
   frame types are out of scope;
-- 8-bit precision, 1 or 3 components, 1x1 sampling factors (4:4:4 or
-  grayscale) — chroma subsampling's upsample filter is a modeling
-  choice this engine does not need for payload verification;
+- 8-bit precision, 1 or 3 components, sampling factors 1..2;
 - no restart markers (DRI/RSTn).
 
 JPEG is lossy, so unlike PNG/GIF there is no bit-exact roundtrip: the
@@ -296,76 +297,105 @@ def _size_cat(v: int) -> int:
 # --- encoder -------------------------------------------------------------
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(
+    px: np.ndarray, quality: int = 85, subsample: str = "444"
+) -> bytes:
     """uint8 (h, w, 3) RGB or (h, w) / (h, w, 1) grayscale -> baseline
-    JFIF bytes at 4:4:4 sampling."""
+    JFIF bytes.  ``subsample`` picks the chroma layout: "444" (every
+    component full resolution, 1x1 factors) or "420" (Y at 2x2,
+    chroma 2x2-mean-downsampled at 1x1 — the common photographic
+    layout, exercising the decoder's general MCU interleave)."""
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[..., 0]
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
         planes = [px.astype(np.float64)]
+        factors = [(1, 1)]
     else:
         ycc = _rgb_to_ycbcr(px)
         planes = [ycc[..., i] for i in range(3)]
+        if subsample == "420":
+            factors = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "444":
+            factors = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsample layout: {subsample}")
 
     qluma = scaled_quant(QUANT_LUMA, quality)
     qchroma = scaled_quant(QUANT_CHROMA, quality)
     qtabs = [qluma] if gray else [qluma, qchroma]
 
-    # pad to 8x8 multiple by edge replication
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    bh, bw = ph // 8, pw // 8
+    hmax = max(hs for hs, _ in factors)
+    vmax = max(vs for _, vs in factors)
+    mrows = (h + 8 * vmax - 1) // (8 * vmax)
+    mcols = (w + 8 * hmax - 1) // (8 * hmax)
+    # pad every full-res plane to the MCU grid by edge replication,
+    # then mean-pool the subsampled components
+    ph, pw = mrows * vmax * 8, mcols * hmax * 8
 
     comp_coefs = []
     for ci, plane in enumerate(planes):
+        hs, vs = factors[ci]
         q = qtabs[min(ci, len(qtabs) - 1)]
-        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        fy, fx = vmax // vs, hmax // hs
+        if fy > 1 or fx > 1:
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        p = p - 128.0
+        cbh, cbw = p.shape[0] // 8, p.shape[1] // 8
         blocks = (
-            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            p.reshape(cbh, 8, cbw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         )
         coefs = _fdct(blocks)
         quant = np.round(coefs / q).astype(np.int64)
-        comp_coefs.append(quant.reshape(bh, bw, 8, 8))
+        comp_coefs.append(quant.reshape(cbh, cbw, 8, 8))
 
     dc_codes = [_build_codes(*STD_DC_LUMA), _build_codes(*STD_DC_CHROMA)]
     ac_codes = [_build_codes(*STD_AC_LUMA), _build_codes(*STD_AC_CHROMA)]
 
     bw_out = _BitWriter()
     prev_dc = [0] * len(planes)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(len(planes)):
-                t = min(ci, 1)
-                zz = comp_coefs[ci][by, bx].reshape(64)[ZIGZAG]
-                dc = int(zz[0])
-                diff = dc - prev_dc[ci]
-                prev_dc[ci] = dc
-                size = _size_cat(diff)
-                code, ln = dc_codes[t][size]
+
+    def emit_block(ci: int, by: int, bx: int) -> None:
+        t = min(ci, 1)
+        zz = comp_coefs[ci][by, bx].reshape(64)[ZIGZAG]
+        dc = int(zz[0])
+        diff = dc - prev_dc[ci]
+        prev_dc[ci] = dc
+        size = _size_cat(diff)
+        code, ln = dc_codes[t][size]
+        bw_out.write(code, ln)
+        if size:
+            v = diff if diff >= 0 else diff + (1 << size) - 1
+            bw_out.write(v, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[t][0xF0]  # ZRL
                 bw_out.write(code, ln)
-                if size:
-                    v = diff if diff >= 0 else diff + (1 << size) - 1
-                    bw_out.write(v, size)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[t][0xF0]  # ZRL
-                        bw_out.write(code, ln)
-                        run -= 16
-                    size = _size_cat(v)
-                    code, ln = ac_codes[t][(run << 4) | size]
-                    bw_out.write(code, ln)
-                    bits = v if v >= 0 else v + (1 << size) - 1
-                    bw_out.write(bits, size)
-                    run = 0
-                if run:
-                    code, ln = ac_codes[t][0x00]  # EOB
-                    bw_out.write(code, ln)
+                run -= 16
+            size = _size_cat(v)
+            code, ln = ac_codes[t][(run << 4) | size]
+            bw_out.write(code, ln)
+            bits = v if v >= 0 else v + (1 << size) - 1
+            bw_out.write(bits, size)
+            run = 0
+        if run:
+            code, ln = ac_codes[t][0x00]  # EOB
+            bw_out.write(code, ln)
+
+    for my in range(mrows):
+        for mx in range(mcols):
+            for ci in range(len(planes)):
+                hs, vs = factors[ci]
+                for bv in range(vs):
+                    for bu in range(hs):
+                        emit_block(ci, my * vs + bv, mx * hs + bu)
     data = bw_out.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -378,7 +408,8 @@ def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
     ncomp = 1 if gray else 3
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, min(ci, len(qtabs) - 1)])
+        hs, vs = factors[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, min(ci, len(qtabs) - 1)])
     out += seg(0xC0, sof)
     huffs = [(0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA)]
     if not gray:
@@ -478,9 +509,10 @@ def _decode(payload: bytes):
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:  # subsampling out of subset
-                    return None
-                comps.append((cid, tq))
+                hs, vs = samp >> 4, samp & 0x0F
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    return None  # 4x factors out of subset
+                comps.append((cid, tq, hs, vs))
             frame = (fh, fw, comps)
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             return None  # progressive/extended frames out of subset
@@ -498,52 +530,75 @@ def _decode(payload: bytes):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 sel.append((tt >> 4, tt & 0x0F))
             reader = _BitReader(payload, pos + 2 + seg_len)
-            bh, bw_ = (fh + 7) // 8, (fw + 7) // 8
+            hmax = max(hs for _, _, hs, _ in comps)
+            vmax = max(vs for _, _, _, vs in comps)
+            # MCU grid (spec A.2.3): each MCU holds hs x vs blocks of
+            # every component, raster order, components interleaved.
+            mrows = (fh + 8 * vmax - 1) // (8 * vmax)
+            mcols = (fw + 8 * hmax - 1) // (8 * hmax)
             planes = [
-                np.zeros((bh * 8, bw_ * 8), dtype=np.float64) for _ in comps
+                np.zeros((mrows * vs * 8, mcols * hs * 8), dtype=np.float64)
+                for _, _, hs, vs in comps
             ]
             prev_dc = [0] * len(comps)
-            for by in range(bh):
-                for bx in range(bw_):
-                    for ci, (cid, tq) in enumerate(comps):
+
+            def read_block(dct_t, act, q):
+                zz = np.zeros(64, dtype=np.int64)
+                size = reader.read_symbol(dct_t)
+                if size > 15:  # baseline DC categories stop at 11
+                    raise _Corrupt
+                diff = _extend(reader.read(size), size) if size else 0
+                zz_dc = diff
+                k = 1
+                while k < 64:
+                    sym = reader.read_symbol(act)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise _Corrupt
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise _Corrupt
+                    zz[k] = _extend(reader.read(size), size)
+                    k += 1
+                return zz_dc, zz
+
+            for my in range(mrows):
+                for mx in range(mcols):
+                    for ci, (cid, tq, hs, vs) in enumerate(comps):
                         dct_t = huff.get((0, sel[ci][0]))
                         act = huff.get((1, sel[ci][1]))
                         q = qtabs.get(tq)
                         if dct_t is None or act is None or q is None:
                             return None
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = reader.read_symbol(dct_t)
-                        if size > 15:  # baseline DC categories stop at 11
-                            raise _Corrupt
-                        diff = _extend(reader.read(size), size) if size else 0
-                        prev_dc[ci] += diff
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            sym = reader.read_symbol(act)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0x0F
-                            if size == 0:
-                                if run != 15:
-                                    raise _Corrupt
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise _Corrupt
-                            zz[k] = _extend(reader.read(size), size)
-                            k += 1
-                        coefs = np.zeros(64, dtype=np.float64)
-                        coefs[ZIGZAG] = zz * q.reshape(64)[ZIGZAG]
-                        block = _idct(coefs.reshape(8, 8)) + 128.0
-                        planes[ci][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = block
+                        for bv in range(vs):
+                            for bu in range(hs):
+                                dc_diff, zz = read_block(dct_t, act, q)
+                                prev_dc[ci] += dc_diff
+                                zz[0] = prev_dc[ci]
+                                coefs = np.zeros(64, dtype=np.float64)
+                                coefs[ZIGZAG] = zz * q.reshape(64)[ZIGZAG]
+                                block = _idct(coefs.reshape(8, 8)) + 128.0
+                                y0 = (my * vs + bv) * 8
+                                x0 = (mx * hs + bu) * 8
+                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            # upsample subsampled components to full resolution by
+            # sample replication, then crop to the frame
+            full = []
+            for p, (_, _, hs, vs) in zip(planes, comps):
+                if hs < hmax:
+                    p = np.repeat(p, hmax // hs, axis=1)
+                if vs < vmax:
+                    p = np.repeat(p, vmax // vs, axis=0)
+                full.append(p[:fh, :fw])
             if len(comps) == 1:
-                out = np.clip(np.round(planes[0][:fh, :fw]), 0, 255)
+                out = np.clip(np.round(full[0]), 0, 255)
                 return out.astype(np.uint8)[..., None]
-            ycc = np.stack([p[:fh, :fw] for p in planes], axis=-1)
+            ycc = np.stack(full, axis=-1)
             return _ycbcr_to_rgb(ycc)
         pos += 2 + seg_len
     return None

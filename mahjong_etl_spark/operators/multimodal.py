@@ -469,17 +469,16 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_png_pixels(payload: bytes):
-    """Full pixel decode for 8-bit non-interlaced PNG (gray / gray+A /
-    RGB / RGBA) — pure Python + stdlib zlib, so the "real pixel
-    decode" half of the multimodal plane no longer depends on an
-    imaging library for the PNG case (JPEG/GIF pixels stay gated: they
-    need real entropy codecs).
+    """Full pixel decode for 8-bit non-interlaced PNG — gray, gray+A,
+    RGB, RGBA and palette (PLTE-indexed, emitted as RGB) — pure
+    Python + stdlib zlib, one of the four real codecs of the
+    multimodal plane (PNG/GIF/JPEG/WAV).
 
-    Walks the chunk stream (IHDR dims/type, concatenated IDAT zlib
-    stream, IEND), inflates, then reverses the per-scanline filters
-    (None/Sub/Up/Average/Paeth — PNG spec 9.2) byte-exactly.  Returns
-    an (height, width, channels) uint8 ndarray, or None for anything
-    this subset does not cover (palette, 16-bit, interlaced,
+    Walks the chunk stream (IHDR dims/type, PLTE, concatenated IDAT
+    zlib stream, IEND), inflates, then reverses the per-scanline
+    filters (None/Sub/Up/Average/Paeth — PNG spec 9.2) byte-exactly.
+    Returns an (height, width, channels) uint8 ndarray, or None for
+    anything this subset does not cover (16-bit, interlaced,
     truncated) — callers fall back to the header/arithmetic ladder,
     same contract as parse_image_header.
 
@@ -496,6 +495,7 @@ def decode_png_pixels(payload: bytes):
         return None
     width = height = color_type = None
     idat = b""
+    plte = None
     i = 8
     while i + 8 <= len(payload):
         ln = int.from_bytes(payload[i : i + 4], "big")
@@ -510,13 +510,20 @@ def decode_png_pixels(payload: bytes):
             comp, filt, interlace = data[10], data[11], data[12]
             if bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0:
                 return None
+        elif typ == b"PLTE":
+            if len(data) % 3 or not 3 <= len(data) <= 768:
+                return None
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
         i += 12 + ln  # length + type + data + crc
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    # palette streams carry one index byte per pixel (type 3)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None or not width or not height:
+        return None
+    if color_type == 3 and plte is None:
         return None
     try:
         raw = zlib.decompress(idat)
@@ -562,6 +569,11 @@ def decode_png_pixels(payload: bytes):
             return None
         out[y] = rec.astype(np.uint8)
         prev = rec
+    if color_type == 3:
+        idx = out.reshape(height, width)
+        if idx.max() >= len(plte):
+            return None
+        return plte[idx]
     return out.reshape(height, width, channels)
 
 

@@ -174,3 +174,44 @@ def test_roundtrip_query_error_contract(spark):
     assert int(pdf.max_abs_err.max()) <= 64  # mod-ramp wrap edges ring
     assert (pdf.n_bytes > 0).all()
     assert pdf.px_min.min() >= 0 and pdf.px_max.max() <= 255
+
+
+def test_420_subsampling_roundtrip_and_size_win():
+    """4:2:0 exercises the general MCU interleave (4 Y + Cb + Cr per
+    MCU) and the replication upsampler: smooth content must come back
+    with small error and a smaller file than 4:4:4."""
+    i = np.arange(32)
+    base = np.add.outer(i * 3, i * 2) % 200 + 20
+    px = np.stack([base, base // 2 + 30, 255 - base], axis=-1).astype(
+        np.uint8
+    )
+    e420 = encode_jpeg(px, 90, subsample="420")
+    e444 = encode_jpeg(px, 90, subsample="444")
+    assert len(e420) < len(e444)
+    back = decode_jpeg_pixels(e420)
+    assert back is not None and back.shape == px.shape
+    err = np.abs(back.astype(int) - px.astype(int))
+    assert err.max() <= 20 and err.mean() <= 3.0
+    # flat content survives subsampling exactly
+    flat = np.full((16, 16, 3), 99, dtype=np.uint8)
+    bf = decode_jpeg_pixels(encode_jpeg(flat, 85, subsample="420"))
+    assert int(np.abs(bf.astype(int) - flat.astype(int)).max()) <= 1
+
+
+def test_420_odd_dims_mcu_padding():
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
+    back = decode_jpeg_pixels(encode_jpeg(px, 85, subsample="420"))
+    assert back is not None and back.shape == (19, 21, 3)
+    # luma survives tightly even when noise chroma is averaged away
+    import mahjong_etl_spark.operators.jpeg_codec as J
+
+    y_src = J._rgb_to_ycbcr(px)[..., 0]
+    y_back = J._rgb_to_ycbcr(back)[..., 0]
+    assert float(np.abs(y_back - y_src).mean()) < 12.0
+
+
+def test_unknown_subsample_layout_rejected():
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_jpeg(px, 85, subsample="422")

@@ -514,3 +514,57 @@ def test_gif_multiframe_roundtrip_and_first_frame_compat():
 
     with _pytest.raises(ValueError):
         encode_gif([frames[0], pal[rng.integers(0, 64, size=(4, 4))]])
+
+
+def test_png_palette_decode():
+    """Color-type-3 (PLTE-indexed) PNG decodes to the palette's RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mahjong_etl_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.default_rng(29)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 7), dtype=np.uint8)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(6))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 6, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    px = decode_png_pixels(png)
+    assert px is not None and px.shape == (6, 7, 3)
+    assert np.array_equal(px, pal[idx])
+    # index beyond the palette -> refused, not garbage
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 200
+    raw = b"".join(b"\x00" + bad_idx[y].tobytes() for y in range(6))
+    png_bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 6, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(png_bad) is None
+    # palette stream without PLTE -> refused
+    png_noplte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 6, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(png_noplte) is None
