@@ -18,8 +18,11 @@ ladder):
 
 - baseline sequential (SOF0) only — progressive (SOF2) and the other
   frame types are out of scope;
-- 8-bit precision, 1 or 3 components, sampling factors 1..2;
-- no restart markers (DRI/RSTn).
+- 8-bit precision, 1 or 3 components, sampling factors 1..2.
+
+Restart markers (DRI/RSTn) are fully supported on both sides: the
+decoder resyncs and resets DC predictors at every interval, the
+encoder emits them on request.
 
 JPEG is lossy, so unlike PNG/GIF there is no bit-exact roundtrip: the
 pipeline contract is a committed-golden oracle (functions/goldens.py)
@@ -227,10 +230,21 @@ class _BitWriter:
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing
 
-    def flush(self) -> bytes:
+    def pad_align(self) -> None:
+        """Pad to a byte boundary with 1s (spec F.1.2.3) — the state
+        markers (RSTn) must land on."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+            self.write((1 << pad) - 1, pad)
+
+    def marker(self, m: int) -> None:
+        """Emit a raw marker into the entropy stream (RSTn) — markers
+        are never byte-stuffed."""
+        self.pad_align()
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.pad_align()
         return bytes(self.out)
 
 
@@ -278,6 +292,21 @@ class _BitReader:
                 return sym
         raise _Corrupt
 
+    def restart(self, n: int) -> None:
+        """Consume an RSTn marker at the next byte boundary (leftover
+        buffered bits are the encoder's 1-padding — reads always leave
+        <8 bits, so ``pos`` already sits on the marker)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if (
+            self.pos + 2 > len(d)
+            or d[self.pos] != 0xFF
+            or d[self.pos + 1] != 0xD0 + (n & 7)
+        ):
+            raise _Corrupt
+        self.pos += 2
+
 
 class _Corrupt(Exception):
     pass
@@ -298,13 +327,19 @@ def _size_cat(v: int) -> int:
 
 
 def encode_jpeg(
-    px: np.ndarray, quality: int = 85, subsample: str = "444"
+    px: np.ndarray,
+    quality: int = 85,
+    subsample: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 (h, w, 3) RGB or (h, w) / (h, w, 1) grayscale -> baseline
     JFIF bytes.  ``subsample`` picks the chroma layout: "444" (every
     component full resolution, 1x1 factors) or "420" (Y at 2x2,
     chroma 2x2-mean-downsampled at 1x1 — the common photographic
-    layout, exercising the decoder's general MCU interleave)."""
+    layout, exercising the decoder's general MCU interleave).
+    ``restart_interval`` > 0 emits a DRI segment and an RST0-7 marker
+    after every that-many MCUs (DC predictors reset) — the resync
+    structure streaming decoders rely on."""
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[..., 0]
     gray = px.ndim == 2
@@ -389,8 +424,15 @@ def encode_jpeg(
             code, ln = ac_codes[t][0x00]  # EOB
             bw_out.write(code, ln)
 
+    mcu_n = 0
+    rst_n = 0
     for my in range(mrows):
         for mx in range(mcols):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw_out.marker(0xD0 + rst_n)
+                rst_n = (rst_n + 1) & 7
+                prev_dc = [0] * len(planes)
+            mcu_n += 1
             for ci in range(len(planes)):
                 hs, vs = factors[ci]
                 for bv in range(vs):
@@ -416,6 +458,8 @@ def encode_jpeg(
         huffs += [(0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA)]
     for tc, (bits, vals) in huffs:
         out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         t = min(ci, 1)
@@ -452,6 +496,7 @@ def _decode(payload: bytes):
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    restart_interval = 0
     pos = 2
     n = len(payload)
     while pos + 4 <= n:
@@ -516,8 +561,10 @@ def _decode(payload: bytes):
             frame = (fh, fw, comps)
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             return None  # progressive/extended frames out of subset
-        elif marker == 0xDD:  # restart interval out of subset
-            return None
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            if len(body) != 2:
+                return None
+            restart_interval = int.from_bytes(body, "big")
         elif marker == 0xDA:  # SOS: entropy decode
             if frame is None:
                 return None
@@ -567,8 +614,19 @@ def _decode(payload: bytes):
                     k += 1
                 return zz_dc, zz
 
+            mcu_n = 0
+            rst_n = 0
             for my in range(mrows):
                 for mx in range(mcols):
+                    if (
+                        restart_interval
+                        and mcu_n
+                        and mcu_n % restart_interval == 0
+                    ):
+                        reader.restart(rst_n)
+                        rst_n = (rst_n + 1) & 7
+                        prev_dc = [0] * len(comps)
+                    mcu_n += 1
                     for ci, (cid, tq, hs, vs) in enumerate(comps):
                         dct_t = huff.get((0, sel[ci][0]))
                         act = huff.get((1, sel[ci][1]))

@@ -215,3 +215,28 @@ def test_unknown_subsample_layout_rejected():
     px = np.zeros((8, 8, 3), dtype=np.uint8)
     with pytest.raises(ValueError):
         encode_jpeg(px, 85, subsample="422")
+
+
+def test_restart_markers_roundtrip_and_resync():
+    """DRI/RSTn: every interval the encoder byte-aligns, emits the
+    cycling RST marker and resets DC prediction; the decoder must
+    resync to the SAME pixels as the marker-free stream, and refuse a
+    broken marker sequence."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    base = decode_jpeg_pixels(encode_jpeg(px, 90))
+    for ri in (1, 2, 3, 7):
+        jr = encode_jpeg(px, 90, restart_interval=ri)
+        assert b"\xff\xdd" in jr and b"\xff\xd0" in jr
+        assert np.array_equal(decode_jpeg_pixels(jr), base)
+    # restarts compose with 4:2:0 MCU geometry
+    j420 = encode_jpeg(px, 90, subsample="420", restart_interval=2)
+    assert np.array_equal(
+        decode_jpeg_pixels(j420),
+        decode_jpeg_pixels(encode_jpeg(px, 90, subsample="420")),
+    )
+    # an out-of-sequence RST marker must refuse, not desync silently
+    jr = bytearray(encode_jpeg(px, 90, restart_interval=2))
+    i = jr.find(b"\xff\xd0")
+    jr[i + 1] = 0xD5
+    assert decode_jpeg_pixels(bytes(jr)) is None
