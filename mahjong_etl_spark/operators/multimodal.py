@@ -1603,3 +1603,219 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "px_mean_milli long, px_min int, px_max int",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Real video container: MJPEG-in-AVI (RIFF walk + per-frame JPEG)
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 85) -> bytes:
+    """List of uint8 (h, w, 3) frames -> a minimal-but-structurally-
+    valid AVI (RIFF 'AVI ': hdrl with avih + one MJPG video stream,
+    movi with one '00dc' JPEG chunk per frame, idx1).  Every frame is
+    a genuine baseline JPEG from encode_jpeg — video as
+    container + image codec, the shape a frame-extraction pipeline
+    actually parses."""
+    from .jpeg_codec import encode_jpeg
+
+    h, w, _ = frames[0].shape
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("all frames must share one (h, w, 3) shape")
+    jpegs = [encode_jpeg(f, quality) for f in frames]
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + len(data).to_bytes(4, "little") + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    max_bytes = max(len(j) for j in jpegs)
+    avih = (
+        (1000000 // fps).to_bytes(4, "little")  # usec/frame
+        + (max_bytes * fps).to_bytes(4, "little")  # max bytes/sec
+        + (0).to_bytes(4, "little")
+        + (0x10).to_bytes(4, "little")  # AVIF_HASINDEX
+        + len(jpegs).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")  # streams
+        + (0).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + b"\x00" * 12
+        + (1).to_bytes(4, "little")  # scale
+        + fps.to_bytes(4, "little")  # rate
+        + (0).to_bytes(4, "little")
+        + len(jpegs).to_bytes(4, "little")
+        + max_bytes.to_bytes(4, "little")
+        + (0xFFFFFFFF).to_bytes(4, "little")  # quality: default
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(8, "little")  # rcFrame
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + (h * w * 3).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_items = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_items)
+    idx = bytearray()
+    off = 4  # offsets are relative to the start of 'movi' list data
+    for j in jpegs:
+        idx += b"00dc" + (0x10).to_bytes(4, "little")
+        idx += off.to_bytes(4, "little") + len(j).to_bytes(4, "little")
+        off += 8 + len(j) + (len(j) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_avi_frames(payload: bytes):
+    """ALL video frames of an MJPEG AVI as a list of (h, w, 3) uint8
+    arrays: walks the RIFF chunk tree to LIST 'movi', decodes every
+    '00dc'/'00db' chunk with the baseline JPEG decoder.  Returns None
+    for non-AVI payloads, streams with no decodable frames, or any
+    frame the JPEG subset refuses — the honest-subset contract of
+    every decoder here."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    from .jpeg_codec import decode_jpeg_pixels
+
+    def walk(data: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            cid = data[i : i + 4]
+            clen = int.from_bytes(data[i + 4 : i + 8], "little")
+            body_start = i + 8
+            body_end = body_start + clen
+            if body_end > end:
+                return None
+            if cid == b"LIST":
+                kind = data[body_start : body_start + 4]
+                if kind == b"movi":
+                    return (body_start + 4, body_end)
+                found = walk(data, body_start + 4, body_end)
+                if found is not None:
+                    return found
+            i = body_end + (clen & 1)
+        return None
+
+    movi = walk(payload, 12, len(payload))
+    if movi is None:
+        return None
+    frames = []
+    i, end = movi
+    while i + 8 <= end:
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if i + 8 + clen > end:
+            return None
+        if cid in (b"00dc", b"00db"):
+            px = decode_jpeg_pixels(payload[i + 8 : i + 8 + clen])
+            if px is None or px.shape[2] != 3:
+                return None
+            frames.append(px)
+        i += 8 + clen + (clen & 1)
+    return frames or None
+
+
+VID_H = VID_W = 16
+VID_STRIDE = 2
+
+
+@query(
+    "multimodal_video_frames",
+    # MJPEG frames are lossy -> committed golden (functions/goldens.py)
+    oracle=_golden_oracle(
+        "multimodal_video_frames",
+        "doc_id, frame_idx, n_frames, avi_bytes, "
+        "px_mean_milli, px_min, px_max, max_abs_err",
+    ),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction: per document a deterministic
+    (doc_id mod 3 + 2)-frame 16x16 clip is ENCODED to a genuine
+    MJPEG-in-AVI stream (RIFF container, each frame a real baseline
+    JPEG), the container is walked back to frames, and every
+    {VID_STRIDE}nd frame is reduced to decoded-pixel statistics plus
+    the max reconstruction error vs the generating ramp.  The
+    container layer is pinned LOSSLESS in pytest (extracted frames ==
+    direct JPEG decode of the same bytes); the JPEG layer is lossy,
+    so the driver oracle is the query's committed golden keyed by the
+    corpus signature.
+
+    Scale shape: one Arrow-batched mapInPandas pass over a
+    load_spread scan; per-frame fanout inside the batch, no shuffle —
+    the plan a 100 TB frame-extraction job runs, with the decode CPU
+    cost exactly where a libavcodec call would sit."""
+    from ..shipping import ensure_shipped
+    from ..sources.tables import load_spread
+
+    ensure_shipped(spark)
+    enc, dec = encode_avi_mjpeg, decode_avi_frames
+    h, w, stride = VID_H, VID_W, VID_STRIDE
+    npx = h * w * 3
+
+    def _vf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = d % 3 + 2
+                i = np.arange(h, dtype=np.int64)[:, None, None]
+                j = np.arange(w, dtype=np.int64)[None, :, None]
+                c = np.arange(3, dtype=np.int64)[None, None, :]
+                frames = [
+                    ((d * 13 + f * 41 + i * 17 + j * 23 + c * 29) % 256)
+                    .astype(np.uint8)
+                    for f in range(nf)
+                ]
+                avi = enc(frames)
+                back = dec(avi)
+                assert back is not None and len(back) == nf
+                for f in range(0, nf, stride):
+                    fr = back[f].astype(np.int64)
+                    err = np.abs(fr - frames[f].astype(np.int64))
+                    s = int(fr.sum())
+                    rows.append(
+                        (
+                            d, f, nf, len(avi),
+                            (s * 1000 + npx // 2) // npx,
+                            int(fr.min()),
+                            int(fr.max()),
+                            int(err.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "avi_bytes",
+                    "px_mean_milli", "px_min", "px_max", "max_abs_err",
+                ],
+            )
+
+    return (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            _vf,
+            "doc_id long, frame_idx int, n_frames int, avi_bytes int, "
+            "px_mean_milli long, px_min int, px_max int, max_abs_err int",
+        )
+    )

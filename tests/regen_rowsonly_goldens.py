@@ -41,6 +41,7 @@ NAMES = [
     "embedding_pca",
     "corpus_topic_clusters",
     "multimodal_jpeg_roundtrip",
+    "multimodal_video_frames",
 ]
 
 

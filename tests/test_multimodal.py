@@ -568,3 +568,58 @@ def test_png_palette_decode():
         + chunk(b"IEND", b"")
     )
     assert decode_png_pixels(png_noplte) is None
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video container
+# ---------------------------------------------------------------------------
+
+
+def test_avi_container_layer_is_lossless():
+    """The RIFF walk must hand back exactly the JPEG streams that went
+    in: extracted frames == direct JPEG decode of the same bytes."""
+    import numpy as np
+
+    from mahjong_etl_spark.operators.jpeg_codec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+    from mahjong_etl_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(37)
+    frames = [
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=10, quality=85)
+    back = decode_avi_frames(avi)
+    assert back is not None and len(back) == 4
+    for f, b in zip(frames, back):
+        assert np.array_equal(b, decode_jpeg_pixels(encode_jpeg(f, 85)))
+
+
+def test_avi_decode_never_raises_and_rejects_non_avi():
+    import numpy as np
+
+    from mahjong_etl_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(41)
+    avi = encode_avi_mjpeg(
+        [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)]
+    )
+    for cut in range(0, len(avi), 37):
+        r = decode_avi_frames(avi[:cut])
+        assert r is None or isinstance(r, list)
+    for i in range(0, len(avi), 53):
+        b = bytearray(avi)
+        b[i] ^= 0xFF
+        r = decode_avi_frames(bytes(b))
+        assert r is None or isinstance(r, list)
+    assert decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert decode_avi_frames(b"not a container") is None
