@@ -6,16 +6,17 @@ struct, partition by (kind, dt), and run decode / feature-extraction
 as Arrow-batched ``mapInPandas`` — the payload bytes stay columnar
 end-to-end and each Python worker sees whole batches, not rows.
 
-PNG, GIF and baseline-JPEG pixel codecs are REAL and pure
-Python/stdlib (decode_png_pixels/encode_png,
-decode_gif_pixels/encode_gif, jpeg_codec.decode_jpeg_pixels/
-encode_jpeg) — no imaging library needed; WAV/PNG/GIF/JPEG header
-parsing is real too.  Payloads outside the codecs' honest subsets
-(progressive JPEG, subsampled chroma, palette PNG, …) fall back to
-``decode_payload``'s DETERMINISTIC arithmetic decode so the
-Spark-side plumbing — binary schema, batch iteration, UDF signature,
-output schema — stays verifiable end-to-end: the mapInPandas output
-must equal the same arithmetic expressed in SQL.
+Every modality has a REAL pure-Python codec — no media library
+needed: images via PNG (incl. palette), GIF (incl. animations,
+interlace) and baseline JPEG (incl. 4:2:0 and restart markers,
+operators/jpeg_codec.py); audio via WAV PCM sample decode; video via
+an MJPEG-in-AVI container walk (one real JPEG per frame).
+WAV/PNG/GIF/JPEG header parsing is real too.  Payloads outside the
+codecs' honest subsets (progressive JPEG, 16-bit PNG, compressed
+audio, …) fall back to ``decode_payload``'s DETERMINISTIC arithmetic
+decode so the Spark-side plumbing — binary schema, batch iteration,
+UDF signature, output schema — stays verifiable end-to-end: the
+mapInPandas output must equal the same arithmetic expressed in SQL.
 """
 
 from __future__ import annotations
