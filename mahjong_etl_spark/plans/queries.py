@@ -3913,3 +3913,40 @@ def lineitem_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("bin_revenue"),
     )
+
+
+_BOM_SQL = """
+  WITH RECURSIVE anc(start_pk, pk, depth) AS (
+    SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey % 97 = 0
+    UNION ALL
+    SELECT a.start_pk, a.pk {div} 4, a.depth + 1 FROM anc a WHERE a.pk >= 4
+  )
+  SELECT a.start_pk,
+         CAST(max(a.depth) AS INT) AS levels,
+         count(*) AS n_nodes,
+         CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 0
+                       ELSE CAST(round(p.p_retailprice * 100) AS BIGINT) END)
+              AS BIGINT) AS chain_cost_cents
+  FROM anc a LEFT JOIN part p ON a.pk = p.p_partkey
+  GROUP BY a.start_pk
+"""
+
+
+@query("part_bom_recursive", oracle=_BOM_SQL.format(div="//"))
+def part_bom_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical traversal via WITH RECURSIVE (new SQL surface in
+    Spark 4): a synthetic bill-of-materials tree over part keys
+    (child pk -> parent pk div 4) is walked from every 97th part up
+    to its root, then each chain is rolled up to depth, node count
+    and exact-int chain cost — the assemblies/org-chart/lineage
+    recursion Athena users write, now runnable in-engine.  The only
+    dialect split is integer division (Spark ``DIV`` vs DuckDB
+    ``//``); everything else is shared SQL text.
+
+    Scale shape: each recursion level is one self-join the engine
+    unions onto the working set; depth is log4(|part|) (~9 at sf1),
+    so the plan is a bounded chain of broadcast-friendly joins, and
+    the final LEFT JOIN back to part is a plain equi-join — no
+    iteration happens on the driver."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_BOM_SQL.format(div="DIV"))
