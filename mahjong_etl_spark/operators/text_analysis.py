@@ -781,3 +781,103 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@query(
+    "text_bigram_lm_scores",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i.i + 1] AS w1, t[i.i + 2] AS w2
+        FROM arrs, LATERAL (SELECT unnest(range(len(t) - 1)) AS i) i
+        WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    v AS (
+        SELECT count(DISTINCT u.term) AS vsz
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents) u
+    ),
+    per AS (
+        SELECT bg.doc_id,
+               CAST(round((log2((c1.c1 + v.vsz)::DOUBLE)
+                           - log2((c2.c2 + 1)::DOUBLE)) * 1e9)
+                    AS BIGINT) AS nano
+        FROM bg
+        JOIN c2 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(CAST(sum(nano) AS DOUBLE) / 1e9 / count(*), 6)
+               AS xent_bits
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BIGRAM language model scoring — the CCNet-style
+    perplexity filter one level up from text_perplexity_proxy's
+    unigram model: bigram counts are the trained model, every document
+    is scored by its add-one-smoothed cross-entropy
+    H = (1/n) Σ [log2(c(w1)+V) − log2(c(w1,w2)+1)], and high-entropy
+    (model-surprising) documents are the filter's cut candidates.
+
+    Plan: bigrams come from a shuffle-free array transform over the
+    token split (no window function — position pairing happens inside
+    the row); training is two count aggregates (the model IS the
+    count tables); scoring joins each bigram against the
+    vocabulary-sized counts (Zipf keeps them small, AQE broadcasts
+    while they fit) plus one broadcast 1-row vocabulary scalar.
+    Engine exactness: log2 is taken of INTEGER counts only, snapped
+    to nano-bits int64 before the order-free per-doc sum, one float
+    division at the end (the proven text_perplexity_proxy pattern)."""
+    d = load_spread(spark, sf_dir, "documents")
+    # guard single-token docs: sequence(0, -1) would DESCEND in Spark
+    # and fabricate a phantom (w0, NULL) bigram that pollutes c1
+    bg = (
+        d.where(F.size(F.split("text", " ")) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 2),"
+                    " i -> struct(split(text, ' ')[i] AS w1,"
+                    "             split(text, ' ')[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vsz = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .agg(F.countDistinct("term").alias("vsz"))
+    )
+    per = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.round(
+                (
+                    F.log2((F.col("c1") + F.col("vsz")).cast("double"))
+                    - F.log2((F.col("c2") + 1).cast("double"))
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("nano"),
+        )
+    )
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("nano").cast("double") / 1e9 / F.count(F.lit(1)), 6
+        ).alias("xent_bits"),
+    )

@@ -83,12 +83,12 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # committed CORRECTNESS_r*.json history.
 #
 # r6 window: the three never-hash-checked queries lead, then the
-# thirteen queries NEW this round (experiments FK join, CSV
+# fourteen queries NEW this round (experiments FK join, CSV
 # round-trip, the tenhou data source, the persisted IVF/PQ index
 # lifecycles, the column profiler, the GIF/JPEG codec roundtrips, the
 # real pixel resize, the WAV PCM sample roundtrip, the multi-frame
 # GIF sampler, the MJPEG-AVI video frame extractor, the recursive-CTE
-# BOM rollup), then
+# BOM rollup, the bigram LM scorer), then
 # every query whose code changed this round (SemDeDup
 # k-cap/broadcast, degree-oriented triangles, spread entropy scan,
 # the multimodal decode-gate rework), then the r2-last-green
@@ -114,6 +114,7 @@ _CHECK_WINDOW_HEAD = [
     "multimodal_gif_frames",
     "multimodal_video_frames",
     "part_bom_recursive",
+    "text_bigram_lm_scores",
     "dedup_semantic",
     "graph_triangle_counts",
     "text_unigram_entropy",
@@ -147,10 +148,10 @@ _CHECK_WINDOW_HEAD = [
     "dedup_connected_components",
     "dedup_embedding_cosine",
     "dedup_exact",
-    "dedup_minhash_lsh",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_normalized",
     "dedup_simhash",
