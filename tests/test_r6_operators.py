@@ -201,3 +201,48 @@ def test_column_profile_counts_nulls_and_all_null_columns(spark, tmp_path):
     assert lang.min_len is None and lang.max_len is None
     assert lang.avg_len is None
     assert rows["doc_id"].n_rows == 4 and rows["doc_id"].n_nulls == 0
+
+
+# ---------------------------------------------------------------------------
+# Plan pins for the round-6 SQL-surface queries
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_has_no_window_node(spark):
+    """Bigram pairing must stay a shuffle-free array transform inside
+    the row (Generate/explode), never a per-doc window sort — a
+    refactor to lead()-over-window reintroduces a full shuffle+sort of
+    the token stream and must fail here."""
+    from mahjong_etl_spark.plans.registry import registry
+
+    plan = (
+        registry()["text_bigram_lm_scores"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "Generate" in plan  # the explode of the transform()
+
+
+def test_bom_recursion_runs_in_engine(spark):
+    """WITH RECURSIVE must lower to the engine's iterative union
+    operator (UnionLoop), not to driver-side iteration; and the rollup
+    must agree with a hand-unrolled chain walk."""
+    from mahjong_etl_spark.plans.registry import registry
+
+    df = registry()["part_bom_recursive"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan
+    rows = {r.start_pk: r for r in df.collect()}
+    assert rows, "no chains found"
+    # hand-unroll one chain: start -> start//4 -> ... -> <4
+    start = max(rows)
+    chain = [start]
+    while chain[-1] >= 4:
+        chain.append(chain[-1] // 4)
+    assert rows[start].n_nodes == len(chain)
+    assert rows[start].levels == len(chain) - 1
