@@ -44,6 +44,12 @@ PROBES = [
     # BOTH the time ratio and driver_rss_delta_mb staying ~flat as n
     # grows 10x (r5 verdict item 2).
     "dedup_semantic",
+    # media plane: pure-Python codec inside Arrow batches — per-doc
+    # CPU cost is constant, so the ratio must track the doc count
+    "multimodal_jpeg_roundtrip",
+    # LM scoring: count-table joins; vocabulary grows sublinearly so
+    # the join stays vocabulary-bounded
+    "text_bigram_lm_scores",
 ]
 
 # table -> (id columns to shift, rows-per-sf0.1 offset stride)
