@@ -251,6 +251,8 @@ _ALLOWED_NESTED_LOOP = {
     "dedup_ensemble",
     # scalar broadcast (1-row corpus-total side), same shape as q22
     "text_perplexity_proxy",
+    # 1-row vocabulary-size scalar crossed onto the bigram stream
+    "text_bigram_lm_scores",
     "q11_supplier_value_share",
     # 1-row corpus-count side feeding idf = ln(N/df)
     "text_tfidf_topk",
