@@ -102,3 +102,52 @@ def test_wav_roundtrip_property(n, rate, seed):
     s, r, ch = got
     assert (r, ch) == (rate, 1)
     assert np.array_equal(s, v)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_error_bound_property(h, w, seed):
+    """JPEG is lossy but BOUNDED at high quality: systematic breakage
+    (wrong dequant, desynced Huffman, bad IDCT scale) produces errors
+    an order of magnitude above quantization noise, so a generous
+    ceiling still catches it on arbitrary inputs."""
+    from mahjong_etl_spark.operators.jpeg_codec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    back = decode_jpeg_pixels(encode_jpeg(px, 95))
+    assert back is not None and back.shape == px.shape
+    assert int(np.abs(back.astype(int) - px.astype(int)).max()) <= 64
+
+
+def test_avi_walker_skips_junk_chunks():
+    """Real AVI writers pad with JUNK chunks; the RIFF walk must skip
+    any unknown chunk and still find movi."""
+    from mahjong_etl_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(43)
+    frames = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)]
+    avi = bytearray(encode_avi_mjpeg(frames))
+    # splice a JUNK chunk between hdrl and movi
+    movi_at = avi.find(b"LIST", 12 + 4)  # first LIST is hdrl
+    movi_at = avi.find(b"LIST", movi_at + 4)
+    junk = b"JUNK" + (6).to_bytes(4, "little") + b"abcdef"
+    patched = bytes(avi[:movi_at]) + junk + bytes(avi[movi_at:])
+    # fix the RIFF size field
+    patched = (
+        patched[:4]
+        + (len(patched) - 8).to_bytes(4, "little")
+        + patched[8:]
+    )
+    back = decode_avi_frames(patched)
+    assert back is not None and len(back) == 1
