@@ -55,11 +55,18 @@ def main() -> None:
 
     # The host is shared: a run occasionally eats a multi-second
     # scheduling stall that lands on one arbitrary query.  Re-time the
-    # outliers (>= 3x the set median, floor 3s) once and keep the min —
-    # steady-state latency, not the stall, is the number that scales.
+    # outliers (>= 3x the set median, floor 2.5s) once and keep the
+    # min — steady-state latency, not the stall, is the number that
+    # scales.  The FIRST query of the loop is always re-timed: it
+    # absorbs one-off whole-session costs no later query pays (first
+    # codegen, first broadcast exchange, scan-cache fill — measured
+    # ~1.8s landing on alphabetically-first bloom_pruned_revenue in
+    # r6, the 1.13->2.71s "regression" that turned out to be position,
+    # not plan).
     med = sorted(timings.values())[len(timings) // 2]
+    first = sorted(timings)[0]
     for name, t in list(timings.items()):
-        if t >= max(3.0, 3 * med):
+        if name == first or t >= max(2.5, 3 * med):
             timings[name] = min(t, run_one(name))
 
     # --- mahjong plane throughput (SURVEY §6 "games parsed/sec") ----

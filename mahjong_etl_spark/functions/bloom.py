@@ -16,8 +16,12 @@ default 1 MiB filter and 10⁴ partitions that is ~10 GB collected as
 ≤10⁴ small rows; in practice m is sized to the build side (1 MiB
 handles ~10⁶ keys at ~1% fp), and the build side of a runtime filter
 is by definition the small side.  The merged filter is shipped to
-executors as a closure constant (numpy array), same mechanism the
-deterministic LSH planes use (operators/similarity.py).
+executors via ``SparkContext.broadcast`` (torrent protocol, once per
+executor) — NOT captured in the UDF closure: a closure-captured
+ndarray is re-pickled into every task description, which at a
+fact-scale filter size multiplies the bitmap bytes by the task count
+(the same anti-pattern fix SemDeDup's centroids got,
+operators/dedup.py broadcast path).
 
 Hashing: splitmix64 finalizer over the int64 key gives h1; a second
 round gives h2; bit i = (h1 + i·h2) mod m (Kirsch-Mitzenmacher double
@@ -112,18 +116,22 @@ def bloom_prune(
 
     No false negatives (every true key survives); false positives are
     removed by whatever exact join follows.  Arrow-batched vectorized
-    membership test — one numpy gather per batch, no shuffle.
+    membership test — one numpy gather per batch, no shuffle.  The
+    bitmap rides a SparkContext broadcast (one torrent ship per
+    executor, shared by every task), never the task closure.
     """
 
     positions = _make_positions(m_bits, k)
+    bc = df.sparkSession.sparkContext.broadcast(bitmap)
 
     @F.pandas_udf(BooleanType())
     def member(keys: pd.Series) -> pd.Series:
+        bm = bc.value
         kv = keys.to_numpy(dtype=np.int64, na_value=0)
         if not len(kv):
             return pd.Series([], dtype=bool)
         pos = positions(kv)
-        bits = (bitmap[pos // 64] >> (pos % np.uint64(64))) & np.uint64(1)
+        bits = (bm[pos // 64] >> (pos % np.uint64(64))) & np.uint64(1)
         return pd.Series(bits.all(axis=1))
 
     return df.where(member(F.col(col)))

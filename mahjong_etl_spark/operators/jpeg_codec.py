@@ -569,6 +569,19 @@ def _decode(payload: bytes):
             if frame is None:
                 return None
             fh, fw, comps = frame
+            if len(comps) == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved
+                # — one data unit per MCU, raster over ceil(w/8) x
+                # ceil(h/8) — REGARDLESS of the declared sampling
+                # factors (those only position a component against the
+                # others).  Normalizing to 1x1 reproduces that order
+                # exactly: a lone component's plane is full-resolution
+                # (h_i == h_max by definition), so a foreign grayscale
+                # file declaring 2x2 decodes identically to 1x1
+                # instead of silently garbling through the interleaved
+                # MCU loop below (r6 advice).
+                cid, tq, _, _ = comps[0]
+                comps = [(cid, tq, 1, 1)]
             ns = body[0]
             if ns != len(comps):
                 return None

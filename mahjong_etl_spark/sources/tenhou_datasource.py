@@ -370,14 +370,30 @@ class TenhouStreamReader(DataSourceStreamReader):
         for dt, target_ids in end.get("dates", {}).items():
             done = committed.get(dt, set())
             files = listing.get(dt, {})
-            new = [
-                (gid, files[gid])
-                for gid in target_ids
-                if gid not in done and gid in files
-            ]
+            # Every game id in the offset log (start OR end) refers to
+            # a file that was on disk when the offset was taken, and
+            # landed logs are contractually immutable — a committed id
+            # absent from the current listing is ALWAYS an anomaly
+            # (deletion, truncated object-store listing page).
+            # Silently skipping it would shrink the rebuilt
+            # kyoku-minting offset and shift every id minted for this
+            # date afterwards — corrupted join keys with no error — so
+            # fail loudly instead (r6 advice).
+            missing = sorted(
+                (set(done) | set(target_ids)) - set(files)
+            )
+            if missing:
+                raise RuntimeError(
+                    f"tenhou stream: committed log files vanished from "
+                    f"{dt}: {missing} — landed logs are immutable; a "
+                    f"missing committed file means deleted data or a "
+                    f"bad listing, and proceeding would silently "
+                    f"renumber every kyoku id minted after it"
+                )
+            new = [(gid, files[gid]) for gid in target_ids if gid not in done]
             if not new:
                 continue
-            prior = [files[gid] for gid in sorted(done) if gid in files]
+            prior = [files[gid] for gid in sorted(done)]
             out.append(TenhouStreamPartition(dt, new, prior))
         return out
 

@@ -134,6 +134,31 @@ def test_decode_never_raises_on_garbage():
     assert decode_jpeg_pixels(b"not a jpeg") is None
 
 
+def test_grayscale_foreign_sampling_factors_non_interleaved():
+    """T.81 A.2: a single-component scan is non-interleaved — declared
+    sampling factors are irrelevant (they only position a component
+    against others).  A foreign grayscale baseline file declaring 2x2
+    (or 2x1) factors must decode IDENTICALLY to the 1x1 encoding: the
+    entropy stream of a lone component is the same raster of
+    ceil(w/8) x ceil(h/8) data units either way.  MCU-aligned dims
+    (32x16) are the case the old interleaved loop silently garbled
+    (r6 advice)."""
+    rng = np.random.default_rng(44)
+    g = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    j = encode_jpeg(g, 90)
+    base = decode_jpeg_pixels(j)
+    assert base is not None and base.shape == (16, 32, 1)
+    i = j.find(b"\xff\xc0")
+    # SOF0 layout: FFC0 len(2) prec(1) h(2) w(2) nc(1) [cid samp tq]
+    assert j[i + 11] == 0x11  # our encoder always emits 1x1 grayscale
+    for samp in (0x22, 0x21, 0x12):
+        patched = bytearray(j)
+        patched[i + 11] = samp
+        back = decode_jpeg_pixels(bytes(patched))
+        assert back is not None, f"samp={samp:#x} refused"
+        assert np.array_equal(back, base), f"samp={samp:#x} garbled"
+
+
 def test_out_of_subset_returns_none():
     px = np.full((8, 8, 3), 100, dtype=np.uint8)
     j = bytearray(encode_jpeg(px, 85))

@@ -151,6 +151,51 @@ def test_stream_tolerates_not_yet_arrived_date(spark, tmp_path):
     assert r.latestOffset() == {"v": 2, "dates": {}}
 
 
+def test_stream_raises_on_vanished_committed_file(spark, tmp_path):
+    """A committed game id absent from the current listing must FAIL
+    LOUDLY, not be silently skipped: landed logs are contractually
+    immutable, so a missing committed file is always an anomaly
+    (deletion, bad listing page) — and skipping it would shrink the
+    rebuilt kyoku-minting offset, silently renumbering every id minted
+    for that date afterwards (r6 advice)."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from mahjong_etl_spark.sources.tenhou_datasource import (
+        TenhouReader,
+        TenhouStreamReader,
+    )
+
+    files = sorted(glob.glob(os.path.join(FIXTURE_LOGS, "*", "*.xml")),
+                   key=os.path.basename)
+    assert len(files) >= 2
+    dt = "20240101"
+    logs = tmp_path / "logs"
+    (logs / dt).mkdir(parents=True)
+    for f in files[:2]:
+        shutil.copy(f, logs / dt / os.path.basename(f))
+
+    r = TenhouStreamReader(TenhouReader({"path": str(logs)}, "games"))
+    start = r.initialOffset()
+    end1 = r.latestOffset()
+    assert r.partitions(start, end1)  # both files visible: plans fine
+
+    # the first committed file vanishes; a new file arrives
+    gone = sorted((logs / dt).iterdir())[0]
+    gone.unlink()
+    shutil.copy(files[-1], logs / dt / os.path.basename(files[-1]))
+    end2 = r.latestOffset()
+    with pytest.raises(RuntimeError, match="vanished"):
+        r.partitions(end1, end2)
+    # same contract when the id is missing from END (offset log names
+    # a file the re-listing no longer sees)
+    with pytest.raises(RuntimeError, match="vanished"):
+        r.partitions(start, end1)
+
+
 def test_stream_late_arrival_no_dupes_no_skips(spark, tmp_path):
     """A file that sorts INSIDE the committed set (long game finishing
     after a later-started one) must still be processed exactly once —
