@@ -1051,6 +1051,18 @@ PQ_M = 8  # subspaces (64 dims -> 8 x 8-dim sub-vectors)
 PQ_KSUB = 16  # centroids per subspace -> 4 bits/subspace, 32x compression
 PQ_ITERS = 3
 PQ_RERANK = 50  # exact-rerank depth over the ADC shortlist
+# Query-batch bounds (r6 verdict item 8): the query set is collected to
+# the driver to build the ADC tables, so it must be LOUDLY bounded —
+# the cap holds driver memory for ids+tables under ~150 MB at m=8,
+# ksub=16 (each query costs m*ksub doubles).  Queries are then scored
+# in blocks of PQ_Q_BLOCK per coded-corpus pass (bounding the broadcast
+# at ~4 MB/block) and, inside each Arrow batch, in chunks of PQ_Q_CHUNK
+# (bounding the per-task score matrix at chunk x batch doubles ~20 MB).
+# A query set past the cap is a self-join workload — route it through
+# dedup_semantic's cluster-blocked path instead.
+PQ_Q_CAP = 131_072
+PQ_Q_BLOCK = 4_096
+PQ_Q_CHUNK = 256
 
 
 def train_pq_codebooks(
@@ -1196,13 +1208,20 @@ def ann_pq_topk(
     (32× below float32), so a 10¹⁰-vector index fits a cluster's RAM
     where floats could not.  Scoring is a per-batch numpy gather —
     scores[q, v] = Σ_s table[q, s, code[v, s]] with the (nq, m, ksub)
-    query tables in the closure — and each batch emits only its local
-    per-query top-``rerank``, so the shuffle is bounded by
-    partitions × nq × rerank no matter the corpus size.  The final
-    exact rerank touches float vectors for only nq × rerank rows.
-    Queries are collected to the driver (the bounded-query-set
-    contract all ANN entry points here share).
+    query tables shipped by ``SparkContext.broadcast`` (one torrent
+    ship per executor, never per-task closure bytes) — and each batch
+    emits only its local per-query top-``rerank``, so the shuffle is
+    bounded by partitions × nq × rerank no matter the corpus size.
+    The final exact rerank touches float vectors for only nq × rerank
+    rows.  Queries are collected to the driver under a LOUD cap
+    (``PQ_Q_CAP``) and scored ``PQ_Q_BLOCK`` per coded-corpus pass /
+    ``PQ_Q_CHUNK`` per Arrow batch, so broadcast size, task memory,
+    and driver memory are all bounded regardless of the query-table
+    size (r6 verdict item 8); past the cap the workload is a self-join
+    — dedup_semantic's cluster-blocked path is the design there.
     """
+    from functools import reduce
+
     import numpy as np
     import pandas as pd
 
@@ -1214,7 +1233,16 @@ def ann_pq_topk(
         books = train_pq_codebooks(c)
     m, ksub, dsub = books.shape
 
-    q_rows = q.select("vec_id", "emb_d", "norm").collect()
+    q_rows = (
+        q.select("vec_id", "emb_d", "norm").limit(PQ_Q_CAP + 1).collect()
+    )
+    if len(q_rows) > PQ_Q_CAP:
+        raise ValueError(
+            f"PQ query set exceeds PQ_Q_CAP={PQ_Q_CAP}: this entry point "
+            f"builds per-query ADC tables on the driver; an all-pairs-"
+            f"scale query set should go through the cluster-blocked "
+            f"semantic-dedup path instead"
+        )
     q_ids = np.asarray([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.asarray(
         [np.asarray(r.emb_d) / (r.norm or 1.0) for r in q_rows], dtype=np.float64
@@ -1225,41 +1253,63 @@ def ann_pq_topk(
         q_mat.reshape(len(q_mat), m, dsub),
         books,
     )
-    qi = q_ids
-    tb = tables
-
-    def score_batches(it):
-        s_idx = np.arange(m)
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            codes = np.asarray(list(pdf["code"].values), dtype=np.int64)  # (n, m)
-            # advanced-index gather: (nq, n, m) -> sum over subspaces
-            scores = tb[:, s_idx, codes].sum(axis=2)
-            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            top = min(len(vids), rerank)
-            # Deterministic batch cut: pre-sort columns by neighbor id,
-            # then a STABLE descending-score sort breaks score ties by
-            # ascending vec_id — the same composite order as the global
-            # (-adc, neighbor_id) window below.  Any global top-rerank
-            # element therefore survives its batch cut under EVERY
-            # partitioning (an argpartition cut kept/dropped boundary
-            # ties by in-batch row position — round-4 advice).
-            vorder = np.argsort(vids)
-            vids_s = vids[vorder]
-            idx = np.argsort(-scores[:, vorder], axis=1, kind="stable")[:, :top]
-            out_q = np.repeat(qi, top)
-            out_v = vids_s[idx].reshape(-1)
-            out_s = np.take_along_axis(scores[:, vorder], idx, axis=1).reshape(-1)
-            yield pd.DataFrame(
-                {"q_id": out_q, "neighbor_id": out_v, "adc": out_s}
-            )
 
     if codes is None:
         codes = pq_encode(c, books)
-    shortlist = (
-        codes.mapInPandas(score_batches, "q_id long, neighbor_id long, adc double")
-        .where(F.col("q_id") != F.col("neighbor_id"))
+    sc = spark.sparkContext
+
+    def block_shortlist(bc):
+        def score_batches(it):
+            qi, tb = bc.value
+            s_idx = np.arange(m)
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                cds = np.asarray(list(pdf["code"].values), dtype=np.int64)  # (n, m)
+                vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                top = min(len(vids), rerank)
+                # Deterministic batch cut: pre-sort columns by neighbor
+                # id, then a STABLE descending-score sort breaks score
+                # ties by ascending vec_id — the same composite order
+                # as the global (-adc, neighbor_id) window below.  Any
+                # global top-rerank element therefore survives its
+                # batch cut under EVERY partitioning (an argpartition
+                # cut kept/dropped boundary ties by in-batch row
+                # position — round-4 advice).
+                vorder = np.argsort(vids)
+                vids_s = vids[vorder]
+                cds_s = cds[vorder]
+                for c0 in range(0, len(qi), PQ_Q_CHUNK):
+                    qc = qi[c0 : c0 + PQ_Q_CHUNK]
+                    # advanced-index gather: (nc, n, m) -> sum over
+                    # subspaces; chunked so the score matrix is
+                    # chunk x batch, not nq x batch
+                    scores = tb[c0 : c0 + PQ_Q_CHUNK][:, s_idx, cds_s].sum(axis=2)
+                    idx = np.argsort(-scores, axis=1, kind="stable")[:, :top]
+                    yield pd.DataFrame(
+                        {
+                            "q_id": np.repeat(qc, top),
+                            "neighbor_id": vids_s[idx].reshape(-1),
+                            "adc": np.take_along_axis(
+                                scores, idx, axis=1
+                            ).reshape(-1),
+                        }
+                    )
+
+        return codes.mapInPandas(
+            score_batches, "q_id long, neighbor_id long, adc double"
+        )
+
+    blocks = [
+        block_shortlist(
+            sc.broadcast(
+                (q_ids[b0 : b0 + PQ_Q_BLOCK], tables[b0 : b0 + PQ_Q_BLOCK])
+            )
+        )
+        for b0 in range(0, max(len(q_ids), 1), PQ_Q_BLOCK)
+    ]
+    shortlist = reduce(DataFrame.unionAll, blocks).where(
+        F.col("q_id") != F.col("neighbor_id")
     )
     w0 = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     cand = (

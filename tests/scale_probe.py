@@ -124,6 +124,35 @@ def main(base: str, out_json: str, copies: int = 10, probes=None) -> int:
         synthesize(spark, base, scratch, copies)
 
     results = {}
+    if probes and probes == ["pq_qcount"]:
+        # Query-COUNT scaling for the PQ ANN path (r6 verdict item 8):
+        # same corpus, 10x the query set.  Expected sublinear-in-nq
+        # wall time at small nq (the coded-corpus scan dominates) and
+        # ~linear once the chunked score matmul dominates; memory is
+        # bounded by PQ_Q_BLOCK/PQ_Q_CHUNK regardless of nq.
+        from mahjong_etl_spark.operators import similarity as S
+
+        def pq_at(nq: int) -> float:
+            e = S.corpus_embeddings(spark, base)
+            t0 = time.time()
+            S.ann_pq_topk(spark, e.where(f"vec_id < {nq}"), e, S.TOPK).count()
+            return time.time() - t0
+
+        pq_at(10)  # warm
+        for nq in (100, 1000):
+            a, b = pq_at(nq), pq_at(nq)
+            results[f"similarity_ann_pq_nq{nq}"] = {"t_sec": round(min(a, b), 3)}
+            print(f"pq nq={nq}: {min(a, b):.3f}s", flush=True)
+        r10 = (
+            results["similarity_ann_pq_nq1000"]["t_sec"]
+            / max(results["similarity_ann_pq_nq100"]["t_sec"], 1e-9)
+        )
+        results["similarity_ann_pq_qcount_ratio_10x"] = {"ratio": round(r10, 2)}
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"\nquery-count 10x ratio: {r10:.2f}")
+        return 1 if r10 > 20 else 0
+
     for name in probes or PROBES:
         # warm both paths once (JIT/IO cache), then measure
         t1, rss1 = time_query(reg, name, spark, base)
