@@ -82,75 +82,24 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r6 window: the three never-hash-checked queries lead, then the
-# fourteen queries NEW this round (experiments FK join, CSV
-# round-trip, the tenhou data source, the persisted IVF/PQ index
-# lifecycles, the column profiler, the GIF/JPEG codec roundtrips, the
-# real pixel resize, the WAV PCM sample roundtrip, the multi-frame
-# GIF sampler, the MJPEG-AVI video frame extractor, the recursive-CTE
-# BOM rollup, the bigram LM scorer), then
-# every query whose code changed this round (SemDeDup
-# k-cap/broadcast, degree-oriented triangles, spread entropy scan,
-# the multimodal decode-gate rework), then the r2-last-green
-# witnesses (oldest standing evidence); the window fills with the
-# alphabetically-first slice of the r3-last-green cohort — each new
-# r6 query displaced that slice's tail entry to the head of
-# _CHECK_WINDOW_TAIL, where the rest of the r3 cohort queues for r7.
+# r7 window (the rotation registry.py:90-99 promised in r6): the six
+# queries whose CODE changed this round lead (bloom bitmap broadcast;
+# PQ query-table cap/broadcast/chunking, batch + persisted lifecycles;
+# the JPEG single-component non-interleaved scan fix, which the MJPEG
+# video walker shares; the tenhou source's vanished-committed-file
+# guard), then the ENTIRE r3-last-green cohort (33 queries — the
+# oldest standing driver evidence), then the window fills with the
+# alphabetically-first slice of the r4-last-green cohort.  After the
+# r7 board lands, no query's newest hash row is older than r4; the
+# remaining r4 slice queues at the head of _CHECK_WINDOW_TAIL for r8.
 
 _CHECK_WINDOW_HEAD = [
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "events_approx_quantiles",
-    "mahjong_experiments_games",
-    "csv_roundtrip_stats",
-    "tenhou_source_actions",
-    "similarity_ann_ivf_persisted",
+    "bloom_pruned_revenue",
+    "similarity_ann_pq",
     "similarity_ann_pq_persisted",
-    "dq_column_profile",
-    "multimodal_gif_roundtrip",
     "multimodal_jpeg_roundtrip",
-    "multimodal_pixel_resize",
-    "multimodal_wav_roundtrip",
-    "multimodal_gif_frames",
     "multimodal_video_frames",
-    "part_bom_recursive",
-    "text_bigram_lm_scores",
-    "dedup_semantic",
-    "graph_triangle_counts",
-    "text_unigram_entropy",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_stats",
-    "multimodal_png_roundtrip",
-    "customer_rank_by_nation",
-    "events_json_stats",
-    "events_top3_per_user",
-    "events_user_gaps",
-    "events_user_type_pivot",
-    "orders_by_month",
-    "orders_price_quantiles",
-    "orders_price_rank_dist",
-    "orders_status_priority_cube",
-    "q18_large_orders",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "top_customers",
-    "corpus_canonical_docs",
-    "corpus_decontaminate",
-    "corpus_global_shuffle",
-    "corpus_pack_sequences",
-    "corpus_quality_funnel",
-    "corpus_stratified_sample",
-    "corpus_train_val_split",
-    "customers_semi_anti",
-    "decimal_revenue",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-]
-
-_CHECK_WINDOW_TAIL = [
+    "tenhou_source_actions",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_normalized",
@@ -184,7 +133,6 @@ _CHECK_WINDOW_TAIL = [
     "text_repetition",
     "text_token_stats",
     "text_top_terms",
-    "bloom_pruned_revenue",
     "cdc_customer_upsert",
     "corpus_chunk_dedup",
     "corpus_chunk_windows",
@@ -196,6 +144,10 @@ _CHECK_WINDOW_TAIL = [
     "embedding_quantize_int8",
     "events_anomaly_zscore",
     "events_asof_next_purchase",
+]
+
+_CHECK_WINDOW_TAIL = [
+    # r4-last-green remainder (queued for the r8 window)
     "events_exact_quantiles",
     "events_hourly_incremental",
     "events_key_skew_profile",
@@ -265,6 +217,53 @@ _CHECK_WINDOW_TAIL = [
     "text_bpe_vocab",
     "text_zipf_spectrum",
     "tpch_scalar_revenues",
+    # r6-last-green cohort (freshest evidence, rotates last)
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "events_approx_quantiles",
+    "mahjong_experiments_games",
+    "csv_roundtrip_stats",
+    "similarity_ann_ivf_persisted",
+    "dq_column_profile",
+    "multimodal_gif_roundtrip",
+    "multimodal_pixel_resize",
+    "multimodal_wav_roundtrip",
+    "multimodal_gif_frames",
+    "part_bom_recursive",
+    "text_bigram_lm_scores",
+    "dedup_semantic",
+    "graph_triangle_counts",
+    "text_unigram_entropy",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_stats",
+    "multimodal_png_roundtrip",
+    "customer_rank_by_nation",
+    "events_json_stats",
+    "events_top3_per_user",
+    "events_user_gaps",
+    "events_user_type_pivot",
+    "orders_by_month",
+    "orders_price_quantiles",
+    "orders_price_rank_dist",
+    "orders_status_priority_cube",
+    "q18_large_orders",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "top_customers",
+    "corpus_canonical_docs",
+    "corpus_decontaminate",
+    "corpus_global_shuffle",
+    "corpus_pack_sequences",
+    "corpus_quality_funnel",
+    "corpus_stratified_sample",
+    "corpus_train_val_split",
+    "customers_semi_anti",
+    "decimal_revenue",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
 ]
 
 
