@@ -21,13 +21,21 @@ Design:
   entries are fine on a driver).  The byte movement is the expensive
   part, so copies fan out across the cluster as one task per file
   batch.  Executors have no JVM gateway, so the distributed path uses
-  plain Python I/O and therefore covers locally-mountable schemes
-  (``file:``, NFS, fuse mounts); for pure object-store URIs the
-  copies run through Hadoop ``FileUtil.copy`` on the driver — same
-  single-node behavior as the reference's ``gcloud rsync``, kept as
-  the compatibility path.  At 100 TB neither path is the design: the
-  sinks write object-store paths DIRECTLY (SURVEY §2.1) and sync
-  exists for the small-file logs round-trip and ad-hoc mirroring.
+  executor-side Python I/O: plain ``shutil`` for locally-mountable
+  roots (``file:``, NFS, fuse), and ``pyarrow.fs`` handles (baked
+  into every PySpark install — ``s3://``, ``gs://``, ``hdfs://``)
+  for object-store URIs, resolved ON the executor so no connection
+  state crosses the wire.  Each file publishes via write-to-temp +
+  move — atomic rename on local/HDFS, copy+delete on object stores
+  (either way the final name never exposes a partial write, and a
+  re-run republishes idempotently).  Only when pyarrow cannot
+  resolve BOTH roots (exotic Hadoop-only connectors, e.g. ``s3a``
+  mapped by cluster config) does the driver-side Hadoop
+  ``FileUtil.copy`` loop remain as the compatibility fallback — the
+  reference's own single-node ``gcloud rsync`` behavior.  At 100 TB
+  none of this is the design: the sinks write object-store paths
+  DIRECTLY (SURVEY §2.1) and sync exists for the small-file logs
+  round-trip and ad-hoc mirroring.
 
 The reference's sync is fire-and-forget; ours returns a manifest of
 planned/performed actions so orchestration (and the tests) can assert
@@ -118,6 +126,26 @@ def _is_local(spark: SparkSession, path: str) -> bool:
     return fs.getScheme() in ("file",)
 
 
+def _qualified_uri(spark: SparkSession, path: str) -> str:
+    """Fully-qualified scheme://... URI string (driver-side Hadoop
+    resolution, so a bare path picks up the cluster's defaultFS)."""
+    fs, jpath = _fs_and_path(spark, path)
+    return fs.makeQualified(jpath).toUri().toString()
+
+
+def _pyarrow_resolves(uri: str) -> bool:
+    """Can pyarrow.fs open this URI?  Probed ON THE DRIVER before
+    choosing the distributed copy path — executors then repeat the
+    same resolution locally."""
+    try:
+        import pyarrow.fs as pafs
+
+        pafs.FileSystem.from_uri(uri)
+        return True
+    except Exception:
+        return False
+
+
 def _local_root(spark: SparkSession, path: str) -> str:
     # makeQualified resolves relative paths against the FS working
     # directory ON THE DRIVER — executors must receive an absolute
@@ -171,18 +199,57 @@ def run_sync(
             spark.sparkContext.parallelize(rels, par).mapPartitions(
                 lambda it: _copy_batch(list(it))
             ).collect()
-        else:  # pragma: no cover - needs an object-store connector
-            jvm = spark.sparkContext._jvm
-            jconf = spark.sparkContext._jsc.hadoopConfiguration()
-            s_fs, s_root = _fs_and_path(spark, src)
-            d_fs, d_root = _fs_and_path(spark, dst)
-            for a in copies:
-                sp = jvm.org.apache.hadoop.fs.Path(s_root, a.rel)
-                dp = jvm.org.apache.hadoop.fs.Path(d_root, a.rel)
-                d_fs.mkdirs(dp.getParent())
-                jvm.org.apache.hadoop.fs.FileUtil.copy(
-                    s_fs, sp, d_fs, dp, False, True, jconf
-                )
+        else:
+            s_uri, d_uri = _qualified_uri(spark, src), _qualified_uri(spark, dst)
+            if _pyarrow_resolves(s_uri) and _pyarrow_resolves(d_uri):
+                # Distributed object-store copy: one task per file
+                # batch, each executor resolving its own pyarrow
+                # FileSystem handles from the qualified URIs (no
+                # connection objects serialized).  Write-to-temp +
+                # move publish: atomic rename on hdfs://, copy+delete
+                # on s3://gs:// — the final name never exposes a
+                # partial write and a replay republishes idempotently.
+                rels = [a.rel for a in copies]
+                par = min(len(rels), spark.sparkContext.defaultParallelism)
+
+                def _copy_remote_batch(batch):
+                    import pyarrow.fs as pafs
+
+                    s_fs, s_root = pafs.FileSystem.from_uri(s_uri)
+                    d_fs, d_root = pafs.FileSystem.from_uri(d_uri)
+                    for rel in batch:
+                        target = f"{d_root}/{rel}"
+                        if "/" in rel:
+                            d_fs.create_dir(
+                                target.rsplit("/", 1)[0], recursive=True
+                            )
+                        tmp = target + ".inprogress"
+                        with s_fs.open_input_stream(
+                            f"{s_root}/{rel}"
+                        ) as fin, d_fs.open_output_stream(tmp) as fout:
+                            while True:
+                                chunk = fin.read(8 << 20)
+                                if not chunk:
+                                    break
+                                fout.write(chunk)
+                        d_fs.move(tmp, target)
+                    return []
+
+                spark.sparkContext.parallelize(rels, par).mapPartitions(
+                    lambda it: _copy_remote_batch(list(it))
+                ).collect()
+            else:  # pragma: no cover - Hadoop-only connector (s3a etc.)
+                jvm = spark.sparkContext._jvm
+                jconf = spark.sparkContext._jsc.hadoopConfiguration()
+                s_fs, s_root = _fs_and_path(spark, src)
+                d_fs, d_root = _fs_and_path(spark, dst)
+                for a in copies:
+                    sp = jvm.org.apache.hadoop.fs.Path(s_root, a.rel)
+                    dp = jvm.org.apache.hadoop.fs.Path(d_root, a.rel)
+                    d_fs.mkdirs(dp.getParent())
+                    jvm.org.apache.hadoop.fs.FileUtil.copy(
+                        s_fs, sp, d_fs, dp, False, True, jconf
+                    )
     if deletes:
         d_fs, d_root = _fs_and_path(spark, dst)
         jvm = spark.sparkContext._jvm

@@ -11,14 +11,43 @@ kyoku ids (the stream reader rebuilds per-date offsets, so ids are
 identical no matter how arrivals chop into batches; pinned by
 tests/test_etl_stream.py against plans/etl.py::run_etl output).
 
-Delivery contract: offsets commit AFTER the foreachBatch body, so a
-crash mid-fan-out replays the batch — at-least-once into append-mode
-parquet (possible duplicate rows for the interrupted batch only).
-The batch ETL's dynamic-partition-overwrite backfill
-(plans/etl.py::run_etl with date_prefix) is the replay/repair path,
-same as any lambda-architecture pairing; an idempotent sink (Delta /
-Iceberg MERGE on the minted keys) would upgrade this to effective
-exactly-once without touching the source.
+Delivery contract: EFFECTIVE EXACTLY-ONCE.  Structured Streaming
+replays an interrupted batch with identical content (the offset range
+is checkpointed in the WAL before execution), so the sink only needs
+replay-idempotence, built from two pieces (r6 verdict item 4 — the
+idempotent-sink upgrade the r6 docstring promised):
+
+1. **Batch-keyed file publish.**  Each table's batch output is staged
+   under ``_staging/`` and then moved into the final ``dt=`` partition
+   dirs under names prefixed ``b{lineage}-{id}-``.  Before moving,
+   every existing file under that exact prefix in the target
+   partitions is deleted — so a replay of a half-published batch first
+   erases whatever the interrupted attempt landed (the replayed batch
+   covers the same dates: same offsets → same rows), then republishes.
+   The final name never exposes a partial write (temp dirs start with
+   ``_``, which parquet readers ignore), and no crash point can
+   duplicate rows: before the move a file isn't visible, after it the
+   next attempt deletes it first.
+2. **Committed-batch manifest.**  After all nine tables publish, a
+   marker lands at ``_batch_commits/{lineage}-{id}``; a replay that
+   finds the marker skips the batch outright (pure fast path —
+   correctness comes from piece 1).
+
+Both keys carry a **lineage id** because ``batch_id`` is only unique
+within one checkpoint lineage — the same (appId, version) pairing
+Delta's idempotent ``txnAppId``/``txnVersion`` writes use.  The id is
+minted once into ``{checkpoint_dir}/_etl_lineage`` and read back on
+every restart, so crash-replays recognize their own files, while a
+DIFFERENT checkpoint pointed at the same sink appends under its own
+prefix (a visible re-ingest, the standard foreachBatch contract) —
+never a silent skip on a colliding batch number.
+
+Source offsets commit only after ``foreachBatch`` returns, so the only
+replayable window is the one batch in flight.  The batch ETL's
+dynamic-partition-overwrite backfill (plans/etl.py::run_etl with
+date_prefix) remains the repair path for OUT-OF-ORDER arrivals, which
+renumber kyoku ids (sources/tenhou_datasource.py docstring) — that is
+a key-minting property, not a delivery one.
 """
 
 from __future__ import annotations
@@ -28,6 +57,82 @@ from pyspark.sql import functions as F
 
 from ..schemas import TABLE_SCHEMAS
 from ..sources.tenhou_datasource import PARSED_TABLE, register_tenhou_source
+
+
+def _pa_fs(path: str):
+    """(pyarrow FileSystem, root) for a plain path or scheme:// URI —
+    executor-free metadata ops (list/move/delete) on the driver."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _lineage_id(checkpoint_dir: str) -> str:
+    """Stable per-checkpoint-lineage id, minted once into
+    ``{checkpoint_dir}/_etl_lineage`` and read back on every restart —
+    the ``txnAppId`` of the idempotent publish.  Derived from the
+    checkpoint path on first creation (deterministic, no clock/random
+    state), but the FILE is the authority afterwards, so a moved or
+    re-spelled checkpoint keeps recognizing its own published files."""
+    import hashlib
+
+    import pyarrow.fs as pafs
+
+    fs, root = _pa_fs(checkpoint_dir)
+    path = f"{root}/_etl_lineage"
+    if fs.get_file_info(path).type == pafs.FileType.File:
+        with fs.open_input_stream(path) as f:
+            return f.read().decode().strip()
+    lid = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+    fs.create_dir(root, recursive=True)
+    with fs.open_output_stream(path) as f:
+        f.write(lid.encode())
+    return lid
+
+
+def _publish_table(spark: SparkSession, batch_df, t: str, out_dir: str,
+                   key: str) -> None:
+    """Stage one table's batch output, then publish it idempotently:
+    delete any ``b{key}-*`` leftovers from an interrupted attempt
+    in the target partitions, then move the staged files in under that
+    batch-keyed prefix.  Module-level (not a closure) so the
+    crash-replay test can inject faults at the table boundary."""
+    import pyarrow.fs as pafs
+
+    staging = f"{out_dir}/_staging/batch-{key}/{t}"
+    (
+        batch_df.select("dt", F.explode(t).alias("r"))
+        .select("dt", "r.*")
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(staging)
+    )
+    fs, root = _pa_fs(out_dir)
+    s_root = f"{root}/_staging/batch-{key}/{t}"
+    staged = [
+        fi
+        for fi in fs.get_file_info(pafs.FileSelector(s_root, recursive=True))
+        if fi.type == pafs.FileType.File
+        and "/dt=" in fi.path
+        and not fi.base_name.startswith(("_", "."))
+    ]
+    prefix = f"b{key}-"
+    # partition dirs this batch touches (replay touches the same set:
+    # identical offsets -> identical rows -> identical dt values)
+    dt_dirs = sorted({fi.path[len(s_root) + 1:].rsplit("/", 1)[0] for fi in staged})
+    for d in dt_dirs:
+        target_dir = f"{root}/{t}/{d}"
+        fs.create_dir(target_dir, recursive=True)
+        for fi in fs.get_file_info(pafs.FileSelector(target_dir)):
+            if fi.type == pafs.FileType.File and fi.base_name.startswith(prefix):
+                fs.delete_file(fi.path)  # interrupted attempt's leftovers
+    for fi in staged:
+        rel = fi.path[len(s_root) + 1:]
+        d, base = rel.rsplit("/", 1)
+        fs.move(fi.path, f"{root}/{t}/{d}/{prefix}{base}")
+    fs.delete_dir(s_root)
 
 
 def run_etl_stream(
@@ -45,6 +150,7 @@ def run_etl_stream(
     standing micro-batch query watching for new files.
     """
     register_tenhou_source(spark)
+    lineage = _lineage_id(checkpoint_dir)
     parsed = (
         spark.readStream.format("tenhou")
         .option("table", PARSED_TABLE)
@@ -53,18 +159,25 @@ def run_etl_stream(
     )
 
     def fan_out(batch_df, batch_id: int) -> None:
+        fs, root = _pa_fs(out_dir)
+        import pyarrow.fs as pafs
+
+        key = f"{lineage}-{batch_id}"
+        marker = f"{root}/_batch_commits/{key}"
+        if fs.get_file_info(marker).type != pafs.FileType.NotFound:
+            return  # fully published before a crash; replay is a no-op
         batch_df = batch_df.persist()
         try:
             for t in TABLE_SCHEMAS:
-                (
-                    batch_df.select("dt", F.explode(t).alias("r"))
-                    .select("dt", "r.*")
-                    .write.mode("append")
-                    .partitionBy("dt")
-                    .parquet(f"{out_dir}/{t}")
-                )
+                _publish_table(spark, batch_df, t, out_dir, key)
         finally:
             batch_df.unpersist()
+        bdir = f"{root}/_staging/batch-{key}"
+        if fs.get_file_info(bdir).type != pafs.FileType.NotFound:
+            fs.delete_dir(bdir)  # now-empty per-table staging parents
+        fs.create_dir(f"{root}/_batch_commits", recursive=True)
+        with fs.open_output_stream(marker) as f:
+            f.write(b"")
 
     writer = (
         parsed.writeStream.foreachBatch(fan_out)

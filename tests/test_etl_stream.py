@@ -51,6 +51,132 @@ def test_stream_etl_converges_to_batch_etl(spark, tmp_path):
         assert _canon(streamed) == _canon(batch), f"table {t} diverged"
 
 
+def test_crash_mid_fanout_replays_without_duplicates(spark, tmp_path, monkeypatch):
+    """Effective exactly-once (r6 verdict item 4): kill the query
+    BETWEEN sink writes — after the 5th table's files are already
+    published — restart from the same checkpoint, and every one of the
+    nine tables must equal the batch ETL's output with ZERO duplicate
+    rows.  The replay must erase the interrupted attempt's published
+    files (batch-keyed b{id}- prefix) before republishing."""
+    import pytest
+
+    import mahjong_etl_spark.streaming.etl_stream as es
+
+    src_files = sorted(glob.glob(os.path.join(FIXTURE_LOGS, "*", "*.xml")))
+    logs = tmp_path / "logs"
+    for f in src_files:
+        d = logs / os.path.basename(os.path.dirname(f))
+        d.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f, d / os.path.basename(f))
+    out = str(tmp_path / "out_stream")
+    ckpt = str(tmp_path / "ckpt")
+
+    real = es._publish_table
+    calls = {"n": 0}
+
+    def flaky(spark_, batch_df, t, out_dir, batch_id):
+        calls["n"] += 1
+        real(spark_, batch_df, t, out_dir, batch_id)
+        if calls["n"] == 5:
+            # the 5th table's files ARE on disk; the marker is not —
+            # the worst crash point: a half-published batch
+            raise RuntimeError("injected crash between sink writes")
+
+    monkeypatch.setattr(es, "_publish_table", flaky)
+
+    q = run_etl_stream(spark, str(logs), out, ckpt)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(180)
+        raise AssertionError("query did not fail")  # pragma: no cover
+    q.stop()
+    time.sleep(0.2)
+    assert calls["n"] == 5  # crashed exactly mid-fan-out
+
+    # restart from the same checkpoint: batch 0 replays (its offsets
+    # never committed), erases the five b0- publishes, redoes all nine
+    q = run_etl_stream(spark, str(logs), out, ckpt)
+    q.awaitTermination(180)
+    q.stop()
+    time.sleep(0.2)
+    assert calls["n"] == 14  # 5 crashed-attempt tables + 9 replayed
+
+    from mahjong_etl_spark.plans.etl import run_etl
+
+    out_batch = str(tmp_path / "out_batch")
+    run_etl(spark, str(logs), out_batch)
+    for t in TABLE_SCHEMAS:
+        streamed = spark.read.parquet(f"{out}/{t}")
+        batch = spark.read.parquet(f"{out_batch}/{t}")
+        # canon compares full row multisets: a single duplicated or
+        # lost row fails here
+        assert _canon(streamed) == _canon(batch), f"table {t} diverged"
+    # staging fully cleaned, batch manifest present
+    assert not os.path.exists(f"{out}/_staging") or not os.listdir(
+        f"{out}/_staging"
+    )
+    assert os.listdir(f"{out}/_batch_commits")
+
+
+def test_replay_of_committed_batch_is_noop(spark, tmp_path, monkeypatch):
+    """The other crash window: the sink marker landed but the SOURCE
+    offset commit didn't (simulated by deleting the checkpoint's
+    commits/0).  The restart replays batch 0; the manifest must skip
+    it outright — no staging, no publishes, no duplicate rows."""
+    import mahjong_etl_spark.streaming.etl_stream as es
+
+    src_files = sorted(glob.glob(os.path.join(FIXTURE_LOGS, "*", "*.xml")))[:2]
+    logs = tmp_path / "logs"
+    for f in src_files:
+        d = logs / os.path.basename(os.path.dirname(f))
+        d.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f, d / os.path.basename(f))
+    out = str(tmp_path / "out_stream")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_etl_stream(spark, str(logs), out, ckpt)
+    q.awaitTermination(180)
+    q.stop()
+    time.sleep(0.2)
+    # crash AFTER the sink's marker, BEFORE the source offset commit
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")  # hadoop local-FS sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    calls = []
+    monkeypatch.setattr(
+        es, "_publish_table", lambda *a: calls.append(a[2])
+    )
+    q = run_etl_stream(spark, str(logs), out, ckpt)
+    q.awaitTermination(180)
+    q.stop()
+    time.sleep(0.2)
+    assert calls == []  # marker short-circuited the whole fan-out
+    n = spark.read.parquet(f"{out}/games").count()
+    assert n == len(src_files)  # and nothing duplicated
+
+
+def test_distinct_lineages_never_collide(spark, tmp_path):
+    """batch_id is only unique per checkpoint lineage: a SECOND stream
+    with its own fresh checkpoint writing to the same sink must not be
+    silently skipped by the first lineage's batch-0 marker — it is a
+    visible re-ingest under its own file prefix (the foreachBatch
+    standard; Delta's txnAppId/txnVersion pairing)."""
+    src_files = sorted(glob.glob(os.path.join(FIXTURE_LOGS, "*", "*.xml")))[:2]
+    logs = tmp_path / "logs"
+    for f in src_files:
+        d = logs / os.path.basename(os.path.dirname(f))
+        d.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f, d / os.path.basename(f))
+    out = str(tmp_path / "out_stream")
+    for ckpt in ("ckpt_a", "ckpt_b"):
+        q = run_etl_stream(spark, str(logs), out, str(tmp_path / ckpt))
+        q.awaitTermination(180)
+        q.stop()
+        time.sleep(0.2)
+    n = spark.read.parquet(f"{out}/games").count()
+    assert n == 2 * len(src_files)  # both lineages landed, neither skipped
+
+
 def test_cli_stream_drains_available(tmp_path):
     from mahjong_etl_spark.cli import main
 

@@ -96,6 +96,44 @@ def test_cli_sync_roundtrip(tmp_path):
     assert _tree(dst) == _tree(src)
 
 
+def test_object_store_branch_copies_distributed(spark, tmp_path, monkeypatch):
+    """The non-local branch must move bytes through the DISTRIBUTED
+    pyarrow path (executor-side FileSystem handles, temp+move publish),
+    not the driver-side Hadoop FileUtil loop (r6 verdict item 3).
+    Forced over a local scheme by stubbing _is_local, which routes
+    file:/ URIs through exactly the code object-store URIs take."""
+    import mahjong_etl_spark.sources.sync as sync_mod
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write(src, "games/dt=2024-01-01/part-0.parquet", b"AAA")
+    _write(src, "games/dt=2024-01-02/part-0.parquet", b"BBBB")
+    _write(src, "top.parquet", b"CC")
+
+    monkeypatch.setattr(sync_mod, "_is_local", lambda *_: False)
+    # spy on the branch gate: the distributed pyarrow path is taken
+    # IFF _pyarrow_resolves returns True for both qualified URIs
+    probed = []
+    real = sync_mod._pyarrow_resolves
+
+    def spy(uri):
+        ok = real(uri)
+        probed.append((uri, ok))
+        return ok
+
+    monkeypatch.setattr(sync_mod, "_pyarrow_resolves", spy)
+
+    s = sync_mod.run_sync(spark, src, dst)
+    assert s["n_copied"] == 3
+    assert _tree(dst) == _tree(src)
+    assert len(probed) == 2 and all(ok for _, ok in probed), (
+        f"distributed branch not taken: {probed}"
+    )
+    # no temp leftovers from the temp+move publish
+    assert not [p for p in _tree(dst) if p.endswith(".inprogress")]
+    # incrementality holds through the same branch
+    assert sync_mod.run_sync(spark, src, dst)["n_copied"] == 0
+
+
 def test_same_size_rewrite_syncs_by_mtime(spark, tmp_path):
     """rsync's --update rule: a same-length content rewrite must still
     sync because the source mtime advanced past the copy's (r6 review
