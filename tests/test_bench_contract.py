@@ -1,0 +1,85 @@
+"""bench.py's compact-line contract: the printed line must carry the
+COMPLETE per-query timing vector inside the driver's ~2000-char stdout
+window.  Names don't fit (141+ of them are ~3 kB; even zlib+base64 of
+the full map measures 2.3 kB), so the line ships ``qvals`` in
+sorted(name) order plus a sha1 pin of the name vector — and THIS test
+pins that the name vector is exactly reconstructable from the registry
+of the same commit, so any BENCH_r{N}.json + its repo checkout yields
+the full name->time map without the BENCH_DETAIL side file."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+
+def _expected_names() -> list[str]:
+    from mahjong_etl_spark.plans.registry import registry
+
+    benched = [n for n, q in registry().items() if q.bench]
+    return sorted(benched + ["mahjong_etl_1k", "mahjong_query_1k"])
+
+
+def test_qnames_reconstruction_matches_committed_detail():
+    """The newest committed BENCH_DETAIL must agree with the
+    reconstruction rule — names = sorted(bench registry names + the
+    two mahjong ETL probes) — up to queries added/removed SINCE that
+    detail file's round (the sha1 in the line catches drift at read
+    time; this test catches a broken RULE, i.e. a timing key that is
+    neither a registry bench query nor a known probe)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    details = sorted(
+        f for f in os.listdir(root) if f.startswith("BENCH_DETAIL_r")
+    )
+    assert details, "no committed BENCH_DETAIL_r*.json"
+    with open(os.path.join(root, details[-1])) as f:
+        got = set(json.load(f)["queries"])
+    expected = set(_expected_names())
+    stray = got - expected
+    assert not stray, (
+        f"timing keys outside the reconstruction rule (registry bench "
+        f"names + mahjong_*_1k): {sorted(stray)}"
+    )
+
+
+def test_compact_line_shape_and_size():
+    """Build the compact line exactly as bench.py would from the
+    newest committed detail: it must fit the 1500-char budget and its
+    qvals/qnames_sha1 must round-trip the full map."""
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    details = sorted(
+        f for f in os.listdir(root) if f.startswith("BENCH_DETAIL_r")
+    )
+    with open(os.path.join(root, details[-1])) as f:
+        out = json.load(f)
+    timings = out["queries"]
+
+    fams: dict[str, float] = {}
+    for name, t in timings.items():
+        fam = "tpch" if re.match(r"q\d+_", name) else name.split("_", 1)[0]
+        fams[fam] = round(fams.get(fam, 0.0) + t, 3)
+    names = sorted(timings)
+    out_c = dict(out)
+    out_c["queries"] = fams
+    out_c["n_queries"] = len(timings)
+    out_c["qvals"] = [round(timings[n], 2) for n in names]
+    out_c["qnames_sha1"] = hashlib.sha1(",".join(names).encode()).hexdigest()[:12]
+    out_c["detail"] = details[-1]
+    line = json.dumps(out_c)
+    while len(line) > 1500 and out_c["queries"]:
+        out_c["queries"].popitem()
+        line = json.dumps(out_c)
+
+    assert len(line) <= 1500, f"compact line still {len(line)} chars"
+    parsed = json.loads(line)
+    assert len(parsed["qvals"]) == parsed["n_queries"] == len(timings)
+    # the sha1 pin + sorted order reconstructs the full map
+    rec = dict(zip(names, parsed["qvals"]))
+    assert hashlib.sha1(
+        ",".join(sorted(rec)).encode()
+    ).hexdigest()[:12] == parsed["qnames_sha1"]
+    for n, v in rec.items():
+        assert abs(v - timings[n]) <= 0.005 + 1e-9
