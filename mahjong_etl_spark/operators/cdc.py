@@ -200,6 +200,82 @@ def cdc_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_as_of(hist: DataFrame, version) -> DataFrame:
+    """Point-in-time (time-travel) read over an SCD2 interval table:
+    the row valid AT ``version`` is the one with
+    valid_from <= v < valid_to (open intervals valid forever).  Pure
+    filter — at 100 TB it rides partition pruning on valid_from and
+    returns at most one row per key, no window, no join."""
+    return hist.where(
+        (F.col("valid_from") <= version)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > version))
+    )
+
+
+@query(
+    "cdc_scd2_point_in_time",
+    oracle="""
+    WITH versioned AS (
+        SELECT o_custkey,
+               o_orderkey AS version,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders WHERE o_custkey <= 200
+    ),
+    hist AS (
+        SELECT o_custkey, version, price_cents,
+               version AS valid_from,
+               lead(version) OVER (PARTITION BY o_custkey
+                                   ORDER BY version) AS valid_to
+        FROM versioned
+    ),
+    pit AS (
+        SELECT CAST(floor(avg(version)) AS BIGINT) AS v FROM versioned
+    )
+    SELECT h.o_custkey,
+           CAST(h.version AS BIGINT) AS version_at_asof,
+           h.price_cents AS price_cents_at_asof,
+           CAST(h.valid_to IS NULL AS INT) AS still_current
+    FROM hist h CROSS JOIN pit
+    WHERE h.valid_from <= pit.v
+      AND (h.valid_to IS NULL OR h.valid_to > pit.v)
+    """,
+)
+def cdc_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read over the SCD2 history (the AS OF query every
+    lakehouse table format sells, expressed against the plain interval
+    table cdc_orders_scd2 builds): reconstruct each key's row as it
+    was at a past version — here the corpus-median-ish point,
+    floor(avg(version)), computed as a 1-row broadcast scalar so the
+    probe works at any scale factor.  Exactly one row per key that
+    existed at the as-of point; keys whose first version is later
+    are absent (as they should be).  The as-of filter is a pure
+    predicate (scd2_as_of) — no window, no join beyond the broadcast
+    scalar — so at 100 TB it prunes on valid_from and never shuffles
+    the history."""
+    versioned = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 200)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("version"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        )
+    )
+    hist = scd2_history(versioned, "o_custkey", "version")
+    asof = versioned.agg(
+        F.floor(F.avg("version")).cast("long").alias("v")
+    )
+    pit = scd2_as_of(
+        hist.crossJoin(F.broadcast(asof)), F.col("v")
+    )
+    return pit.select(
+        "o_custkey",
+        F.col("version").cast("long").alias("version_at_asof"),
+        F.col("price_cents").alias("price_cents_at_asof"),
+        F.col("valid_to").isNull().cast("int").alias("still_current"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # snapshot diff — dataset versioning audit
 # ---------------------------------------------------------------------------

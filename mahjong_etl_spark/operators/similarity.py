@@ -1400,3 +1400,116 @@ def similarity_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_topk(
         spark, e.where(N_QUERIES_PRED), e, TOPK, books=books, codes=codes
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank fusion: ensemble retrieval over heterogeneous ANN indexes
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_UNIT = 1_000_000_000_000  # int fixed point: units = UNIT div (k + rank)
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = TOPK) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of any number of
+    (q_id, neighbor_id, rnk) rankings: score(q, d) = Σ_r 1/(60 + rank_r)
+    over the rankings that retrieved d.  The fusion needs no score
+    calibration across indexes — only ranks — which is exactly what
+    heterogeneous retrievers (LSH vs IVF vs PQ here; BM25 vs dense in a
+    text stack) can agree on.
+
+    Exactness: each term is the INTEGER ``RRF_UNIT div (60 + rnk)``
+    (ranks are small ints, so the division is exact and identical in
+    every engine), summed as int64 — no float order sensitivity — and
+    the final top-k orders by (units desc, neighbor_id) so the cut is
+    deterministic.  Plan: union of the input rankings (each already
+    bounded at nq × k rows) → one groupBy on (q_id, neighbor_id) → one
+    nq-partitioned window; the fusion itself never touches vectors, so
+    it costs candidate-list size regardless of corpus scale.
+    """
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    u = reduce(
+        DataFrame.unionByName,
+        [r.select("q_id", "neighbor_id", "rnk") for r in rankings],
+    )
+    scored = (
+        u.withColumn(
+            "units", F.expr(f"{RRF_UNIT} DIV ({RRF_K} + rnk)")
+        )
+        .groupBy("q_id", "neighbor_id")
+        .agg(
+            F.sum("units").alias("rrf_units"),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_units"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "rrf_units",
+            "n_sources",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "similarity_rrf_ensemble",
+    oracle=f"""
+    WITH u AS (
+        SELECT q_id, neighbor_id, rnk
+        FROM read_parquet('{_GOLDEN_DIR}/ann_lsh_golden.parquet')
+        WHERE corpus_sig = {_SIG_SQL}
+        UNION ALL
+        SELECT q_id, neighbor_id, rnk
+        FROM read_parquet('{_GOLDEN_DIR}/ann_ivf_golden.parquet')
+        WHERE corpus_sig = {_SIG_SQL}
+        UNION ALL
+        SELECT q_id, neighbor_id, rnk
+        FROM read_parquet('{_GOLDEN_DIR}/ann_pq_golden.parquet')
+        WHERE corpus_sig = {_SIG_SQL}
+    ),
+    s AS (
+        SELECT q_id, neighbor_id,
+               CAST(sum(1000000000000 // (60 + rnk)) AS BIGINT) AS rrf_units,
+               count(*) AS n_sources
+        FROM u GROUP BY q_id, neighbor_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, rrf_units, n_sources,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY rrf_units DESC, neighbor_id)
+                   AS rnk
+        FROM s
+    )
+    SELECT q_id, neighbor_id, rrf_units, n_sources, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOPK}
+    """,
+    bench=False,  # composition of three already-benched index queries
+)
+def similarity_rrf_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF ensemble over the three ANN index families (LSH + IVF + PQ):
+    candidates each index ranks highly reinforce each other, recovering
+    neighbors any single approximate index drops — the classic cheap
+    recall amplifier when indexes fail independently.  The oracle fuses
+    the three committed ANN goldens in SQL, so the driver hash pins the
+    whole ensemble end-to-end (each leg is itself golden-checked)."""
+    e = corpus_embeddings(spark, sf_dir)
+    q = e.where(N_QUERIES_PRED)
+    cents = corpus_centroids(spark, sf_dir, IVF_CLUSTERS, IVF_LLOYD_ITERS)
+    return rrf_fuse(
+        [
+            ann_lsh_topk(spark, q, e, TOPK),
+            ann_ivf_topk(spark, q, e, TOPK, centroids=cents),
+            ann_pq_topk(spark, q, e, TOPK),
+        ],
+        TOPK,
+    )

@@ -881,3 +881,200 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nano").cast("double") / 1e9 / F.count(F.lit(1)), 6
         ).alias("xent_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS words,
+               (length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) // 3
+                   AS n_symbols
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               list_sum(list_transform(words, x -> length(x))) AS sum_len,
+               len(list_filter(words,
+                               x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha_words,
+               len(list_intersect(words,
+                   ['the','be','to','of','and','that','have','with']))
+                   AS n_stopwords,
+               n_symbols
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(CAST(sum_len AS DOUBLE) / n_words, 4) AS mean_word_len,
+           round(CAST(n_alpha_words AS DOUBLE) / n_words, 4)
+               AS frac_alpha_words,
+           CAST(n_stopwords AS BIGINT) AS n_stopwords,
+           CAST(n_symbols AS BIGINT) AS n_symbols,
+           CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                AND 5 * n_alpha_words >= 4 * n_words
+                AND n_stopwords >= 2
+                AND 10 * n_symbols <= n_words AS INT) AS passes
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-free quality rules (Rae et al. 2021 A1) as a
+    single columnar pass: word-count bounds, mean word length in
+    [3, 10], >=80% words containing a letter, >=2 of the 8 canonical
+    stop words, and symbol(#/ellipsis)-to-word ratio <= 0.1.
+
+    Every RULE comparison is integer-only (sum_len >= 3*n_words
+    instead of sum_len/n_words >= 3.0, 10*n_symbols <= n_words instead
+    of ratio <= 0.1), so the pass flag can never flip on float
+    last-bit drift between engines; the reported ratios are display
+    columns, one rounded division each.  100 TB: pure map-side
+    expressions over the text column — no shuffle, no UDF, prunes to
+    (doc_id, text) at the scan."""
+    d = load_spread(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    m = d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.expr(
+            "aggregate(transform(split(text, ' '), x -> length(x) + 0L),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("sum_len"),
+        F.expr(
+            "size(filter(split(text, ' '), x -> x rlike '[A-Za-z]'))"
+        ).alias("n_alpha_words"),
+        F.expr(
+            f"size(array_intersect(split(text, ' '), array({stop_arr})))"
+        ).alias("n_stopwords"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "#", "")))
+            + F.expr(
+                "(length(text) - length(replace(text, '...', ''))) DIV 3"
+            )
+        ).alias("n_symbols"),
+    )
+    passes = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & (F.col("sum_len") >= 3 * F.col("n_words"))
+        & (F.col("sum_len") <= 10 * F.col("n_words"))
+        & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+        & (F.col("n_stopwords") >= 2)
+        & (10 * F.col("n_symbols") <= F.col("n_words"))
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(F.col("sum_len").cast("double") / F.col("n_words"), 4).alias(
+            "mean_word_len"
+        ),
+        F.round(
+            F.col("n_alpha_words").cast("double") / F.col("n_words"), 4
+        ).alias("frac_alpha_words"),
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        F.col("n_symbols").cast("long").alias("n_symbols"),
+        passes.cast("int").alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality buckets (Wenzek et al. 2020: corpora are split
+# into head/middle/tail terciles by LM perplexity; training mixes
+# sample by bucket)
+# ---------------------------------------------------------------------------
+
+LM_N_BUCKETS = 3
+
+
+@query(
+    "text_lm_quality_buckets",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i.i + 1] AS w1, t[i.i + 2] AS w2
+        FROM arrs, LATERAL (SELECT unnest(range(len(t) - 1)) AS i) i
+        WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    v AS (
+        SELECT count(DISTINCT u.term) AS vsz
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents) u
+    ),
+    per AS (
+        SELECT bg.doc_id,
+               CAST(round((log2((c1.c1 + v.vsz)::DOUBLE)
+                           - log2((c2.c2 + 1)::DOUBLE)) * 1e9)
+                    AS BIGINT) AS nano
+        FROM bg
+        JOIN c2 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN v
+    ),
+    docs AS (
+        SELECT doc_id,
+               CAST(round(CAST(sum(nano) AS DOUBLE) / 1e9 / count(*) * 1e6)
+                    AS BIGINT) AS micro
+        FROM per GROUP BY doc_id
+    ),
+    bucketed AS (
+        SELECT doc_id, micro,
+               ntile({LM_N_BUCKETS}) OVER (ORDER BY micro, doc_id) AS bucket
+        FROM docs
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           round(CAST(sum(micro) AS DOUBLE) / 1e6 / count(*), 6)
+               AS avg_xent_bits,
+           round(CAST(min(micro) AS DOUBLE) / 1e6, 6) AS min_xent_bits,
+           round(CAST(max(micro) AS DOUBLE) / 1e6, 6) AS max_xent_bits
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def text_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: every document's bigram-LM
+    cross-entropy (text_bigram_lm_scores) is terciled into
+    head/middle/tail by a single NTILE over (score, doc_id) — the
+    downstream sampler draws by bucket.  Per-bucket stats pin the cut
+    points into the driver hash.
+
+    Exactness: per-doc scores are snapped to integer MICRO-bits before
+    the window (the 6dp the scorer already rounds to), so both the
+    NTILE order and every aggregate are integer-exact; each reported
+    stat is one final double division.  100 TB: the global NTILE is
+    the one ordered exchange (score + id only — 16 bytes/doc); at
+    petabyte doc counts the same cut comes from approx percentiles on
+    the score column (events_approx_quantiles is that path)."""
+    from pyspark.sql.window import Window
+
+    scores = text_bigram_lm_scores(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("xent_bits") * 1e6).cast("long").alias("micro"),
+    )
+    w = Window.orderBy("micro", "doc_id")
+    b = scores.withColumn("bucket", F.ntile(LM_N_BUCKETS).over(w))
+    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("micro").cast("double") / 1e6 / F.count(F.lit(1)), 6
+        ).alias("avg_xent_bits"),
+        F.round(F.min("micro").cast("double") / 1e6, 6).alias("min_xent_bits"),
+        F.round(F.max("micro").cast("double") / 1e6, 6).alias("max_xent_bits"),
+    )

@@ -82,18 +82,25 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r7 window (the rotation registry.py:90-99 promised in r6): the six
-# queries whose CODE changed this round lead (bloom bitmap broadcast;
-# PQ query-table cap/broadcast/chunking, batch + persisted lifecycles;
-# the JPEG single-component non-interleaved scan fix, which the MJPEG
-# video walker shares; the tenhou source's vanished-committed-file
-# guard), then the ENTIRE r3-last-green cohort (33 queries — the
-# oldest standing driver evidence), then the window fills with the
-# alphabetically-first slice of the r4-last-green cohort.  After the
-# r7 board lands, no query's newest hash row is older than r4; the
-# remaining r4 slice queues at the head of _CHECK_WINDOW_TAIL for r8.
+# r7 window (the rotation registry.py:90-99 promised in r6): the four
+# queries NEW this round lead (RRF ensemble fusion, Gopher quality
+# rules, CCNet LM quality buckets, SCD2 point-in-time read — all
+# never driver-checked), then the six whose CODE changed this round
+# (bloom bitmap broadcast; PQ query-table cap/broadcast/chunking,
+# batch + persisted lifecycles; the JPEG single-component
+# non-interleaved scan fix, which the MJPEG video walker shares; the
+# tenhou source's vanished-committed-file guard), then the ENTIRE
+# r3-last-green cohort (33 queries — the oldest standing driver
+# evidence), then the window fills with the alphabetically-first
+# slice of the r4-last-green cohort.  After the r7 board lands, no
+# query's newest hash row is older than r4; the remaining r4 slice
+# queues at the head of _CHECK_WINDOW_TAIL for r8.
 
 _CHECK_WINDOW_HEAD = [
+    "similarity_rrf_ensemble",
+    "text_gopher_rules",
+    "text_lm_quality_buckets",
+    "cdc_scd2_point_in_time",
     "bloom_pruned_revenue",
     "similarity_ann_pq",
     "similarity_ann_pq_persisted",
@@ -140,14 +147,16 @@ _CHECK_WINDOW_HEAD = [
     "corpus_pipeline_funnel",
     "corpus_source_quota",
     "customers_rfm_segments",
+]
+
+_CHECK_WINDOW_TAIL = [
+    # r4-last-green remainder (queued for the r8 window; the first
+    # four were displaced from the r7 head by this round's new
+    # queries)
     "dedup_incremental",
     "embedding_quantize_int8",
     "events_anomaly_zscore",
     "events_asof_next_purchase",
-]
-
-_CHECK_WINDOW_TAIL = [
-    # r4-last-green remainder (queued for the r8 window)
     "events_exact_quantiles",
     "events_hourly_incremental",
     "events_key_skew_profile",

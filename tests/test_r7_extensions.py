@@ -1,0 +1,163 @@
+"""Round-7 extension operators: semantic contracts the sf-corpus
+oracles can't exercise (edge inputs, formula identities, interval
+boundary law) — the oracle parity itself rides the strict sweep."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def _ranking(spark, rows):
+    return spark.createDataFrame(rows, "q_id long, neighbor_id long, rnk long")
+
+
+def test_rrf_formula_and_tie_break(spark):
+    """Units must equal Σ 10^12 div (60 + rank); score ties break by
+    ascending neighbor id; top-k cut respects the fused order."""
+    from mahjong_etl_spark.operators.similarity import RRF_UNIT, rrf_fuse
+
+    a = _ranking(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    b = _ranking(spark, [(1, 11, 1), (1, 10, 2), (1, 13, 3)])
+    got = {
+        r.neighbor_id: (r.rrf_units, r.n_sources, r.rnk)
+        for r in rrf_fuse([a, b], k=4).collect()
+    }
+    u = lambda r: RRF_UNIT // (60 + r)  # noqa: E731
+    # 10 and 11 fuse symmetrically (ranks {1,2} each) -> exact tie ->
+    # neighbor 10 wins rank 1 by id
+    assert got[10] == (u(1) + u(2), 2, 1)
+    assert got[11] == (u(1) + u(2), 2, 2)
+    assert got[12] == (u(3), 1, 3)  # 12 vs 13 tie on units -> id order
+    assert got[13] == (u(3), 1, 4)
+
+
+def test_rrf_single_source_survivors_and_k_cut(spark):
+    from mahjong_etl_spark.operators.similarity import rrf_fuse
+
+    a = _ranking(spark, [(7, i, i) for i in range(1, 6)])
+    out = rrf_fuse([a], k=3).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rnk)] == [1, 2, 3]
+    assert all(r.n_sources == 1 for r in out)
+
+
+def test_rrf_ensemble_members_come_from_inputs(spark, sf_dir):
+    """Every fused (q, neighbor) must exist in at least one input
+    ranking with consistent n_sources — the ensemble can't invent
+    candidates."""
+    from mahjong_etl_spark.operators.similarity import (
+        TOPK,
+        N_QUERIES_PRED,
+        ann_lsh_topk,
+        corpus_embeddings,
+        rrf_fuse,
+    )
+
+    e = corpus_embeddings(spark, sf_dir)
+    q = e.where(N_QUERIES_PRED)
+    lsh = ann_lsh_topk(spark, q, e, TOPK)
+    fused = rrf_fuse([lsh, lsh, lsh], TOPK)
+    rows = fused.collect()
+    assert rows and all(r.n_sources == 3 for r in rows)
+    base = {(r.q_id, r.neighbor_id, r.rnk) for r in lsh.collect()}
+    # triple-fusing one ranking is a no-op on the order
+    assert {(r.q_id, r.neighbor_id, r.rnk) for r in rows} == base
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_edge_inputs(spark, monkeypatch, sf_dir):
+    """Rule flags on constructed edge documents: symbol-heavy,
+    stopword-free, short, and a passing one."""
+    import mahjong_etl_spark.operators.text_analysis as ta
+
+    passing = "the quick brown fox jumps with energy and that verve " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, passing.strip()),                       # passes all rules
+            (2, "the of and " + "# " * 60),             # symbol ratio fails
+            (3, "zz yy xx ww vv " * 12),                # no stopwords
+            (4, "the of short text"),                   # too few words
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(ta, "load_spread", lambda *_a, **_k: docs)
+    got = {r.doc_id: r for r in ta.text_gopher_rules(spark, sf_dir).collect()}
+    assert got[1].passes == 1
+    assert got[2].passes == 0 and got[2].n_symbols >= 60
+    assert got[3].passes == 0 and got[3].n_stopwords == 0
+    assert got[4].passes == 0 and got[4].n_words < 50
+    # display ratios agree with the integer rule columns
+    r1 = got[1]
+    assert abs(r1.mean_word_len * r1.n_words
+               - round(r1.mean_word_len * r1.n_words)) < 1e-6
+    assert 3.0 <= r1.mean_word_len <= 10.0
+
+
+# ---------------------------------------------------------------------------
+# LM quality buckets
+# ---------------------------------------------------------------------------
+
+
+def test_lm_buckets_partition_all_docs(spark, sf_dir):
+    from mahjong_etl_spark.operators.text_analysis import (
+        text_bigram_lm_scores,
+        text_lm_quality_buckets,
+    )
+
+    b = text_lm_quality_buckets(spark, sf_dir).collect()
+    n_docs = text_bigram_lm_scores(spark, sf_dir).count()
+    assert sorted(r.bucket for r in b) == [1, 2, 3]
+    assert sum(r.n_docs for r in b) == n_docs
+    assert max(r.n_docs for r in b) - min(r.n_docs for r in b) <= 1
+    # terciles are ordered: head (low entropy) -> tail (high)
+    by = {r.bucket: r for r in b}
+    assert by[1].avg_xent_bits <= by[2].avg_xent_bits <= by[3].avg_xent_bits
+    assert by[1].max_xent_bits <= by[2].min_xent_bits + 1e-9
+    assert by[2].max_xent_bits <= by[3].min_xent_bits + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_as_of_interval_law(spark):
+    """Exactly one row per key valid at any probe version >= the key's
+    first version; keys born later are absent; the open interval wins
+    at the frontier."""
+    from mahjong_etl_spark.operators.cdc import scd2_as_of, scd2_history
+
+    versioned = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 25, "x")],
+        "k long, version long, payload string",
+    )
+    hist = scd2_history(versioned, "k", "version")
+    for probe, want in [
+        (9, {}),                      # before anything existed
+        (10, {1: "a"}),               # inclusive valid_from
+        (19, {1: "a"}),
+        (20, {1: "b"}),               # successor takes over AT its version
+        (26, {1: "b", 2: "x"}),
+        (1000, {1: "c", 2: "x"}),     # open intervals valid forever
+    ]:
+        got = {
+            r.k: r.payload
+            for r in scd2_as_of(hist, F.lit(probe)).collect()
+        }
+        assert got == want, f"probe {probe}: {got} != {want}"
+
+
+def test_scd2_point_in_time_one_row_per_existing_key(spark, sf_dir):
+    from mahjong_etl_spark.operators.cdc import cdc_scd2_point_in_time
+
+    rows = cdc_scd2_point_in_time(spark, sf_dir).collect()
+    keys = [r.o_custkey for r in rows]
+    assert len(keys) == len(set(keys)) > 0  # at most one version per key
