@@ -92,8 +92,7 @@ def _lineage_id(checkpoint_dir: str) -> str:
     return lid
 
 
-def _publish_table(spark: SparkSession, batch_df, t: str, out_dir: str,
-                   key: str) -> None:
+def _publish_table(batch_df, t: str, out_dir: str, key: str) -> None:
     """Stage one table's batch output, then publish it idempotently:
     delete any ``b{key}-*`` leftovers from an interrupted attempt
     in the target partitions, then move the staged files in under that
@@ -169,7 +168,7 @@ def run_etl_stream(
         batch_df = batch_df.persist()
         try:
             for t in TABLE_SCHEMAS:
-                _publish_table(spark, batch_df, t, out_dir, key)
+                _publish_table(batch_df, t, out_dir, key)
         finally:
             batch_df.unpersist()
         bdir = f"{root}/_staging/batch-{key}"

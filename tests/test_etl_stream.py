@@ -74,9 +74,9 @@ def test_crash_mid_fanout_replays_without_duplicates(spark, tmp_path, monkeypatc
     real = es._publish_table
     calls = {"n": 0}
 
-    def flaky(spark_, batch_df, t, out_dir, batch_id):
+    def flaky(batch_df, t, out_dir, key):
         calls["n"] += 1
-        real(spark_, batch_df, t, out_dir, batch_id)
+        real(batch_df, t, out_dir, key)
         if calls["n"] == 5:
             # the 5th table's files ARE on disk; the marker is not —
             # the worst crash point: a half-published batch
@@ -144,7 +144,7 @@ def test_replay_of_committed_batch_is_noop(spark, tmp_path, monkeypatch):
 
     calls = []
     monkeypatch.setattr(
-        es, "_publish_table", lambda *a: calls.append(a[2])
+        es, "_publish_table", lambda *a: calls.append(a[1])
     )
     q = run_etl_stream(spark, str(logs), out, ckpt)
     q.awaitTermination(180)
