@@ -1513,3 +1513,104 @@ def similarity_rrf_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         TOPK,
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN classification over the embedding corpus (majority vote)
+# ---------------------------------------------------------------------------
+
+KNN_K = 15  # vote neighborhood (odd-ish to limit exact ties)
+
+
+def knn_classify(queries_df: DataFrame, corpus_df: DataFrame, k: int = KNN_K) -> DataFrame:
+    """Majority-vote kNN classifier: each query's label is the most
+    common ``label`` among its exact top-k cosine neighbors, vote ties
+    broken by ascending label (deterministic in every engine).  Rides
+    ``cosine_topk``'s proven rounded-cosine/id composite order, so the
+    neighborhood itself is engine-exact; from there it's two integer
+    aggregations — the exactness story is inherited, not re-argued."""
+    from pyspark.sql.window import Window
+
+    nbrs = cosine_topk(queries_df, corpus_df, k)
+    labeled = nbrs.join(
+        corpus_df.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nbr_label"),
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("q_id", "nbr_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("nbr_label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "q_id",
+            F.col("nbr_label").cast("long").alias("predicted_label"),
+            "votes",
+        )
+    )
+
+
+@query(
+    "similarity_knn_classify",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, label
+               FROM embeddings WHERE {N_QUERIES_PRED}),
+         scored AS (
+            SELECT q_id, c.vec_id AS neighbor_id, c.label AS nbr_label,
+                   round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM q JOIN embeddings c ON c.vec_id != q_id
+         ),
+         ranked AS (
+            SELECT q_id, nbr_label,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored
+         ),
+         votes AS (
+            SELECT q_id, nbr_label, count(*) AS votes
+            FROM ranked WHERE rnk <= {KNN_K} GROUP BY q_id, nbr_label
+         ),
+         best AS (
+            SELECT q_id, nbr_label, votes,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY votes DESC, nbr_label) AS r
+            FROM votes
+         )
+    SELECT b.q_id,
+           CAST(b.nbr_label AS BIGINT) AS predicted_label,
+           b.votes,
+           CAST(q.label AS BIGINT) AS true_label,
+           CAST(b.nbr_label = q.label AS INT) AS correct
+    FROM best b JOIN q ON q.q_id = b.q_id
+    WHERE b.r = 1
+    """,
+    bench=False,  # shares the benched brute-force scan
+)
+def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space kNN classification (the quality-classifier
+    pattern one step before training a parametric model —
+    operators/classifier.py is that next step): predict each query
+    vector's ``label`` from its 15 exact nearest neighbors and report
+    the vote against the true label.  At 100 TB the same vote runs on
+    ANY candidate generator — swap cosine_topk for the LSH/IVF/PQ or
+    RRF-fused shortlist and the two vote aggregations are unchanged."""
+    e = corpus_embeddings(spark, sf_dir)
+    q = e.where(N_QUERIES_PRED)
+    pred = knn_classify(q, e, KNN_K)
+    truth = q.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "q_id").select(
+        "q_id",
+        "predicted_label",
+        "votes",
+        F.col("true_label").cast("long").alias("true_label"),
+        (F.col("predicted_label") == F.col("true_label"))
+        .cast("int")
+        .alias("correct"),
+    )

@@ -1078,3 +1078,91 @@ def text_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("micro").cast("double") / 1e6, 6).alias("min_xent_bits"),
         F.round(F.max("micro").cast("double") / 1e6, 6).alias("max_xent_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (the retrieval-side artifact of a text corpus)
+# ---------------------------------------------------------------------------
+
+INVIDX_TOP_TERMS = 50
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+    WITH postings AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term, doc_id
+    ),
+    tops AS (
+        SELECT term, doc_id AS top_doc_id, tf AS max_tf,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id) AS rr
+        FROM postings
+    ),
+    terms AS (
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        FROM postings GROUP BY term
+    ),
+    ranked AS (
+        SELECT t.term, t.df, t.cf, p.top_doc_id, p.max_tf,
+               row_number() OVER (ORDER BY t.df DESC, t.term) AS r
+        FROM terms t JOIN tops p ON p.term = t.term AND p.rr = 1
+    )
+    SELECT term, df, cf,
+           CAST(top_doc_id AS BIGINT) AS top_doc_id,
+           CAST(max_tf AS BIGINT) AS max_tf
+    FROM ranked WHERE r <= {INVIDX_TOP_TERMS}
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the (term -> postings) artifact behind
+    BM25/keyword retrieval, materialized as per-term statistics: df
+    (documents containing the term), cf (total occurrences), and the
+    strongest posting (argmax tf, ties to the smallest doc_id).  The
+    probe emits the {INVIDX_TOP_TERMS} highest-df terms so the driver
+    hash pins the head of the index.
+
+    Plan: explode -> (term, doc) count -> term rollup — two exchanges,
+    both on keys whose cardinality is vocabulary/postings-bounded, and
+    the full posting table is the natural bucketed-write candidate
+    (bucketBy(term) serves every subsequent term lookup shuffle-free,
+    plans/bucketing.py).  The argmax rides max_by with an explicit
+    (tf, -doc_id) composite so Spark and the oracle agree on ties
+    without relying on either engine's unspecified first-wins."""
+    d = load_spread(spark, sf_dir, "documents")
+    postings = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    tops = (
+        postings.withColumn("rr", F.row_number().over(wt))
+        .where(F.col("rr") == 1)
+        .select(
+            "term",
+            F.col("doc_id").alias("top_doc_id"),
+            F.col("tf").cast("long").alias("max_tf"),
+        )
+    )
+    terms = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    ).join(tops, "term")
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (
+        terms.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= INVIDX_TOP_TERMS)
+        .select(
+            "term",
+            "df",
+            "cf",
+            F.col("top_doc_id").cast("long").alias("top_doc_id"),
+            "max_tf",
+        )
+    )

@@ -161,3 +161,73 @@ def test_scd2_point_in_time_one_row_per_existing_key(spark, sf_dir):
     rows = cdc_scd2_point_in_time(spark, sf_dir).collect()
     keys = [r.o_custkey for r in rows]
     assert len(keys) == len(set(keys)) > 0  # at most one version per key
+
+
+# ---------------------------------------------------------------------------
+# kNN classification
+# ---------------------------------------------------------------------------
+
+
+def test_knn_classify_majority_and_tie_law(spark):
+    """Hand-built geometry: a query nearest three label-1 vectors and
+    two label-2 vectors must vote 1; an exact 1-1 vote ties to the
+    SMALLER label."""
+    from mahjong_etl_spark.operators.similarity import knn_classify, with_norm
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    corpus = spark.createDataFrame(
+        [
+            (10, vec(1.00, 0.00), 1),
+            (11, vec(0.99, 0.10), 1),
+            (12, vec(0.98, 0.15), 1),
+            (13, vec(0.00, 1.00), 2),
+            (14, vec(0.10, 0.99), 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = spark.createDataFrame(
+        [(99, vec(1.0, 0.05), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = knn_classify(with_norm(q), with_norm(corpus), k=5).collect()
+    assert len(out) == 1 and out[0].predicted_label == 1 and out[0].votes == 3
+    # tie: one neighbor of each label at equal distance -> label 1 wins
+    out2 = knn_classify(with_norm(q), with_norm(corpus), k=2).collect()
+    assert out2[0].predicted_label == 1  # rank 1+2 are both label 1 here
+    tie_corpus = spark.createDataFrame(
+        [(20, vec(0.5, 0.5), 7), (21, vec(0.5, 0.5), 3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out3 = knn_classify(with_norm(q), with_norm(tie_corpus), k=2).collect()
+    assert out3[0].predicted_label == 3 and out3[0].votes == 1
+
+
+# ---------------------------------------------------------------------------
+# Inverted index
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_stats_law(spark, monkeypatch, sf_dir):
+    """df/cf/top-posting on a constructed corpus, including the
+    tf-tie-to-smaller-doc rule."""
+    import mahjong_etl_spark.operators.text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple pear"),
+            (2, "apple pear pear"),
+            (3, "apple banana"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(ta, "load_spread", lambda *_a, **_k: docs)
+    got = {r.term: r for r in ta.text_inverted_index(spark, sf_dir).collect()}
+    assert got["apple"].df == 3 and got["apple"].cf == 4
+    assert got["apple"].top_doc_id == 1 and got["apple"].max_tf == 2
+    # pear: tf 1 in doc1, tf 2 in doc2 -> doc2 wins on tf
+    assert got["pear"].top_doc_id == 2 and got["pear"].max_tf == 2
+    assert got["banana"].df == 1 and got["banana"].top_doc_id == 3
+    # head ordering: df desc, term asc
+    assert list(got) and max(r.df for r in got.values()) == got["apple"].df
