@@ -1166,3 +1166,139 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_tf",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (Robertson-Spärck Jones / Okapi BM25)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+# The query is data-derived so it exists at every scale factor: the
+# three terms ranked 10-12 by (df DESC, term) — mid-frequency enough
+# to discriminate, frequent enough to hit many docs.
+BM25_QUERY_RANKS = (10, 11, 12)
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH postings AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term, doc_id
+    ),
+    dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+    ),
+    terms AS (
+        SELECT term, count(*) AS df,
+               row_number() OVER (ORDER BY count(*) DESC, term) AS r
+        FROM postings GROUP BY term
+    ),
+    qterms AS (
+        SELECT term, df FROM terms
+        WHERE r IN ({", ".join(str(r) for r in BM25_QUERY_RANKS)})
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(round(
+                   ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                   * (p.tf * ({BM25_K1} + 1.0))
+                   / (p.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * d.dl * s.n_docs / CAST(s.sum_dl AS DOUBLE)))
+                   * 1e9) AS BIGINT) AS nano
+        FROM postings p
+        JOIN qterms q USING (term)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    ranked AS (
+        SELECT doc_id,
+               count(*) AS n_terms_hit,
+               round(CAST(sum(nano) AS DOUBLE) / 1e9, 6) AS bm25,
+               row_number() OVER (ORDER BY sum(nano) DESC, doc_id) AS rnk
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_hit, bm25, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {BM25_TOPK}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval over the corpus for a 3-term keyword query
+    (terms data-derived: df-ranks 10-12, so the probe exists at any
+    scale factor): idf = ln((N - df + ½)/(df + ½) + 1) — the Lucene
+    +1 form, always positive — with k1=1.2, b=0.75 length
+    normalization.  Top-10 docs with per-doc hit counts.
+
+    Engine exactness: every per-(term, doc) score is a deterministic
+    scalar of integers (tf, df, dl, N, Σdl) snapped to nano-units
+    BEFORE the per-doc sum (integer addition is order-free where float
+    summation is not — the text_perplexity_proxy discipline), and the
+    top-k orders by (nano sum, doc_id).  Plan: the postings/doc-length
+    tables are the inverted-index build (text_inverted_index) reused;
+    the query-term semi-join keeps the scored relation at
+    |qterms| × df rows — retrieval cost scales with posting-list
+    length, not corpus size; the 1-row corpus stats ride a broadcast."""
+    from pyspark.sql.window import Window
+
+    d = load_spread(spark, sf_dir, "documents")
+    postings = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    wt = Window.orderBy(F.desc("df"), F.asc("term"))
+    qterms = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("r", F.row_number().over(wt))
+        .where(F.col("r").isin(*BM25_QUERY_RANKS))
+        .select("term", "df")
+    )
+    k1, b = BM25_K1, BM25_B
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + k1 * (
+        1.0
+        - b
+        + b * F.col("dl") * F.col("n_docs") / F.col("sum_dl").cast("double")
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * (F.col("tf") * (k1 + 1.0)) / norm * 1e9)
+            .cast("long")
+            .alias("nano"),
+        )
+    )
+    wr = Window.orderBy(F.desc("nano_sum"), F.asc("doc_id"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("nano").alias("nano_sum"),
+        )
+        .withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= BM25_TOPK)
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            F.round(F.col("nano_sum").cast("double") / 1e9, 6).alias("bm25"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

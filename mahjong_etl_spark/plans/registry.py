@@ -82,11 +82,11 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r7 window (the rotation registry.py:90-99 promised in r6): the six
-# queries NEW this round lead (RRF ensemble fusion, Gopher quality
-# rules, CCNet LM quality buckets, SCD2 point-in-time read, kNN
-# majority-vote classification, inverted-index build — all never
-# driver-checked), then the six whose CODE changed this round
+# r7 window (the rotation registry.py:90-99 promised in r6): the
+# seven queries NEW this round lead (RRF ensemble fusion, Gopher
+# quality rules, CCNet LM quality buckets, SCD2 point-in-time read,
+# kNN majority-vote classification, inverted-index build, BM25
+# retrieval — all never driver-checked), then the six whose CODE changed this round
 # (bloom bitmap broadcast; PQ query-table cap/broadcast/chunking,
 # batch + persisted lifecycles; the JPEG single-component
 # non-interleaved scan fix, which the MJPEG video walker shares; the
@@ -101,6 +101,7 @@ _CHECK_WINDOW_HEAD = [
     "similarity_rrf_ensemble",
     "similarity_knn_classify",
     "text_inverted_index",
+    "text_bm25_search",
     "text_gopher_rules",
     "text_lm_quality_buckets",
     "cdc_scd2_point_in_time",
@@ -147,13 +148,13 @@ _CHECK_WINDOW_HEAD = [
     "corpus_chunk_dedup",
     "corpus_chunk_windows",
     "corpus_negative_samples",
-    "corpus_pipeline_funnel",
 ]
 
 _CHECK_WINDOW_TAIL = [
     # r4-last-green remainder (queued for the r8 window; the first
-    # six were displaced from the r7 head by this round's new
+    # seven were displaced from the r7 head by this round's new
     # queries)
+    "corpus_pipeline_funnel",
     "corpus_source_quota",
     "customers_rfm_segments",
     "dedup_incremental",

@@ -231,3 +231,39 @@ def test_inverted_index_stats_law(spark, monkeypatch, sf_dir):
     assert got["banana"].df == 1 and got["banana"].top_doc_id == 3
     # head ordering: df desc, term asc
     assert list(got) and max(r.df for r in got.values()) == got["apple"].df
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ordering_and_hit_law(spark, monkeypatch, sf_dir):
+    """On a constructed corpus where the df-rank-10..12 terms are
+    known, BM25 must (a) count term hits per doc, (b) rank a short
+    doc with tf=2 above a long doc with tf=1 for the same term, and
+    (c) never return a doc containing no query term."""
+    import mahjong_etl_spark.operators.text_analysis as ta
+
+    # 9 filler terms each in 4 docs (df 4, ranks 1-9); the three query
+    # terms q1/q2/q3 each in 3 docs (ranks 10-12); noise terms df 1
+    filler = " ".join(f"f{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler} q1 q1"),                  # short, tf(q1)=2
+            (2, f"{filler} q1 " + "pad " * 40),      # long, tf(q1)=1
+            (3, f"{filler} q1 q2 q3"),               # hits all three
+            (4, f"{filler} q2 q3"),
+            (5, f"{filler} q2 q3"),
+            (6, filler),                             # no query terms
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(ta, "load_spread", lambda *_a, **_k: docs)
+    rows = ta.text_bm25_search(spark, sf_dir).collect()
+    got = {r.doc_id: r for r in rows}
+    assert 6 not in got  # (c)
+    assert got[3].n_terms_hit == 3 and got[1].n_terms_hit == 1
+    assert got[1].bm25 > got[2].bm25  # (b): tf and length norm both favor 1
+    # every score positive (Lucene +1 idf form)
+    assert all(r.bm25 > 0 for r in rows)
