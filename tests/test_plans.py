@@ -253,6 +253,19 @@ _ALLOWED_NESTED_LOOP = {
     "text_perplexity_proxy",
     # 1-row vocabulary-size scalar crossed onto the bigram stream
     "text_bigram_lm_scores",
+    # builds on text_bigram_lm_scores, so inherits the same 1-row
+    # vocabulary scalar
+    "text_lm_quality_buckets",
+    # 1-row (n_docs, sum_dl) corpus-stats side feeding the BM25
+    # length normalization, same shape as text_tfidf_topk's idf scalar
+    "text_bm25_search",
+    # 1-row as-of version scalar broadcast onto the interval history
+    "cdc_scd2_point_in_time",
+    # votes over cosine_topk's brute-force neighborhood — the
+    # documented exact baseline (swap in the LSH/IVF/PQ or RRF
+    # shortlist for the scale path; the vote aggregations are
+    # candidate-generator-agnostic)
+    "similarity_knn_classify",
     "q11_supplier_value_share",
     # 1-row corpus-count side feeding idf = ln(N/df)
     "text_tfidf_topk",
