@@ -3950,3 +3950,183 @@ def part_bom_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration happens on the driver."""
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_BOM_SQL.format(div="DIV"))
+
+
+# ---------------------------------------------------------------------------
+# Association rules (the confidence/lift pass over the co-purchase
+# support mining of lineitem_copurchase_pairs)
+# ---------------------------------------------------------------------------
+
+ASSOC_TOP_PAIRS = 20
+
+
+@query(
+    "orders_association_rules",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    cnt AS (
+        SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY support DESC, part_a, part_b
+        LIMIT {ASSOC_TOP_PAIRS}
+    )
+    SELECT p.part_a, p.part_b, p.support,
+           round(CAST(p.support AS DOUBLE) / ca.c, 6) AS conf_a_to_b,
+           round(CAST(p.support AS DOUBLE) / cb.c, 6) AS conf_b_to_a,
+           round(CAST(p.support * n.n_orders AS DOUBLE) / (ca.c * cb.c), 6)
+               AS lift
+    FROM pairs p
+    JOIN cnt ca ON ca.l_partkey = p.part_a
+    JOIN cnt cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+)
+def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over the market baskets: for the top-20
+    co-purchase pairs by support (lineitem_copurchase_pairs' a-priori
+    pass), both directed confidences and the lift
+    (N·supp(ab) / (supp(a)·supp(b)) — >1 means genuinely associated,
+    not just individually popular).
+
+    Exactness: support and item counts are exact ints; each reported
+    metric is ONE rounded double division of integer operands.  Plan:
+    the pair enumeration is the basket-bounded self-equi-join, the
+    top-20 cut is TakeOrderedAndProject, and the confidence/lift
+    joins run with the 20-row side BROADCAST against the part-
+    cardinality count table plus a 1-row basket-count scalar — at
+    100 TB the expensive part remains the support pass; the rule
+    metrics are free."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(ASSOC_TOP_PAIRS)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        F.broadcast(pairs)
+        .join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support").cast("double") / F.col("ca"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("support").cast("double") / F.col("cb"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — multi-criteria dominance without a
+# quadratic dominance join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_skyline",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+               p_size
+        FROM part
+    ),
+    m AS (
+        SELECT p_partkey, price_cents, p_size,
+               max(p_size) OVER (ORDER BY price_cents
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+                   AS best_cheaper,
+               max(p_size) OVER (PARTITION BY price_cents) AS best_same
+        FROM p
+    )
+    SELECT p_partkey,
+           CAST(price_cents AS DOUBLE) / 100.0 AS price,
+           CAST(p_size AS BIGINT) AS p_size
+    FROM m
+    WHERE (best_cheaper IS NULL OR p_size > best_cheaper)
+      AND p_size >= best_same
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: cheapest price vs
+    largest size — every part not DOMINATED by another that is at
+    least as cheap AND at least as large (one strictly better).  The
+    naive formulation is a quadratic non-equi dominance self-join;
+    this plan is two window functions over ONE sort: a part is on the
+    frontier iff its size beats the best size among STRICTLY cheaper
+    parts (RANGE frame to 1 PRECEDING on integer cents — ties
+    excluded exactly) and is not beaten within its own price point.
+    Equal (price, size) twins tie and both survive, the standard
+    skyline convention.
+
+    Scale: part is dimension-sized, so the single-partition ordered
+    window is bounded by the dim (the same stance as
+    part_string_stats); a fact-sized skyline would ride
+    functions/ranks.py's range-shuffled parallel window, identical
+    semantics."""
+    from pyspark.sql.window import Window
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    w_cheaper = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_same = Window.partitionBy("price_cents")
+    m = p.select(
+        "p_partkey",
+        "price_cents",
+        "p_size",
+        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
+        F.max("p_size").over(w_same).alias("best_same"),
+    )
+    return m.where(
+        (F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper")))
+        & (F.col("p_size") >= F.col("best_same"))
+    ).select(
+        "p_partkey",
+        (F.col("price_cents").cast("double") / 100.0).alias("price"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )

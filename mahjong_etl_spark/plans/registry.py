@@ -83,10 +83,11 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # committed CORRECTNESS_r*.json history.
 #
 # r7 window (the rotation registry.py:90-99 promised in r6): the
-# seven queries NEW this round lead (RRF ensemble fusion, Gopher
+# nine queries NEW this round lead (RRF ensemble fusion, Gopher
 # quality rules, CCNet LM quality buckets, SCD2 point-in-time read,
 # kNN majority-vote classification, inverted-index build, BM25
-# retrieval — all never driver-checked), then the six whose CODE changed this round
+# retrieval, association rules, 2-D skyline — all never
+# driver-checked), then the six whose CODE changed this round
 # (bloom bitmap broadcast; PQ query-table cap/broadcast/chunking,
 # batch + persisted lifecycles; the JPEG single-component
 # non-interleaved scan fix, which the MJPEG video walker shares; the
@@ -102,6 +103,8 @@ _CHECK_WINDOW_HEAD = [
     "similarity_knn_classify",
     "text_inverted_index",
     "text_bm25_search",
+    "orders_association_rules",
+    "part_skyline",
     "text_gopher_rules",
     "text_lm_quality_buckets",
     "cdc_scd2_point_in_time",
@@ -146,14 +149,14 @@ _CHECK_WINDOW_HEAD = [
     "text_top_terms",
     "cdc_customer_upsert",
     "corpus_chunk_dedup",
-    "corpus_chunk_windows",
-    "corpus_negative_samples",
 ]
 
 _CHECK_WINDOW_TAIL = [
     # r4-last-green remainder (queued for the r8 window; the first
-    # seven were displaced from the r7 head by this round's new
+    # nine were displaced from the r7 head by this round's new
     # queries)
+    "corpus_chunk_windows",
+    "corpus_negative_samples",
     "corpus_pipeline_funnel",
     "corpus_source_quota",
     "customers_rfm_segments",

@@ -261,6 +261,9 @@ _ALLOWED_NESTED_LOOP = {
     "text_bm25_search",
     # 1-row as-of version scalar broadcast onto the interval history
     "cdc_scd2_point_in_time",
+    # 1-row basket-count scalar feeding lift; the pair mining itself
+    # is the basket-bounded self-EQUI-join
+    "orders_association_rules",
     # votes over cosine_topk's brute-force neighborhood — the
     # documented exact baseline (swap in the LSH/IVF/PQ or RRF
     # shortlist for the scale path; the vote aggregations are

@@ -267,3 +267,81 @@ def test_bm25_ordering_and_hit_law(spark, monkeypatch, sf_dir):
     assert got[1].bm25 > got[2].bm25  # (b): tf and length norm both favor 1
     # every score positive (Lucene +1 idf form)
     assert all(r.bm25 > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Association rules
+# ---------------------------------------------------------------------------
+
+
+def test_association_rules_formula_law(spark, monkeypatch, sf_dir):
+    """Hand-built baskets: {1,2} together in 2 of 4 baskets, item 1 in
+    3, item 2 in 2 -> conf(1->2)=2/3, conf(2->1)=1, lift=4*2/(3*2)."""
+    import mahjong_etl_spark.plans.queries as Q
+
+    items = spark.createDataFrame(
+        [
+            (100, 1), (100, 2),
+            (200, 1), (200, 2),
+            (300, 1),
+            (400, 3),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    real_load = Q.load
+
+    def fake_load(spark_, sf, table):
+        return items if table == "lineitem" else real_load(spark_, sf, table)
+
+    monkeypatch.setattr(Q, "load", fake_load)
+    got = {
+        (r.part_a, r.part_b): r
+        for r in Q.orders_association_rules(spark, sf_dir).collect()
+    }
+    r = got[(1, 2)]
+    assert r.support == 2
+    assert abs(r.conf_a_to_b - round(2 / 3, 6)) < 1e-9
+    assert abs(r.conf_b_to_a - 1.0) < 1e-9
+    assert abs(r.lift - round(4 * 2 / (3 * 2), 6)) < 1e-9
+    assert (1, 3) not in got and (2, 3) not in got  # never co-occur
+
+
+# ---------------------------------------------------------------------------
+# Skyline
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_dominance_law(spark, monkeypatch, sf_dir):
+    """Constructed frontier: dominated rows drop, equal-(price, size)
+    twins both survive, same-price-smaller-size drops, and the result
+    equals the naive quadratic dominance definition."""
+    import mahjong_etl_spark.plans.queries as Q
+
+    rows = [
+        (1, 1.00, 5),   # frontier (cheapest)
+        (2, 2.00, 9),   # frontier (bigger than everything cheaper)
+        (3, 2.00, 9),   # twin of 2 -> survives
+        (4, 2.00, 7),   # same price, smaller -> dominated by 2
+        (5, 3.00, 8),   # pricier and smaller than 2 -> dominated
+        (6, 4.00, 12),  # frontier
+    ]
+    parts = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    )
+    real_load = Q.load
+
+    def fake_load(spark_, sf, table):
+        return parts if table == "part" else real_load(spark_, sf, table)
+
+    monkeypatch.setattr(Q, "load", fake_load)
+    got = sorted(r.p_partkey for r in Q.part_skyline(spark, sf_dir).collect())
+    assert got == [1, 2, 3, 6]
+    # cross-check against the naive O(n^2) dominance definition
+    naive = [
+        k for k, pr, sz in rows
+        if not any(
+            (pr2 <= pr and sz2 >= sz and (pr2 < pr or sz2 > sz))
+            for _, pr2, sz2 in rows
+        )
+    ]
+    assert got == sorted(naive)
