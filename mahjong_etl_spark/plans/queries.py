@@ -4130,3 +4130,129 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("price_cents").cast("double") / 100.0).alias("price"),
         F.col("p_size").cast("long").alias("p_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketches: set INTERSECTION estimates — the
+# operation HLL sketches cannot do (events_distinct_sketch_merge
+# covers union-distinct; this covers overlap)
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+
+
+@query(
+    "events_kmv_segment_overlap",
+    oracle=golden_oracle(
+        "events_kmv_segment_overlap",
+        "type_a, type_b, exact_a, exact_b, exact_overlap, "
+        "kmv_union_est, kmv_overlap_est",
+    ),
+)
+def events_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation between event-type segments via KMV
+    bottom-k sketches (Beyer et al. 2007): each segment keeps its
+    KMV_K smallest xxhash64(user) values; for a pair, the k smallest
+    of the merged sketch estimate the UNION cardinality
+    ((k-1)·2⁶⁴ / kth_min, exact when the union fits the sketch), and
+    the fraction of those union-sketch members present in BOTH
+    sketches estimates the Jaccard — overlap = jaccard × union.  This
+    is the intersection operation HLL registers cannot express: HLL
+    unions losslessly but intersects only by inclusion-exclusion with
+    compounding error.
+
+    Exactness: the sketch is the k smallest DISTINCT hash values —
+    a deterministic set under any partitioning — so the whole output
+    is byte-stable and carries a corpus_sig-keyed committed golden
+    (no SQL twin: DuckDB's hash ≠ Spark's xxhash64).  Exact counts
+    ride alongside for the probe corpora; at 100 TB one drops them
+    and ships only the k×8-byte sketches — per segment state is KMV_K
+    longs, merge is a k-smallest-of-unions, both trivially
+    distributed, and pairwise overlap costs |pairs|×k rows, never a
+    user-level join."""
+    from pyspark.sql.window import Window
+
+    seg = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hashed = seg.select(
+        "event_type", F.xxhash64("user_id").alias("h")
+    ).distinct()
+    wk = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("r", F.row_number().over(wk))
+        .where(F.col("r") <= KMV_K)
+        .select("event_type", "h")
+    )
+    exact = seg.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_n")
+    )
+    types = exact.select("event_type", "exact_n")
+    ta = types.select(
+        F.col("event_type").alias("type_a"), F.col("exact_n").alias("exact_a")
+    )
+    tb = types.select(
+        F.col("event_type").alias("type_b"), F.col("exact_n").alias("exact_b")
+    )
+    pairs = ta.crossJoin(tb).where(F.col("type_a") < F.col("type_b"))
+
+    sa = sk.select(F.col("event_type").alias("type_a"), "h", F.lit(1).alias("in_a"))
+    sb = sk.select(F.col("event_type").alias("type_b"), "h", F.lit(1).alias("in_b"))
+    merged = (
+        F.broadcast(pairs)
+        .join(sa, "type_a")
+        .unionByName(
+            F.broadcast(pairs).join(sb, "type_b").withColumn("in_a", F.lit(0)),
+            allowMissingColumns=True,
+        )
+        .na.fill(0, ["in_a", "in_b"])
+        .groupBy("type_a", "type_b", "exact_a", "exact_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    kept = merged.withColumn("r", F.row_number().over(wu)).where(
+        F.col("r") <= KMV_K
+    )
+    # shift signed xxhash64 onto [0, 2^64) as a double for the
+    # kth-min estimator; both constants are exact in float64
+    h_u = F.col("kth").cast("double") + F.lit(float(2**63))
+    stats = kept.groupBy("type_a", "type_b", "exact_a", "exact_b").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("h").alias("kth"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("both"),
+    )
+    union_est = F.when(
+        F.col("m") < KMV_K, F.col("m").cast("double")
+    ).otherwise(
+        F.lit(float((KMV_K - 1) * 2**64)) / h_u
+    )
+    overlap_est = F.col("both").cast("double") / F.col("m") * union_est
+
+    ex_overlap = (
+        seg.alias("x")
+        .join(
+            seg.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.countDistinct("x.user_id").alias("exact_overlap"))
+    )
+    return (
+        stats.join(ex_overlap, ["type_a", "type_b"], "left")
+        .na.fill(0, ["exact_overlap"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            "exact_overlap",
+            F.round(union_est, 2).alias("kmv_union_est"),
+            F.round(overlap_est, 2).alias("kmv_overlap_est"),
+        )
+    )

@@ -83,11 +83,11 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # committed CORRECTNESS_r*.json history.
 #
 # r7 window (the rotation registry.py:90-99 promised in r6): the
-# nine queries NEW this round lead (RRF ensemble fusion, Gopher
+# ten queries NEW this round lead (RRF ensemble fusion, Gopher
 # quality rules, CCNet LM quality buckets, SCD2 point-in-time read,
 # kNN majority-vote classification, inverted-index build, BM25
-# retrieval, association rules, 2-D skyline — all never
-# driver-checked), then the six whose CODE changed this round
+# retrieval, association rules, 2-D skyline, KMV overlap sketches —
+# all never driver-checked), then the six whose CODE changed this round
 # (bloom bitmap broadcast; PQ query-table cap/broadcast/chunking,
 # batch + persisted lifecycles; the JPEG single-component
 # non-interleaved scan fix, which the MJPEG video walker shares; the
@@ -105,6 +105,7 @@ _CHECK_WINDOW_HEAD = [
     "text_bm25_search",
     "orders_association_rules",
     "part_skyline",
+    "events_kmv_segment_overlap",
     "text_gopher_rules",
     "text_lm_quality_buckets",
     "cdc_scd2_point_in_time",
@@ -148,13 +149,13 @@ _CHECK_WINDOW_HEAD = [
     "text_token_stats",
     "text_top_terms",
     "cdc_customer_upsert",
-    "corpus_chunk_dedup",
 ]
 
 _CHECK_WINDOW_TAIL = [
     # r4-last-green remainder (queued for the r8 window; the first
-    # nine were displaced from the r7 head by this round's new
+    # ten were displaced from the r7 head by this round's new
     # queries)
+    "corpus_chunk_dedup",
     "corpus_chunk_windows",
     "corpus_negative_samples",
     "corpus_pipeline_funnel",

@@ -42,6 +42,7 @@ NAMES = [
     "corpus_topic_clusters",
     "multimodal_jpeg_roundtrip",
     "multimodal_video_frames",
+    "events_kmv_segment_overlap",
 ]
 
 

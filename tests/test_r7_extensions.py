@@ -345,3 +345,64 @@ def test_skyline_dominance_law(spark, monkeypatch, sf_dir):
         )
     ]
     assert got == sorted(naive)
+
+
+# ---------------------------------------------------------------------------
+# KMV overlap sketches
+# ---------------------------------------------------------------------------
+
+
+def _fake_events(spark, pairs):
+    rows = [(t, u) for t, users in pairs for u in users]
+    return spark.createDataFrame(
+        [(i, t, u) for i, (t, u) in enumerate(rows)],
+        "event_id long, event_type string, user_id long",
+    )
+
+
+def test_kmv_exact_below_sketch_size(spark, monkeypatch, sf_dir):
+    """When every segment fits the sketch (n < k), KMV is EXACT by
+    construction: estimates must equal the exact counts."""
+    import mahjong_etl_spark.plans.queries as Q
+
+    ev = _fake_events(
+        spark,
+        [("a", range(1, 101)), ("b", range(51, 181))],  # overlap 50, union 180
+    )
+    real_load = Q.load
+    monkeypatch.setattr(
+        Q, "load",
+        lambda s, sf, t: ev if t == "events" else real_load(s, sf, t),
+    )
+    r = Q.events_kmv_segment_overlap(spark, sf_dir).collect()[0]
+    assert (r.exact_a, r.exact_b, r.exact_overlap) == (100, 130, 50)
+    assert r.kmv_union_est == 180.0 and r.kmv_overlap_est == 50.0
+
+
+def test_kmv_estimator_accuracy_partial_overlap(spark, monkeypatch, sf_dir):
+    """Above the sketch size the estimator engages: k=256 gives
+    ~1/sqrt(k) ≈ 6% standard error on the union, compounding through
+    the Jaccard — assert generous but meaningful bounds on a
+    2000/3000-user partial overlap."""
+    import mahjong_etl_spark.plans.queries as Q
+
+    ev = _fake_events(
+        spark,
+        [("a", range(1, 2001)), ("b", range(1001, 4001))],
+        # exact: |a|=2000, |b|=3000, overlap=1000, union=4000
+    )
+    real_load = Q.load
+    monkeypatch.setattr(
+        Q, "load",
+        lambda s, sf, t: ev if t == "events" else real_load(s, sf, t),
+    )
+    r = Q.events_kmv_segment_overlap(spark, sf_dir).collect()[0]
+    assert (r.exact_a, r.exact_b, r.exact_overlap) == (2000, 3000, 1000)
+    assert abs(r.kmv_union_est - 4000) / 4000 < 0.15
+    assert abs(r.kmv_overlap_est - 1000) / 1000 < 0.30
+    # determinism: re-running yields byte-identical estimates (seedless
+    # hash sketch — the golden-oracle prerequisite)
+    r2 = Q.events_kmv_segment_overlap(spark, sf_dir).collect()[0]
+    assert (r.kmv_union_est, r.kmv_overlap_est) == (
+        r2.kmv_union_est, r2.kmv_overlap_est
+    )
