@@ -219,10 +219,15 @@ def run_sync(
                     d_fs, d_root = pafs.FileSystem.from_uri(d_uri)
                     for rel in batch:
                         target = f"{d_root}/{rel}"
-                        if "/" in rel:
-                            d_fs.create_dir(
-                                target.rsplit("/", 1)[0], recursive=True
-                            )
+                        # ALWAYS ensure the parent — for a top-level
+                        # rel that parent is the destination root
+                        # itself, which may not exist yet (first sync
+                        # into a fresh bucket; caught by the pytest
+                        # run when a root-level file landed in a task
+                        # with no nested predecessor)
+                        d_fs.create_dir(
+                            target.rsplit("/", 1)[0], recursive=True
+                        )
                         tmp = target + ".inprogress"
                         with s_fs.open_input_stream(
                             f"{s_root}/{rel}"

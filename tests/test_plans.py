@@ -73,10 +73,13 @@ def test_no_unconditional_broadcast_hints_on_fact_sides():
     # "total"/"exact" are 1-row global-aggregate sides (q11,
     # perplexity, sketch-merge); "t" is the per-event-type row totals
     # in events_type_transitions — bounded by the event-type domain
-    # (~5 distinct values), not fact-scaled
+    # (~5 distinct values), not fact-scaled; "pairs" is bounded by
+    # construction at both its sites — `.limit(ASSOC_TOP_PAIRS)` in
+    # orders_association_rules, and the event-type pair enumeration
+    # (~C(5,2) rows at any scale factor) in events_kmv_segment_overlap
     allowed = {
         "s", "n", "r", "n1", "n2", "ns", "nc", "p",
-        "avg_bal", "qa", "total", "exact", "t",
+        "avg_bal", "qa", "total", "exact", "t", "pairs",
     }
     assert set(hinted) <= allowed, f"unexpected broadcast hints: {set(hinted) - allowed}"
 
@@ -264,6 +267,10 @@ _ALLOWED_NESTED_LOOP = {
     # 1-row basket-count scalar feeding lift; the pair mining itself
     # is the basket-bounded self-EQUI-join
     "orders_association_rules",
+    # segment-TYPE pair enumeration: both sides are the event-type
+    # aggregate (5 rows at any scale factor) — the user-level work is
+    # all equi-keyed; sketches are KMV_K rows per type
+    "events_kmv_segment_overlap",
     # votes over cosine_topk's brute-force neighborhood — the
     # documented exact baseline (swap in the LSH/IVF/PQ or RRF
     # shortlist for the scale path; the vote aggregations are
