@@ -1528,3 +1528,128 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_tokens").alias("min_doc_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al., 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_TOP_K = 25
+
+
+@query(
+    "corpus_dsir_selection",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE term <> ''),
+    vocab AS (
+        SELECT term, count(*) AS c_s,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+        FROM tok2 GROUP BY term
+    ),
+    tot AS (
+        SELECT sum(c_s) AS s_tok, sum(c_t) AS t_tok, count(*) AS v
+        FROM vocab
+    ),
+    lr AS (
+        SELECT term,
+               CAST(round(ln(
+                   (CAST(c_t + 1 AS DOUBLE) * CAST(s_tok + v AS DOUBLE))
+                 / (CAST(c_s + 1 AS DOUBLE) * CAST(t_tok + v AS DOUBLE))
+               ) * 1e9) AS BIGINT) AS lr_nano
+        FROM vocab, tot
+    ),
+    score AS (
+        SELECT t.doc_id, t.lang,
+               count(*) AS n_tokens, sum(lr_nano) AS w_nano
+        FROM tok2 t JOIN lr USING (term)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(w_nano / 1e9, 6) AS log_weight
+    FROM score ORDER BY w_nano DESC, doc_id LIMIT {DSIR_TOP_K}
+    """,
+)
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every raw document by how much its unigram
+    distribution looks like a TARGET domain (here lang='en') relative
+    to the full SOURCE corpus, then keep the top-weighted documents.
+    The published method hashes n-gram features and adds Gumbel noise
+    for sampling-without-replacement; this registered variant uses
+    explicit unigram features and the deterministic weight ranking so
+    the result is engine-portable and oracle-checkable (a seeded
+    Gumbel perturbation is a map-side one-line addition at scale —
+    sampling seeds, not the scoring plane, are what an oracle cannot
+    share).
+
+    log w(doc) = sum over doc tokens of
+        ln( p_target(term) / p_source(term) )
+    with add-one smoothing over the source vocabulary V:
+        p_target = (c_t+1)/(T+V),  p_source = (c_s+1)/(S+V).
+
+    Plan (three shuffles, all key-bounded):
+      1. ONE token explode feeds ONE groupBy(term) computing BOTH
+         distributions (count + conditional count — never two passes
+         over the token stream);
+      2. the corpus totals (S, T, V) are a 1-row aggregate of the
+         vocabulary relation, broadcast into the per-term log-ratio
+         (Zipf keeps vocab << corpus, so the lr table is the small
+         side AQE broadcasts into the token join);
+      3. per-doc weight is a doc_id-keyed sum of exact int64
+         nano-units; the top-k cut orders by (w_nano, doc_id) — an
+         exact-integer total order, so the cut line cannot move —
+         executed as TakeOrdered (per-partition top-k merge, never a
+         global sort).
+
+    Engine exactness: every ln argument is a ratio of products of
+    identical integers cast to double at the same points, ONE ln call,
+    nano-snapped to int64 (absorbing libm-vs-JVM last-ulp drift);
+    per-doc sums are exact integer adds in both engines."""
+    d = load_spread(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    vocab = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_s"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_t"),
+    )
+    total = vocab.agg(
+        F.sum("c_s").alias("s_tok"),
+        F.sum("c_t").alias("t_tok"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lr = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(
+            F.log(
+                ((F.col("c_t") + 1).cast("double")
+                 * (F.col("s_tok") + F.col("v")).cast("double"))
+                / ((F.col("c_s") + 1).cast("double")
+                   * (F.col("t_tok") + F.col("v")).cast("double"))
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("lr_nano"),
+    )
+    return (
+        tok.join(lr, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_nano").alias("w_nano"),
+        )
+        .orderBy(F.desc("w_nano"), F.asc("doc_id"))
+        .limit(DSIR_TOP_K)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(F.col("w_nano") / 1e9, 6).alias("log_weight"),
+        )
+    )

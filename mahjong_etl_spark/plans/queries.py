@@ -4256,3 +4256,197 @@ def events_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(overlap_est, 2).alias("kmv_overlap_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Least-squares trend (regression aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_linear_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               date_diff('microsecond', TIMESTAMP '2024-01-01', ts) AS x,
+               CAST(round(value * 1000) AS BIGINT)                  AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, count(*) AS n_events,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM pts GROUP BY event_type
+    ),
+    d AS (
+        SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_events AS DOUBLE) AS n,
+               CAST(sx AS DOUBLE)  AS sx,  CAST(sy AS DOUBLE)  AS sy,
+               CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy
+        FROM s
+    )
+    SELECT event_type, n_events,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * 86400000000.0 / 1000.0, 6)                 AS slope_per_day,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n / 1000.0, 4)                             AS intercept_value
+    FROM d ORDER BY event_type
+    """,
+)
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares linear trend of value over time —
+    the regr_slope/regr_intercept aggregate family (drift detection /
+    metric-trend audit) expressed through exact integer sufficient
+    statistics.
+
+    Same engine-exactness scheme as lineitem_feature_corr: x is integer
+    MICROSECONDS since a fixed constant origin near the data epoch
+    (2024-01-01 — constant, so no scalar subquery/shuffle; at 100 TB
+    the origin keeps x ~1e12 so sum(x*x) stays inside decimal(38,0)
+    even at 1e12 rows, where raw epoch micros would overflow), y is
+    milli-int value.  The five sufficient statistics are summed EXACTLY
+    (decimal(38,0) / int128), both engines cast the identical integers
+    to double, and slope/intercept come from the identical IEEE
+    expression tree — bit-equal before the final round.
+
+    Plan: one scan, one partial-aggregated groupBy on event_type (a
+    ~5-key exchange); adding a regression target is +2 sum columns,
+    not +1 pass."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.timestamp_diff(
+            "MICROSECOND", F.lit("2024-01-01").cast("timestamp_ntz"), F.col("ts")
+        ).alias("x"),
+        F.round(F.col("value") * 1000).cast("long").alias("y"),
+    )
+
+    def xsum(expr):
+        return F.sum(expr.cast("decimal(38,0)"))
+
+    # widen BEFORE multiplying: x ~1e12 micros, so x*x overflows int64
+    # (the DuckDB side widens identically via HUGEINT)
+    xd = F.col("x").cast("decimal(38,0)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        xsum(F.col("x")).alias("sx"),
+        xsum(F.col("y")).alias("sy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xd * F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxy"),
+    )
+    d = s.select(
+        "event_type",
+        "n_events",
+        F.col("n_events").cast("double").alias("n"),
+        *[F.col(c).cast("double").alias(c) for c in ("sx", "sy", "sxx", "sxy")],
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return d.select(
+        "event_type",
+        "n_events",
+        F.round(num / den * 86400000000.0 / 1000.0, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy") - num / den * F.col("sx")) / F.col("n") / 1000.0, 4
+        ).alias("intercept_value"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_zorder_layout",
+    oracle="""
+    WITH k AS (
+        SELECT l_partkey % 16 AS px, l_suppkey % 16 AS sx FROM lineitem
+    ),
+    z AS (
+        SELECT px, sx,
+               ((px // 1) % 2) * 2   + ((sx // 1) % 2) * 1
+             + ((px // 2) % 2) * 8   + ((sx // 2) % 2) * 4
+             + ((px // 4) % 2) * 32  + ((sx // 4) % 2) * 16
+             + ((px // 8) % 2) * 128 + ((sx // 8) % 2) * 64 AS zval,
+               px * 16 + sx AS lin
+        FROM k
+    )
+    SELECT strategy, bucket, n_rows, part_span, supp_span FROM (
+        SELECT 'zorder' AS strategy, CAST(zval // 4 AS INT) AS bucket,
+               count(*) AS n_rows,
+               CAST(max(px) - min(px) AS INT) AS part_span,
+               CAST(max(sx) - min(sx) AS INT) AS supp_span
+        FROM z GROUP BY 2
+        UNION ALL
+        SELECT 'rowmajor', CAST(lin // 4 AS INT), count(*),
+               CAST(max(px) - min(px) AS INT),
+               CAST(max(sx) - min(sx) AS INT)
+        FROM z GROUP BY 2
+    ) ORDER BY strategy, bucket
+    """,
+)
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit: interleave the low 4 bits
+    of two independent cluster keys (part bucket, supplier bucket) into
+    a space-filling z-value, then measure per-file-bucket dimension
+    spans against a naive row-major ordering.
+
+    This is the multi-dimension data-skipping primitive behind
+    Delta/Iceberg OPTIMIZE ZORDER: at 100 TB the z-value is the
+    `repartitionByRange` / sortWithinPartitions key at write time, so
+    every parquet file's min/max stats cover a small HYPERCUBE of the
+    key space and a predicate on EITHER dimension prunes ~sqrt(B) of B
+    files.  The audit quantifies exactly that: a 4-z-value bucket is a
+    2x2 tile under z-order (part_span<=1 AND supp_span<=1 for every
+    bucket) while row-major buckets degenerate to full-span slices of
+    the minor dimension — the measurable reason one-dimensional layout
+    cannot serve two predicates.
+
+    Engine exactness: bit interleaving is spelled as pure integer
+    div/mod arithmetic (portable to any engine; no reliance on shift
+    operator semantics), so every zval/bucket is an exact integer in
+    both engines; spans and counts are integer aggregates.  One scan
+    feeds ONE 128-key partial-aggregated exchange (each row explodes
+    into its two (strategy, bucket) memberships — cheaper than a
+    UNION of two groupBys, which would scan the fact table twice)."""
+    k = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 16).alias("px"),
+        (F.col("l_suppkey") % 16).alias("sx"),
+    )
+    zval = sum(
+        F.expr(f"((px div {1 << i}) % 2)") * (1 << (2 * i + 1))
+        + F.expr(f"((sx div {1 << i}) % 2)") * (1 << (2 * i))
+        for i in range(4)
+    )
+    z = k.select(
+        "px", "sx", zval.alias("zval"), (F.col("px") * 16 + F.col("sx")).alias("lin")
+    )
+    # ONE scan: each row contributes to both layouts via a 2-element
+    # explode, then a single partial-aggregated 128-key exchange
+    # (a UNION of two groupBys would scan the fact table twice)
+    pairs = z.select(
+        "px",
+        "sx",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("strategy"),
+                    F.expr("zval div 4").cast("int").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("rowmajor").alias("strategy"),
+                    F.expr("lin div 4").cast("int").alias("bucket"),
+                ),
+            )
+        ).alias("g"),
+    ).select("px", "sx", "g.strategy", "g.bucket")
+    return (
+        pairs.groupBy("strategy", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("px") - F.min("px")).cast("int").alias("part_span"),
+            (F.max("sx") - F.min("sx")).cast("int").alias("supp_span"),
+        )
+        .orderBy("strategy", "bucket")
+    )

@@ -109,6 +109,15 @@ _CHECK_WINDOW_HEAD = [
     "text_gopher_rules",
     "text_lm_quality_buckets",
     "cdc_scd2_point_in_time",
+    # three more never-checked queries added late in r7 (DSIR
+    # importance selection, least-squares trend, z-order layout
+    # audit); they displace the last three r3/r4-cohort slots
+    # ("text_token_stats", "text_top_terms", "cdc_customer_upsert")
+    # to the FRONT of the tail's r8 queue — unproven-in-window is the
+    # harder invariant (test_head_leads_with_unproven_queries)
+    "corpus_dsir_selection",
+    "events_linear_trend",
+    "lineitem_zorder_layout",
     "bloom_pruned_revenue",
     "similarity_ann_pq",
     "similarity_ann_pq_persisted",
@@ -146,12 +155,14 @@ _CHECK_WINDOW_HEAD = [
     "text_lang_id",
     "text_quality",
     "text_repetition",
-    "text_token_stats",
-    "text_top_terms",
-    "cdc_customer_upsert",
 ]
 
 _CHECK_WINDOW_TAIL = [
+    # displaced from the r7 head by the three late-r7 queries — these
+    # lead the r8 window (r3-last-green, the oldest standing evidence)
+    "text_token_stats",
+    "text_top_terms",
+    "cdc_customer_upsert",
     # r4-last-green remainder (queued for the r8 window; the first
     # ten were displaced from the r7 head by this round's new
     # queries)

@@ -279,6 +279,9 @@ _ALLOWED_NESTED_LOOP = {
     "q11_supplier_value_share",
     # 1-row corpus-count side feeding idf = ln(N/df)
     "text_tfidf_topk",
+    # 1-row (S, T, V) corpus-totals side feeding the DSIR per-term
+    # log-ratio — same shape as text_tfidf_topk's idf scalar
+    "corpus_dsir_selection",
     # 1-row aggregate crossed back onto a bounded profile/sketch table
     "events_key_skew_profile",
     "events_distinct_sketch_merge",

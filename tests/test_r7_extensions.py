@@ -406,3 +406,128 @@ def test_kmv_estimator_accuracy_partial_overlap(spark, monkeypatch, sf_dir):
     assert (r.kmv_union_est, r.kmv_overlap_est) == (
         r2.kmv_union_est, r2.kmv_overlap_est
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weight_formula_law(spark, monkeypatch, sf_dir):
+    """Hand-built corpus: weights must equal the add-one-smoothed
+    unigram log-ratio sum (nano-snapped), and the doc richest in
+    target-distinctive tokens must rank first."""
+    import math
+
+    import mahjong_etl_spark.operators.corpus as C
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "apple apple banana"),
+            (1, "en", "apple cherry"),
+            (2, "de", "banana banana cherry"),
+            (3, "de", "cherry cherry"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    real = C.load_spread
+
+    def fake(spark_, sf, table):
+        return docs if table == "documents" else real(spark_, sf, table)
+
+    monkeypatch.setattr(C, "load_spread", fake)
+    got = {r.doc_id: r for r in C.corpus_dsir_selection(spark, sf_dir).collect()}
+
+    # vocab: apple (c_s=3, c_t=3), banana (3, 1), cherry (4, 1)
+    # S=10, T=5, V=3
+    def lr_nano(c_t, c_s):
+        return round(math.log(((c_t + 1) * 13.0) / ((c_s + 1) * 8.0)) * 1e9)
+
+    a, b, c = lr_nano(3, 3), lr_nano(1, 3), lr_nano(1, 4)
+    expect = {0: 2 * a + b, 1: a + c, 2: 2 * b + c, 3: 2 * c}
+    for doc_id, w_nano in expect.items():
+        assert got[doc_id].log_weight == round(w_nano / 1e9, 6)
+    assert got[0].n_tokens == 3 and got[3].n_tokens == 2
+    # d1 (all-but-one target-distinctive tokens) outranks the de docs;
+    # ordering of the returned cut follows the exact-int weights
+    ws = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [doc_id for doc_id, _ in ws][:2] == [0, 1]
+    assert got[2].log_weight < got[1].log_weight
+
+
+def test_dsir_target_tokens_up_weighted(spark, sf_dir):
+    """On the real corpus the mean log-weight of lang='en' docs must
+    exceed the mean of the rest — by construction the target
+    distribution is the en slice."""
+    import mahjong_etl_spark.operators.corpus as C
+
+    rows = C.corpus_dsir_selection(spark, sf_dir).collect()
+    # the top-k cut should be dominated by target-language docs
+    en = [r for r in rows if r.lang == "en"]
+    assert len(en) >= len(rows) * 0.6
+
+
+# ---------------------------------------------------------------------------
+# Least-squares linear trend
+# ---------------------------------------------------------------------------
+
+
+def test_linear_trend_recovers_planted_line(spark, monkeypatch, sf_dir):
+    """Events lying exactly on value = 10 + 1.5/hour must yield
+    slope_per_day = 36.0 and intercept_value = 10.0 (origin
+    2024-01-01); a flat series yields slope 0."""
+    from datetime import datetime, timedelta
+
+    import mahjong_etl_spark.plans.queries as Q
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("lin", t0 + timedelta(hours=h), 10.0 + 1.5 * h) for h in range(6)
+    ] + [("flat", t0 + timedelta(hours=h), 7.25) for h in range(4)]
+    events = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    real_load = Q.load
+
+    def fake_load(spark_, sf, table):
+        return events if table == "events" else real_load(spark_, sf, table)
+
+    monkeypatch.setattr(Q, "load", fake_load)
+    got = {r.event_type: r for r in Q.events_linear_trend(spark, sf_dir).collect()}
+    assert got["lin"].n_events == 6
+    assert abs(got["lin"].slope_per_day - 36.0) < 1e-6
+    assert abs(got["lin"].intercept_value - 10.0) < 1e-3
+    assert abs(got["flat"].slope_per_day) < 1e-9
+    assert abs(got["flat"].intercept_value - 7.25) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_tile_locality_law(spark, monkeypatch, sf_dir):
+    """Over the full 16x16 key grid: z-buckets are exact 2x2 tiles
+    (both spans <= 1, 4 rows each) while row-major buckets degenerate
+    to full-span slices of the minor dimension."""
+    import mahjong_etl_spark.plans.queries as Q
+
+    grid = spark.createDataFrame(
+        [(p, s) for p in range(16) for s in range(16)],
+        "l_partkey long, l_suppkey long",
+    )
+    real_load = Q.load
+
+    def fake_load(spark_, sf, table):
+        return grid if table == "lineitem" else real_load(spark_, sf, table)
+
+    monkeypatch.setattr(Q, "load", fake_load)
+    rows = Q.lineitem_zorder_layout(spark, sf_dir).collect()
+    z = [r for r in rows if r.strategy == "zorder"]
+    rm = [r for r in rows if r.strategy == "rowmajor"]
+    assert len(z) == 64 and len(rm) == 64
+    assert all(r.n_rows == 4 for r in rows)
+    # z-order: every 4-value bucket is a 2x2 hypercube
+    assert all(r.part_span <= 1 and r.supp_span <= 1 for r in z)
+    # row-major: locality only in the minor dimension
+    assert all(r.part_span == 0 and r.supp_span == 3 for r in rm)
