@@ -620,3 +620,36 @@ def test_shard_manifest_no_single_task_sort(reg, spark, sf_dir):
     plan = plan_of(_run(reg, "corpus_shard_manifest", spark, sf_dir))
     # a single-task global window shows up as Window over SinglePartition
     assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+def test_linear_trend_plan_shape(reg, spark, sf_dir):
+    """One pruned scan, one ~5-key hash exchange, no joins: the
+    sufficient statistics must all ride a single partial-aggregated
+    groupBy(event_type)."""
+    plan = plan_of(_run(reg, "events_linear_trend", spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    read = plan.split("ReadSchema")[-1]
+    assert "event_type" in read and "value" in read
+    assert "props" not in read and "user_id" not in read
+
+
+def test_zorder_layout_single_scan_single_aggregate(reg, spark, sf_dir):
+    """The layout audit must NOT union two groupBys over the fact
+    table: one scan (2-column read), one 128-key exchange; the
+    ordering is the final presentation sort only."""
+    plan = plan_of(_run(reg, "lineitem_zorder_layout", spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    read = plan.split("ReadSchema")[-1]
+    assert "l_partkey" in read and "l_suppkey" in read
+    assert "l_extendedprice" not in read and "l_orderkey" not in read
+
+
+def test_dsir_topk_never_global_sorts(reg, spark, sf_dir):
+    """The DSIR cut is TakeOrdered over exact int64 weights — a
+    standalone global Sort of the score table would serialize the
+    100 TB path."""
+    plan = plan_of(_run(reg, "corpus_dsir_selection", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
