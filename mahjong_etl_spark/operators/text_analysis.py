@@ -1302,3 +1302,93 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface: lateral word-window chunker
+# ---------------------------------------------------------------------------
+
+UDTF_CHUNK_WORDS = 16
+
+
+@query(
+    "text_chunk_udtf",
+    oracle="""
+    WITH ls AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        FROM documents
+    ),
+    ix AS (
+        SELECT doc_id, w,
+               unnest(range(1, CAST(ceil(len(w) / 16.0) AS BIGINT) + 1))
+                   AS chunk_idx
+        FROM ls
+    ),
+    s AS (
+        SELECT chunk_idx,
+               length(array_to_string(
+                   list_slice(w, (chunk_idx - 1) * 16 + 1, chunk_idx * 16),
+                   ' ')) AS n_chars,
+               len(list_slice(w, (chunk_idx - 1) * 16 + 1, chunk_idx * 16))
+                   AS n_tokens
+        FROM ix
+    )
+    SELECT CAST(chunk_idx AS BIGINT)          AS chunk_idx,
+           count(*)                           AS n_chunks,
+           CAST(sum(n_chars) AS BIGINT)       AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT)      AS total_tokens
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 user-defined TABLE function):
+    explode each document into fixed 16-word training windows with a
+    LATERAL-joined, Arrow-optimized UDTF, then profile window position
+    (how many documents reach window i; chars/tokens at that depth).
+
+    This query exists to exercise the ``@udtf(... useArrow=True)`` +
+    ``LATERAL`` API surface — the one row-expanding extension point
+    the engine hadn't covered (scalar pandas_udf: bloom; grouped:
+    applyInPandas dedup/ANN; stream-stateful: applyInPandasWithState;
+    mapInPandas: the XML/media planes).  For production chunking the
+    engine's scale path remains the pure-columnar
+    ``corpus_chunk_windows`` (split/slice/posexplode stay JVM-side);
+    this is the escape hatch for chunkers whose logic genuinely needs
+    Python (a real tokenizer, sentence models).  The plan shows
+    ``ArrowEvalPythonUDTF`` — per-BATCH Arrow transfer, not per-row
+    pickling — feeding a partial-aggregated groupBy on chunk_idx, so
+    each document crosses the Python boundary exactly once and the
+    exchange carries only ~max-window-count keys.
+
+    Engine exactness: tokens are the single-space split on both sides
+    (consecutive spaces yield empty tokens identically; Python
+    ``str.split(' ')`` == DuckDB ``string_split``); chunk chars are
+    the length of the space-rejoined window (Python ``' '.join`` ==
+    DuckDB ``array_to_string``); all aggregates are pure int64 sums."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_idx: bigint, n_chars: bigint, n_tokens: bigint",
+        useArrow=True,
+    )
+    class ChunkWindows:
+        def eval(self, text):
+            words = (text or "").split(" ")
+            for i in range(0, len(words), UDTF_CHUNK_WORDS):
+                w = words[i : i + UDTF_CHUNK_WORDS]
+                yield i // UDTF_CHUNK_WORDS + 1, len(" ".join(w)), len(w)
+
+    spark.udtf.register("chunk_windows", ChunkWindows)
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    split = spark.sql(
+        "SELECT s.* FROM {d} d, LATERAL chunk_windows(d.text) s", d=d
+    )
+    return (
+        split.groupBy("chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("chunk_idx")
+    )

@@ -4450,3 +4450,100 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential smoothing (EWMA) anomaly screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_ewma_anomaly",
+    oracle="""
+    WITH y AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 1000) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    l AS (
+        SELECT user_id, event_id, y,
+               lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2,
+               lag(y, 3) OVER w AS y3, lag(y, 4) OVER w AS y4,
+               lag(y, 5) OVER w AS y5, lag(y, 6) OVER w AS y6,
+               lag(y, 7) OVER w AS y7, lag(y, 8) OVER w AS y8
+        FROM y WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    p AS (
+        SELECT user_id, event_id, y,
+               y1*128 + y2*64 + y3*32 + y4*16
+             + y5*8   + y6*4  + y7*2  + y8*1 AS num
+        FROM l WHERE y8 IS NOT NULL
+    )
+    SELECT user_id, event_id, y AS actual_milli,
+           round(num / 255.0, 4)                AS ewma_milli,
+           round(abs(255 * y - num) / 255.0, 4) AS dev_milli
+    FROM p
+    ORDER BY abs(255 * y - num) DESC, user_id, event_id
+    LIMIT 25
+    """,
+)
+def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-smoothing (EWMA, alpha=1/2) anomaly screen: per
+    user, predict each event's value from an exponentially-weighted
+    average of the previous 8 observations and surface the 25 largest
+    deviations — the classic streaming-telemetry outlier detector
+    (Holt-style level smoothing, truncated to a fixed horizon),
+    expressed as a single window pass.
+
+    Engine exactness: value becomes milli-int y; with alpha=1/2 the
+    smoothing weights over an 8-step horizon are the exact integers
+    128..1 (sum 255), so the prediction numerator is a pure int64
+    dot-product of 8 ``lag`` columns and the deviation |255*y - num|
+    is an exact integer — ranking and the top-25 cut line are decided
+    entirely in integer arithmetic, with the only floating-point ops
+    two final /255.0 divisions on identical operands in both engines.
+    Rows before the horizon fills (rn <= 8) are excluded by the
+    ``y8 IS NOT NULL`` guard, which also keeps the 255 denominator
+    constant.
+
+    Scale: ONE shuffle (window partition on user_id); all 8 lags share
+    a single sort within the same window frame (one per-partition sort,
+    no self-join — the naive formulation is an 8-way range self-join);
+    the top-25 is a TakeOrdered (per-partition heap + driver merge),
+    never a global sort.  Adding horizon terms is +1 lag column each,
+    not another pass."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    y = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 1000).cast("long").alias("y"),
+        )
+    )
+    lags = y.select(
+        "user_id",
+        "event_id",
+        "y",
+        *[F.lag("y", d).over(w).alias(f"y{d}") for d in range(1, 9)],
+    )
+    num = sum(F.col(f"y{d}") * (1 << (8 - d)) for d in range(1, 9))
+    p = lags.where(F.col("y8").isNotNull()).select(
+        "user_id", "event_id", "y", num.alias("num")
+    )
+    dev = F.abs(F.lit(255) * F.col("y") - F.col("num"))
+    return (
+        p.orderBy(dev.desc(), "user_id", "event_id")
+        .limit(25)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("y").alias("actual_milli"),
+            F.round(F.col("num") / 255.0, 4).alias("ewma_milli"),
+            F.round(dev / 255.0, 4).alias("dev_milli"),
+        )
+    )

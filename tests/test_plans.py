@@ -653,3 +653,37 @@ def test_dsir_topk_never_global_sorts(reg, spark, sf_dir):
     plan = plan_of(_run(reg, "corpus_dsir_selection", spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ewma_anomaly_plan_shape(reg, spark, sf_dir):
+    """One pruned scan, ONE window exchange (all 8 lags share a single
+    sort on user_id), top-25 via TakeOrdered — never a global sort of
+    the deviation table, and no self-join (the naive EWMA formulation
+    is an 8-way range self-join)."""
+    plan = plan_of(_run(reg, "events_ewma_anomaly", spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # exactly one Window operator node (all 8 lags share it)
+    assert (
+        sum(1 for ln in plan.splitlines() if ln.lstrip(" +-*:").startswith("Window "))
+        == 1
+    )
+    read = plan.split("ReadSchema")[-1]
+    assert "value" in read and "user_id" in read
+    assert "props" not in read and "event_type" not in read
+
+
+def test_chunk_udtf_arrow_and_pruned(reg, spark, sf_dir):
+    """The UDTF must plan as ArrowEvalPythonUDTF (per-batch Arrow
+    transfer, never row-pickling BatchEvalPython), column pruning must
+    reach THROUGH the Python boundary (only `text` read — doc_id is
+    projected away), and the groupBy must partial-aggregate before its
+    single hash exchange so the shuffle carries ~max-window-count keys."""
+    plan = plan_of(_run(reg, "text_chunk_udtf", spark, sf_dir))
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+    read = plan.split("ReadSchema")[-1]
+    assert "text" in read and "doc_id" not in read
