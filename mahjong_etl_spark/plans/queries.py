@@ -2048,6 +2048,68 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "xml_roundtrip_stats",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_parts,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_retail,
+           max(p_name) AS max_name
+    FROM part
+    WHERE p_size >= 25
+    GROUP BY 1
+    """,
+)
+def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup source-plurality probe (completing the built-in format
+    plane: parquet, JSONL, ORC, CSV, SQL-literal, and now XML — native
+    in Spark 4, no external package; the format the mahjong reference's
+    own Tenhou logs arrive in, here exercised as a generic sink+source
+    rather than via the dedicated mapInPandas parser of plans/etl.py):
+    parts are written as XML row documents, read BACK with an explicit
+    schema, filtered and aggregated, while the oracle aggregates the
+    original parquet.  The hash-match proves element escaping survives
+    strings (p_name/p_type are space- and punctuation-bearing), int64
+    keys re-parse exactly, and doubles round-trip bit-identically
+    (shortest-round-trip reprs both ways); money still sums on the
+    fixed-point grid out of discipline.
+
+    Scale notes: write is one map pass per partition (no shuffle,
+    rowTag framing is per-row local); schema-on-read with an explicit
+    StructType skips the full-scan schema inference a naive XML read
+    pays at 100 TB.  XML scans have NO predicate pushdown (row-parse
+    before filter, unlike parquet/ORC) — which is exactly why the
+    engine treats XML as an INGEST format to land into parquet once
+    (plans/etl.py), never a query-plane format; this probe pins the
+    value fidelity of that landing step."""
+    import tempfile
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"
+    )
+    path = tempfile.mkdtemp(prefix="xml_roundtrip_")
+    p.write.mode("overwrite").format("xml").option("rowTag", "part").save(path)
+    back = (
+        spark.read.schema(
+            "p_partkey long, p_name string, p_brand string,"
+            " p_size long, p_retailprice double"
+        )
+        .format("xml")
+        .option("rowTag", "part")
+        .load(path)
+        .where(F.col("p_size") >= 25)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).cast("double")
+            / F.lit(100.0)
+        ).alias("total_retail"),
+        F.max("p_name").alias("max_name"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subquery plane: EXISTS-aggregates, correlated scalars, HAVING,
 # disjunctive pushdown.  The reference's Athena surface (Presto SQL)

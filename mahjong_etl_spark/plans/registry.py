@@ -118,12 +118,14 @@ _CHECK_WINDOW_HEAD = [
     "corpus_dsir_selection",
     "events_linear_trend",
     "lineitem_zorder_layout",
-    # two more never-checked queries added at the end of r7 (EWMA
-    # anomaly screen, UDTF word-window chunker); same displacement rule —
-    # they push "text_quality" and "text_repetition" (r3 cohort) to
-    # the front of the tail's r8 queue
+    # three more never-checked queries added at the end of r7 (EWMA
+    # anomaly screen, UDTF word-window chunker, native-XML roundtrip);
+    # same displacement rule — they push "text_quality",
+    # "text_repetition" and "text_lang_id" (r3 cohort) to the front of
+    # the tail's r8 queue
     "events_ewma_anomaly",
     "text_chunk_udtf",
+    "xml_roundtrip_stats",
     "bloom_pruned_revenue",
     "similarity_ann_pq",
     "similarity_ann_pq_persisted",
@@ -158,12 +160,12 @@ _CHECK_WINDOW_HEAD = [
     "similarity_topk_bruteforce",
     "sql_text_roundtrip",
     "text_fingerprint",
-    "text_lang_id",
 ]
 
 _CHECK_WINDOW_TAIL = [
-    # displaced from the r7 head by the five late-r7 queries — these
+    # displaced from the r7 head by the six late-r7 queries — these
     # lead the r8 window (r3-last-green, the oldest standing evidence)
+    "text_lang_id",
     "text_quality",
     "text_repetition",
     "text_token_stats",
