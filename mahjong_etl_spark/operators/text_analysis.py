@@ -1313,23 +1313,27 @@ UDTF_CHUNK_WORDS = 16
 
 @query(
     "text_chunk_udtf",
-    oracle="""
+    # W interpolated from UDTF_CHUNK_WORDS so the oracle cannot drift
+    # from the UDTF when the window size is tuned
+    oracle=f"""
     WITH ls AS (
         SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
         FROM documents
     ),
     ix AS (
         SELECT doc_id, w,
-               unnest(range(1, CAST(ceil(len(w) / 16.0) AS BIGINT) + 1))
-                   AS chunk_idx
+               unnest(range(1, CAST(ceil(len(w) / {UDTF_CHUNK_WORDS}.0)
+                                    AS BIGINT) + 1)) AS chunk_idx
         FROM ls
     ),
     s AS (
         SELECT chunk_idx,
                length(array_to_string(
-                   list_slice(w, (chunk_idx - 1) * 16 + 1, chunk_idx * 16),
+                   list_slice(w, (chunk_idx - 1) * {UDTF_CHUNK_WORDS} + 1,
+                              chunk_idx * {UDTF_CHUNK_WORDS}),
                    ' ')) AS n_chars,
-               len(list_slice(w, (chunk_idx - 1) * 16 + 1, chunk_idx * 16))
+               len(list_slice(w, (chunk_idx - 1) * {UDTF_CHUNK_WORDS} + 1,
+                              chunk_idx * {UDTF_CHUNK_WORDS}))
                    AS n_tokens
         FROM ix
     )

@@ -2070,7 +2070,7 @@ def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts are written as XML row documents, read BACK with an explicit
     schema, filtered and aggregated, while the oracle aggregates the
     original parquet.  The hash-match proves element escaping survives
-    strings (p_name/p_type are space- and punctuation-bearing), int64
+    strings (p_name/p_brand are space- and punctuation-bearing), int64
     keys re-parse exactly, and doubles round-trip bit-identically
     (shortest-round-trip reprs both ways); money still sums on the
     fixed-point grid out of discipline.

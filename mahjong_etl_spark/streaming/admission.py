@@ -40,7 +40,7 @@ identical — one AvailableNow drain reproduces the single-process fold
 bit-for-bit.  All state is exact int64 token counts plus the admitted
 language set; no floats anywhere.
 
-Scale: state per source is three int64s + the admitted-language set —
+Scale: state per source is two int64s + the admitted-language set —
 bounded by the key space, not stream length, so no timeout/expiry is
 needed for correctness.  The stream shuffles once on source; a 100 TB
 ingest with a few hundred sources is a few-hundred-key exchange.
@@ -52,6 +52,7 @@ source outgrows a task.)
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 from typing import Any
 
@@ -83,13 +84,14 @@ ADMIT_OUT = StructType(
     ]
 )
 
-# GroupState tuple: (n_seen, n_accepted, tok_accepted, langs_csv)
+# GroupState tuple: (n_accepted, tok_accepted, langs_json)
+# langs_json is a sorted JSON array — delimiter-proof for any lang
+# value (empty string, embedded commas), unlike a joined CSV
 ADMIT_STATE = StructType(
     [
-        StructField("n_seen", LongType()),
         StructField("n_accepted", LongType()),
         StructField("tok_accepted", LongType()),
-        StructField("langs_csv", StringType()),
+        StructField("langs_json", StringType()),
     ]
 )
 
@@ -97,19 +99,17 @@ ADMIT_STATE = StructType(
 def _fold_batch(
     source: str,
     batch: pd.DataFrame,
-    n_seen: int,
     n_acc: int,
     tok_acc: int,
     langs: set,
     admit_lang,
-) -> tuple[pd.DataFrame, int, int, int]:
+) -> tuple[pd.DataFrame, int, int]:
     """The shared greedy fold: one micro-batch group for one source.
     ``admit_lang(lang)`` is called once per ACCEPTED doc so each
     wiring can maintain its own language-state representation."""
     batch = batch.sort_values(["ts", "doc_id"], kind="mergesort")
     out = []
     for r in batch.itertuples(index=False):
-        n_seen += 1
         tok = int(r.n_tokens)
         ok = tok_acc + tok <= ADMIT_BUDGET
         if ok:
@@ -130,7 +130,6 @@ def _fold_batch(
                 "n_langs_admitted",
             ],
         ),
-        n_seen,
         n_acc,
         tok_acc,
     )
@@ -145,16 +144,16 @@ def _admit_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        n_seen, n_acc, tok_acc, langs_csv = state.get
-        langs = set(langs_csv.split(",")) if langs_csv else set()
+        n_acc, tok_acc, langs_json = state.get
+        langs = set(json.loads(langs_json))
     else:
-        n_seen = n_acc = tok_acc = 0
+        n_acc = tok_acc = 0
         langs = set()
     batch = pd.concat(list(pdfs), ignore_index=True)
-    out, n_seen, n_acc, tok_acc = _fold_batch(
-        key[0], batch, n_seen, n_acc, tok_acc, langs, lambda _lang: None
+    out, n_acc, tok_acc = _fold_batch(
+        key[0], batch, n_acc, tok_acc, langs, lambda _lang: None
     )
-    state.update((n_seen, n_acc, tok_acc, ",".join(sorted(langs))))
+    state.update((n_acc, tok_acc, json.dumps(sorted(langs))))
     yield out
 
 
@@ -176,7 +175,6 @@ def admission_stream(docs: DataFrame) -> DataFrame:
 
 _TOTALS_SCHEMA = StructType(
     [
-        StructField("n_seen", LongType()),
         StructField("n_accepted", LongType()),
         StructField("tok_accepted", LongType()),
     ]
@@ -200,7 +198,7 @@ class AdmissionProcessor:
     dispatch on the worker is duck-typed too.
 
     State:
-      - ``totals``  (ValueState): (n_seen, n_accepted, tok_accepted)
+      - ``totals``  (ValueState): (n_accepted, tok_accepted)
       - ``by_lang`` (MapState):   (lang,) -> (admitted-doc count,)
     """
 
@@ -209,8 +207,8 @@ class AdmissionProcessor:
         self._by_lang = handle.getMapState("by_lang", _LANG_KEY, _LANG_VAL)
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        n_seen, n_acc, tok_acc = (
-            self._totals.get() if self._totals.exists() else (0, 0, 0)
+        n_acc, tok_acc = (
+            self._totals.get() if self._totals.exists() else (0, 0)
         )
         langs = {k[0] for k in self._by_lang.keys()}  # noqa: SIM118 (MapState)
 
@@ -223,10 +221,10 @@ class AdmissionProcessor:
             self._by_lang.updateValue((lang,), (prev + 1,))
 
         batch = pd.concat(list(rows), ignore_index=True)
-        out, n_seen, n_acc, tok_acc = _fold_batch(
-            key[0], batch, n_seen, n_acc, tok_acc, langs, admit_lang
+        out, n_acc, tok_acc = _fold_batch(
+            key[0], batch, n_acc, tok_acc, langs, admit_lang
         )
-        self._totals.update((n_seen, n_acc, tok_acc))
+        self._totals.update((n_acc, tok_acc))
         yield out
 
     def close(self) -> None:

@@ -54,7 +54,11 @@ def _mk_rows():
                     doc_id,
                     1_000 * (t_i + 1) + s_i,  # per-source increasing ts
                     source,
-                    ("en", "ja", "de")[(doc_id * 7) % 3],
+                    # '' and an embedded comma are the lang values that
+                    # would corrupt a delimiter-joined state encoding —
+                    # kept pathological on purpose (regression: the
+                    # langs set is JSON-encoded in GroupState)
+                    ("en", "", "pt,BR")[(doc_id * 7) % 3],
                     tok + s_i,  # break symmetry between sources
                 )
             )
@@ -110,7 +114,7 @@ def test_admission_stream_matches_reference_fold(spark, tmp_path, n_files):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
 
     got = {
         r["doc_id"]: (
@@ -232,6 +236,6 @@ def test_admission_processor_matches_fold_and_counts_langs():
     for source, rs in (("web", None), ("books", None), ("code", None)):
         slot = handle.per_key[(source,)]
         lang_counts = slot["by_lang"]._m
-        n_accepted = slot["totals"]._v[1]
+        n_accepted = slot["totals"]._v[0]
         assert sum(v[0] for v in lang_counts.values()) == n_accepted
         assert n_accepted > 0
