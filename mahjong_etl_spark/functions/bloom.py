@@ -105,6 +105,27 @@ def bloom_build(
     return merged
 
 
+# One broadcast per distinct bitmap per session: repeated bloom_prune
+# calls (bench re-times, interactive reuse) must not accumulate
+# never-destroyed broadcasts.  Keyed on content digest; replacing a
+# filter (new digest) destroys the previous broadcast eagerly.
+_BC_CACHE: dict = {}
+
+
+def _bitmap_broadcast(spark, bitmap: np.ndarray):
+    import hashlib
+
+    key = (id(spark.sparkContext), hashlib.sha256(bitmap.tobytes()).hexdigest())
+    hit = _BC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for old_key in [k for k in _BC_CACHE if k[0] == key[0]]:
+        _BC_CACHE.pop(old_key).destroy()
+    bc = spark.sparkContext.broadcast(bitmap)
+    _BC_CACHE[key] = bc
+    return bc
+
+
 def bloom_prune(
     df: DataFrame,
     col: str,
@@ -122,7 +143,7 @@ def bloom_prune(
     """
 
     positions = _make_positions(m_bits, k)
-    bc = df.sparkSession.sparkContext.broadcast(bitmap)
+    bc = _bitmap_broadcast(df.sparkSession, bitmap)
 
     @F.pandas_udf(BooleanType())
     def member(keys: pd.Series) -> pd.Series:

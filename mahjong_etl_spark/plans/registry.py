@@ -248,7 +248,6 @@ _CHECK_WINDOW_TAIL = [
     "q6_forecast_revenue",
     "q9_profit_by_nation_year",
     "similarity_ann_ivf_int8",
-    "similarity_ann_pq",
     "text_bpe_doc_tokens",
     "text_bpe_vocab",
     "text_zipf_spectrum",

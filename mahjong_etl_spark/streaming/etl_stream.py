@@ -59,36 +59,163 @@ from ..schemas import TABLE_SCHEMAS
 from ..sources.tenhou_datasource import PARSED_TABLE, register_tenhou_source
 
 
-def _pa_fs(path: str):
-    """(pyarrow FileSystem, root) for a plain path or scheme:// URI —
-    executor-free metadata ops (list/move/delete) on the driver."""
-    import pyarrow.fs as pafs
+class _PaMetaFS:
+    """Driver-side metadata ops (list/move/delete/read/write) over
+    pyarrow.fs — local paths and every scheme pyarrow resolves
+    natively (file://, s3://, gs://, hdfs:// with libhdfs)."""
 
-    if "://" in path:
-        return pafs.FileSystem.from_uri(path)
-    return pafs.LocalFileSystem(), path
+    def __init__(self, path: str):
+        import pyarrow.fs as pafs
+
+        self._pafs = pafs
+        if "://" in path:
+            self.fs, self.root = pafs.FileSystem.from_uri(path)
+        else:
+            self.fs, self.root = pafs.LocalFileSystem(), path
+
+    def kind(self, path: str) -> str | None:
+        t = self.fs.get_file_info(path).type
+        if t == self._pafs.FileType.File:
+            return "file"
+        if t == self._pafs.FileType.Directory:
+            return "dir"
+        return None
+
+    def read_bytes(self, path: str) -> bytes:
+        with self.fs.open_input_stream(path) as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with self.fs.open_output_stream(path) as f:
+            f.write(data)
+
+    def mkdirs(self, path: str) -> None:
+        self.fs.create_dir(path, recursive=True)
+
+    def list_files(self, path: str, recursive: bool = False) -> list[str]:
+        sel = self._pafs.FileSelector(path, recursive=recursive)
+        return [
+            fi.path
+            for fi in self.fs.get_file_info(sel)
+            if fi.type == self._pafs.FileType.File
+        ]
+
+    def delete_file(self, path: str) -> None:
+        self.fs.delete_file(path)
+
+    def delete_dir(self, path: str) -> None:
+        self.fs.delete_dir(path)
+
+    def move(self, src: str, dst: str) -> None:
+        self.fs.move(src, dst)
 
 
-def _lineage_id(checkpoint_dir: str) -> str:
+class _HadoopMetaFS:
+    """Same narrow interface over the JVM Hadoop FileSystem — covers
+    every connector the cluster ships (s3a://, abfss://, hdfs://
+    without libhdfs) that pyarrow.fs cannot resolve.  Driver-only and
+    metadata-sized I/O, so the py4j hop cost is irrelevant."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._jvm = spark._jvm
+        jpath = self._jvm.org.apache.hadoop.fs.Path(path)
+        self._hfs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        self.root = self._hfs.makeQualified(jpath).toString()
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def kind(self, path: str) -> str | None:
+        p = self._p(path)
+        if not self._hfs.exists(p):
+            return None
+        return "file" if self._hfs.getFileStatus(p).isFile() else "dir"
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self._hfs.open(self._p(path))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        stream = self._hfs.create(self._p(path), True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
+    def mkdirs(self, path: str) -> None:
+        self._hfs.mkdirs(self._p(path))
+
+    def list_files(self, path: str, recursive: bool = False) -> list[str]:
+        if self.kind(path) is None:
+            return []
+        out = []
+        it = self._hfs.listFiles(self._p(path), recursive)
+        while it.hasNext():
+            st = it.next()
+            if st.isFile():
+                # full URI string, consistent with self.root's rooting
+                # (toUri().getPath() would drop scheme and authority)
+                out.append(st.getPath().toString())
+        return out
+
+    def delete_file(self, path: str) -> None:
+        self._hfs.delete(self._p(path), False)
+
+    def delete_dir(self, path: str) -> None:
+        self._hfs.delete(self._p(path), True)
+
+    def move(self, src: str, dst: str) -> None:
+        if not self._hfs.rename(self._p(src), self._p(dst)):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _pyarrow_resolves(path: str) -> bool:
+    if "://" not in path:
+        return True
+    try:
+        import pyarrow.fs as pafs
+
+        pafs.FileSystem.from_uri(path)
+        return True
+    except Exception:
+        return False
+
+
+def _meta_fs(spark: SparkSession, path: str):
+    """Metadata-FS for the publish/commit bookkeeping: pyarrow where
+    it resolves the scheme, else the JVM Hadoop connector stack (s3a,
+    abfss, ... — r7 review finding: the pyarrow-only path crashed at
+    startup on Hadoop-only schemes the old plain-append sink handled)."""
+    if _pyarrow_resolves(path):
+        return _PaMetaFS(path)
+    return _HadoopMetaFS(spark, path)
+
+
+def _lineage_id(spark: SparkSession, checkpoint_dir: str) -> str:
     """Stable per-checkpoint-lineage id, minted once into
     ``{checkpoint_dir}/_etl_lineage`` and read back on every restart —
-    the ``txnAppId`` of the idempotent publish.  Derived from the
-    checkpoint path on first creation (deterministic, no clock/random
-    state), but the FILE is the authority afterwards, so a moved or
-    re-spelled checkpoint keeps recognizing its own published files."""
-    import hashlib
+    the ``txnAppId`` of the idempotent publish.  The id is RANDOM on
+    first creation and the FILE is the sole authority afterwards: a
+    moved or re-spelled checkpoint keeps recognizing its own published
+    files, while a checkpoint that is DELETED and recreated at the
+    same path mints a fresh id — batch numbering restarts at 0 there,
+    and a path-derived id would make the old lineage's commit markers
+    silently swallow the re-ingest's first batches (Delta's txnAppId
+    is random per lineage for exactly this reason)."""
+    import uuid
 
-    import pyarrow.fs as pafs
-
-    fs, root = _pa_fs(checkpoint_dir)
-    path = f"{root}/_etl_lineage"
-    if fs.get_file_info(path).type == pafs.FileType.File:
-        with fs.open_input_stream(path) as f:
-            return f.read().decode().strip()
-    lid = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
-    fs.create_dir(root, recursive=True)
-    with fs.open_output_stream(path) as f:
-        f.write(lid.encode())
+    fs = _meta_fs(spark, checkpoint_dir)
+    path = f"{fs.root}/_etl_lineage"
+    if fs.kind(path) == "file":
+        return fs.read_bytes(path).decode().strip()
+    lid = uuid.uuid4().hex[:12]
+    fs.mkdirs(fs.root)
+    fs.write_bytes(path, lid.encode())
     return lid
 
 
@@ -98,8 +225,6 @@ def _publish_table(batch_df, t: str, out_dir: str, key: str) -> None:
     in the target partitions, then move the staged files in under that
     batch-keyed prefix.  Module-level (not a closure) so the
     crash-replay test can inject faults at the table boundary."""
-    import pyarrow.fs as pafs
-
     staging = f"{out_dir}/_staging/batch-{key}/{t}"
     (
         batch_df.select("dt", F.explode(t).alias("r"))
@@ -108,29 +233,27 @@ def _publish_table(batch_df, t: str, out_dir: str, key: str) -> None:
         .partitionBy("dt")
         .parquet(staging)
     )
-    fs, root = _pa_fs(out_dir)
-    s_root = f"{root}/_staging/batch-{key}/{t}"
+    fs = _meta_fs(batch_df.sparkSession, out_dir)
+    s_root = f"{fs.root}/_staging/batch-{key}/{t}"
     staged = [
-        fi
-        for fi in fs.get_file_info(pafs.FileSelector(s_root, recursive=True))
-        if fi.type == pafs.FileType.File
-        and "/dt=" in fi.path
-        and not fi.base_name.startswith(("_", "."))
+        p
+        for p in fs.list_files(s_root, recursive=True)
+        if "/dt=" in p and not p.rsplit("/", 1)[1].startswith(("_", "."))
     ]
     prefix = f"b{key}-"
     # partition dirs this batch touches (replay touches the same set:
     # identical offsets -> identical rows -> identical dt values)
-    dt_dirs = sorted({fi.path[len(s_root) + 1:].rsplit("/", 1)[0] for fi in staged})
+    dt_dirs = sorted({p[len(s_root) + 1:].rsplit("/", 1)[0] for p in staged})
     for d in dt_dirs:
-        target_dir = f"{root}/{t}/{d}"
-        fs.create_dir(target_dir, recursive=True)
-        for fi in fs.get_file_info(pafs.FileSelector(target_dir)):
-            if fi.type == pafs.FileType.File and fi.base_name.startswith(prefix):
-                fs.delete_file(fi.path)  # interrupted attempt's leftovers
-    for fi in staged:
-        rel = fi.path[len(s_root) + 1:]
+        target_dir = f"{fs.root}/{t}/{d}"
+        fs.mkdirs(target_dir)
+        for p in fs.list_files(target_dir):
+            if p.rsplit("/", 1)[1].startswith(prefix):
+                fs.delete_file(p)  # interrupted attempt's leftovers
+    for p in staged:
+        rel = p[len(s_root) + 1:]
         d, base = rel.rsplit("/", 1)
-        fs.move(fi.path, f"{root}/{t}/{d}/{prefix}{base}")
+        fs.move(p, f"{fs.root}/{t}/{d}/{prefix}{base}")
     fs.delete_dir(s_root)
 
 
@@ -149,7 +272,7 @@ def run_etl_stream(
     standing micro-batch query watching for new files.
     """
     register_tenhou_source(spark)
-    lineage = _lineage_id(checkpoint_dir)
+    lineage = _lineage_id(spark, checkpoint_dir)
     parsed = (
         spark.readStream.format("tenhou")
         .option("table", PARSED_TABLE)
@@ -158,12 +281,10 @@ def run_etl_stream(
     )
 
     def fan_out(batch_df, batch_id: int) -> None:
-        fs, root = _pa_fs(out_dir)
-        import pyarrow.fs as pafs
-
+        fs = _meta_fs(batch_df.sparkSession, out_dir)
         key = f"{lineage}-{batch_id}"
-        marker = f"{root}/_batch_commits/{key}"
-        if fs.get_file_info(marker).type != pafs.FileType.NotFound:
+        marker = f"{fs.root}/_batch_commits/{key}"
+        if fs.kind(marker) is not None:
             return  # fully published before a crash; replay is a no-op
         batch_df = batch_df.persist()
         try:
@@ -171,12 +292,11 @@ def run_etl_stream(
                 _publish_table(batch_df, t, out_dir, key)
         finally:
             batch_df.unpersist()
-        bdir = f"{root}/_staging/batch-{key}"
-        if fs.get_file_info(bdir).type != pafs.FileType.NotFound:
+        bdir = f"{fs.root}/_staging/batch-{key}"
+        if fs.kind(bdir) is not None:
             fs.delete_dir(bdir)  # now-empty per-table staging parents
-        fs.create_dir(f"{root}/_batch_commits", recursive=True)
-        with fs.open_output_stream(marker) as f:
-            f.write(b"")
+        fs.mkdirs(f"{fs.root}/_batch_commits")
+        fs.write_bytes(marker, b"")
 
     writer = (
         parsed.writeStream.foreachBatch(fan_out)

@@ -203,3 +203,43 @@ def test_cli_stream_drains_available(tmp_path):
 
     spark = get_spark("cli-stream-check")
     assert spark.read.parquet(f"{out}/games").count() == len(src_files)
+
+
+def test_checkpoint_wipe_reingests_instead_of_silent_skip(spark, tmp_path):
+    """A checkpoint deleted and recreated at the SAME path must mint a
+    fresh lineage: batch numbering restarts at 0 there, and a
+    path-derived lineage would let the old run's commit markers
+    swallow the re-ingest's batches (zero new rows, silent data loss).
+    The documented contract is a VISIBLE re-ingest — rows appear twice,
+    under two lineage prefixes."""
+    src_files = sorted(glob.glob(os.path.join(FIXTURE_LOGS, "*", "*.xml")))[:2]
+    logs = tmp_path / "logs"
+    for f in src_files:
+        d = logs / os.path.basename(os.path.dirname(f))
+        d.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f, d / os.path.basename(f))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = run_etl_stream(spark, str(logs), out, ckpt)
+        q.awaitTermination(180)
+        q.stop()
+        time.sleep(0.2)
+
+    drain()
+    n1 = spark.read.parquet(f"{out}/games").count()
+    assert n1 > 0
+
+    shutil.rmtree(ckpt)  # operator wipes the checkpoint to re-ingest
+    drain()
+    n2 = spark.read.parquet(f"{out}/games").count()
+    assert n2 == 2 * n1, (
+        f"checkpoint wipe must re-ingest visibly (got {n2}, want {2 * n1}: "
+        "a silent skip means the stale lineage's markers were reused)"
+    )
+    prefixes = {
+        os.path.basename(p).split("-")[0]
+        for p in glob.glob(f"{out}/games/dt=*/b*-*.parquet")
+    }
+    assert len(prefixes) == 2, prefixes
