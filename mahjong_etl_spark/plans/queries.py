@@ -1551,9 +1551,46 @@ def events_anomaly_prequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COPURCHASE_TOP_PAIRS = 20
+
+
+def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, part) baskets — duplicate line items must not
+    inflate co-occurrence support."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+
+
+def _copurchase_pairs(items: DataFrame, top_n: int = COPURCHASE_TOP_PAIRS) -> DataFrame:
+    """Top-N co-purchase pairs by support: the pair enumeration is a
+    SELF-EQUI-JOIN on the order key, never a cross join — cost is
+    Σ items_per_order², bounded by basket size, linear in orders; the
+    top-N cut is TakeOrderedAndProject.  Shared by
+    lineitem_copurchase_pairs (the a-priori pass) and
+    orders_association_rules (its confidence/lift consumer)."""
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(top_n)
+    )
+
+
 @query(
     "lineitem_copurchase_pairs",
-    oracle="""
+    oracle=f"""
     WITH items AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
@@ -1567,7 +1604,7 @@ def events_anomaly_prequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT part_a, part_b, support
     FROM pairs
     ORDER BY support DESC, part_a, part_b
-    LIMIT 20
+    LIMIT {COPURCHASE_TOP_PAIRS}
     """,
 )
 def lineitem_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1584,27 +1621,7 @@ def lineitem_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver merge — no global sort).  A pathological mega-basket is the
     hot-key risk; the cap discipline of the dedup plane (enumerate
     first K, link the rest) applies unchanged if baskets are unbounded."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
-        .limit(20)
-    )
+    return _copurchase_pairs(_basket_items(spark, sf_dir))
 
 
 @query(
@@ -4016,10 +4033,9 @@ def part_bom_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Association rules (the confidence/lift pass over the co-purchase
-# support mining of lineitem_copurchase_pairs)
+# support mining of lineitem_copurchase_pairs — both queries share
+# _basket_items/_copurchase_pairs and the COPURCHASE_TOP_PAIRS cut)
 # ---------------------------------------------------------------------------
-
-ASSOC_TOP_PAIRS = 20
 
 
 @query(
@@ -4039,7 +4055,7 @@ ASSOC_TOP_PAIRS = 20
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
         ORDER BY support DESC, part_a, part_b
-        LIMIT {ASSOC_TOP_PAIRS}
+        LIMIT {COPURCHASE_TOP_PAIRS}
     )
     SELECT p.part_a, p.part_b, p.support,
            round(CAST(p.support AS DOUBLE) / ca.c, 6) AS conf_a_to_b,
@@ -4067,30 +4083,12 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality count table plus a 1-row basket-count scalar — at
     100 TB the expensive part remains the support pass; the rule
     metrics are free."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    items = _basket_items(spark, sf_dir)
     n = items.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )
     cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .orderBy(F.desc("support"), "part_a", "part_b")
-        .limit(ASSOC_TOP_PAIRS)
-    )
+    pairs = _copurchase_pairs(items)
     ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
     cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
     return (

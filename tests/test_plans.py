@@ -74,7 +74,7 @@ def test_no_unconditional_broadcast_hints_on_fact_sides():
     # perplexity, sketch-merge); "t" is the per-event-type row totals
     # in events_type_transitions — bounded by the event-type domain
     # (~5 distinct values), not fact-scaled; "pairs" is bounded by
-    # construction at both its sites — `.limit(ASSOC_TOP_PAIRS)` in
+    # construction at both its sites — `.limit(COPURCHASE_TOP_PAIRS)` in
     # orders_association_rules, and the event-type pair enumeration
     # (~C(5,2) rows at any scale factor) in events_kmv_segment_overlap
     allowed = {
