@@ -243,3 +243,41 @@ def test_checkpoint_wipe_reingests_instead_of_silent_skip(spark, tmp_path):
         for p in glob.glob(f"{out}/games/dt=*/b*-*.parquet")
     }
     assert len(prefixes) == 2, prefixes
+
+
+def test_hadoop_fallback_meta_fs_end_to_end(spark, tmp_path, monkeypatch):
+    """The publish bookkeeping must work on schemes pyarrow cannot
+    resolve (s3a://, abfss://) via the JVM Hadoop connector stack.
+    Force that branch over a local path — Hadoop's LocalFileSystem
+    qualifies it to file:/ — and drive the stream end-to-end: lineage
+    minting, staged publish, marker commit all through _HadoopMetaFS."""
+    from mahjong_etl_spark.streaming import etl_stream as es
+
+    used: list[str] = []
+    real = es._meta_fs
+
+    def spy(spark_, path):
+        monkeypatch.setattr(es, "_pyarrow_resolves", lambda p: False)
+        fs = real(spark_, path)
+        used.append(type(fs).__name__)
+        return fs
+
+    monkeypatch.setattr(es, "_meta_fs", spy)
+
+    src_files = sorted(glob.glob(os.path.join(FIXTURE_LOGS, "*", "*.xml")))[:2]
+    logs = tmp_path / "logs"
+    for f in src_files:
+        d = logs / os.path.basename(os.path.dirname(f))
+        d.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f, d / os.path.basename(f))
+    out = str(tmp_path / "out")
+
+    q = run_etl_stream(spark, str(logs), out, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    q.stop()
+    time.sleep(0.2)
+
+    assert used and set(used) == {"_HadoopMetaFS"}, used
+    assert spark.read.parquet(f"{out}/games").count() == len(src_files)
+    # the commit marker landed through the Hadoop impl too
+    assert glob.glob(f"{out}/_batch_commits/*")
