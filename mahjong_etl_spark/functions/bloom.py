@@ -31,6 +31,8 @@ bit-for-bit on every executor with nothing seeded.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -105,24 +107,36 @@ def bloom_build(
     return merged
 
 
-# One broadcast per distinct bitmap per session: repeated bloom_prune
-# calls (bench re-times, interactive reuse) must not accumulate
-# never-destroyed broadcasts.  Keyed on content digest; replacing a
-# filter (new digest) destroys the previous broadcast eagerly.
-_BC_CACHE: dict = {}
+# One broadcast per distinct bitmap per application: repeated
+# bloom_prune calls (bench re-times, interactive reuse) must not
+# accumulate never-released broadcasts.  LRU-capped; eviction
+# UNPERSISTS (never destroy: a live lazy DataFrame may still hold an
+# evicted broadcast — unpersist only drops executor copies and the
+# next use lazily re-ships them, while destroy would fail that plan
+# outright).  Keyed on applicationId, which unlike id(sc) is never
+# reused after a context stops; releases on a stopped context are
+# best-effort.
+_BC_CACHE: OrderedDict = OrderedDict()
+_BC_CACHE_MAX = 8
 
 
 def _bitmap_broadcast(spark, bitmap: np.ndarray):
     import hashlib
 
-    key = (id(spark.sparkContext), hashlib.sha256(bitmap.tobytes()).hexdigest())
+    sc = spark.sparkContext
+    key = (sc.applicationId, hashlib.sha256(bitmap.tobytes()).hexdigest())
     hit = _BC_CACHE.get(key)
     if hit is not None:
+        _BC_CACHE.move_to_end(key)
         return hit
-    for old_key in [k for k in _BC_CACHE if k[0] == key[0]]:
-        _BC_CACHE.pop(old_key).destroy()
-    bc = spark.sparkContext.broadcast(bitmap)
+    bc = sc.broadcast(bitmap)
     _BC_CACHE[key] = bc
+    while len(_BC_CACHE) > _BC_CACHE_MAX:
+        _, old = _BC_CACHE.popitem(last=False)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass  # context already stopped; nothing to release
     return bc
 
 

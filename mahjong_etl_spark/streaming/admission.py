@@ -48,6 +48,13 @@ ingest with a few hundred sources is a few-hundred-key exchange.
 admission is a sequential fold per budget domain, so per-source
 ordering IS the semantics; shard the BUDGET, not the operator, if a
 source outgrows a task.)
+
+STATE FORMAT: v2 (n_accepted, tok_accepted, langs_json) — langs is a
+sorted JSON array, delimiter-proof for any lang value.  Not
+restart-compatible with a v1 (CSV-encoded) checkpoint; v1 never
+shipped outside the round that replaced it, so there is no migration
+path — restart such a stream from a fresh checkpoint and let the
+source replay.
 """
 
 from __future__ import annotations

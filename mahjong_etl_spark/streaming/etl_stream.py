@@ -56,6 +56,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import TABLE_SCHEMAS
+from ..sources.sync import _pyarrow_resolves
 from ..sources.tenhou_datasource import PARSED_TABLE, register_tenhou_source
 
 
@@ -164,36 +165,42 @@ class _HadoopMetaFS:
         return out
 
     def delete_file(self, path: str) -> None:
-        self._hfs.delete(self._p(path), False)
+        # raise on a false return like move(): a silently-surviving
+        # b{key}- leftover would duplicate rows on replay (the pyarrow
+        # impl raises too)
+        if not self._hfs.delete(self._p(path), False):
+            raise IOError(f"delete failed: {path}")
 
     def delete_dir(self, path: str) -> None:
-        self._hfs.delete(self._p(path), True)
+        if not self._hfs.delete(self._p(path), True):
+            raise IOError(f"delete failed: {path}")
 
     def move(self, src: str, dst: str) -> None:
         if not self._hfs.rename(self._p(src), self._p(dst)):
             raise IOError(f"rename failed: {src} -> {dst}")
 
 
-def _pyarrow_resolves(path: str) -> bool:
-    if "://" not in path:
-        return True
-    try:
-        import pyarrow.fs as pafs
-
-        pafs.FileSystem.from_uri(path)
-        return True
-    except Exception:
-        return False
-
-
 def _meta_fs(spark: SparkSession, path: str):
     """Metadata-FS for the publish/commit bookkeeping: pyarrow where
     it resolves the scheme, else the JVM Hadoop connector stack (s3a,
     abfss, ... — r7 review finding: the pyarrow-only path crashed at
-    startup on Hadoop-only schemes the old plain-append sink handled)."""
-    if _pyarrow_resolves(path):
-        return _PaMetaFS(path)
-    return _HadoopMetaFS(spark, path)
+    startup on Hadoop-only schemes the old plain-append sink handled).
+
+    The path is qualified through Hadoop FIRST (sync.py's discipline):
+    a bare path on a cluster with ``fs.defaultFS=hdfs://nn`` must do
+    its bookkeeping on HDFS — where Spark stages the parquet — not on
+    the driver's local disk (r7 review finding #2)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    hfs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    uri = hfs.makeQualified(jpath).toUri()
+    scheme, quri = uri.getScheme(), uri.toString()
+    # pyarrow's local root is the plain path (its from_uri accepts
+    # both, but downstream root arithmetic wants one canonical form)
+    pa_root = uri.getPath() if scheme in (None, "file") else quri
+    if _pyarrow_resolves(pa_root):
+        return _PaMetaFS(pa_root)
+    return _HadoopMetaFS(spark, quri)
 
 
 def _lineage_id(spark: SparkSession, checkpoint_dir: str) -> str:
@@ -212,19 +219,33 @@ def _lineage_id(spark: SparkSession, checkpoint_dir: str) -> str:
     fs = _meta_fs(spark, checkpoint_dir)
     path = f"{fs.root}/_etl_lineage"
     if fs.kind(path) == "file":
-        return fs.read_bytes(path).decode().strip()
+        lid = fs.read_bytes(path).decode().strip()
+        if not lid:
+            raise IOError(
+                f"corrupt (empty) lineage file {path}: refusing to run "
+                "with lineage '' — delete the file to re-mint"
+            )
+        return lid
     lid = uuid.uuid4().hex[:12]
     fs.mkdirs(fs.root)
-    fs.write_bytes(path, lid.encode())
+    # write-to-temp + move: the final name must never hold a torn
+    # write — an empty _etl_lineage read back as lineage '' would be
+    # shared by every crash-minted lineage, re-creating the silent
+    # marker collision the random id exists to prevent
+    tmp = f"{path}.tmp-{lid}"
+    fs.write_bytes(tmp, lid.encode())
+    fs.move(tmp, path)
     return lid
 
 
-def _publish_table(batch_df, t: str, out_dir: str, key: str) -> None:
+def _publish_table(batch_df, t: str, out_dir: str, key: str, fs) -> None:
     """Stage one table's batch output, then publish it idempotently:
     delete any ``b{key}-*`` leftovers from an interrupted attempt
     in the target partitions, then move the staged files in under that
     batch-keyed prefix.  Module-level (not a closure) so the
-    crash-replay test can inject faults at the table boundary."""
+    crash-replay test can inject faults at the table boundary; ``fs``
+    is the batch's shared metadata FS (constructing one per table
+    would re-run scheme resolution ~10x per batch on a remote store)."""
     staging = f"{out_dir}/_staging/batch-{key}/{t}"
     (
         batch_df.select("dt", F.explode(t).alias("r"))
@@ -233,7 +254,6 @@ def _publish_table(batch_df, t: str, out_dir: str, key: str) -> None:
         .partitionBy("dt")
         .parquet(staging)
     )
-    fs = _meta_fs(batch_df.sparkSession, out_dir)
     s_root = f"{fs.root}/_staging/batch-{key}/{t}"
     staged = [
         p
@@ -289,7 +309,7 @@ def run_etl_stream(
         batch_df = batch_df.persist()
         try:
             for t in TABLE_SCHEMAS:
-                _publish_table(batch_df, t, out_dir, key)
+                _publish_table(batch_df, t, out_dir, key, fs)
         finally:
             batch_df.unpersist()
         bdir = f"{fs.root}/_staging/batch-{key}"

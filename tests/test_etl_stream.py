@@ -30,7 +30,7 @@ def test_stream_etl_converges_to_batch_etl(spark, tmp_path):
 
     def drain():
         q = run_etl_stream(spark, str(logs), out, ckpt)
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not drain in time"
         q.stop()
         time.sleep(0.2)
 
@@ -74,9 +74,9 @@ def test_crash_mid_fanout_replays_without_duplicates(spark, tmp_path, monkeypatc
     real = es._publish_table
     calls = {"n": 0}
 
-    def flaky(batch_df, t, out_dir, key):
+    def flaky(batch_df, t, out_dir, key, fs):
         calls["n"] += 1
-        real(batch_df, t, out_dir, key)
+        real(batch_df, t, out_dir, key, fs)
         if calls["n"] == 5:
             # the 5th table's files ARE on disk; the marker is not —
             # the worst crash point: a half-published batch
@@ -95,7 +95,7 @@ def test_crash_mid_fanout_replays_without_duplicates(spark, tmp_path, monkeypatc
     # restart from the same checkpoint: batch 0 replays (its offsets
     # never committed), erases the five b0- publishes, redoes all nine
     q = run_etl_stream(spark, str(logs), out, ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in time"
     q.stop()
     time.sleep(0.2)
     assert calls["n"] == 14  # 5 crashed-attempt tables + 9 replayed
@@ -133,7 +133,7 @@ def test_replay_of_committed_batch_is_noop(spark, tmp_path, monkeypatch):
     out = str(tmp_path / "out_stream")
     ckpt = str(tmp_path / "ckpt")
     q = run_etl_stream(spark, str(logs), out, ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in time"
     q.stop()
     time.sleep(0.2)
     # crash AFTER the sink's marker, BEFORE the source offset commit
@@ -147,7 +147,7 @@ def test_replay_of_committed_batch_is_noop(spark, tmp_path, monkeypatch):
         es, "_publish_table", lambda *a: calls.append(a[1])
     )
     q = run_etl_stream(spark, str(logs), out, ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in time"
     q.stop()
     time.sleep(0.2)
     assert calls == []  # marker short-circuited the whole fan-out
@@ -170,7 +170,7 @@ def test_distinct_lineages_never_collide(spark, tmp_path):
     out = str(tmp_path / "out_stream")
     for ckpt in ("ckpt_a", "ckpt_b"):
         q = run_etl_stream(spark, str(logs), out, str(tmp_path / ckpt))
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not drain in time"
         q.stop()
         time.sleep(0.2)
     n = spark.read.parquet(f"{out}/games").count()
@@ -223,7 +223,7 @@ def test_checkpoint_wipe_reingests_instead_of_silent_skip(spark, tmp_path):
 
     def drain():
         q = run_etl_stream(spark, str(logs), out, ckpt)
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not drain in time"
         q.stop()
         time.sleep(0.2)
 
@@ -273,7 +273,7 @@ def test_hadoop_fallback_meta_fs_end_to_end(spark, tmp_path, monkeypatch):
     out = str(tmp_path / "out")
 
     q = run_etl_stream(spark, str(logs), out, str(tmp_path / "ckpt"))
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in time"
     q.stop()
     time.sleep(0.2)
 
