@@ -190,14 +190,20 @@ def _meta_fs(spark: SparkSession, path: str):
     a bare path on a cluster with ``fs.defaultFS=hdfs://nn`` must do
     its bookkeeping on HDFS — where Spark stages the parquet — not on
     the driver's local disk (r7 review finding #2)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    hfs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    uri = hfs.makeQualified(jpath).toUri()
-    scheme, quri = uri.getScheme(), uri.toString()
-    # pyarrow's local root is the plain path (its from_uri accepts
-    # both, but downstream root arithmetic wants one canonical form)
-    pa_root = uri.getPath() if scheme in (None, "file") else quri
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        hfs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        uri = hfs.makeQualified(jpath).toUri()
+        scheme, quri = uri.getScheme(), uri.toString()
+        # pyarrow's local root is the plain path (its from_uri accepts
+        # both, but downstream root arithmetic wants one canonical form)
+        pa_root = uri.getPath() if scheme in (None, "file") else quri
+    except Exception:
+        # a scheme Hadoop ships no connector for (s3:// or gs:// minus
+        # their jars) — pyarrow may still resolve it natively; only if
+        # BOTH fail does the _HadoopMetaFS constructor raise loudly
+        pa_root = quri = path
     if _pyarrow_resolves(pa_root):
         return _PaMetaFS(pa_root)
     return _HadoopMetaFS(spark, quri)
