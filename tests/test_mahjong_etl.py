@@ -196,16 +196,24 @@ def test_etl_compat_false_quirks_absent_in_written_parquet(spark, etl_out, tmp_p
         ) < 136, key
 
 
-def test_synthetic_corpus_matches_reference(spark, tmp_path):
+@pytest.mark.parametrize(
+    "seed,rare",
+    [(7, False), (11, True), (13, True)],
+    ids=["common", "rare-a", "rare-b"],
+)
+def test_synthetic_corpus_matches_reference(spark, tmp_path, seed, rare):
     """Fuzz parity: 25 generator games (melds, riichi, tsumogiri and
     from-hand discards, AGARI/RYUUKYOKU endings, owari) through the
     full ETL must match the reference parser row-for-row — the same
     contract as the hand-written fixtures, on two orders of magnitude
-    more variety."""
+    more variety.  The ``rare`` corpora additionally force the
+    reference's rare branches: sanma empty-hai3 skip and nuki-dora N
+    words, mid-game DORA reveals, mid-game UN re-joins (last name
+    wins), BYE disconnects (ignored), and double-ron kyokus."""
     from mahjong_etl_spark.sources.synth_games import generate_corpus
 
     src = str(tmp_path / "synth_src")
-    generate_corpus(src, n_games=25, seed=7, n_dates=2)
+    generate_corpus(src, n_games=25, seed=seed, n_dates=2, rare=rare)
     out = str(tmp_path / "synth_out")
     run_etl(spark, src, out)
 
