@@ -129,3 +129,32 @@ def test_positions_in_range_property(keys):
     pos = _make_positions(m_bits, k)(np.asarray(keys, dtype=np.int64))
     assert pos.shape == (len(keys), k)
     assert (pos < m_bits).all()
+
+
+def test_coexisting_filters_and_cache_eviction_keep_live_plans_valid(spark):
+    """Two pruned DataFrames over DIFFERENT bitmaps must both stay
+    collectable — including after the broadcast cache evicts their
+    entries (eviction unpersists, never destroys: a destroyed
+    broadcast fails any live plan still referencing it).  Also pins
+    the cache actually capping (r7 review findings on _BC_CACHE)."""
+    from mahjong_etl_spark.functions import bloom
+
+    df = spark.createDataFrame([(k,) for k in range(1000)], ["k"])
+    bm_even = bloom_build(df.where(F.col("k") % 2 == 0), "k")
+    bm_big = bloom_build(df.where(F.col("k") >= 500), "k")
+
+    pruned_even = bloom_prune(df, "k", bm_even)  # lazy — not collected yet
+    pruned_big = bloom_prune(df, "k", bm_big)
+
+    # churn the cache past its cap with distinct single-key bitmaps
+    for i in range(bloom._BC_CACHE_MAX + 2):
+        bm_i = bloom_build(df.where(F.col("k") == i), "k")
+        assert bloom_prune(df, "k", bm_i).count() >= 1
+    assert len(bloom._BC_CACHE) <= bloom._BC_CACHE_MAX
+
+    # the early plans (whose broadcasts were evicted) still execute
+    kept_even = {r.k for r in pruned_even.collect()}
+    kept_big = {r.k for r in pruned_big.collect()}
+    assert set(range(0, 1000, 2)) <= kept_even
+    assert set(range(500, 1000)) <= kept_big
+    assert all(k % 2 == 0 or k in kept_big for k in kept_even | kept_big)
