@@ -174,6 +174,25 @@ def table_df(parsed: DataFrame, offsets: DataFrame, table: str) -> DataFrame:
     return ex.select(F.col("dt"), *cols)
 
 
+def _drop_partitions(spark: SparkSession, table_dir: str, dts: list) -> None:
+    """Delete ``{table_dir}/dt={d}`` for each date — the complement of
+    dynamic partition overwrite, which replaces only partitions it
+    writes and so cannot RETIRE a partition a re-run emptied.  JVM
+    Hadoop FileSystem, so any cluster scheme works; a missing table or
+    partition is a no-op."""
+    if not dts:
+        return
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        return
+    for d in dts:
+        p = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/dt={d}")
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 def run_etl(
     spark: SparkSession,
     log_dir: str,
@@ -189,8 +208,10 @@ def run_etl(
     the written ``dt=`` partitions — history stays untouched, so the
     same invocation is both the backfill and the daily increment.
     """
+    prior_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     parsed = parse_logs(spark, log_dir, compat, date_prefix).persist()
+    offsets = None
     try:
         corrupt = parsed.where(F.col("error").isNotNull()).select(
             "dt", "game_id", "error"
@@ -202,8 +223,24 @@ def run_etl(
             corrupt.write.mode("overwrite").partitionBy("dt").parquet(
                 f"{out_dir}/_corrupt"
             )
+        # Dynamic overwrite only replaces partitions it WRITES: a
+        # re-run over a date whose corruption was since fixed writes
+        # no _corrupt/dt= dir, so the stale one would keep flagging a
+        # now-good game forever.  Drop stale _corrupt partitions for
+        # every processed date that produced no corrupt rows.
+        processed_dts = {r.dt for r in parsed.select("dt").distinct().collect()}
+        corrupt_dts = (
+            {r.dt for r in corrupt.select("dt").distinct().collect()}
+            if n_corrupt
+            else set()
+        )
+        _drop_partitions(
+            spark, f"{out_dir}/_corrupt", sorted(processed_dts - corrupt_dts)
+        )
         good = parsed.where(F.col("error").isNull())
-        offsets = _with_offsets(good)
+        # persisted: five kyoku-keyed table writes broadcast this —
+        # without the persist each job re-runs the window shuffle
+        offsets = _with_offsets(good).persist()
 
         def write_one(table: str) -> None:
             # agaris/nagares may be empty for a date — Spark simply
@@ -241,6 +278,29 @@ def run_etl(
                 for t in TABLE_SCHEMAS
             ]
         ).collect()[0]
+        # A re-run can also empty a previously-written (dt, table)
+        # partition (agaris/nagares with no such endings after a log
+        # fix): dynamic overwrite writes nothing there, so drop the
+        # stale dir explicitly.  One small aggregate over the cache.
+        per_dt = good.groupBy("dt").agg(
+            *[
+                F.coalesce(F.sum(F.size(t)), F.lit(0)).alias(t)
+                for t in TABLE_SCHEMAS
+            ]
+        ).collect()
+        for t in TABLE_SCHEMAS:
+            nonempty = {r.dt for r in per_dt if int(r[t]) > 0}
+            _drop_partitions(
+                spark, f"{out_dir}/{t}", sorted(processed_dts - nonempty)
+            )
         return {"_corrupt": n_corrupt, **{t: int(sizes[t]) for t in TABLE_SCHEMAS}}
     finally:
         parsed.unpersist()
+        if offsets is not None:
+            offsets.unpersist()
+        if prior_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prior_mode
+            )

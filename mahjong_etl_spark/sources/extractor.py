@@ -50,11 +50,14 @@ _DATE_RE = re.compile(r"(\d{8})")
 _HREF_RE = re.compile(r'href="([^"]+)"')
 
 
-def default_fetcher(url: str) -> bytes:
-    """stdlib HTTP GET — swap in anything with the same signature."""
+def default_fetcher(url: str, timeout: float = 30.0) -> bytes:
+    """stdlib HTTP GET — swap in anything with the same signature.
+    The timeout keeps one stalled connection from hanging the driver
+    ingest loop (or an executor task, which has no speculative retry
+    configured) forever."""
     from urllib.request import urlopen
 
-    with urlopen(url) as resp:  # noqa: S310 — host fixed by callers
+    with urlopen(url, timeout=timeout) as resp:  # noqa: S310 — host fixed by callers
         return resp.read()
 
 
@@ -167,8 +170,12 @@ def fetch_logs(
             if skip_existing and os.path.exists(path):
                 continue
             payload = fetcher(LOG_URL.format(log_id=log_id))
-            with open(path, "wb") as f:
+            # write-to-temp + rename: a crash mid-write must not leave
+            # a truncated .xml that skip_existing treats as done
+            tmp = f"{path}.inprogress-{os.getpid()}"
+            with open(tmp, "wb") as f:
                 f.write(payload)
+            os.replace(tmp, path)
             written += 1
     return written
 
@@ -179,6 +186,7 @@ def fetch_logs_distributed(
     out_dir: str,
     fetcher: Fetcher = default_fetcher,
     num_partitions: int = 8,
+    skip_existing: bool = True,
 ) -> int:
     """Distributed S4 for backfills: parallelize (date, log_id) pairs
     and fetch from executors via ``foreachPartition`` — one connection
@@ -187,7 +195,9 @@ def fetch_logs_distributed(
     this exists for backfill throughput against a mirror/bucket, not
     to hammer the origin).  ``out_dir`` must be writable from every
     executor (shared FS or object-store mount) — single-JVM local mode
-    trivially satisfies this.  Returns the number of files written.
+    trivially satisfies this.  ``skip_existing=False`` forces a
+    re-fetch (repair path, mirroring ``fetch_logs``).  Returns the
+    number of files written.
     """
     from ..shipping import ensure_shipped
 
@@ -198,23 +208,34 @@ def fetch_logs_distributed(
     sc = spark.sparkContext
     counts = (
         sc.parallelize(pairs, min(num_partitions, len(pairs)))
-        .mapPartitions(lambda it: [_fetch_partition(it, out_dir, fetcher)])
+        .mapPartitions(
+            lambda it: [_fetch_partition(it, out_dir, fetcher, skip_existing)]
+        )
         .sum()
     )
     return int(counts)
 
 
 def _fetch_partition(
-    pairs: Iterable[tuple[str, str]], out_dir: str, fetcher: Fetcher
+    pairs: Iterable[tuple[str, str]],
+    out_dir: str,
+    fetcher: Fetcher,
+    skip_existing: bool = True,
 ) -> int:
     written = 0
     for date, log_id in pairs:
         day_dir = os.path.join(out_dir, date)
         os.makedirs(day_dir, exist_ok=True)
         path = os.path.join(day_dir, f"{log_id}.xml")
-        if os.path.exists(path):
+        if skip_existing and os.path.exists(path):
             continue
-        with open(path, "wb") as f:
-            f.write(fetcher(LOG_URL.format(log_id=log_id)))
+        # fetch BEFORE creating the file, and publish via rename: a
+        # fetcher failure mid-task must not leave a truncated .xml
+        # that the exists-check would treat as done on task retry
+        payload = fetcher(LOG_URL.format(log_id=log_id))
+        tmp = f"{path}.inprogress-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
         written += 1
     return written

@@ -173,26 +173,26 @@ class TenhouReader(DataSourceReader):
 
     def read(self, partition: TenhouDatePartition):
         fs, _ = _fs_and_path(self.path)
-        offset = 0
-        for path in partition.prior_files:
-            n = _INIT_COUNT_CACHE.get(path)
-            if n is None:
-                with fs.open_input_stream(path) as f:
-                    n = _count_kyokus(f.read())
-                _INIT_COUNT_CACHE[path] = n
-            offset += n
+        offset = _prior_offset(
+            self, fs, partition.dt_raw, partition.prior_files
+        )
         yield from _read_files(
-            self, partition.dt_raw, sorted(partition.files), prior_offset=offset
+            self,
+            partition.dt_raw,
+            sorted(partition.files),
+            prior_offset=offset,
+            fs=fs,
         )
 
 
-def _read_files(b: TenhouReader, dt_raw, files, prior_offset: int):
+def _read_files(b: TenhouReader, dt_raw, files, prior_offset: int, fs=None):
     """Parse ``files`` (sorted (game_id, path)) of one date dir and
     yield output tuples for b.table — or whole-game _parsed rows —
     starting the kyoku-minting offset at ``prior_offset``."""
     from ..operators.mahjong_parse import parse_game
 
-    fs, _ = _fs_and_path(b.path)
+    if fs is None:
+        fs, _ = _fs_and_path(b.path)
     d = datetime.datetime.strptime(dt_raw, "%Y%m%d").date()
     dt_iso = d.isoformat()
     days = (d - _EPOCH).days
@@ -278,7 +278,7 @@ _INIT_RE = re.compile(rb"<INIT[ />]")
 # executor-side (worker-process) cache: path -> <INIT> count.  Safe
 # because landed log files are immutable; bounded by the watched
 # dates' file count; best-effort (a fresh worker re-scans once).
-_INIT_COUNT_CACHE: dict[str, int] = {}
+_INIT_COUNT_CACHE: dict = {}
 
 
 def _count_kyokus(content: bytes) -> int:
@@ -287,6 +287,43 @@ def _count_kyokus(content: bytes) -> int:
     so a byte scan reconstructs a file's contribution to the date's
     minting offset at listing cost, not parse cost."""
     return len(_INIT_RE.findall(content))
+
+
+def _prior_offset(b, fs, dt_raw: str, paths: list) -> int:
+    """Kyoku-minting offset contributed by a date's files preceding
+    this slice/batch — shared by the batch split path and the stream
+    reader (one copy: r7 review).  Under the default ``on_error=fail``
+    a corrupt prior file kills the job when ITS slice reads, so the
+    cheap <INIT> byte scan is exact for every job that completes.
+    Under ``skip`` a quarantined file contributes no rows AND no
+    offset, so the rebuild must match: each prior file is
+    parse-validated and an unparseable one counts 0 — otherwise every
+    id minted after it would shift vs the batch ETL (r7 review; the
+    old byte-scan-only rebuild had exactly that divergence).  Counts
+    are cached per (path, mode) in the reused Python worker — log
+    files are immutable once landed."""
+    skip_mode = b.on_error == "skip"
+    d = datetime.datetime.strptime(dt_raw, "%Y%m%d").date()
+    total = 0
+    for path in paths:
+        key = (path, skip_mode)
+        n = _INIT_COUNT_CACHE.get(key)
+        if n is None:
+            with fs.open_input_stream(path) as f:
+                content = f.read()
+            if skip_mode:
+                from ..operators.mahjong_parse import parse_game
+
+                try:
+                    parse_game(content, "offset-probe", d, compat=b.compat)
+                    n = _count_kyokus(content)
+                except Exception:
+                    n = 0  # quarantined: no rows, no offset
+            else:
+                n = _count_kyokus(content)
+            _INIT_COUNT_CACHE[key] = n
+        total += n
+    return total
 
 
 class TenhouStreamPartition(InputPartition):
@@ -323,10 +360,11 @@ class TenhouStreamReader(DataSourceStreamReader):
     consistent, but a batch re-run would renumber the date, so the
     batch ETL's dynamic-partition-overwrite backfill is the repair
     path for out-of-order days (streaming/etl_stream.py docstring).
-    With ``on_error=skip`` a corrupt PRIOR file whose bytes still
-    contain <INIT> tags would inflate the rebuilt offset relative to
-    the batch path (which excludes corrupt games) — the default
-    ``fail`` has no such divergence.
+    With ``on_error=skip`` prior files are parse-validated during the
+    rebuild (``_prior_offset``) so a quarantined file contributes no
+    offset — matching the batch path, which excludes corrupt games;
+    the default ``fail`` keeps the cheap byte scan (a corrupt file
+    kills the job before its offset could matter).
 
     Offset size is one entry per committed file, and each batch
     re-reads its date's committed files for the offset rebuild — both
@@ -343,6 +381,14 @@ class TenhouStreamReader(DataSourceStreamReader):
         try:
             parts = self._b.partitions()
         except FileNotFoundError:
+            import pyarrow.fs as pafs
+
+            fs, root = _fs_and_path(self._b.path)
+            if fs.get_file_info(root).type == pafs.FileType.NotFound:
+                # a missing ROOT is a typo'd log_dir, not a pending
+                # date — a silently forever-empty stream would hide it
+                # (r7 review); keep the batch reader's loud contract
+                raise
             # a watched date directory that has not arrived yet is a
             # NORMAL streaming state (batch keeps the loud-typo
             # contract; a stream waits for data instead of dying)
@@ -367,7 +413,14 @@ class TenhouStreamReader(DataSourceStreamReader):
         listing = self._listing()
         committed = {dt: set(ids) for dt, ids in start.get("dates", {}).items()}
         out = []
-        for dt, target_ids in end.get("dates", {}).items():
+        # union of START and END dates: a fully-committed date whose
+        # whole DIRECTORY vanished is absent from the current listing
+        # (and so from end) — iterating end alone would skip the
+        # vanish check for exactly the case where everything vanished
+        # (r7 review)
+        end_dates = end.get("dates", {})
+        for dt in sorted(set(end_dates) | set(committed)):
+            target_ids = end_dates.get(dt, [])
             done = committed.get(dt, set())
             files = listing.get(dt, {})
             # Every game id in the offset log (start OR end) refers to
@@ -400,21 +453,13 @@ class TenhouStreamReader(DataSourceStreamReader):
     def read(self, partition: TenhouStreamPartition):
         b = self._b
         fs, _ = _fs_and_path(b.path)
-        offset = 0
-        for path in partition.prior_files:
-            # log files are immutable once landed, so the byte-scan
-            # count is cached per path in the (reused) Python worker:
-            # steady-state micro-batches rebuild a date's offset from
-            # memory instead of re-reading every committed file's
-            # bytes each batch (cold workers re-read once)
-            n = _INIT_COUNT_CACHE.get(path)
-            if n is None:
-                with fs.open_input_stream(path) as f:
-                    n = _count_kyokus(f.read())
-                _INIT_COUNT_CACHE[path] = n
-            offset += n
+        offset = _prior_offset(b, fs, partition.dt_raw, partition.prior_files)
         yield from _read_files(
-            b, partition.dt_raw, sorted(partition.new_files), prior_offset=offset
+            b,
+            partition.dt_raw,
+            sorted(partition.new_files),
+            prior_offset=offset,
+            fs=fs,
         )
 
     def commit(self, end: dict) -> None:

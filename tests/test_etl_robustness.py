@@ -72,3 +72,30 @@ def test_etl_at_volume_unique_keys(spark, tmp_path):
     h = spark.read.parquet(f"{out}/haipais")
     joined = h.join(k, h.kyoku_id == k.id).count()
     assert joined == h.count()
+
+
+def test_fixed_log_rerun_retires_stale_corrupt_partition(spark, tmp_path):
+    """Dynamic partition overwrite only replaces partitions it writes:
+    once a bad log is FIXED, the incremental re-run emits no corrupt
+    rows for that date, so run_etl must explicitly drop the stale
+    _corrupt/dt= partition instead of leaving it to flag the now-good
+    game forever (r7 review finding)."""
+    logs = tmp_path / "logs"
+    shutil.copytree(FIXTURES, logs)
+    good = (logs / "20240102").glob("*.xml")
+    payload = next(iter(good)).read_bytes()
+    (logs / "20240102" / "flaky.xml").write_bytes(b"<mjloggm><UNCLOSED")
+
+    out = tmp_path / "out"
+    counts = run_etl(spark, str(logs), str(out))
+    assert counts["_corrupt"] == 1
+    assert glob.glob(f"{out}/_corrupt/dt=2024-01-02/*.parquet")
+
+    # operator repairs the log and re-runs just that date
+    (logs / "20240102" / "flaky.xml").write_bytes(payload)
+    counts2 = run_etl(spark, str(logs), str(out), date_prefix="20240102")
+    assert counts2["_corrupt"] == 0
+    assert not glob.glob(f"{out}/_corrupt/dt=2024-01-02/*.parquet")
+    # the repaired game's rows landed in the good tables
+    games = spark.read.parquet(f"{out}/games")
+    assert games.where(F.col("id") == "flaky").count() == 1

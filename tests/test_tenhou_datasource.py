@@ -261,3 +261,100 @@ def test_split_date_dir_minting_is_slice_invariant(spark, etl_root):
     )
     assert split.rdd.getNumPartitions() > whole.rdd.getNumPartitions()
     assert _canon(split) == _canon(whole)
+
+
+def test_stream_raises_on_vanished_whole_date_dir(spark, tmp_path):
+    """A fully-committed date whose whole DIRECTORY vanished is absent
+    from latestOffset, so iterating end-dates alone would silently
+    skip the vanish check for exactly the total-loss case; partitions()
+    must iterate the union of start and end dates (r7 review)."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from mahjong_etl_spark.sources.tenhou_datasource import (
+        TenhouReader,
+        TenhouStreamReader,
+    )
+
+    files = sorted(glob.glob(os.path.join(FIXTURE_LOGS, "*", "*.xml")),
+                   key=os.path.basename)
+    dt = "20240101"
+    logs = tmp_path / "logs"
+    (logs / dt).mkdir(parents=True)
+    shutil.copy(files[0], logs / dt / os.path.basename(files[0]))
+
+    r = TenhouStreamReader(TenhouReader({"path": str(logs)}, "games"))
+    committed = r.latestOffset()
+    shutil.rmtree(logs / dt)  # the entire committed date dir vanishes
+    end = r.latestOffset()
+    assert dt not in end["dates"]
+    with pytest.raises(RuntimeError, match="vanished"):
+        r.partitions(committed, end)
+
+
+def test_stream_raises_on_missing_root(spark, tmp_path):
+    """A typo'd log_dir must fail loudly, not run as a forever-empty
+    stream: only a watched DATE directory that has not arrived yet is
+    the normal wait state (r7 review)."""
+    import pytest
+
+    from mahjong_etl_spark.sources.tenhou_datasource import (
+        TenhouReader,
+        TenhouStreamReader,
+    )
+
+    r = TenhouStreamReader(
+        TenhouReader({"path": str(tmp_path / "lgos")}, "games")  # typo
+    )
+    with pytest.raises(FileNotFoundError):
+        r.latestOffset()
+
+
+def test_split_offset_rebuild_skips_corrupt_prior_file(spark, tmp_path):
+    """Under on_error=skip a corrupt file contributes NO rows and NO
+    offset — including when it lands in a PRIOR slice of a split date
+    dir, where the rebuild used to byte-count its <INIT> tags and
+    shift every id minted after it (r7 review).  The split read must
+    mint identically to the unsplit read of the same tree."""
+    import glob
+    import os
+    import shutil
+
+    register_tenhou_source(spark)  # independent of the etl_root fixture
+    files = sorted(glob.glob(os.path.join(FIXTURE_LOGS, "*", "*.xml")),
+                   key=os.path.basename)
+    dt = "20240101"
+    logs = tmp_path / "logs"
+    (logs / dt).mkdir(parents=True)
+    for f in files:
+        shutil.copy(f, logs / dt / os.path.basename(f))
+    # corrupt file sorting FIRST: it is a prior file for every later
+    # slice under split=1; its bytes still carry <INIT> tags
+    (logs / dt / "a0corrupt.xml").write_bytes(
+        b"<mjloggm><INIT seed/><INIT seed/><UNCLOSED"
+    )
+
+    def read(split):
+        return (
+            spark.read.format("tenhou")
+            .option("table", "kyokus")
+            .option("on_error", "skip")
+            .option("split", str(split))
+            .load(str(logs))
+        )
+
+    whole, split = read(256), read(1)
+    assert split.rdd.getNumPartitions() > 1
+    assert _canon(split) == _canon(whole)
+    # and the minted ids equal the batch ETL's over the same tree
+    from mahjong_etl_spark.plans.etl import run_etl
+
+    out = str(tmp_path / "out")
+    run_etl(spark, str(logs), out)
+    written = spark.read.parquet(f"{out}/kyokus").select(
+        *[f.name for f in whole.schema.fields]
+    )
+    assert _canon(whole) == _canon(written)
