@@ -104,16 +104,29 @@ def _parse_batches(compat: bool):
             for path_date, game_id, content in zip(
                 pdf["dt_raw"], pdf["game_id"], pdf["content"]
             ):
-                d = datetime.datetime.strptime(path_date, "%Y%m%d").date()
                 try:
-                    tables = parse_game(bytes(content), game_id, d, compat=compat)
-                    err = None
-                except Exception as e:  # noqa: BLE001 — quarantined, not swallowed
+                    d = datetime.datetime.strptime(path_date, "%Y%m%d").date()
+                    dt_iso, days = d.isoformat(), (d - _EPOCH).days
+                except ValueError as e:
+                    # 8-digit but INVALID date dir (month 13, day 32):
+                    # quarantine under the raw dir name instead of
+                    # failing the task — one bad directory must not
+                    # kill the job (or crash-loop the ingest stream,
+                    # which deterministically replays the same batch)
+                    dt_iso, days = path_date, 0
                     tables, err = empty, f"{type(e).__name__}: {e}"
+                else:
+                    try:
+                        tables = parse_game(
+                            bytes(content), game_id, d, compat=compat
+                        )
+                        err = None
+                    except Exception as e:  # noqa: BLE001 — quarantined, not swallowed
+                        tables, err = empty, f"{type(e).__name__}: {e}"
                 rows.append(
                     {
-                        "dt": d.isoformat(),
-                        "days": (d - _EPOCH).days,
+                        "dt": dt_iso,
+                        "days": days,
                         "game_id": game_id,
                         "n_kyokus": len(tables["kyokus"]),
                         "error": err,

@@ -38,6 +38,9 @@ def output_manifest(
     value recovered from the path."""
 
     def footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow.fs as pafs
         import pyarrow.parquet as pq
 
         for pdf in batches:
@@ -45,14 +48,26 @@ def output_manifest(
             for table, path, length in zip(
                 pdf["table"], pdf["path"], pdf["length"]
             ):
-                local = path.removeprefix("file:")
-                meta = pq.ParquetFile(local).metadata
+                # binaryFile's path is a PERCENT-ENCODED URI — decode
+                # it and open through the matching pyarrow filesystem,
+                # so remote schemes (s3://, hdfs://) and local paths
+                # with spaces both work (r7 review: the old
+                # removeprefix('file:') handled neither)
+                u = urlparse(path)
+                decoded = unquote(u.path)
+                if u.scheme in ("", "file"):
+                    src = decoded
+                    meta = pq.ParquetFile(src).metadata
+                else:
+                    fs, src = pafs.FileSystem.from_uri(unquote(path))
+                    with fs.open_input_file(src) as f:
+                        meta = pq.ParquetFile(f).metadata
                 dt = None
-                for part in local.split("/"):
+                for part in decoded.split("/"):
                     if part.startswith("dt="):
                         dt = part[3:]
                 rows.append(
-                    (table, local, dt, int(length), meta.num_rows,
+                    (table, src, dt, int(length), meta.num_rows,
                      meta.num_row_groups)
                 )
             yield pd.DataFrame(
@@ -61,6 +76,8 @@ def output_manifest(
                     "table", "file", "dt", "bytes", "n_rows", "n_row_groups"
                 ],
             )
+
+    from pyspark.errors import AnalysisException
 
     listings = None
     for t in tables:
@@ -72,8 +89,12 @@ def output_manifest(
                 .load(f"{out_dir}/{t}")
                 .select(F.lit(t).alias("table"), "path", "length")
             )
-        except Exception:
-            continue  # table wrote no files (empty agaris/nagares date)
+        except AnalysisException:
+            # table wrote no files (empty agaris/nagares date) — ONLY
+            # the missing-path analysis error is expected; permission
+            # or connector failures must surface, not read as "zero
+            # unaccounted files" (r7 review)
+            continue
         listings = one if listings is None else listings.unionByName(one)
     if listings is None:
         return spark.createDataFrame([], MANIFEST_SCHEMA)

@@ -162,7 +162,22 @@ def run_sync(
     delete: bool = False,
     dry_run: bool = False,
 ) -> dict:
-    """Execute (or just plan) a sync; returns a summary manifest."""
+    """Execute (or just plan) a sync; returns a summary manifest.
+
+    Before planning, orphaned ``*.inprogress`` temporaries in the
+    destination (left by a crashed earlier copy between write and
+    rename) are deleted — they are invisible to the incrementality
+    diff and would otherwise accumulate forever.  Safe because syncs
+    to one destination are single-writer (concurrent syncs already
+    race on the rename publish)."""
+    if not dry_run:
+        d_fs, d_root = _fs_and_path(spark, dst)
+        if d_fs.exists(d_root):
+            it = d_fs.listFiles(d_root, True)
+            while it.hasNext():
+                st = it.next()
+                if st.getPath().getName().endswith(".inprogress"):
+                    d_fs.delete(st.getPath(), False)
     actions = plan_sync(spark, src, dst, exclude=exclude, delete=delete)
     copies = [a for a in actions if a.op == "copy"]
     deletes = [a for a in actions if a.op == "delete"]

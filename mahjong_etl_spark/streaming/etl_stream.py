@@ -245,18 +245,30 @@ def _lineage_id(spark: SparkSession, checkpoint_dir: str) -> str:
 
 
 def _publish_table(batch_df, t: str, out_dir: str, key: str, fs) -> None:
-    """Stage one table's batch output, then publish it idempotently:
-    delete any ``b{key}-*`` leftovers from an interrupted attempt
-    in the target partitions, then move the staged files in under that
-    batch-keyed prefix.  Module-level (not a closure) so the
-    crash-replay test can inject faults at the table boundary; ``fs``
-    is the batch's shared metadata FS (constructing one per table
-    would re-run scheme resolution ~10x per batch on a remote store)."""
+    """Stage one table's batch output, then publish it idempotently.
+    Module-level (not a closure) so the crash-replay test can inject
+    faults at the table boundary; ``fs`` is the batch's shared
+    metadata FS (constructing one per table would re-run scheme
+    resolution ~10x per batch on a remote store)."""
+    _publish_table_df(
+        batch_df.select("dt", F.explode(t).alias("r")).select("dt", "r.*"),
+        t,
+        out_dir,
+        key,
+        fs,
+    )
+
+
+def _publish_table_df(df, t: str, out_dir: str, key: str, fs) -> None:
+    """Idempotent batch-keyed publish of one already-shaped table
+    DataFrame (must carry a ``dt`` column): stage under ``_staging/``,
+    delete any ``b{key}-*`` leftovers from an interrupted attempt in
+    the target partitions, then move the staged files in under that
+    batch-keyed prefix.  Shared by the tenhou streaming ETL (array
+    fan-out) and the binaryFile ingest stream (pre-exploded tables)."""
     staging = f"{out_dir}/_staging/batch-{key}/{t}"
     (
-        batch_df.select("dt", F.explode(t).alias("r"))
-        .select("dt", "r.*")
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .partitionBy("dt")
         .parquet(staging)
     )
@@ -281,6 +293,29 @@ def _publish_table(batch_df, t: str, out_dir: str, key: str, fs) -> None:
         d, base = rel.rsplit("/", 1)
         fs.move(p, f"{fs.root}/{t}/{d}/{prefix}{base}")
     fs.delete_dir(s_root)
+
+
+def publish_batch(spark, out_dir: str, key: str, table_dfs: dict) -> bool:
+    """Replay-idempotent publish of one micro-batch: the batch-keyed
+    staged publish of every table in ``table_dfs`` (name -> DataFrame
+    with a ``dt`` column) followed by the ``_batch_commits/{key}``
+    marker.  Returns False (a no-op) when the marker already exists —
+    the batch fully published before a crash.  This is the foreachBatch
+    sink discipline shared by run_etl_stream and streaming/ingest.py;
+    ``key`` must embed a per-checkpoint lineage id (``_lineage_id``)
+    so distinct checkpoints never collide on batch numbers."""
+    fs = _meta_fs(spark, out_dir)
+    marker = f"{fs.root}/_batch_commits/{key}"
+    if fs.kind(marker) is not None:
+        return False
+    for t, df in table_dfs.items():
+        _publish_table_df(df, t, out_dir, key, fs)
+    bdir = f"{fs.root}/_staging/batch-{key}"
+    if fs.kind(bdir) is not None:
+        fs.delete_dir(bdir)
+    fs.mkdirs(f"{fs.root}/_batch_commits")
+    fs.write_bytes(marker, b"")
+    return True
 
 
 def run_etl_stream(

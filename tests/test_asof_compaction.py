@@ -71,12 +71,12 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     )
     # fragment the partition into many small files
     df.repartition(16).write.partitionBy("dt").parquet(f"{root}/t")
-    before = partition_stats(root, "t")["2024-01-02"]
+    before = partition_stats(spark, root, "t")["2024-01-02"]
     assert before[0] == 16
 
     rewritten = compact_table(spark, root, "t", target_file_bytes=10**9)
     assert rewritten == {"2024-01-02": 1}
-    after = partition_stats(root, "t")["2024-01-02"]
+    after = partition_stats(spark, root, "t")["2024-01-02"]
     assert after[0] == 1
 
     back = spark.read.parquet(f"{root}/t")
@@ -127,3 +127,34 @@ def test_asof_join_forward_and_tolerance(spark):
     }
     assert back[(1, "v2")] == "r-near"
     assert back[(1, "v1")] == "r-past"  # 15 min back, in tolerance
+
+
+def test_compaction_skips_partition_with_inflight_streaming_batch(spark, tmp_path):
+    """A partition holding b{lineage}-{batch}- files whose commit
+    marker is absent belongs to an in-flight streaming publish: its
+    crash-replay erases by filename prefix, which compaction would
+    destroy — so the partition must be skipped until the marker lands
+    (r7 review)."""
+    import os
+
+    root = str(tmp_path)
+    df = spark.range(200).select(
+        F.lit("2024-01-02").alias("dt"), F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(8).write.partitionBy("dt").parquet(f"{root}/t")
+    pdir = f"{root}/t/dt=2024-01-02"
+    plain = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    # rename one file into the streaming-publish shape, NO marker
+    key = "abcdef012345-3"
+    os.rename(f"{pdir}/{plain[0]}", f"{pdir}/b{key}-{plain[0]}")
+
+    assert compact_table(spark, root, "t", target_file_bytes=10**9) == {}
+
+    # marker lands -> the batch is committed -> compaction proceeds
+    os.makedirs(f"{root}/_batch_commits", exist_ok=True)
+    open(f"{root}/_batch_commits/{key}", "w").close()
+    assert compact_table(spark, root, "t", target_file_bytes=10**9) == {
+        "2024-01-02": 1
+    }
+    back = spark.read.parquet(f"{root}/t")
+    assert back.count() == 200

@@ -99,3 +99,41 @@ def test_fixed_log_rerun_retires_stale_corrupt_partition(spark, tmp_path):
     # the repaired game's rows landed in the good tables
     games = spark.read.parquet(f"{out}/games")
     assert games.where(F.col("id") == "flaky").count() == 1
+
+
+def test_invalid_date_directory_quarantined_not_fatal(spark, tmp_path):
+    """An 8-digit but INVALID date dir (month 13) passes the listing
+    filter; its files must be quarantined under the raw dir name, not
+    crash the mapInPandas task (r7 review — for the ingest stream the
+    old behavior was a deterministic crash-loop)."""
+    logs = tmp_path / "logs"
+    shutil.copytree(FIXTURES, logs)
+    bad_dir = logs / "20241301"
+    bad_dir.mkdir()
+    shutil.copy(logs / "20240102" / "g1minimal.xml", bad_dir / "odd.xml")
+
+    out = tmp_path / "out"
+    counts = run_etl(spark, str(logs), str(out))
+    assert counts["games"] == 4  # good dates unaffected
+    assert counts["_corrupt"] == 1
+    bad = spark.read.parquet(f"{out}/_corrupt").collect()
+    assert len(bad) == 1 and bad[0].game_id == "odd"
+    assert "ValueError" in bad[0].error
+    # raw dir name as the partition (hive inference reads it as int)
+    assert str(bad[0].dt) == "20241301"
+
+
+def test_manifest_handles_percent_encoded_paths(spark, tmp_path):
+    """binaryFile's path column is a percent-encoded URI; the footer
+    reader must decode it, so an output root with a space still audits
+    (r7 review — removeprefix('file:') crashed on it)."""
+    from mahjong_etl_spark.plans.manifest import output_manifest
+
+    root = tmp_path / "out dir"  # space -> %20 in binaryFile paths
+    df = spark.range(10).select(
+        F.lit("2024-01-02").alias("dt"), F.col("id")
+    )
+    df.coalesce(1).write.partitionBy("dt").parquet(f"{root}/t")
+    m = output_manifest(spark, str(root), ["t", "missing_table"]).collect()
+    assert len(m) == 1
+    assert m[0].n_rows == 10 and m[0].dt == "2024-01-02"

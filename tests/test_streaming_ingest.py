@@ -72,3 +72,60 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     q.awaitTermination()
     texts = [r.text for r in spark.table(table).collect()]
     assert sorted(texts) == ["doc-a", "doc-b", "doc-c"]
+
+
+def test_ingest_crash_mid_publish_replays_without_duplicates(spark, tmp_path, monkeypatch):
+    """The binaryFile ingest shares the batch-keyed idempotent publish
+    with the tenhou streaming ETL (r7 review: it used plain appends,
+    so a crash-replayed micro-batch duplicated every table).  Crash
+    after the 5th table published, restart, and row counts must equal
+    a clean one-shot run."""
+    import pytest
+
+    import mahjong_etl_spark.streaming.etl_stream as es
+
+    logs = tmp_path / "logs"
+    shutil.copytree(FIXTURES, logs)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    real = es._publish_table_df
+    calls = {"n": 0}
+
+    def flaky(df, t, out_dir, key, fs):
+        calls["n"] += 1
+        real(df, t, out_dir, key, fs)
+        if calls["n"] == 5:
+            raise RuntimeError("injected crash between sink writes")
+
+    monkeypatch.setattr(es, "_publish_table_df", flaky)
+    q = start_ingest(spark, str(logs), out, ckpt, available_now=True)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    q.stop()
+    assert calls["n"] == 5
+
+    monkeypatch.setattr(es, "_publish_table_df", real)
+    q2 = start_ingest(spark, str(logs), out, ckpt, available_now=True)
+    q2.awaitTermination()
+    games = spark.read.parquet(f"{out}/games")
+    kyokus = spark.read.parquet(f"{out}/kyokus")
+    assert games.count() == 4  # zero duplicates across the replay
+    assert kyokus.select("id").distinct().count() == kyokus.count() == 5
+
+
+def test_ingest_quarantines_corrupt_files(spark, tmp_path):
+    """A malformed XML in the watched tree must land in {out}/_corrupt
+    with the batch pipeline's (dt, game_id, error) row — never vanish
+    (r7 review: the old filter silently dropped it)."""
+    logs = tmp_path / "logs"
+    shutil.copytree(FIXTURES, logs)
+    (logs / "20240102" / "broken.xml").write_bytes(b"<mjloggm><UNCLOSED")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = start_ingest(spark, str(logs), out, ckpt, available_now=True)
+    q.awaitTermination()
+
+    assert spark.read.parquet(f"{out}/games").count() == 4  # good ones intact
+    bad = spark.read.parquet(f"{out}/_corrupt").collect()
+    assert len(bad) == 1 and bad[0].game_id == "broken"
+    assert "ParseError" in bad[0].error

@@ -151,3 +151,18 @@ def test_same_size_rewrite_syncs_by_mtime(spark, tmp_path):
     s = run_sync(spark, src, dst)
     assert s["n_copied"] == 1
     assert _tree(dst)["a.log"] == b"BBBB"
+
+
+def test_orphaned_inprogress_temps_are_cleaned(spark, tmp_path):
+    """A crashed earlier copy can leave *.inprogress temporaries in
+    the destination between write and rename; they are invisible to
+    the incrementality diff, so run_sync must delete them up front
+    instead of letting them accumulate forever (r7 review)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _write(src, "a.log", b"AAAA")
+    _write(dst, "b.log.inprogress", b"partial")  # crashed-copy orphan
+    s = run_sync(spark, src, dst)
+    assert s["n_copied"] == 1
+    tree = _tree(dst)
+    assert tree["a.log"] == b"AAAA"
+    assert not any(k.endswith(".inprogress") for k in tree)
