@@ -111,6 +111,23 @@ def quantized_weights(w: np.ndarray) -> np.ndarray:
     return np.round(w * W_SCALE).astype(np.int64)
 
 
+def score_expr(w_quant: np.ndarray, x_scale: int) -> F.Column:
+    """THE exact-int scoring expression for quantized weights (bias
+    last) — single source for the batch evaluator below and the
+    streaming scorer (streaming/scoring.py), so the quantization
+    format can never drift between the offline evaluation and the
+    online deploy (r7 review).  Compiles into whole-stage codegen; no
+    Python on the scoring path."""
+    w_csv = ", ".join(str(int(v)) for v in w_quant[:-1])
+    bias = int(w_quant[-1]) * x_scale
+    return F.expr(
+        "aggregate(zip_with(embedding, "
+        f"array({w_csv}), "
+        f"(x, wi) -> CAST(round(x * {x_scale}) AS BIGINT) * CAST(wi AS BIGINT)), "
+        f"CAST({bias} AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
 # sf_dir -> (owning SparkSession, learned weights); one training per
 # session per corpus.  Holds the session and checks identity (see
 # bpe._BPE_CACHE for why id(spark) keys alone are unsafe).
@@ -195,15 +212,9 @@ def classifier_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d=64), identical in both engines; accuracy is ONE correctly-
     rounded double division of integers."""
     w = quantized_weights(corpus_classifier(spark, sf_dir))
-    w_csv = ", ".join(str(int(v)) for v in w[:-1])
-    bias = int(w[-1]) * X_SCALE
-    z = F.expr(
-        "aggregate(zip_with(embedding, "
-        f"array({w_csv}), "
-        f"(x, wi) -> CAST(round(x * {X_SCALE}) AS BIGINT) * CAST(wi AS BIGINT)), "
-        f"CAST({bias} AS BIGINT), (acc, v) -> acc + v)"
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "z_int", score_expr(w, X_SCALE)
     )
-    e = load(spark, sf_dir, "embeddings").withColumn("z_int", z)
     correct = (F.col("z_int") > 0) == (F.col("label") == 0)
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),

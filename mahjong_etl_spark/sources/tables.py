@@ -69,11 +69,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     256 ns ulp at 2024-epoch magnitudes and lands on the wrong
     microsecond for ~12% of rows.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """The nanos branch of the layout adaptation, shared with the
+    streaming reader (streaming/events.py::stream_events) so the
+    subtle integer-``div`` fix lives in exactly one place (r7 review):
+    a raw-Long (nanos) ``ts`` floor-truncates to microseconds with
+    integer division; any other layout passes through unchanged."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -77,12 +77,19 @@ def _anomaly_fn(
     # order by event time so the prequential scan is causally valid
     pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
     xm = pdf["xm"].to_numpy(dtype=np.int64)
-    sq = xm * xm
+    # EXACT integer space (Python ints via object dtype): xm*xm wraps
+    # silently past int64 in numpy (value >= ~3.04e6 after the milli
+    # scale), which would drive the variance negative -> NaN std ->
+    # the key never flags again, with no error (r7 review).  The
+    # group's micro-batch is small, so object math is not the
+    # bottleneck; only the carried state must fit int64 (below).
+    xm_obj = xm.astype(object)
+    sq = xm_obj * xm_obj
 
     # exclusive prefix sums = statistics of the events strictly before
     # each row (continuing from the carried state)
     np_ = n0 + np.arange(len(xm), dtype=np.int64)
-    sx = sx0 + np.concatenate(([0], np.cumsum(xm)[:-1]))
+    sx = sx0 + np.concatenate(([0], np.cumsum(xm_obj)[:-1]))
     sxx = sxx0 + np.concatenate(([0], np.cumsum(sq)[:-1]))
 
     npd = np_.astype(np.float64)
@@ -92,13 +99,23 @@ def _anomaly_fn(
             (npd * sxx.astype(np.float64) - sxd * sxd)
             / (npd * (np_ - 1).astype(np.float64))
         )
-        dev = (np_ * xm - sx).astype(np.float64)
+        dev = (np_.astype(object) * xm_obj - sx).astype(np.float64)
         flag = (np_ >= MIN_PREV) & (np.abs(dev) > Z_K * npd * std)
         z = dev / (npd * std)
 
-    state.update(
-        (int(n0 + len(xm)), int(sx0 + xm.sum()), int(sxx0 + sq.sum()))
+    new_state = (
+        int(n0 + len(xm)),
+        int(sx0 + sum(int(v) for v in xm)),
+        int(sxx0 + sum(int(v) for v in sq)),
     )
+    if not all(-(2**63) <= v < 2**63 for v in new_state):
+        # the carried state is LongType; overflowing it would corrupt
+        # every later batch.  The batch twin's ANSI BIGINT sum raises
+        # at the same magnitude — fail loudly, identically.
+        raise OverflowError(
+            f"anomaly state overflow for key {key}: {new_state}"
+        )
+    state.update(new_state)
     if not flag.any():
         return
     out = pdf.loc[flag, ["event_id"]].copy()

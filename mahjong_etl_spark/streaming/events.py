@@ -55,6 +55,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch footer read resolves the actual layout, and that schema is
     handed to the stream; the nanos→micros conversion only applies
     when the footer says nanos."""
+    from ..sources.tables import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     observed = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
@@ -62,11 +64,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(observed["ts"].dataType, LongType):
-        # Integer division, not `/ 1000`: double division has 256 ns
-        # ulp at 2024-epoch magnitudes → wrong microsecond.
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
+    # the nanos->micros integer-div fix is shared with load_events
+    raw = normalize_event_ts(raw)
+    if not isinstance(observed["ts"].dataType, LongType):
         # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_
         # TYPE on NTZ).  The session-tz interpretation round-trips back
         # to the same wall-clock via date_format, so hourly keys match
@@ -92,18 +92,24 @@ def hourly_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def run_hourly_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+def drain_available_now(df: DataFrame, mode: str | None = None) -> DataFrame:
+    """Drain ANY streaming DataFrame through Trigger.AvailableNow into
+    a uniquely-named memory sink and return the materialized table —
+    the one shared drain used by every streaming test surface (events,
+    joins, scoring; r7 review: four verbatim copies)."""
     table = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        hourly_counts(stream_events(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    w = df.writeStream.format("memory").queryName(table)
+    if mode is not None:
+        w = w.outputMode(mode)
+    q = w.trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.table(table)
+    return df.sparkSession.table(table)
+
+
+def run_hourly_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drain_available_now(
+        hourly_counts(stream_events(spark, sf_dir)), "complete"
+    )
 
 
 def sliding_counts(events: DataFrame) -> DataFrame:
@@ -148,14 +154,4 @@ def native_session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFra
 def run_stream_available_now(spark: SparkSession, sf_dir: str, fn) -> DataFrame:
     """Drive any of the windowed aggregations above over the file
     stream with an AvailableNow trigger into a memory sink."""
-    table = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        fn(stream_events(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(table)
+    return drain_available_now(fn(stream_events(spark, sf_dir)), "complete")

@@ -66,8 +66,12 @@ def read_operator_state(
 
 def open_sessions(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     """The sessionize stream's in-flight sessions, as analytics-ready
-    rows: user_id, first/last event time, event count, and current
-    idle gap — the live complement of the emitted (closed) sessions."""
+    rows: user_id, first/last event time, event count, and running
+    duration — the live complement of the emitted (closed) sessions.
+    (The current IDLE gap — last event to "now" — needs the stream's
+    watermark as the reference clock, which the state snapshot does
+    not carry; compute it downstream as ``watermark - last_event`` if
+    the query's progress metrics are at hand.)"""
     st = read_operator_state(spark, checkpoint_dir)
     return st.select(
         "user_id",

@@ -13,14 +13,17 @@ beyond per-stream aggregation:
   native stream-static join.
 
 - ``attribution_stream``: purchases joined to the most-recent-window
-  views of the same user — the STREAMING twin of the batch
-  ``events_attribution_window`` range join.  Both sides carry
-  event-time watermarks and the join condition bounds view_ts to a
-  30-minute look-back from the purchase, so Spark can expire buffered
-  rows: state is O(events within the watermark + range bound), not
-  O(stream history).  Without the time bound the state store would
-  grow forever — the bound is what makes this runnable on an unbounded
-  100 TB/day feed.
+  views of the same user — the streaming counterpart of the batch
+  ``events_attribution_window`` range join's SHAPE (its bounds differ:
+  this stream uses an INCLUSIVE ``lookback_minutes`` lower bound,
+  default 30 min, where the batch query uses a strict 1-hour one — the
+  parity test builds the batch plan with the stream's own bounds).
+  Both sides carry event-time watermarks and the join condition bounds
+  view_ts to the look-back from the purchase, so Spark can expire
+  buffered rows: state is O(events within the watermark + range
+  bound), not O(stream history).  Without the time bound the state
+  store would grow forever — the bound is what makes this runnable on
+  an unbounded 100 TB/day feed.
 
 Parity: ``tests/test_streaming.py`` drains both through
 Trigger.AvailableNow and compares against the equivalent batch plan
@@ -28,8 +31,6 @@ row-for-row.
 """
 
 from __future__ import annotations
-
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -123,16 +124,9 @@ def attribution_stream(
 
 
 def _drain(df: DataFrame, spark: SparkSession) -> DataFrame:
-    table = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(table)
+    from .events import drain_available_now
+
+    return drain_available_now(df, "append")
 
 
 def run_enrich_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:

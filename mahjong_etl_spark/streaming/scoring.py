@@ -19,24 +19,11 @@ stream-static profile join (streaming/joins.py).
 
 from __future__ import annotations
 
-import uuid
-
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-
-def score_expr(w_quant: np.ndarray, x_scale: int) -> F.Column:
-    """The exact-int scoring expression for quantized weights (bias
-    last) — identical arithmetic to classifier_train_eval's oracle."""
-    w_csv = ", ".join(str(int(v)) for v in w_quant[:-1])
-    bias = int(w_quant[-1]) * x_scale
-    return F.expr(
-        "aggregate(zip_with(embedding, "
-        f"array({w_csv}), "
-        f"(x, wi) -> CAST(round(x * {x_scale}) AS BIGINT) * CAST(wi AS BIGINT)), "
-        f"CAST({bias} AS BIGINT), (acc, v) -> acc + v)"
-    )
+# the ONE scoring expression, shared with the batch evaluator so the
+# online scores provably use the offline formula (r7 review)
+from ..operators.classifier import score_expr  # noqa: F401  (re-export)
 
 
 def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,13 +63,6 @@ def scored_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_scoring_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the scorer through Trigger.AvailableNow into a memory
     sink; returns the scored table."""
-    name = f"scored_{uuid.uuid4().hex[:8]}"
-    q = (
-        scored_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    from .events import drain_available_now
+
+    return drain_available_now(scored_stream(spark, sf_dir))

@@ -129,3 +129,88 @@ def test_ingest_quarantines_corrupt_files(spark, tmp_path):
     bad = spark.read.parquet(f"{out}/_corrupt").collect()
     assert len(bad) == 1 and bad[0].game_id == "broken"
     assert "ParseError" in bad[0].error
+
+
+def test_dedup_stream_null_shifted_payloads_stay_distinct(spark, tmp_path):
+    """concat_ws skips NULLs, so ("click", NULL) and (NULL, "click")
+    used to hash identically and one DISTINCT row was silently
+    dropped; the JSON-struct hash keeps them distinct (r7 review)."""
+    import datetime
+
+    src = tmp_path / "null_src"
+    rows = [
+        (1, "2024-01-01 10:00:00", "click", None),
+        (2, "2024-01-01 10:01:00", None, "click"),
+        (3, "2024-01-01 10:02:00", "a\x00", "b"),
+        (4, "2024-01-01 10:03:00", "a", "\x00b"),
+        (5, "2024-01-01 10:04:00", "a\x00", "b"),  # true duplicate of 3
+    ]
+    schema = "id long, ts timestamp, a string, b string"
+    spark.createDataFrame(
+        [(i, datetime.datetime.fromisoformat(t), x, y) for i, t, x, y in rows],
+        schema,
+    ).coalesce(1).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema).parquet(str(src))
+        .transform(lambda df: dedup_stream(df, ["a", "b"]))
+    )
+    name = f"null_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    kept = {r.id for r in spark.table(name).collect()}
+    assert kept == {1, 2, 3, 4}  # only the true duplicate dropped
+
+
+def test_anomaly_stream_extreme_values_exact_not_wrapped(spark, tmp_path):
+    """xm*xm past int64 used to WRAP in numpy: negative variance ->
+    NaN std (warning suppressed) -> the key silently never flags
+    again.  The exact-int rewrite keeps correct statistics while the
+    carried LongType state fits, and fails LOUDLY (like the batch
+    twin's ANSI sum) when it cannot (r7 review)."""
+    import datetime
+
+    import pytest
+
+    from mahjong_etl_spark.streaming.anomaly_stream import anomaly_stream
+
+    # 9 baseline events then one spike; value 2.5e6 -> xm=2.5e9,
+    # xm^2 = 6.25e18 (fits int64) but the OLD cumsum-after-wrap path
+    # is exercised by the second large value below
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 7, "click", 100.0 + i)
+        for i in range(9)
+    ] + [(9, base + datetime.timedelta(minutes=9), 7, "click", 2.5e6)]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = tmp_path / "anom_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    def drain(path):
+        name = f"anom_{uuid.uuid4().hex[:8]}"
+        q = (
+            anomaly_stream(spark.readStream.schema(schema).parquet(str(path)))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    flagged = drain(src).collect()
+    # the spike is flagged with a finite z (old code: wrapped stats
+    # could NaN out the flag)
+    assert [r.event_id for r in flagged] == [9]
+    assert flagged[0].z == flagged[0].z  # not NaN
+
+    # two such spikes overflow the carried int64 sum-of-squares state:
+    # the stream must fail loudly, not corrupt the statistics
+    rows2 = rows + [
+        (10, base + datetime.timedelta(minutes=10), 7, "click", 2.5e6)
+    ]
+    src2 = tmp_path / "anom_src2"
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(src2))
+    with pytest.raises(Exception, match="[Oo]verflow"):
+        drain(src2)
