@@ -44,6 +44,36 @@ CONTEXT_TOKENS = 2048
 VAL_HEX_CUTOFF = "1a"  # first 2 md5 hex chars < '1a' => ~10.2% val split
 
 
+def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """localCheckpoint (not persist) with its storage ids captured.
+
+    An iterative plan must TRUNCATE lineage each round — a persisted
+    DataFrame still carries the full logical plan, so Catalyst
+    re-analysis cost grows superlinearly with rounds and the driver,
+    not the executors, becomes the bottleneck.  localCheckpoint
+    materializes to executor storage and replaces the plan with a
+    leaf.  (Executor loss re-runs the job — at cluster scale use a
+    reliable checkpoint dir for long chains.)  The id diff identifies
+    the snapshot's storage so :func:`free_checkpoint` can release it
+    when superseded — there is no public DataFrame handle to a
+    localCheckpoint's blocks.  Shared by connected_components and the
+    BPE merge loop (r7 review: BPE pinned every round's snapshot)."""
+    spark = df.sparkSession
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    out = df.localCheckpoint(eager=True)
+    after = spark.sparkContext._jsc.getPersistentRDDs()
+    return out, set(after.keySet()) - before
+
+
+def free_checkpoint(spark: SparkSession, ids: set[int]) -> None:
+    """Release a superseded :func:`checkpoint_tracked` snapshot."""
+    live = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = live.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "doc_a",
@@ -79,28 +109,10 @@ def connected_components(
     spark = edges.sparkSession
 
     def checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
-        # localCheckpoint (not persist): an iterative plan must
-        # TRUNCATE lineage each round — a persisted DataFrame still
-        # carries the full logical plan, so Catalyst re-analysis cost
-        # grows superlinearly with rounds and the driver, not the
-        # executors, becomes the bottleneck.  localCheckpoint
-        # materializes to executor storage and replaces the plan with
-        # a leaf.  (Executor loss re-runs the job — at cluster scale
-        # use a reliable checkpoint dir for long chains.)  The id diff
-        # identifies the snapshot's storage so free() can release it
-        # when superseded — there is no public DataFrame handle to a
-        # localCheckpoint's blocks.
-        before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
-        out = df.localCheckpoint(eager=True)
-        after = spark.sparkContext._jsc.getPersistentRDDs()
-        return out, set(after.keySet()) - before
+        return checkpoint_tracked(df)
 
     def free(ids: set[int]) -> None:
-        live = spark.sparkContext._jsc.getPersistentRDDs()
-        for i in ids:
-            rdd = live.get(i)
-            if rdd is not None:
-                rdd.unpersist(False)
+        free_checkpoint(spark, ids)
 
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")

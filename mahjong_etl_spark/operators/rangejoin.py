@@ -54,7 +54,22 @@ def time_window_join(
     (keys..., bin) with the exact inequality as a residual filter.
     Column names of both inputs are preserved (prefix them before
     calling if they collide).
-    """
+
+    CONTRACT BY JOIN TYPE (r7 review): ``how="inner"`` returns exact
+    (left, right) pairs.  ``how="left"`` returns PER-PROBE rows — the
+    two-bin explode means an unmatched left row surfaces as TWO
+    all-null-right rows, and a left row whose matches all land in one
+    probed bin still emits a null row for the other — so outer results
+    MUST be consumed through null-tolerant aggregation keyed on the
+    left row (``count(right_col)`` / ``sum`` — see
+    events_attribution_window below), never as row-level pairs.
+    Collapsing the per-probe nulls generically would need a surrogate
+    left-row id, which is its own retry-safety trap for a utility
+    this low-level."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"time_window_join supports how='inner'|'left', got {how!r}"
+        )
     # Binning must be a pure shift-invariant function of the timestamp:
     # a DST-discontinuous mapping could tear two in-window rows more
     # than one bin apart and silently drop the pair.  For TIMESTAMP

@@ -107,6 +107,15 @@ SESSION_STATE = StructType(
 )
 
 
+def _dur_sec(start_us: int, last_us: int) -> float:
+    """Session duration rounded to ms EXACTLY like the batch twin's
+    F.round(..., 3) (HALF_UP): integer half-up on the micros delta,
+    then one division.  Python's round() is half-EVEN on the binary
+    double and emits 1.234 where Spark emits 1.235 for a session whose
+    length ends in 500 us (r7 review, verified divergence)."""
+    return ((last_us - start_us) + 500) // 1000 / 1000.0
+
+
 def _make_session_fn(event_time_timeout: bool):
     def _session_fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -119,7 +128,7 @@ def _make_session_fn(event_time_timeout: bool):
             start_us, last_us, n = state.get
             state.remove()
             yield pd.DataFrame(
-                [(user_id, n, round((last_us - start_us) / 1e6, 3))],
+                [(user_id, n, _dur_sec(start_us, last_us))],
                 columns=["user_id", "n_events", "duration_sec"],
             )
             return
@@ -139,13 +148,18 @@ def _make_session_fn(event_time_timeout: bool):
             for ts_us in all_ts.sort_values("ts_us")["ts_us"]:
                 ts_us = int(ts_us)
                 if last_us is not None and ts_us - last_us > GAP_SEC * 1_000_000:
-                    closed.append(
-                        (user_id, n, round((last_us - start_us) / 1e6, 3))
-                    )
+                    closed.append((user_id, n, _dur_sec(start_us, last_us)))
                     start_us, n = ts_us, 0
                 if start_us is None:
                     start_us = ts_us
-                last_us = ts_us
+                # A LATE event (watermark-allowed, earlier micro-batch
+                # already advanced the session) must not REWIND state:
+                # the session span only widens — min start, max last —
+                # and the gap test above runs against the running max,
+                # else a late arrival splits the session and a timeout
+                # could emit a negative duration (r7 review).
+                start_us = min(start_us, ts_us)
+                last_us = ts_us if last_us is None else max(last_us, ts_us)
                 n += 1
         state.update((start_us, last_us, n))
         if event_time_timeout and last_us is not None:

@@ -381,3 +381,72 @@ def test_state_store_introspection_sees_open_sessions(spark, sf_dir, tmp_path):
     for uid, row in live.items():
         assert row.n_events == final[uid].n_events
         assert round(row.duration_sec, 3) == final[uid].duration_sec
+
+
+def test_sessionize_stream_late_event_does_not_rewind_session(spark, tmp_path):
+    """A watermark-allowed LATE event from an earlier wall-clock
+    moment must only WIDEN the open session (min start / max last),
+    never rewind last_us — the old unconditional assignment split the
+    session on the next on-time event and could emit a negative
+    duration on timeout (r7 review).  Batch 1: user 1 at t0 and
+    t0+10min (the 10-min watermark delay still admits the late
+    event: after batch 1 the watermark is exactly t0).
+    Batch 2: a late event at t0+5min — inside the span.  Batch 3: an
+    event at t0+25min — 15 min after the TRUE max (no split), though
+    20 min after the late event.  One session of 4 events, 25 min."""
+    ensure_shipped(spark)
+    src = tmp_path / "late_src"
+    src.mkdir()
+    t0 = 1_700_000_000 * 1_000_000_000  # nanos
+    minute = 60 * 1_000_000_000
+
+    def write_file(name, rows, mtime):
+        pdf = [
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": uid,
+                "event_type": "view",
+                "value": 1.0,
+                "props": "{}",
+            }
+            for i, (uid, ts) in enumerate(rows)
+        ]
+        path = str(src / name)
+        spark.createDataFrame(pdf, schema=_EVENTS_RAW).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (mtime, mtime))
+
+    write_file("f1", [(1, t0), (1, t0 + 10 * minute)], mtime=1_000)
+    write_file("f2", [(1, t0 + 5 * minute)], mtime=2_000)  # late, in-span
+    write_file("f3", [(1, t0 + 25 * minute)], mtime=3_000)
+    # batch 4 far ahead: times out user 1's session (GAP=30 min)
+    write_file("f4", [(2, t0 + 300 * minute)], mtime=4_000)
+
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    table = f"sess_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(events, watermark_delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.n_events, r.duration_sec)
+        for r in spark.table(table).collect()
+    }
+    # ONE unsplit session for user 1: 4 events spanning 25 minutes.
+    # The old rewind produced a split (a 10-min session closed by f3).
+    assert (1, 4, 1500.0) in got, got
+    assert not any(u == 1 and n != 4 for (u, n, _) in got), got
