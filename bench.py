@@ -44,6 +44,13 @@ def main() -> None:
 
     spark.range(64).repartition(32).mapInPandas(_noop, "id long").collect()
 
+    # first local-rows -> Arrow conversion of the session costs ~0.4s
+    # (conversion-path init); warm it here so it doesn't land on the
+    # first result-shaping query (r8: it was the text_bpe_vocab "1s")
+    from mahjong_etl_spark.session import local_rows_df
+
+    local_rows_df(spark, [(0,)], "i int").collect()
+
     def run_one(name: str) -> float:
         t0 = time.perf_counter()
         reg[name].spark_fn(spark, sf_dir).collect()

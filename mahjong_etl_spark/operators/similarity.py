@@ -904,8 +904,10 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, (v, c) in enumerate(zip(top, cum))
     ]
-    return spark.createDataFrame(
-        rows, "component int, eigenvalue double, evr double, cum_evr double"
+    from ..session import local_rows_df
+
+    return local_rows_df(
+        spark, rows, "component int, eigenvalue double, evr double, cum_evr double"
     )
 
 

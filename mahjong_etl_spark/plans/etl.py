@@ -226,14 +226,36 @@ def run_etl(
     parsed = parse_logs(spark, log_dir, compat, date_prefix).persist()
     offsets = None
     try:
-        corrupt = parsed.where(F.col("error").isNotNull()).select(
-            "dt", "game_id", "error"
-        )
-        # write-if-nonempty, like the reference's conditional agaris/
-        # nagares files; counted first so operators can alert on it
-        n_corrupt = corrupt.count()
+        # ONE aggregate pass over the (cache-filling) parse answers
+        # every piece of driver bookkeeping this run needs — corrupt
+        # count, processed dates, corrupt dates, per-(dt, table) row
+        # counts, total row counts.  r7 computed these as five separate
+        # jobs (a count, two distinct().collect()s and two aggregates),
+        # ~4 extra driver round-trips a 1k-game micro-bench pays in
+        # full (the r7 mahjong_etl_1k 1.62->3.09 s regression).  The
+        # group-key cardinality is the number of distinct dates —
+        # driver-bounded at any scale.
+        per_dt = parsed.groupBy("dt").agg(
+            F.sum(
+                F.when(F.col("error").isNotNull(), 1).otherwise(0)
+            ).alias("_n_err"),
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("error").isNull(), F.size(t))),
+                    F.lit(0),
+                ).alias(t)
+                for t in TABLE_SCHEMAS
+            ],
+        ).collect()
+        n_corrupt = sum(int(r["_n_err"]) for r in per_dt)
+        processed_dts = {r.dt for r in per_dt}
+        corrupt_dts = {r.dt for r in per_dt if int(r["_n_err"])}
         if n_corrupt:
-            corrupt.write.mode("overwrite").partitionBy("dt").parquet(
+            # write-if-nonempty, like the reference's conditional
+            # agaris/nagares files
+            parsed.where(F.col("error").isNotNull()).select(
+                "dt", "game_id", "error"
+            ).write.mode("overwrite").partitionBy("dt").parquet(
                 f"{out_dir}/_corrupt"
             )
         # Dynamic overwrite only replaces partitions it WRITES: a
@@ -241,12 +263,8 @@ def run_etl(
         # no _corrupt/dt= dir, so the stale one would keep flagging a
         # now-good game forever.  Drop stale _corrupt partitions for
         # every processed date that produced no corrupt rows.
-        processed_dts = {r.dt for r in parsed.select("dt").distinct().collect()}
-        corrupt_dts = (
-            {r.dt for r in corrupt.select("dt").distinct().collect()}
-            if n_corrupt
-            else set()
-        )
+        # (_drop_partitions is a pure no-op on an empty list — the
+        # common fresh-ingest case pays zero filesystem round-trips.)
         _drop_partitions(
             spark, f"{out_dir}/_corrupt", sorted(processed_dts - corrupt_dts)
         )
@@ -283,30 +301,20 @@ def run_etl(
             for fut in futures.values():
                 fut.result()
 
-        # Row counts in ONE aggregate pass over the cached parse
-        # (array sizes) instead of nine read-back count jobs.
-        sizes = good.agg(
-            *[
-                F.coalesce(F.sum(F.size(t)), F.lit(0)).alias(t)
-                for t in TABLE_SCHEMAS
-            ]
-        ).collect()[0]
         # A re-run can also empty a previously-written (dt, table)
         # partition (agaris/nagares with no such endings after a log
         # fix): dynamic overwrite writes nothing there, so drop the
-        # stale dir explicitly.  One small aggregate over the cache.
-        per_dt = good.groupBy("dt").agg(
-            *[
-                F.coalesce(F.sum(F.size(t)), F.lit(0)).alias(t)
-                for t in TABLE_SCHEMAS
-            ]
-        ).collect()
+        # stale dir explicitly.  The per-(dt, table) row counts come
+        # from the single bookkeeping aggregate above — no read-back
+        # jobs — and _drop_partitions skips the filesystem entirely
+        # for tables with no retirement candidates.
         for t in TABLE_SCHEMAS:
             nonempty = {r.dt for r in per_dt if int(r[t]) > 0}
             _drop_partitions(
                 spark, f"{out_dir}/{t}", sorted(processed_dts - nonempty)
             )
-        return {"_corrupt": n_corrupt, **{t: int(sizes[t]) for t in TABLE_SCHEMAS}}
+        sizes = {t: sum(int(r[t]) for r in per_dt) for t in TABLE_SCHEMAS}
+        return {"_corrupt": n_corrupt, **sizes}
     finally:
         parsed.unpersist()
         if offsets is not None:

@@ -885,8 +885,10 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.user_id, r.exact, int(cms.estimateCount(jvm.java.lang.Long(str(r.user_id)))))
         for r in top
     ]
-    return spark.createDataFrame(
-        rows, "user_id long, exact long, cms_estimate long"
+    from ..session import local_rows_df
+
+    return local_rows_df(
+        spark, rows, "user_id long, exact long, cms_estimate long"
     )
 
 

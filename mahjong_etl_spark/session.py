@@ -26,6 +26,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def local_rows_df(spark: SparkSession, rows: list, schema: str):
+    """Small driver-local row list -> DataFrame via ONE Arrow batch.
+
+    ``spark.createDataFrame(list_of_tuples)`` takes the RDD-pickle
+    path: the rows are parallelized across defaultParallelism slices
+    (32 tasks for a 24-row table) through plain-pickle python workers
+    — ~0.3 s of pure scheduling per call plus a ~1.5 s once-per-
+    session serializer init (measured r8; it was the whole
+    `text_bpe_vocab` "regression" in BENCH r7).  One pandas DataFrame
+    keeps the transfer in a single Arrow batch on one partition —
+    ~0.05 s steady-state.  Only for driver-bounded result shaping
+    (merge tables, sketch summaries); real data never routes through
+    the driver."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema)
+    if not rows:
+        return spark.createDataFrame([], st)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=st.names), st
+    )
+
+
 def get_spark(app_name: str = "mahjong-etl-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     return (
