@@ -127,14 +127,23 @@ def main() -> None:
         )
 
         register_tenhou_source(spark)
-        t0 = time.perf_counter()
-        spark.read.format("tenhou").option("table", "actions").load(
-            log_dir
-        ).count()
-        # informational, like the reference baseline: kept OUT of the
-        # headline sum (it re-reads the same corpus the ETL already
-        # timed; adding it would double-count that work in `value`)
-        tenhou_source_sec = round(time.perf_counter() - t0, 3)
+        # Twice, keep min — the same steady-state policy as the ETL
+        # probe above: the first read through a Python DataSource pays
+        # a once-per-session worker/plan spin-up (~4s measured r8, the
+        # whole r7 2.88->6.13 "regression"); the second read is the
+        # per-corpus cost that scales.
+        tenhou_source_sec = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.read.format("tenhou").option("table", "actions").load(
+                log_dir
+            ).count()
+            # informational, like the reference baseline: kept OUT of
+            # the headline sum (it re-reads the same corpus the ETL
+            # already timed; adding it would double-count that work)
+            tenhou_source_sec = round(
+                min(tenhou_source_sec, time.perf_counter() - t0), 3
+            )
     finally:
         shutil.rmtree(etl_out, ignore_errors=True)
 

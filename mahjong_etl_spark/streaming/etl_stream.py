@@ -52,12 +52,43 @@ a key-minting property, not a delivery one.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import TABLE_SCHEMAS
 from ..sources.sync import _pyarrow_resolves
 from ..sources.tenhou_datasource import PARSED_TABLE, register_tenhou_source
+
+# Bounded concurrency for per-file metadata ops (delete/move) inside
+# one table's publish.  On an object store a "move" is a server-side
+# copy+delete round-trip per file; a serial loop makes the batch
+# latency floor = n_files x RTT (r7 verdict item 3).  Both pyarrow
+# filesystems and the JVM Hadoop FileSystem are thread-safe.
+_FILE_OP_WORKERS = 16
+
+
+def _par_files(fn, items) -> None:
+    """Run ``fn(item)`` over ``items`` concurrently (bounded pool),
+    propagating the first failure AFTER all complete — a torn publish
+    must never half-cancel: the replay erases by prefix either way."""
+    items = list(items)
+    if len(items) <= 1:
+        for it in items:
+            fn(it)
+        return
+    with ThreadPoolExecutor(
+        max_workers=min(_FILE_OP_WORKERS, len(items))
+    ) as pool:
+        errs = []
+        for f in [pool.submit(fn, it) for it in items]:
+            try:
+                f.result()
+            except Exception as e:  # gather: surface after the pool drains
+                errs.append(e)
+        if errs:
+            raise errs[0]
 
 
 class _PaMetaFS:
@@ -240,8 +271,35 @@ def _lineage_id(spark: SparkSession, checkpoint_dir: str) -> str:
     # marker collision the random id exists to prevent
     tmp = f"{path}.tmp-{lid}"
     fs.write_bytes(tmp, lid.encode())
-    fs.move(tmp, path)
-    return lid
+    try:
+        fs.move(tmp, path)
+    except Exception:
+        # two first-starts raced on the same fresh checkpoint and the
+        # other one's move won (Hadoop rename refuses an existing
+        # destination); adopt the winner below instead of proceeding
+        # with a local id the file never recorded (r7 advice: two ids
+        # in flight -> the loser's committed batches replay as
+        # duplicates under the survivor)
+        try:
+            fs.delete_file(tmp)
+        except Exception:
+            pass
+    # The FILE is the sole authority: re-read after the move so every
+    # process that observes this checkpoint — including a POSIX-rename
+    # loser whose own move silently overwrote the winner's id — returns
+    # the persisted value, not its locally minted one.  (On an
+    # overwriting-rename filesystem a read-then-overwrite interleaving
+    # is still conceivable; running two queries against ONE checkpoint
+    # is already forbidden by Structured Streaming itself — this
+    # re-read is defense-in-depth for the crashed-and-restarted-twice
+    # shape, not a license to share checkpoints.)
+    winner = fs.read_bytes(path).decode().strip()
+    if not winner:
+        raise IOError(
+            f"corrupt (empty) lineage file {path}: refusing to run "
+            "with lineage '' — delete the file to re-mint"
+        )
+    return winner
 
 
 def _publish_table(batch_df, t: str, out_dir: str, key: str, fs) -> None:
@@ -282,16 +340,27 @@ def _publish_table_df(df, t: str, out_dir: str, key: str, fs) -> None:
     # partition dirs this batch touches (replay touches the same set:
     # identical offsets -> identical rows -> identical dt values)
     dt_dirs = sorted({p[len(s_root) + 1:].rsplit("/", 1)[0] for p in staged})
+    leftovers: list[str] = []
     for d in dt_dirs:
         target_dir = f"{fs.root}/{t}/{d}"
         fs.mkdirs(target_dir)
-        for p in fs.list_files(target_dir):
-            if p.rsplit("/", 1)[1].startswith(prefix):
-                fs.delete_file(p)  # interrupted attempt's leftovers
-    for p in staged:
+        leftovers += [
+            p
+            for p in fs.list_files(target_dir)
+            if p.rsplit("/", 1)[1].startswith(prefix)
+        ]
+    # Two strictly ordered phases, each internally concurrent: ALL
+    # interrupted-attempt leftovers are erased before ANY staged file
+    # moves in (a replay re-stages the same file NAMES, so a delete
+    # racing its own re-publish on one path would un-publish it).
+    _par_files(fs.delete_file, leftovers)
+
+    def _mv(p: str) -> None:
         rel = p[len(s_root) + 1:]
         d, base = rel.rsplit("/", 1)
         fs.move(p, f"{fs.root}/{t}/{d}/{prefix}{base}")
+
+    _par_files(_mv, staged)
     fs.delete_dir(s_root)
 
 
@@ -308,8 +377,26 @@ def publish_batch(spark, out_dir: str, key: str, table_dfs: dict) -> bool:
     marker = f"{fs.root}/_batch_commits/{key}"
     if fs.kind(marker) is not None:
         return False
-    for t, df in table_dfs.items():
-        _publish_table_df(df, t, out_dir, key, fs)
+    # Publish the tables concurrently (same ThreadPool fanout as the
+    # batch ETL's nine sinks, plans/etl.py): each publish is an
+    # independent Spark write job + metadata moves; serial publishes
+    # paid n_tables job-latency floors per micro-batch (r7 verdict
+    # item 3).  The marker write stays strictly AFTER every table
+    # lands — a failure in any one withholds it, and the whole batch
+    # replays (erase-before-republish makes that idempotent).
+    with ThreadPoolExecutor(max_workers=max(1, len(table_dfs))) as pool:
+        futs = [
+            pool.submit(_publish_table_df, df, t, out_dir, key, fs)
+            for t, df in table_dfs.items()
+        ]
+        errs = []
+        for f in futs:
+            try:
+                f.result()
+            except Exception as e:
+                errs.append(e)
+        if errs:
+            raise errs[0]
     bdir = f"{fs.root}/_staging/batch-{key}"
     if fs.kind(bdir) is not None:
         fs.delete_dir(bdir)
@@ -348,9 +435,28 @@ def run_etl_stream(
         if fs.kind(marker) is not None:
             return  # fully published before a crash; replay is a no-op
         batch_df = batch_df.persist()
+        # materialize the cache ONCE before the concurrent fanout so
+        # the nine publish jobs don't race to fill it (the batch ETL's
+        # bookkeeping aggregate plays the same role, plans/etl.py)
+        batch_df.count()
         try:
-            for t in TABLE_SCHEMAS:
-                _publish_table(batch_df, t, out_dir, key, fs)
+            # concurrent per-table publishes; marker only after ALL
+            # land (same discipline as publish_batch above)
+            with ThreadPoolExecutor(max_workers=len(TABLE_SCHEMAS)) as pool:
+                futs = [
+                    pool.submit(
+                        _publish_table, batch_df, t, out_dir, key, fs
+                    )
+                    for t in TABLE_SCHEMAS
+                ]
+                errs = []
+                for fut in futs:
+                    try:
+                        fut.result()
+                    except Exception as e:
+                        errs.append(e)
+                if errs:
+                    raise errs[0]
         finally:
             batch_df.unpersist()
         bdir = f"{fs.root}/_staging/batch-{key}"

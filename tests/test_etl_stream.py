@@ -52,12 +52,16 @@ def test_stream_etl_converges_to_batch_etl(spark, tmp_path):
 
 
 def test_crash_mid_fanout_replays_without_duplicates(spark, tmp_path, monkeypatch):
-    """Effective exactly-once (r6 verdict item 4): kill the query
-    BETWEEN sink writes — after the 5th table's files are already
-    published — restart from the same checkpoint, and every one of the
-    nine tables must equal the batch ETL's output with ZERO duplicate
-    rows.  The replay must erase the interrupted attempt's published
-    files (batch-keyed b{id}- prefix) before republishing."""
+    """Effective exactly-once (r6 verdict item 4): fail ONE table's
+    publish while the other eight land (the fanout is concurrent since
+    r8, so "mid-fanout" means a partial publish set, not a call-order
+    prefix) — the marker must be withheld, and a restart from the same
+    checkpoint must leave every one of the nine tables equal to the
+    batch ETL's output with ZERO duplicate rows.  The replay must
+    erase the interrupted attempt's published files (batch-keyed
+    b{id}- prefix) before republishing."""
+    import threading
+
     import pytest
 
     import mahjong_etl_spark.streaming.etl_stream as es
@@ -72,15 +76,20 @@ def test_crash_mid_fanout_replays_without_duplicates(spark, tmp_path, monkeypatc
     ckpt = str(tmp_path / "ckpt")
 
     real = es._publish_table
-    calls = {"n": 0}
+    lock = threading.Lock()
+    calls = {"n": 0, "failed": False}
 
     def flaky(batch_df, t, out_dir, key, fs):
-        calls["n"] += 1
-        real(batch_df, t, out_dir, key, fs)
-        if calls["n"] == 5:
-            # the 5th table's files ARE on disk; the marker is not —
-            # the worst crash point: a half-published batch
+        with lock:
+            calls["n"] += 1
+            fail = t == "agaris" and not calls["failed"]
+            if fail:
+                calls["failed"] = True
+        if fail:
+            # this table's files never land; the other eight publish —
+            # the worst crash point: a half-published batch, no marker
             raise RuntimeError("injected crash between sink writes")
+        real(batch_df, t, out_dir, key, fs)
 
     monkeypatch.setattr(es, "_publish_table", flaky)
 
@@ -90,15 +99,18 @@ def test_crash_mid_fanout_replays_without_duplicates(spark, tmp_path, monkeypatc
         raise AssertionError("query did not fail")  # pragma: no cover
     q.stop()
     time.sleep(0.2)
-    assert calls["n"] == 5  # crashed exactly mid-fan-out
+    assert calls["n"] == 9  # all attempted; agaris failed, 8 published
+    assert not os.path.exists(f"{out}/_batch_commits") or not os.listdir(
+        f"{out}/_batch_commits"
+    )  # the marker was withheld
 
     # restart from the same checkpoint: batch 0 replays (its offsets
-    # never committed), erases the five b0- publishes, redoes all nine
+    # never committed), erases the eight b0- publishes, redoes all nine
     q = run_etl_stream(spark, str(logs), out, ckpt)
     assert q.awaitTermination(180), "stream did not drain in time"
     q.stop()
     time.sleep(0.2)
-    assert calls["n"] == 14  # 5 crashed-attempt tables + 9 replayed
+    assert calls["n"] == 18  # 9 crashed-attempt calls + 9 replayed
 
     from mahjong_etl_spark.plans.etl import run_etl
 

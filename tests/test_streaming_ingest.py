@@ -77,9 +77,12 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
 def test_ingest_crash_mid_publish_replays_without_duplicates(spark, tmp_path, monkeypatch):
     """The binaryFile ingest shares the batch-keyed idempotent publish
     with the tenhou streaming ETL (r7 review: it used plain appends,
-    so a crash-replayed micro-batch duplicated every table).  Crash
-    after the 5th table published, restart, and row counts must equal
-    a clean one-shot run."""
+    so a crash-replayed micro-batch duplicated every table).  Fail one
+    table's publish while the rest land (the fanout is concurrent
+    since r8), restart, and row counts must equal a clean one-shot
+    run."""
+    import threading
+
     import pytest
 
     import mahjong_etl_spark.streaming.etl_stream as es
@@ -89,20 +92,25 @@ def test_ingest_crash_mid_publish_replays_without_duplicates(spark, tmp_path, mo
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
 
     real = es._publish_table_df
-    calls = {"n": 0}
+    lock = threading.Lock()
+    calls = {"n": 0, "failed": False}
 
     def flaky(df, t, out_dir, key, fs):
-        calls["n"] += 1
-        real(df, t, out_dir, key, fs)
-        if calls["n"] == 5:
+        with lock:
+            calls["n"] += 1
+            fail = t == "kyokus" and not calls["failed"]
+            if fail:
+                calls["failed"] = True
+        if fail:
             raise RuntimeError("injected crash between sink writes")
+        real(df, t, out_dir, key, fs)
 
     monkeypatch.setattr(es, "_publish_table_df", flaky)
     q = start_ingest(spark, str(logs), out, ckpt, available_now=True)
     with pytest.raises(Exception, match="injected crash"):
         q.awaitTermination()
     q.stop()
-    assert calls["n"] == 5
+    assert calls["failed"] and calls["n"] >= 2  # partial publish, no marker
 
     monkeypatch.setattr(es, "_publish_table_df", real)
     q2 = start_ingest(spark, str(logs), out, ckpt, available_now=True)
