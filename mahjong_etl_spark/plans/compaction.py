@@ -9,31 +9,51 @@ thousands of small files per partition — each one a scan task, a
 name-node entry and a parquet footer fetch.
 
 ``compact_table`` rewrites each affected partition's files into
-``ceil(bytes / target_file_bytes)`` files via a per-partition-scoped
-read → coalesce-style repartition → dynamic-partition overwrite.
-Readers never notice: the directory contract (``table/dt=.../``) and
-the rows are unchanged, only file granularity changes.  Run it where
-the reference ran its daily rsync — after each ingest day closes.
+``ceil(bytes / target_file_bytes)`` files via a SNAPSHOT-FILE SWAP:
+read exactly the files listed, stage their compacted replacement,
+record a manifest, move the replacements in under a ``c{key}-``
+prefix, then delete exactly the listed originals.  Readers never
+notice: the directory contract (``table/dt=.../``) and the rows are
+unchanged, only file granularity changes.  Run it where the reference
+ran its daily rsync — after each ingest day closes.
 
-Streaming-safety: the streaming publishes are batch-keyed
-(``b{lineage}-{batch}-...`` names + a ``_batch_commits`` marker,
-streaming/etl_stream.py) and a crash-replay erases-by-prefix before
-republishing — folding an UNcommitted batch's files into anonymous
-part files would turn that replay into row duplication.  A partition
-holding batch-prefixed files whose commit marker is absent is
-therefore skipped (in-flight; the next run picks it up once the
-marker lands).  Listing goes through the JVM Hadoop FileSystem, so
-any cluster scheme (hdfs://, s3a://, ...) works — an os.listdir walk
-would silently no-op exactly where compaction matters most.
+Streaming-safety (r8 — closes the r7 TOCTOU): compaction only ever
+deletes the EXACT file set it read.  A streaming micro-batch that
+publishes new ``b{key}-`` files between the listing and the swap is
+untouched — its files are not in the snapshot, so nothing drops them
+(the old dynamic-partition-overwrite rewrite replaced the whole
+partition directory and silently destroyed any file that landed in
+between, with the already-present commit marker then blocking the
+stream from ever republishing them).  Additionally a partition
+holding batch-prefixed files whose commit marker is absent is skipped
+outright (in-flight; its crash-replay erases by prefix, which folding
+into anonymous files would break).  Committed batches never replay
+(marker short-circuit), so compacting their files is safe.
+
+Crash-safety: the swap is manifest-journaled (``{root}/_compaction/``)
+and ``repair_compaction`` — run automatically at the start of every
+``compact_table`` — rolls an interrupted swap forward (all
+replacements landed: finish deleting originals) or back (partial:
+delete the landed replacements, originals still intact).  No crash
+point loses or duplicates rows in the FINAL state; a reader that
+lists the partition mid-swap can transiently see both copies, the
+same class of anomaly as any non-atomic multi-file commit — the
+documented operating mode is after the partition's ingest closes.
+
+Listing and file ops go through the scheme-portable metadata FS of
+streaming/etl_stream.py (pyarrow where it resolves, JVM Hadoop
+connectors otherwise) — an os.listdir walk would silently no-op
+exactly where compaction matters most.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import re
+import uuid
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -96,6 +116,50 @@ def _uncommitted_batch_keys(
     }
 
 
+def repair_compaction(spark: SparkSession, root: str) -> dict[str, str]:
+    """Converge any interrupted snapshot-swaps recorded under
+    ``{root}/_compaction/``; returns {manifest_key: "forward"|"back"}.
+
+    Roll FORWARD when every replacement file already landed in the
+    partition (the crash hit during/after original-deletion): finish
+    deleting the originals listed in the manifest.  Roll BACK
+    otherwise (the crash hit mid-move): delete whichever replacements
+    landed — the originals are all still present, because originals
+    are only ever deleted after ALL replacements land.  Either way the
+    final state holds each row exactly once.  Idempotent; called
+    automatically by :func:`compact_table`."""
+    from ..streaming.etl_stream import _meta_fs, _par_files
+
+    fs = _meta_fs(spark, root)
+    mdir = f"{fs.root}/_compaction"
+    out: dict[str, str] = {}
+    for mpath in fs.list_files(mdir) if fs.kind(mdir) == "dir" else []:
+        key = mpath.rsplit("/", 1)[1]
+        m = json.loads(fs.read_bytes(mpath).decode())
+        pdir = f"{fs.root}/{m['table']}/dt={m['dt']}"
+        present = {
+            p.rsplit("/", 1)[1]
+            for p in (fs.list_files(pdir) if fs.kind(pdir) == "dir" else [])
+        }
+        if set(m["add"]) <= present:
+            out[key] = "forward"
+            _par_files(
+                fs.delete_file,
+                [f"{pdir}/{n}" for n in m["delete"] if n in present],
+            )
+        else:
+            out[key] = "back"
+            _par_files(
+                fs.delete_file,
+                [f"{pdir}/{n}" for n in m["add"] if n in present],
+            )
+        sdir = f"{fs.root}/_compact_staging/{key}"
+        if fs.kind(sdir) is not None:
+            fs.delete_dir(sdir)
+        fs.delete_file(mpath)
+    return out
+
+
 def compact_table(
     spark: SparkSession,
     root: str,
@@ -106,33 +170,58 @@ def compact_table(
     """Compact every partition with more part files than its data
     needs; returns {dt: files_after} for the rewritten partitions.
     Partitions holding an in-flight streaming batch's files are
-    skipped (see module docstring)."""
-    prior_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    skipped, and the swap touches ONLY the files listed in the
+    snapshot (see module docstring)."""
+    from ..streaming.etl_stream import _meta_fs, _par_files
+
+    repair_compaction(spark, root)  # converge any interrupted swap first
+    fs = _meta_fs(spark, root)
     rewritten: dict[str, int] = {}
-    try:
-        for dt, (n_files, total_bytes, names) in partition_stats(
-            spark, root, table
-        ).items():
-            want = max(1, math.ceil(total_bytes / target_file_bytes))
-            if n_files < min_files_to_compact or n_files <= want:
-                continue
-            if _uncommitted_batch_keys(spark, root, names):
-                continue  # in-flight streaming batch: its replay
-                # erases by filename prefix, which compaction destroys
-            part = spark.read.parquet(f"{root}/{table}").where(F.col("dt") == dt)
-            # repartition (not coalesce): coalesce would chain the
-            # upstream scan tasks together and can skew one output
-            # file huge
-            part.repartition(want).write.mode("overwrite").partitionBy(
-                "dt"
-            ).parquet(f"{root}/{table}")
-            rewritten[dt] = want
-        return rewritten
-    finally:
-        if prior_mode is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prior_mode
-            )
+    for dt, (n_files, total_bytes, names) in partition_stats(
+        spark, root, table
+    ).items():
+        want = max(1, math.ceil(total_bytes / target_file_bytes))
+        if n_files < min_files_to_compact or n_files <= want:
+            continue
+        if _uncommitted_batch_keys(spark, root, names):
+            continue  # in-flight streaming batch: its replay
+            # erases by filename prefix, which compaction destroys
+        key = uuid.uuid4().hex[:12]
+        pdir = f"{fs.root}/{table}/dt={dt}"
+        staging = f"{fs.root}/_compact_staging/{key}"
+        # read EXACTLY the snapshot files (not the directory): a file
+        # published concurrently is neither read nor, later, deleted.
+        # repartition (not coalesce): coalesce would chain the
+        # upstream scan tasks together and can skew one output file
+        # huge.
+        spark.read.parquet(
+            *[f"{root}/{table}/dt={dt}/{n}" for n in names]
+        ).repartition(want).write.mode("overwrite").parquet(staging)
+        staged = [
+            p
+            for p in fs.list_files(staging)
+            if not p.rsplit("/", 1)[1].startswith(("_", "."))
+        ]
+        adds = [f"c{key}-{p.rsplit('/', 1)[1]}" for p in staged]
+        # journal BEFORE any destination mutation: repair_compaction
+        # can then converge any crash point (module docstring)
+        fs.mkdirs(f"{fs.root}/_compaction")
+        fs.write_bytes(
+            f"{fs.root}/_compaction/{key}",
+            json.dumps(
+                {"table": table, "dt": dt, "delete": names, "add": adds}
+            ).encode(),
+        )
+        # strict phases: ALL replacements land, then originals go —
+        # a crash mid-way therefore never needs the staging dir to
+        # recover rows (roll back deletes landed adds; roll forward
+        # deletes leftover originals)
+        _par_files(
+            lambda pa: fs.move(pa[0], pa[1]),
+            [(p, f"{pdir}/{a}") for p, a in zip(staged, adds)],
+        )
+        _par_files(fs.delete_file, [f"{pdir}/{n}" for n in names])
+        fs.delete_dir(staging)
+        fs.delete_file(f"{fs.root}/_compaction/{key}")
+        rewritten[dt] = want
+    return rewritten

@@ -158,3 +158,143 @@ def test_compaction_skips_partition_with_inflight_streaming_batch(spark, tmp_pat
     }
     back = spark.read.parquet(f"{root}/t")
     assert back.count() == 200
+
+
+def test_compaction_never_drops_files_published_during_swap(spark, tmp_path, monkeypatch):
+    """The r7 TOCTOU (advice, medium): a streaming micro-batch that
+    publishes (and commits) between compaction's listing and its
+    rewrite must survive.  The snapshot-swap deletes ONLY the listed
+    files, so the late file rides through untouched."""
+    import os
+
+    import mahjong_etl_spark.plans.compaction as pc
+
+    root = str(tmp_path)
+    df = spark.range(100).select(
+        F.lit("2024-01-02").alias("dt"), F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(8).write.partitionBy("dt").parquet(f"{root}/t")
+    pdir = f"{root}/t/dt=2024-01-02"
+
+    # inject a committed streaming publish AFTER the listing happens
+    real_stats = pc.partition_stats
+    key = "0123456789ab-7"
+
+    def stats_then_publish(spark_, root_, table_):
+        out = real_stats(spark_, root_, table_)
+        late = spark.range(1000, 1010).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+        late.coalesce(1).write.mode("overwrite").parquet(f"{root}/_late")
+        src = [f for f in os.listdir(f"{root}/_late") if f.endswith(".parquet")][0]
+        os.rename(f"{root}/_late/{src}", f"{pdir}/b{key}-{src}")
+        os.makedirs(f"{root}/_batch_commits", exist_ok=True)
+        open(f"{root}/_batch_commits/{key}", "w").close()
+        return out
+
+    monkeypatch.setattr(pc, "partition_stats", stats_then_publish)
+    assert pc.compact_table(spark, root, "t", target_file_bytes=10**9) == {
+        "2024-01-02": 1
+    }
+    # the late-published file survived the swap, rows intact: 100 + 10
+    names = sorted(os.listdir(pdir))
+    assert any(n.startswith(f"b{key}-") for n in names), names
+    assert spark.read.parquet(f"{root}/t").count() == 110
+
+
+def _fragment(spark, root, n=200):
+    df = spark.range(n).select(
+        F.lit("2024-01-02").alias("dt"), F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(8).write.partitionBy("dt").parquet(f"{root}/t")
+
+
+def test_compaction_crash_mid_move_rolls_back(spark, tmp_path, monkeypatch):
+    """Crash while moving replacements in (before any original is
+    deleted): repair deletes the landed replacements; originals are
+    intact, row multiset unchanged, manifest cleared."""
+    import os
+
+    import pytest
+
+    import mahjong_etl_spark.plans.compaction as pc
+    import mahjong_etl_spark.streaming.etl_stream as es
+
+    root = str(tmp_path)
+    _fragment(spark, root)
+    pdir = f"{root}/t/dt=2024-01-02"
+    before = sorted(os.listdir(pdir))
+    # force want=2 replacements so landing ONE is a partial move
+    total = pc.partition_stats(spark, root, "t")["2024-01-02"][1]
+    target = (total + 1) // 2
+
+    calls = {"n": 0}
+    real_par = es._par_files
+
+    def crash_in_moves(fn, items):
+        items = list(items)
+        if items and isinstance(items[0], tuple):  # the move phase
+            calls["n"] += 1
+            fn(items[0])  # land exactly ONE replacement, then die
+            raise RuntimeError("injected crash mid-move")
+        return real_par(fn, items)
+
+    monkeypatch.setattr(pc, "_par_files", crash_in_moves, raising=False)
+    # compact_table resolves _par_files via its local import from
+    # etl_stream; patch there instead
+    monkeypatch.setattr(es, "_par_files", crash_in_moves)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pc.compact_table(spark, root, "t", target_file_bytes=target)
+    assert calls["n"] == 1
+    # ONE of two c{key}- replacements landed next to all 8 originals
+    mid = sorted(os.listdir(pdir))
+    assert len([n for n in mid if n.startswith("c")]) == 1
+    assert set(before) <= set(mid)
+
+    monkeypatch.setattr(es, "_par_files", real_par)
+    fixed = pc.repair_compaction(spark, root)
+    assert list(fixed.values()) == ["back"]
+    after = sorted(os.listdir(pdir))
+    assert after == before  # exact original snapshot restored
+    assert spark.read.parquet(f"{root}/t").count() == 200
+    assert pc.repair_compaction(spark, root) == {}  # idempotent
+
+
+def test_compaction_crash_mid_delete_rolls_forward(spark, tmp_path, monkeypatch):
+    """Crash while deleting originals (all replacements landed):
+    repair finishes the deletion — compacted state, no duplicates."""
+    import os
+
+    import pytest
+
+    import mahjong_etl_spark.plans.compaction as pc
+    import mahjong_etl_spark.streaming.etl_stream as es
+
+    root = str(tmp_path)
+    _fragment(spark, root)
+    pdir = f"{root}/t/dt=2024-01-02"
+
+    real_par = es._par_files
+
+    def crash_in_deletes(fn, items):
+        items = list(items)
+        if items and not isinstance(items[0], tuple) and "/dt=" in str(items[0]):
+            fn(items[0])  # delete exactly ONE original, then die
+            raise RuntimeError("injected crash mid-delete")
+        return real_par(fn, items)
+
+    monkeypatch.setattr(es, "_par_files", crash_in_deletes)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pc.compact_table(spark, root, "t", target_file_bytes=10**9)
+    # both copies transiently on disk: 1 replacement + 7 originals
+    mid = os.listdir(pdir)
+    assert len([n for n in mid if n.startswith("c")]) == 1
+    assert len([n for n in mid if n.startswith("part-")]) == 7
+
+    monkeypatch.setattr(es, "_par_files", real_par)
+    fixed = pc.repair_compaction(spark, root)
+    assert list(fixed.values()) == ["forward"]
+    after = [n for n in os.listdir(pdir) if n.endswith(".parquet")]
+    assert len(after) == 1 and after[0].startswith("c")
+    assert spark.read.parquet(f"{root}/t").count() == 200
+    assert spark.read.parquet(f"{root}/t").select("id").distinct().count() == 200
