@@ -144,23 +144,39 @@ def _make_session_fn(event_time_timeout: bool):
         # order (spurious session splits / wrong durations).
         chunks = [p for p in pdfs if len(p)]
         if chunks:
+            # 1-D single-linkage merge of the batch's sorted events
+            # with the OPEN session treated as one interval element
+            # (r8, replaces the r7 min/max widening).  Invariant: the
+            # open interval's internal gaps are all <= GAP (anything
+            # larger split it when processed), so an event within
+            # [start-GAP, last+GAP] merges exactly as the batch twin
+            # would, while a watermark-allowed LATE event more than
+            # GAP before the open session's start now closes as its
+            # own earlier session — the batch twin's answer — instead
+            # of being silently widened into the current one (r7
+            # advice).  Residual stream-vs-batch divergence: a late
+            # event landing within GAP of a session that ALREADY
+            # emitted cannot retract it (append mode); the batch
+            # backfill is the repair path, as for kyoku-id minting.
+            elems: list[list] = (
+                [[start_us, last_us, n]] if last_us is not None else []
+            )
             all_ts = pd.concat(chunks)
-            for ts_us in all_ts.sort_values("ts_us")["ts_us"]:
-                ts_us = int(ts_us)
-                if last_us is not None and ts_us - last_us > GAP_SEC * 1_000_000:
-                    closed.append((user_id, n, _dur_sec(start_us, last_us)))
-                    start_us, n = ts_us, 0
-                if start_us is None:
-                    start_us = ts_us
-                # A LATE event (watermark-allowed, earlier micro-batch
-                # already advanced the session) must not REWIND state:
-                # the session span only widens — min start, max last —
-                # and the gap test above runs against the running max,
-                # else a late arrival splits the session and a timeout
-                # could emit a negative duration (r7 review).
-                start_us = min(start_us, ts_us)
-                last_us = ts_us if last_us is None else max(last_us, ts_us)
-                n += 1
+            elems += [
+                [int(t), int(t), 1]
+                for t in all_ts.sort_values("ts_us")["ts_us"]
+            ]
+            elems.sort(key=lambda e: (e[0], e[1]))
+            cur = elems[0]
+            for lo, hi, cnt in elems[1:]:
+                if lo - cur[1] <= GAP_SEC * 1_000_000:
+                    cur[1] = max(cur[1], hi)
+                    cur[2] += cnt
+                else:
+                    # the NEXT element is > GAP later: cur is final
+                    closed.append((user_id, cur[2], _dur_sec(cur[0], cur[1])))
+                    cur = [lo, hi, cnt]
+            start_us, last_us, n = cur
         state.update((start_us, last_us, n))
         if event_time_timeout and last_us is not None:
             # Fire when the watermark passes the gap horizon.  Spark

@@ -160,7 +160,17 @@ def _admit_group(
     out, n_acc, tok_acc = _fold_batch(
         key[0], batch, n_acc, tok_acc, langs, lambda _lang: None
     )
-    state.update((n_acc, tok_acc, json.dumps(sorted(langs))))
+    # None-safe sort: a nullable lang column puts None in the set, and
+    # sorted() on a mixed None/str set raises TypeError on the
+    # executor — the fold itself and the TWS wiring both tolerate
+    # None, so the three row-identical surfaces must too (r7 advice)
+    state.update(
+        (
+            n_acc,
+            tok_acc,
+            json.dumps(sorted(langs, key=lambda v: (v is None, v or ""))),
+        )
+    )
     yield out
 
 

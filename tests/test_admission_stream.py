@@ -54,11 +54,13 @@ def _mk_rows():
                     doc_id,
                     1_000 * (t_i + 1) + s_i,  # per-source increasing ts
                     source,
-                    # '' and an embedded comma are the lang values that
-                    # would corrupt a delimiter-joined state encoding —
-                    # kept pathological on purpose (regression: the
-                    # langs set is JSON-encoded in GroupState)
-                    ("en", "", "pt,BR")[(doc_id * 7) % 3],
+                    # '', an embedded comma and None are the lang
+                    # values that would corrupt a delimiter-joined
+                    # state encoding or crash a plain sorted() —
+                    # kept pathological on purpose (regressions: the
+                    # langs set is JSON-encoded in GroupState, and its
+                    # sort key must be None-safe, r7 advice)
+                    ("en", "", None, "pt,BR")[(doc_id * 7) % 4],
                     tok + s_i,  # break symmetry between sources
                 )
             )

@@ -450,3 +450,75 @@ def test_sessionize_stream_late_event_does_not_rewind_session(spark, tmp_path):
     # The old rewind produced a split (a 10-min session closed by f3).
     assert (1, 4, 1500.0) in got, got
     assert not any(u == 1 and n != 4 for (u, n, _) in got), got
+
+
+def test_sessionize_stream_disjoint_late_event_splits_as_batch_would(spark, tmp_path):
+    """A watermark-allowed late event more than GAP BEFORE the open
+    session's start must close as its OWN earlier session — the batch
+    twin's answer — instead of being silently widened into the current
+    one (r7 advice; fixed by the r8 interval-merge scan).  User 1's
+    open session starts at t0+40min; a late event at t0 (40 min
+    earlier, GAP=30 min) arrives in batch 2 while the watermark
+    (t0+30min) still admits it.  Expected: a singleton session at t0
+    (duration 0) AND the on-time session intact."""
+    ensure_shipped(spark)
+    src = tmp_path / "late_split_src"
+    src.mkdir()
+    t0 = 1_700_000_000 * 1_000_000_000  # nanos
+    minute = 60 * 1_000_000_000
+
+    def write_file(name, rows, mtime):
+        pdf = [
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": uid,
+                "event_type": "view",
+                "value": 1.0,
+                "props": "{}",
+            }
+            for i, (uid, ts) in enumerate(rows)
+        ]
+        path = str(src / name)
+        spark.createDataFrame(pdf, schema=_EVENTS_RAW).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (mtime, mtime))
+
+    # batch 1: on-time events at t0+40 and t0+42 -> watermark t0+32min
+    write_file("f1", [(1, t0 + 40 * minute), (1, t0 + 42 * minute)], mtime=1_000)
+    # batch 2: late event at t0+33min — 7 min inside the open session's
+    # start-GAP horizon: merges (gap 7min <= 30min), batch-identical
+    write_file("f2", [(1, t0 + 33 * minute)], mtime=2_000)
+    # batch 3: late event at t0 — 33 min before the (widened) session
+    # start: > GAP, so the batch twin makes it a singleton session
+    write_file("f3", [(1, t0 + 0 * minute)], mtime=3_000)
+    # batch 4 far ahead: times out user 1's open session
+    write_file("f4", [(2, t0 + 600 * minute)], mtime=4_000)
+
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    table = f"sess_split_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(events, watermark_delay="60 minutes")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.n_events, r.duration_sec)
+        for r in spark.table(table).collect()
+    }
+    # singleton late session at t0, then the 3-event on-time session
+    # (t0+33 .. t0+42 = 9 min) closed by the timeout
+    assert (1, 1, 0.0) in got, got
+    assert (1, 3, 540.0) in got, got
