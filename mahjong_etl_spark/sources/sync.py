@@ -258,7 +258,16 @@ def run_sync(
                 spark.sparkContext.parallelize(rels, par).mapPartitions(
                     lambda it: _copy_remote_batch(list(it))
                 ).collect()
-            else:  # pragma: no cover - Hadoop-only connector (s3a etc.)
+            else:
+                # Hadoop-only connector (s3a://, abfss:// without a
+                # pyarrow resolver): driver-side FileUtil loop — the
+                # unresolvable-connector fallback, not the data path.
+                # Same write-to-temp + rename publish discipline as
+                # the distributed branches: the final name never holds
+                # a partial copy, and the orphan sweep at the top of
+                # run_sync reaps .inprogress leftovers of a crash
+                # (r7 verdict item 7; branch pinned by
+                # tests/test_sync.py::test_hadoop_fallback_copy_branch).
                 jvm = spark.sparkContext._jvm
                 jconf = spark.sparkContext._jsc.hadoopConfiguration()
                 s_fs, s_root = _fs_and_path(spark, src)
@@ -266,10 +275,20 @@ def run_sync(
                 for a in copies:
                     sp = jvm.org.apache.hadoop.fs.Path(s_root, a.rel)
                     dp = jvm.org.apache.hadoop.fs.Path(d_root, a.rel)
+                    tmp = jvm.org.apache.hadoop.fs.Path(
+                        d_root, a.rel + ".inprogress"
+                    )
                     d_fs.mkdirs(dp.getParent())
                     jvm.org.apache.hadoop.fs.FileUtil.copy(
-                        s_fs, sp, d_fs, dp, False, True, jconf
+                        s_fs, sp, d_fs, tmp, False, True, jconf
                     )
+                    # Hadoop rename refuses an existing destination:
+                    # clear a stale copy of the file first (the diff
+                    # only lists files whose content must change)
+                    if d_fs.exists(dp):
+                        d_fs.delete(dp, False)
+                    if not d_fs.rename(tmp, dp):
+                        raise IOError(f"rename failed: {tmp} -> {dp}")
     if deletes:
         d_fs, d_root = _fs_and_path(spark, dst)
         jvm = spark.sparkContext._jvm
