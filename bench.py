@@ -216,41 +216,43 @@ def main() -> None:
     # The driver captures only the LAST ~2000 chars of stdout and
     # json-parses the final line (BENCH_r04 was `parsed: null` because
     # the per-query dict outgrew that window).  The full name->time
-    # map can NEVER fit that window again (141+ names alone are ~3 kB;
+    # map can NEVER fit that window (155+ names alone are ~3 kB;
     # zlib+base64 of the map measures 2.3 kB), so the compact line
     # carries the COMPLETE per-query timing vector in a form that does
-    # fit (r6 verdict item 6):
+    # fit (r6 item 6 + r7 item 5):
     #   qvals       every per-query time, 2dp, in sorted(name) order
-    #   qnames_sha1 sha1 prefix of ",".join(sorted(names)) — pins the
-    #               name vector, which is reconstructable as
-    #               sorted(registry bench names + the two mahjong_*_1k
-    #               probes) from the same commit
-    #               (tests/test_bench_contract.py pins this equality)
-    #   queries     per-family subtotals (prefix grouping, q\d+ ->
-    #               tpch) for human round-over-round reads
+    #   qorder      the name-vector contract, stated IN the line:
+    #               "sorted(bench registry names + mahjong_*_1k
+    #               probes)" — BENCH_r{N}.json + the same commit's
+    #               registry reconstructs the full name->time map
+    #               (tests/test_bench_contract.py pins the equality)
+    #   qnames_sha1 sha1 prefix of ",".join(sorted(names)) — detects
+    #               drift between the line and the reconstruction
+    #   queries     the K SLOWEST queries by NAME (K sized to the
+    #               budget, never truncated mid-structure) — the r7
+    #               prefix-family dict popitem()'d arbitrary families
+    #               when the line ran long
     # BENCH_DETAIL_r{N}.json (committed, above) duplicates the full
     # friendly map.
     line = json.dumps(out)
     if len(line) > 1500:
         import hashlib
 
-        fams: dict[str, float] = {}
-        for name, t in timings.items():
-            fam = "tpch" if re.match(r"q\d+_", name) else name.split("_", 1)[0]
-            fams[fam] = round(fams.get(fam, 0.0) + t, 3)
         names = sorted(timings)
         out_c = dict(out)
-        out_c["queries"] = fams
         out_c["n_queries"] = len(timings)
         out_c["qvals"] = [round(timings[n], 2) for n in names]
+        out_c["qorder"] = "sorted(bench-names+mahjong_*_1k)"
         out_c["qnames_sha1"] = hashlib.sha1(
             ",".join(names).encode()
         ).hexdigest()[:12]
         out_c["detail"] = detail_name
-        line = json.dumps(out_c)
-        while len(line) > 1500 and out_c["queries"]:
-            out_c["queries"].popitem()
+        slowest = sorted(timings, key=timings.get, reverse=True)
+        for k in range(12, -1, -1):
+            out_c["queries"] = {n: timings[n] for n in slowest[:k]}
             line = json.dumps(out_c)
+            if len(line) <= 1500:
+                break
     print(line)
 
 

@@ -82,98 +82,36 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r7 window (the rotation registry.py:90-99 promised in r6): the
-# ten queries NEW this round lead (RRF ensemble fusion, Gopher
-# quality rules, CCNet LM quality buckets, SCD2 point-in-time read,
-# kNN majority-vote classification, inverted-index build, BM25
-# retrieval, association rules, 2-D skyline, KMV overlap sketches —
-# all never driver-checked), then the six whose CODE changed this round
-# (bloom bitmap broadcast; PQ query-table cap/broadcast/chunking,
-# batch + persisted lifecycles; the JPEG single-component
-# non-interleaved scan fix, which the MJPEG video walker shares; the
-# tenhou source's vanished-committed-file guard), then the ENTIRE
-# r3-last-green cohort (33 queries — the oldest standing driver
-# evidence), then the window fills with the alphabetically-first
-# slice of the r4-last-green cohort.  After the r7 board lands, no
-# query's newest hash row is older than r4; the remaining r4 slice
-# queues at the head of _CHECK_WINDOW_TAIL for r8.
+# r8 window (the rotation the r7 tail comment declared; r7 verdict
+# item 2): the six r3-last-green queries lead, then the four whose
+# code changed this round, then the ENTIRE r4-last-green cohort, then
+# an alphabetical slice of the r5 cohort fills the window.  After the
+# r8 board lands, no query's newest hash row is older than r5; the
+# remaining r5 slice queues at the head of _CHECK_WINDOW_TAIL for r9,
+# followed by the r6 and r7 cohorts.  Any query added mid-round MUST
+# displace from the BOTTOM of the head (the r5 slice first) — the
+# never-checked invariant (test_head_leads_with_unproven_queries)
+# outranks evidence freshness.
 
 _CHECK_WINDOW_HEAD = [
-    "similarity_rrf_ensemble",
-    "similarity_knn_classify",
-    "text_inverted_index",
-    "text_bm25_search",
-    "orders_association_rules",
-    "part_skyline",
-    "events_kmv_segment_overlap",
-    "text_gopher_rules",
-    "text_lm_quality_buckets",
-    "cdc_scd2_point_in_time",
-    # three more never-checked queries added late in r7 (DSIR
-    # importance selection, least-squares trend, z-order layout
-    # audit); they displace the last three r3/r4-cohort slots
-    # ("text_token_stats", "text_top_terms", "cdc_customer_upsert")
-    # to the FRONT of the tail's r8 queue — unproven-in-window is the
-    # harder invariant (test_head_leads_with_unproven_queries)
-    "corpus_dsir_selection",
-    "events_linear_trend",
-    "lineitem_zorder_layout",
-    # three more never-checked queries added at the end of r7 (EWMA
-    # anomaly screen, UDTF word-window chunker, native-XML roundtrip);
-    # same displacement rule — they push "text_quality",
-    # "text_repetition" and "text_lang_id" (r3 cohort) to the front of
-    # the tail's r8 queue
-    "events_ewma_anomaly",
-    "text_chunk_udtf",
-    "xml_roundtrip_stats",
-    "bloom_pruned_revenue",
-    "similarity_ann_pq",
-    "similarity_ann_pq_persisted",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_video_frames",
-    "tenhou_source_actions",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_normalized",
-    "dedup_simhash",
-    "embedding_dim_stats",
-    "embedding_norm_profile",
-    "event_user_stats",
-    "events_asof_last_view",
-    "events_attribution_window",
-    "events_funnel",
-    "events_hourly",
-    "events_pii_scrub",
-    "events_sessionized",
-    "events_value_histogram",
-    "lineitem_rollup",
-    "mahjong_action_sequences",
-    "mahjong_agari_yaku_stats",
-    "mahjong_er_join_graph",
-    "mahjong_riichi_outcomes",
-    "part_string_stats",
-    "q1_pricing_summary",
-    "q22_global_sales_opportunity",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "segment_set_ops",
-    "similarity_topk_bruteforce",
-    "sql_text_roundtrip",
-    "text_fingerprint",
-]
-
-_CHECK_WINDOW_TAIL = [
-    # displaced from the r7 head by the six late-r7 queries — these
-    # lead the r8 window (r3-last-green, the oldest standing evidence)
+    # r3-last-green cohort — the five text queries displaced from the
+    # r7 head plus cdc_customer_upsert, the oldest standing driver
+    # evidence (r7 verdict item 1): they lead, as the r7 tail promised
     "text_lang_id",
     "text_quality",
     "text_repetition",
     "text_token_stats",
     "text_top_terms",
     "cdc_customer_upsert",
-    # r4-last-green remainder (queued for the r8 window; the first
-    # ten were displaced from the r7 head by this round's new
-    # queries)
+    # the four queries whose CODE changed this round: BPE snapshot
+    # lifecycle (free-every-4) + the Arrow local-rows result path
+    # (local_rows_df) shared by embedding_pca and the CMS heavy hitters
+    "text_bpe_vocab",
+    "text_bpe_doc_tokens",
+    "embedding_pca",
+    "events_heavy_hitters_cms",
+    # the ENTIRE r4-last-green cohort (33) — after this board lands,
+    # no registry query's newest hash row is older than r5
     "corpus_chunk_dedup",
     "corpus_chunk_windows",
     "corpus_negative_samples",
@@ -207,6 +145,9 @@ _CHECK_WINDOW_TAIL = [
     "text_c4_filters",
     "text_perplexity_proxy",
     "text_tfidf_topk",
+    # alphabetically-first slice of the r5-last-green cohort fills
+    # the window; the remainder queues at the head of
+    # _CHECK_WINDOW_TAIL for r9
     "cdc_orders_scd2",
     "classifier_train_eval",
     "corpus_mixture",
@@ -214,17 +155,19 @@ _CHECK_WINDOW_TAIL = [
     "corpus_topic_clusters",
     "corpus_version_diff",
     "corpus_weighted_sample",
+]
+
+_CHECK_WINDOW_TAIL = [
+    # r5-last-green remainder (leads the r9 window queue)
     "dedup_containment",
     "dedup_duplicate_spans",
     "dedup_ensemble",
     "dq_constraint_suite",
-    "embedding_pca",
     "er_fuzzy_name_pairs",
     "er_resolve_entities",
     "events_anomaly_prequential",
     "events_dedup_consecutive",
     "events_distinct_sketch_merge",
-    "events_heavy_hitters_cms",
     "events_hourly_gapfill",
     "events_moving_avg",
     "events_retention",
@@ -248,11 +191,9 @@ _CHECK_WINDOW_TAIL = [
     "q6_forecast_revenue",
     "q9_profit_by_nation_year",
     "similarity_ann_ivf_int8",
-    "text_bpe_doc_tokens",
-    "text_bpe_vocab",
     "text_zipf_spectrum",
     "tpch_scalar_revenues",
-    # r6-last-green cohort (freshest evidence, rotates last)
+    # r6-last-green cohort (queues after the r5 remainder for r9/r10)
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "events_approx_quantiles",
@@ -299,6 +240,57 @@ _CHECK_WINDOW_TAIL = [
     "dedup_connected_components",
     "dedup_embedding_cosine",
     "dedup_exact",
+    # r7-last-green cohort (freshest evidence, rotates last)
+    "similarity_rrf_ensemble",
+    "similarity_knn_classify",
+    "text_inverted_index",
+    "text_bm25_search",
+    "orders_association_rules",
+    "part_skyline",
+    "events_kmv_segment_overlap",
+    "text_gopher_rules",
+    "text_lm_quality_buckets",
+    "cdc_scd2_point_in_time",
+    "corpus_dsir_selection",
+    "events_linear_trend",
+    "lineitem_zorder_layout",
+    "events_ewma_anomaly",
+    "text_chunk_udtf",
+    "xml_roundtrip_stats",
+    "bloom_pruned_revenue",
+    "similarity_ann_pq",
+    "similarity_ann_pq_persisted",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_video_frames",
+    "tenhou_source_actions",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_normalized",
+    "dedup_simhash",
+    "embedding_dim_stats",
+    "embedding_norm_profile",
+    "event_user_stats",
+    "events_asof_last_view",
+    "events_attribution_window",
+    "events_funnel",
+    "events_hourly",
+    "events_pii_scrub",
+    "events_sessionized",
+    "events_value_histogram",
+    "lineitem_rollup",
+    "mahjong_action_sequences",
+    "mahjong_agari_yaku_stats",
+    "mahjong_er_join_graph",
+    "mahjong_riichi_outcomes",
+    "part_string_stats",
+    "q1_pricing_summary",
+    "q22_global_sales_opportunity",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "segment_set_ops",
+    "similarity_topk_bruteforce",
+    "sql_text_roundtrip",
+    "text_fingerprint",
 ]
 
 
