@@ -1665,3 +1665,100 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w_nano") / 1e9, 6).alias("log_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: cross-source vocabulary overlap (corpus drift / contamination audit)
+# ---------------------------------------------------------------------------
+
+VOCAB_MIN_COUNT = 3  # a term enters a source's vocabulary at >= 3 uses
+
+
+@query(
+    "corpus_vocab_overlap",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    v AS (
+        SELECT source, term
+        FROM tok WHERE term != ''
+        GROUP BY source, term
+        HAVING count(*) >= {VOCAB_MIN_COUNT}
+    ),
+    sizes AS (SELECT source, count(*) AS vsz FROM v GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b,
+           sa.vsz AS vocab_a, sb.vsz AS vocab_b, i.n_shared,
+           round(CAST(i.n_shared AS DOUBLE)
+                 / (sa.vsz + sb.vsz - i.n_shared), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY i.source_a, i.source_b
+    """,
+)
+def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary Jaccard: how much the word inventories
+    of each source pair overlap — the drift/contamination audit a
+    mixture pipeline runs when a new crawl joins the corpus (a source
+    whose vocabulary suddenly matches another's is a re-crawl or a
+    mislabel; one drifting AWAY signals a topic shift).
+
+    Plan: one explode → (source, term) count aggregate with the
+    min-count cut applied IN the aggregate (Zipf's rare-term tail —
+    most of the distinct mass — never leaves it); the pair
+    intersection is a term-keyed self-join of the CUT vocabulary
+    (vocab-bounded, source-pair output is |sources|² tiny); sizes
+    broadcast back.  No document pairs, no cross join — cost is
+    bounded by vocabulary size regardless of corpus row count."""
+    tok = (
+        load_spread(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    v = (
+        tok.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= VOCAB_MIN_COUNT)
+        .select("source", "term")
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("vsz"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("vsz").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("vsz").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

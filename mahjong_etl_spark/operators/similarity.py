@@ -1616,3 +1616,114 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: retrieval-quality evaluation (nDCG@k against label relevance)
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+
+
+@query(
+    "similarity_ndcg_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, label AS q_label
+               FROM embeddings WHERE {N_QUERIES_PRED}),
+         scored AS (
+            SELECT q_id, q_label, c.vec_id AS neighbor_id, c.label AS n_label,
+                   round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM q JOIN embeddings c ON c.vec_id != q_id
+         ),
+         ranked AS (
+            SELECT q_id, q_label, n_label,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored
+         ),
+         hits AS (
+            SELECT q_id, q_label,
+                   CAST(sum(CASE WHEN n_label = q_label
+                            THEN CAST(round(1e9 / log2(rnk + 1)) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS dcg_nano,
+                   CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                        AS BIGINT) AS rel_at_k
+            FROM ranked WHERE rnk <= {NDCG_K} GROUP BY q_id, q_label
+         ),
+         tot AS (
+            SELECT q.q_id, count(*) AS total_rel
+            FROM q JOIN embeddings c
+              ON c.label = q.q_label AND c.vec_id != q.q_id
+            GROUP BY q.q_id
+         ),
+         ideal AS (
+            SELECT t.q_id,
+                   CAST(sum(CAST(round(1e9 / log2(i.i + 1)) AS BIGINT))
+                        AS BIGINT) AS idcg_nano
+            FROM tot t,
+                 LATERAL (SELECT unnest(generate_series(
+                              1, CAST(least(t.total_rel, {NDCG_K}) AS INTEGER)))
+                          AS i) i
+            GROUP BY t.q_id
+         )
+    SELECT h.q_id, h.q_label, t.total_rel, h.rel_at_k,
+           round(CAST(h.dcg_nano AS DOUBLE) / i.idcg_nano, 6) AS ndcg
+    FROM hits h JOIN tot t USING (q_id) JOIN ideal i USING (q_id)
+    ORDER BY h.q_id
+    """,
+)
+def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: nDCG@10 of the exact cosine
+    ranking, scored against label agreement as binary relevance — the
+    offline eval loop every embedding-based retrieval / RAG corpus
+    runs when embeddings are refreshed.
+
+    Plan: the broadcast-query brute-force ranking (cosine_topk, the
+    ANN family's truth baseline) produces k rows per query; labels
+    attach by joining the TINY top-k table (broadcast) against the
+    corpus scan — never corpus×corpus; per-label totals are a
+    label-cardinality aggregate.  Engine exactness: each rank's
+    discount 1/log2(rnk+1) snaps to nano-units int64 BEFORE the
+    order-free per-query sum (the text-entropy pattern), ideal DCG
+    sums the SAME snapped table over generate_series, one double
+    division at the end."""
+    e = corpus_embeddings(spark, sf_dir)
+    q = e.where(N_QUERIES_PRED)
+    top = cosine_topk(q, e, NDCG_K)
+    labels = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    qlab = q.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"))
+    nano = F.expr("cast(round(1e9 / log2(rnk + 1)) as bigint)")
+    rel = (F.col("n_label") == F.col("q_label")).cast("long")
+    hits = (
+        labels.join(F.broadcast(top), "neighbor_id")
+        .join(F.broadcast(qlab), "q_id")
+        .groupBy("q_id", "q_label")
+        .agg(
+            F.sum(nano * rel).alias("dcg_nano"),
+            F.sum(rel).alias("rel_at_k"),
+        )
+    )
+    lab_counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+    tot = (
+        qlab.join(F.broadcast(lab_counts), qlab.q_label == lab_counts.label)
+        .select("q_id", "q_label", (F.col("n_lab") - 1).alias("total_rel"))
+    )
+    idcg = F.expr(
+        f"aggregate(sequence(1, int(least(total_rel, {NDCG_K}))),"
+        " cast(0 as bigint),"
+        " (acc, i) -> acc + cast(round(1e9 / log2(i + 1)) as bigint))"
+    )
+    return (
+        hits.join(F.broadcast(tot.select("q_id", "total_rel")), "q_id")
+        .select(
+            "q_id",
+            "q_label",
+            "total_rel",
+            "rel_at_k",
+            F.round(
+                F.col("dcg_nano").cast("double") / idcg, 6
+            ).alias("ndcg"),
+        )
+        .orderBy("q_id")
+    )

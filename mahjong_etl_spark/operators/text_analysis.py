@@ -1396,3 +1396,168 @@ def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: PMI collocations + character-script profile
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR = 5  # min bigram count: PMI of rare pairs is pure noise
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT t[i.i + 1] AS w1, t[i.i + 2] AS w2
+        FROM arrs, LATERAL (SELECT unnest(range(len(t) - 1)) AS i) i
+        WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1 AS w, count(*) AS ca FROM bg GROUP BY w1),
+    cr AS (SELECT w2 AS w, count(*) AS cb FROM bg GROUP BY w2),
+    n AS (SELECT count(*) AS nb FROM bg)
+    SELECT c2.w1, c2.w2, c2.cab,
+           round(ln(CAST(c2.cab AS DOUBLE)) + ln(CAST(n.nb AS DOUBLE))
+                 - ln(CAST(c1.ca AS DOUBLE)) - ln(CAST(cr.cb AS DOUBLE)),
+                 6) AS pmi
+    FROM c2
+    JOIN c1 ON c1.w = c2.w1
+    JOIN cr ON cr.w = c2.w2
+    CROSS JOIN n
+    WHERE c2.cab >= {PMI_MIN_PAIR}
+    ORDER BY pmi DESC, c2.w1, c2.w2
+    LIMIT 25
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-25 adjacent word pairs by pointwise
+    mutual information, PMI = ln(c(a,b)·N / (c₁(a)·c₂(b))) over the
+    corpus bigram table (N = total bigrams; left/right marginals kept
+    separate, the textbook estimator).  High-PMI pairs are the
+    multi-word expressions a tokenizer or phrase-merge pass should
+    treat as units.
+
+    Plan: the same shuffle-free array-transform bigram formation as
+    text_bigram_lm_scores, then three vocabulary-bounded count
+    aggregates (pair + two marginals); the pair table joins its
+    marginals on Zipf-small keys (AQE broadcasts while they fit) plus
+    one broadcast 1-row N scalar; min-count {PMI_MIN_PAIR} prunes the
+    rare-pair tail BEFORE the joins, and top-25 is TakeOrdered.
+    Engine exactness: ln() of INTEGER counts only, four libm calls and
+    one round(·, 6) — additions of exactly-representable libm outputs,
+    no order-dependent summation."""
+    d = load_spread(spark, sf_dir, "documents")
+    bg = (
+        d.where(F.size(F.split("text", " ")) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 2),"
+                    " i -> struct(split(text, ' ')[i] AS w1,"
+                    "             split(text, ' ')[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("b.w1", "b.w2")
+    )
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= PMI_MIN_PAIR)
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("ca"))
+    cr = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("cb"))
+    n = bg.agg(F.count(F.lit(1)).alias("nb"))
+    pmi = F.round(
+        F.log(F.col("cab").cast("double"))
+        + F.log(F.col("nb").cast("double"))
+        - F.log(F.col("ca").cast("double"))
+        - F.log(F.col("cb").cast("double")),
+        6,
+    )
+    return (
+        c2.join(c1, "w1")
+        .join(cr, "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "cab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(25)
+    )
+
+
+# char classes profiled per language; CJK range mirrors lang_scores
+_SCRIPT_CLASSES = [
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("digit", "[0-9]", "[0-9]"),
+    ("space", "[ ]", "[ ]"),
+    ("cjk", "[\\u4e00-\\u9fff]", "[\\x{4e00}-\\x{9fff}]"),
+]
+
+
+@query(
+    "text_script_profile",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang, length(text) AS n,
+    {",".join(
+        f"           length(text) - length(regexp_replace(text, '{dk}', '', 'g')) AS c_{name}"
+        for name, _, dk in _SCRIPT_CLASSES
+    )}
+        FROM documents
+    )
+    SELECT lang,
+           count(*)                 AS n_docs,
+           CAST(sum(n) AS BIGINT)   AS n_chars,
+    {",".join(
+        f"       round(CAST(sum(c_{name}) AS DOUBLE) / sum(n), 6) AS frac_{name}"
+        for name, _, _ in _SCRIPT_CLASSES
+    )},
+           round(CAST(sum(n {"".join(f" - c_{name}" for name, _, _ in _SCRIPT_CLASSES)})
+                 AS DOUBLE) / sum(n), 6) AS frac_other
+    FROM per GROUP BY lang
+    """,
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-script profile per language: the fraction of Latin,
+    digit, space, CJK and other codepoints — the writing-system audit
+    a multilingual corpus runs before trusting its lang labels (a
+    'de' shard full of CJK is a mislabeled crawl), and the cheap
+    precursor signal to the stopword lang-id (text_lang_id).
+
+    Plan: pure columnar regexp_replace length deltas — zero joins,
+    zero extra shuffles beyond the per-lang aggregate (a handful of
+    groups); integer char counts all the way, one double division per
+    fraction at the end.  Mirrored char classes: Spark (Java regex)
+    and DuckDB (RE2) spell the CJK range differently but denote the
+    same codepoints."""
+    d = load(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.length("text").alias("n"),
+        *[
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", jk, ""))
+            ).alias(f"c_{name}")
+            for name, jk, _ in _SCRIPT_CLASSES
+        ],
+    )
+    n_sum = F.sum("n")
+    other = F.sum(
+        F.col("n") - sum(F.col(f"c_{name}") for name, _, _ in _SCRIPT_CLASSES)
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_sum.alias("n_chars"),
+        *[
+            F.round(
+                F.sum(f"c_{name}").cast("double") / n_sum, 6
+            ).alias(f"frac_{name}")
+            for name, _, _ in _SCRIPT_CLASSES
+        ],
+        F.round(other.cast("double") / n_sum, 6).alias("frac_other"),
+    )

@@ -4609,3 +4609,174 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dev / 255.0, 4).alias("dev_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: clickstream path mining + robust (median/MAD) anomaly screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_session_paths",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts)
+                            > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_num
+        FROM flagged
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, session_num
+                                     ORDER BY ts, event_id) AS rn
+        FROM numbered
+    ),
+    paths AS (
+        SELECT user_id, session_num,
+               string_agg(event_type, '>' ORDER BY ts, event_id)
+                   FILTER (WHERE rn <= 8) AS path,
+               count(*) AS n_ev
+        FROM ranked GROUP BY user_id, session_num
+    )
+    SELECT path,
+           count(*)                    AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT)   AS n_events
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the top-20 most common session
+    event-type paths (first 8 events per session, '>'-joined), with
+    how many sessions and events each path accounts for.
+
+    Plan: the gap-and-island sessionization shares ONE shuffle on
+    user_id (window + the per-session groupBy reuse the partitioning);
+    the path prefix is an array slice BEFORE string materialization,
+    so state per session is bounded at 8 event types no matter how
+    long the session; the path-frequency aggregate shuffles on the
+    bounded path string; top-20 is TakeOrderedAndProject.  At 100 TB
+    the path-string cardinality is capped by (event-type alphabet)^8,
+    and the heavy hitters concentrate (Zipf) — the final exchange
+    carries counts, not sessions."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    numbered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_new).over(wrun).alias("session_num"),
+    )
+    per_session = numbered.groupBy("user_id", "session_num").agg(
+        F.concat_ws(
+            ">",
+            F.expr(
+                "transform(slice(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), 1, 8),"
+                " s -> s.event_type)"
+            ),
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_ev").alias("n_events"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH m AS (
+        SELECT event_id, user_id, event_type,
+               CAST(round(value * 1000) AS BIGINT) AS xm
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, median(xm) AS med_m FROM m GROUP BY event_type
+    ),
+    mad AS (
+        SELECT m.event_type, median(abs(m.xm - med.med_m)) AS mad_m
+        FROM m JOIN med USING (event_type)
+        GROUP BY m.event_type
+    )
+    SELECT m.event_id, m.user_id, m.event_type,
+           round(m.xm / 1000.0, 3) AS value,
+           round(0.6745 * (m.xm - med.med_m) / mad.mad_m, 6) AS robust_z
+    FROM m
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+    WHERE mad.mad_m > 0
+      AND abs(0.6745 * (m.xm - med.med_m) / mad.mad_m) > 3.5
+    ORDER BY abs(0.6745 * (m.xm - med.med_m) / mad.mad_m) DESC,
+             m.event_id
+    LIMIT 25
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen: modified z-score on median/MAD
+    (0.6745·(x−median)/MAD, flag |z| > 3.5 — Iglewicz & Hoaglin's
+    outlier-resistant alternative to events_anomaly_zscore, which a
+    single extreme value can mask by inflating the stddev).
+
+    Plan: values snap to milli-units int64 (exact cross-engine
+    arithmetic); two grouped EXACT percentile aggregates over the
+    handful of event types — each a tiny all-to-few exchange — whose
+    results broadcast back against the fact scan (AQE: the per-type
+    tables are rows-of-types sized); the final screen is a TakeOrdered
+    top-25, never a full sort.  At 100 TB exact per-type medians are
+    the one genuinely heavy piece — the documented fallback is
+    approx_percentile (events_approx_quantiles idiom) with identical
+    downstream shape."""
+    e = load(spark, sf_dir, "events")
+    m = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("xm"),
+    )
+    med = m.groupBy("event_type").agg(
+        F.expr("percentile(xm, 0.5)").alias("med_m")
+    )
+    mad = (
+        m.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(xm - med_m), 0.5)").alias("mad_m"))
+    )
+    z = F.lit(0.6745) * (F.col("xm") - F.col("med_m")) / F.col("mad_m")
+    return (
+        m.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .where((F.col("mad_m") > 0) & (F.abs(z) > 3.5))
+        .orderBy(F.abs(z).desc(), F.asc("event_id"))
+        .limit(25)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("xm") / 1000.0, 3).alias("value"),
+            F.round(z, 6).alias("robust_z"),
+        )
+    )

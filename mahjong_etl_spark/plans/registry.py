@@ -94,6 +94,18 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # outranks evidence freshness.
 
 _CHECK_WINDOW_HEAD = [
+    # six queries NEW in r8 — never driver-checked, they lead (path
+    # mining, robust MAD anomaly screen, PMI collocations, script
+    # profile, nDCG retrieval eval, cross-source vocabulary overlap);
+    # per the displacement rule they push the BOTTOM six r5-slice
+    # entries ("classifier_train_eval" .. "corpus_weighted_sample")
+    # back to the front of the tail's r9 queue
+    "events_session_paths",
+    "events_anomaly_mad",
+    "text_pmi_collocations",
+    "text_script_profile",
+    "similarity_ndcg_eval",
+    "corpus_vocab_overlap",
     # r3-last-green cohort — the five text queries displaced from the
     # r7 head plus cdc_customer_upsert, the oldest standing driver
     # evidence (r7 verdict item 1): they lead, as the r7 tail promised
@@ -149,16 +161,18 @@ _CHECK_WINDOW_HEAD = [
     # the window; the remainder queues at the head of
     # _CHECK_WINDOW_TAIL for r9
     "cdc_orders_scd2",
+]
+
+_CHECK_WINDOW_TAIL = [
+    # displaced from the r8 head by the six new-in-r8 queries — these
+    # lead the r9 window queue, then the r5-last-green remainder
     "classifier_train_eval",
     "corpus_mixture",
     "corpus_shard_manifest",
     "corpus_topic_clusters",
     "corpus_version_diff",
     "corpus_weighted_sample",
-]
-
-_CHECK_WINDOW_TAIL = [
-    # r5-last-green remainder (leads the r9 window queue)
+    # r5-last-green remainder
     "dedup_containment",
     "dedup_duplicate_spans",
     "dedup_ensemble",
