@@ -77,9 +77,11 @@ def test_no_unconditional_broadcast_hints_on_fact_sides():
     # construction at both its sites — `.limit(COPURCHASE_TOP_PAIRS)` in
     # orders_association_rules, and the event-type pair enumeration
     # (~C(5,2) rows at any scale factor) in events_kmv_segment_overlap
+    # "med"/"mad" are per-event-type aggregates in events_anomaly_mad —
+    # bounded by the event-type domain (~5 rows), the same class as "t"
     allowed = {
         "s", "n", "r", "n1", "n2", "ns", "nc", "p",
-        "avg_bal", "qa", "total", "exact", "t", "pairs",
+        "avg_bal", "qa", "total", "exact", "t", "pairs", "med", "mad",
     }
     assert set(hinted) <= allowed, f"unexpected broadcast hints: {set(hinted) - allowed}"
 
@@ -267,6 +269,14 @@ _ALLOWED_NESTED_LOOP = {
     # 1-row basket-count scalar feeding lift; the pair mining itself
     # is the basket-bounded self-EQUI-join
     "orders_association_rules",
+    # 1-row total-bigram-count scalar crossed onto the (min-count cut,
+    # vocabulary-bounded) pair table — same shape as the perplexity /
+    # bigram-LM scalars above
+    "text_pmi_collocations",
+    # reuses the brute-force cosine scorer (the ANN family's declared
+    # correctness baseline) for its k-row ranking; same inherited
+    # broadcast non-equi join as similarity_topk_bruteforce
+    "similarity_ndcg_eval",
     # segment-TYPE pair enumeration: both sides are the event-type
     # aggregate (5 rows at any scale factor) — the user-level work is
     # all equi-keyed; sketches are KMV_K rows per type
