@@ -1716,6 +1716,11 @@ def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hits.join(F.broadcast(tot.select("q_id", "total_rel")), "q_id")
+        # a query whose label has NO other corpus member has an empty
+        # ideal ranking (nDCG undefined): drop it, exactly as the
+        # oracle's LATERAL over an empty generate_series drops the row
+        # (and Spark's sequence(1, 0) would DESCEND through log2(1)=0)
+        .where(F.col("total_rel") > 0)
         .select(
             "q_id",
             "q_label",
