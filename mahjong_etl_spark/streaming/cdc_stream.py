@@ -1,0 +1,167 @@
+"""Streaming CDC apply: a change feed continuously MERGEd into a
+dimension snapshot — the streaming face of operators/cdc.py's SCD1
+``apply_changes`` (Delta's ``MERGE INTO`` maintained by a stream,
+without a transaction-log dependency).
+
+A 100 TB training platform's dimensions (document metadata, user
+profiles, licensing state) arrive as change feeds: upserts and
+deletes keyed by the dimension key.  This operator keeps a parquet
+snapshot current as batches arrive:
+
+- Each micro-batch is compacted to its LATEST change per key (one
+  window over the batch — arrival order within the batch is the
+  version order, ties broken by the change file's row order via
+  ``change_seq``), then merged into the current snapshot with the
+  SAME ``apply_changes`` the batch plane uses — one left-anti join
+  plus a union, broadcast-capable because a change batch is ≪ the
+  dimension.
+
+- **Versioned snapshot + atomic pointer.**  Every batch writes a full
+  new snapshot directory ``_v{lineage}-{batch}`` and then swaps the
+  ``_current`` pointer file (write-to-temp + rename, the repo-wide
+  publish discipline).  Readers resolve the pointer and read one
+  immutable directory — never a half-rewritten table.  A dimension is
+  snapshot-rewrite-sized by definition (it broadcasts into joins); a
+  fact-scaled feed belongs in the partitioned-append plane
+  (streaming/etl_stream.py), not here.
+
+- **Effective exactly-once.**  The pointer swap is keyed by
+  (lineage, batch): a ``_merge_commits/{lineage}-{batch}`` marker
+  short-circuits a replayed batch (same contract as publish_batch);
+  an interrupted batch left only an unreferenced ``_v`` directory and
+  no marker, so its replay rewrites and re-points idempotently.
+  Superseded snapshot directories are retired after the swap (keeping
+  ``keep_versions`` for readers in flight).
+
+Delivery pinned by tests/test_cdc_stream.py: chopped arrivals
+converge to the batch ``apply_changes`` fold, a crash between
+snapshot write and pointer swap replays without duplication, and a
+replay of a committed batch is a no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.cdc import OP_COL, OP_UPSERT
+from .etl_stream import _lineage_id, _meta_fs
+
+CURRENT_PTR = "_current"
+
+
+def compact_batch(changes: DataFrame, key: str, seq_col: str = "change_seq") -> DataFrame:
+    """Latest change per key within one micro-batch (highest seq wins
+    — the feed's own ordering column, monotone within a key)."""
+    w = Window.partitionBy(key).orderBy(F.desc(seq_col))
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def read_current(spark: SparkSession, base_dir: str) -> DataFrame | None:
+    """The snapshot the ``_current`` pointer references, or None
+    before the first commit."""
+    fs = _meta_fs(spark, base_dir)
+    ptr = f"{fs.root}/{CURRENT_PTR}"
+    if fs.kind(ptr) != "file":
+        return None
+    version = fs.read_bytes(ptr).decode().strip()
+    return spark.read.parquet(f"{base_dir}/{version}")
+
+
+def _retire_old_versions(fs, current: str, keep_versions: int) -> None:
+    """Delete superseded ``_v`` snapshot dirs beyond ``keep_versions``
+    (the pointer's target is always kept).  Version names embed
+    (lineage, batch); lexicographic order within a lineage tracks
+    batch order, and cross-lineage order is irrelevant — anything not
+    current is retirable, newest-first retention is a courtesy to
+    readers in flight."""
+    import re
+
+    dirs = set()
+    for p in fs.list_files(fs.root, recursive=True):
+        rel = p[len(fs.root) + 1:]
+        m = re.match(r"(_v[0-9a-f]{12}-\d+)/", rel)
+        if m:
+            dirs.add(m.group(1))
+    dirs.discard(current)
+    for d in sorted(dirs)[: max(0, len(dirs) - keep_versions)]:
+        fs.delete_dir(f"{fs.root}/{d}")
+
+
+def run_scd1_stream(
+    spark: SparkSession,
+    changes_stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    keep_versions: int = 1,
+    available_now: bool = True,
+):
+    """Start (and return) the standing MERGE query.
+
+    ``changes_stream`` must carry ``key``, ``op`` ('upsert'|'delete'),
+    ``change_seq`` (monotone per key) and the payload columns."""
+    lineage = _lineage_id(spark, checkpoint_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        fs = _meta_fs(session, base_dir)
+        bkey = f"{lineage}-{batch_id}"
+        marker = f"{fs.root}/_merge_commits/{bkey}"
+        if fs.kind(marker) is not None:
+            return  # committed before a crash: replay is a no-op
+        version = f"_v{bkey}"
+        ptr = f"{fs.root}/{CURRENT_PTR}"
+        if (
+            fs.kind(ptr) == "file"
+            and fs.read_bytes(ptr).decode().strip() == version
+        ):
+            # crash landed BETWEEN the pointer swap and the marker:
+            # the swap IS the commit point, so just record it —
+            # re-merging would read the new snapshot and overwrite
+            # the very directory it reads from
+            fs.mkdirs(f"{fs.root}/_merge_commits")
+            fs.write_bytes(marker, b"")
+            _retire_old_versions(fs, version, keep_versions)
+            return
+        compacted = compact_batch(batch_df, key).drop("change_seq")
+        base = read_current(session, base_dir)
+        if base is None:
+            merged = compacted.where(F.col(OP_COL) == OP_UPSERT).drop(OP_COL)
+        else:
+            # inline apply_changes (operators/cdc.py): anti-join out
+            # every changed key, union the upsert payloads back in
+            merged = base.join(
+                compacted.select(key), key, "left_anti"
+            ).unionByName(
+                compacted.where(F.col(OP_COL) == OP_UPSERT).drop(OP_COL)
+            )
+        version = f"_v{bkey}"
+        merged.write.mode("overwrite").parquet(f"{base_dir}/{version}")
+        # atomic pointer swap: write-to-temp + rename, then the commit
+        # marker; a crash between the two replays into the SAME
+        # version directory and re-points identically
+        tmp = f"{fs.root}/{CURRENT_PTR}.tmp-{bkey}"
+        fs.write_bytes(tmp, version.encode())
+        try:
+            fs.move(tmp, f"{fs.root}/{CURRENT_PTR}")
+        except Exception:
+            # Hadoop rename refuses an existing destination; replace
+            fs.delete_file(f"{fs.root}/{CURRENT_PTR}")
+            fs.move(tmp, f"{fs.root}/{CURRENT_PTR}")
+        fs.mkdirs(f"{fs.root}/_merge_commits")
+        fs.write_bytes(marker, b"")
+        _retire_old_versions(fs, version, keep_versions)
+
+    writer = (
+        changes_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,209 @@
+"""Streaming CDC apply (streaming/cdc_stream.py): chopped change-feed
+arrivals must converge to the batch apply_changes fold, with the
+versioned-snapshot + pointer-swap publish surviving every crash
+window exactly-once."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mahjong_etl_spark.streaming.cdc_stream import (
+    CURRENT_PTR,
+    read_current,
+    run_scd1_stream,
+)
+
+_CHANGE_SCHEMA = (
+    "k long, op string, change_seq long, name string, score long"
+)
+
+
+def _drop(tmp_path, name, rows, mtime):
+    d = tmp_path / "changes"
+    d.mkdir(exist_ok=True)
+    p = d / name
+    with open(p, "w") as f:
+        for k, op, seq, nm, sc in rows:
+            f.write(
+                json.dumps(
+                    {"k": k, "op": op, "change_seq": seq, "name": nm, "score": sc}
+                )
+                + "\n"
+            )
+    os.utime(p, (mtime, mtime))
+    return str(d)
+
+
+def _stream(spark, changes_dir):
+    return (
+        spark.readStream.schema(_CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(changes_dir)
+    )
+
+
+def _drain(spark, changes_dir, base, ckpt, **kw):
+    q = run_scd1_stream(spark, _stream(spark, changes_dir), base, ckpt, "k", **kw)
+    assert q.awaitTermination(120), "stream did not drain in time"
+    q.stop()
+    time.sleep(0.2)
+
+
+def _snapshot(spark, base):
+    df = read_current(spark, base)
+    return {r.k: (r.name, r.score) for r in df.collect()} if df is not None else None
+
+
+def test_chopped_arrivals_converge_to_batch_fold(spark, tmp_path):
+    """Three files -> three micro-batches; the final snapshot must be
+    the latest-wins fold of the whole feed, deletes included, and the
+    within-batch compaction must keep the highest change_seq."""
+    base, ckpt = str(tmp_path / "base"), str(tmp_path / "ckpt")
+    d = _drop(tmp_path, "b0.jsonl", [
+        (1, "upsert", 1, "alice", 10),
+        (2, "upsert", 2, "bob", 20),
+        (2, "upsert", 3, "bobby", 21),  # same batch: seq 3 wins
+    ], 1_000)
+    _drop(tmp_path, "b1.jsonl", [
+        (1, "delete", 4, None, None),
+        (3, "upsert", 5, "carol", 30),
+    ], 2_000)
+    _drop(tmp_path, "b2.jsonl", [
+        (1, "upsert", 6, "alice2", 11),  # re-insert after delete
+        (3, "upsert", 7, "carol", 31),
+    ], 3_000)
+
+    _drain(spark, d, base, ckpt)
+    assert _snapshot(spark, base) == {
+        1: ("alice2", 11),
+        2: ("bobby", 21),
+        3: ("carol", 31),
+    }
+    # one committed marker per drained batch, pointer names the newest
+    assert len(os.listdir(f"{base}/_merge_commits")) == 3
+    with open(f"{base}/{CURRENT_PTR}") as f:
+        assert f.read().strip().endswith("-2")
+
+
+def test_incremental_drains_match_single_drain(spark, tmp_path):
+    """Arrivals chopped across two separate query runs (restart from
+    the same checkpoint) fold identically to one run."""
+    base, ckpt = str(tmp_path / "base"), str(tmp_path / "ckpt")
+    d = _drop(tmp_path, "b0.jsonl", [(1, "upsert", 1, "a", 1)], 1_000)
+    _drain(spark, d, base, ckpt)
+    assert _snapshot(spark, base) == {1: ("a", 1)}
+    _drop(tmp_path, "b1.jsonl", [
+        (1, "delete", 2, None, None),
+        (2, "upsert", 3, "b", 2),
+    ], 2_000)
+    _drain(spark, d, base, ckpt)
+    assert _snapshot(spark, base) == {2: ("b", 2)}
+
+
+def test_crash_before_pointer_swap_replays_cleanly(spark, tmp_path, monkeypatch):
+    """Kill the merge AFTER the snapshot directory is written but
+    BEFORE the pointer swaps: the pointer still names the old
+    snapshot; the replay rewrites the version dir and points it —
+    no duplicates, no lost changes."""
+    import mahjong_etl_spark.streaming.cdc_stream as cs
+
+    base, ckpt = str(tmp_path / "base"), str(tmp_path / "ckpt")
+    d = _drop(tmp_path, "b0.jsonl", [(1, "upsert", 1, "a", 1)], 1_000)
+    _drain(spark, d, base, ckpt)
+
+    real_meta = cs._meta_fs
+    state = {"armed": True}
+
+    def crashing_meta(session, path):
+        fs = real_meta(session, path)
+        if not state["armed"]:
+            return fs
+        real_write = fs.write_bytes
+
+        def write_bytes(p, data):
+            if ".tmp-" in p and state["armed"]:
+                state["armed"] = False
+                raise RuntimeError("injected crash before pointer swap")
+            real_write(p, data)
+
+        fs.write_bytes = write_bytes
+        return fs
+
+    monkeypatch.setattr(cs, "_meta_fs", crashing_meta)
+    _drop(tmp_path, "b1.jsonl", [(2, "upsert", 2, "b", 2)], 2_000)
+    q = run_scd1_stream(spark, _stream(spark, d), base, ckpt, "k")
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    q.stop()
+    time.sleep(0.2)
+    # pointer untouched: readers still see the old snapshot
+    assert _snapshot(spark, base) == {1: ("a", 1)}
+
+    monkeypatch.setattr(cs, "_meta_fs", real_meta)
+    _drain(spark, d, base, ckpt)
+    assert _snapshot(spark, base) == {1: ("a", 1), 2: ("b", 2)}
+
+
+def test_crash_between_swap_and_marker_does_not_remerge(spark, tmp_path, monkeypatch):
+    """The OTHER window: pointer swapped, marker missing (simulated by
+    deleting the marker and the checkpoint commit).  The replay must
+    recognize the pointer as the commit point — recording the marker
+    without re-merging (a re-merge would read the new snapshot and
+    overwrite the directory it reads from)."""
+    import glob
+
+    import mahjong_etl_spark.streaming.cdc_stream as cs
+
+    base, ckpt = str(tmp_path / "base"), str(tmp_path / "ckpt")
+    d = _drop(tmp_path, "b0.jsonl", [(1, "upsert", 1, "a", 1)], 1_000)
+    _drain(spark, d, base, ckpt)
+
+    os.remove(glob.glob(f"{base}/_merge_commits/*-0")[0])
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    writes = []
+    real_compact = cs.compact_batch
+
+    def spying_compact(df, key, seq_col="change_seq"):
+        writes.append(1)
+        return real_compact(df, key, seq_col)
+
+    monkeypatch.setattr(cs, "compact_batch", spying_compact)
+    _drain(spark, d, base, ckpt)
+    assert writes == []  # fast path: no re-merge happened
+    assert _snapshot(spark, base) == {1: ("a", 1)}
+    assert glob.glob(f"{base}/_merge_commits/*-0")  # marker restored
+
+
+def test_version_retirement_keeps_pointer_target(spark, tmp_path):
+    """Superseded _v dirs are retired down to keep_versions; the
+    pointer's target always survives and stays readable."""
+    base, ckpt = str(tmp_path / "base"), str(tmp_path / "ckpt")
+    d = _drop(tmp_path, "b0.jsonl", [(1, "upsert", 1, "a", 1)], 1_000)
+    _drop(tmp_path, "b1.jsonl", [(2, "upsert", 2, "b", 2)], 2_000)
+    _drop(tmp_path, "b2.jsonl", [(3, "upsert", 3, "c", 3)], 3_000)
+    _drain(spark, d, base, ckpt, keep_versions=0)
+    versions = [v for v in os.listdir(base) if v.startswith("_v")]
+    assert len(versions) == 1  # only the pointer's target survives
+    assert _snapshot(spark, base) == {1: ("a", 1), 2: ("b", 2), 3: ("c", 3)}
+
+
+def test_delete_only_feed_and_empty_snapshot(spark, tmp_path):
+    """A feed that deletes every key leaves an EMPTY but readable
+    snapshot (zero rows, schema intact) — not a missing pointer."""
+    base, ckpt = str(tmp_path / "base"), str(tmp_path / "ckpt")
+    d = _drop(tmp_path, "b0.jsonl", [(1, "upsert", 1, "a", 1)], 1_000)
+    _drop(tmp_path, "b1.jsonl", [(1, "delete", 2, None, None)], 2_000)
+    _drain(spark, d, base, ckpt)
+    df = read_current(spark, base)
+    assert df is not None and df.count() == 0
+    assert set(df.columns) == {"k", "name", "score"}
