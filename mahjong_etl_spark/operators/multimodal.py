@@ -1820,3 +1820,99 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "px_mean_milli long, px_min int, px_max int, max_abs_err int",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: FFT spectral features over the audio plane
+# ---------------------------------------------------------------------------
+
+SPEC_N = 256          # samples per clip (rfft -> 129 bins)
+SPEC_RATE = 8000      # Hz; bin spacing = 31.25 Hz exactly
+SPEC_AMP = 18000      # tone amplitude (int16-safe with the noise floor)
+
+
+def synth_tone_clip(doc_id: int):
+    """Deterministic per-document test clip: one pure tone EXACTLY on
+    DFT bin ``5 + doc_id % 100`` plus a small LCG noise floor — the
+    synthesized ground truth the spectral features must recover."""
+    import numpy as np
+
+    k = np.arange(SPEC_N, dtype=np.int64)
+    bin_d = 5 + doc_id % 100
+    tone = np.round(
+        SPEC_AMP * np.sin(2.0 * np.pi * bin_d * k / SPEC_N)
+    ).astype(np.int64)
+    noise = (doc_id * 37 + k * 97) % 31 - 15
+    return (tone + noise).astype(np.int16), bin_d
+
+
+@query(
+    "multimodal_spectral_features",
+    oracle=_golden_oracle(
+        "multimodal_spectral_features",
+        "doc_id, n_samples, dominant_bin, dominant_hz, "
+        "spectral_centroid_hz, rms",
+    ),
+)
+def multimodal_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP over the WAV plane: each document's clip rides
+    the full encode→RIFF bytes→decode path, then a BATCHED real FFT
+    (one ``numpy.fft.rfft`` call over the whole Arrow batch's sample
+    matrix) yields the features a speech/audio curation pipeline cuts
+    on — dominant frequency bin (must equal the synthesized tone's
+    bin: an integer, immune to float drift), its Hz, the spectral
+    centroid, and RMS level.
+
+    Scale shape: embarrassingly parallel mapInPandas, no shuffle; the
+    FFT is O(n log n) per clip with the batch dimension vectorized
+    into one BLAS-free pocketfft call, so per-core throughput is
+    clips/sec-constant.  Oracle: committed corpus-sig-keyed golden
+    (libm sin/FFT have no DuckDB twin); byte-determinism per the
+    functions/goldens.py protocol, with the tone-recovery law and a
+    Parseval identity pinned in tests/test_r8_operators.py."""
+    from ..shipping import ensure_shipped
+    from ..sources.tables import load_spread
+
+    ensure_shipped(spark)
+    n, rate = SPEC_N, SPEC_RATE
+    enc, dec, synth = encode_wav, decode_wav_samples, synth_tone_clip
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            if not ids:
+                continue
+            mat = np.empty((len(ids), n), dtype=np.float64)
+            for i, d in enumerate(ids):
+                clip, _ = synth(d)
+                got = dec(enc(clip, rate))
+                assert got is not None and got[1] == rate
+                mat[i] = got[0].astype(np.float64)
+            spec = np.abs(np.fft.rfft(mat, axis=1))  # (B, n//2 + 1)
+            mag = spec[:, 1:]  # drop DC for dominance/centroid
+            dom = mag.argmax(axis=1) + 1
+            freqs = np.arange(1, n // 2 + 2, dtype=np.float64) * (rate / n)
+            centroid = (mag * freqs[: mag.shape[1]]).sum(axis=1) / mag.sum(axis=1)
+            rms = np.sqrt((mat * mat).mean(axis=1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": np.int32(n),
+                    "dominant_bin": dom.astype(np.int32),
+                    "dominant_hz": np.round(dom * (rate / n), 6),
+                    "spectral_centroid_hz": np.round(centroid, 6),
+                    "rms": np.round(rms, 6),
+                }
+            )
+
+    return (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            _feats,
+            "doc_id long, n_samples int, dominant_bin int, "
+            "dominant_hz double, spectral_centroid_hz double, rms double",
+        )
+    )

@@ -94,12 +94,14 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # outranks evidence freshness.
 
 _CHECK_WINDOW_HEAD = [
-    # six queries NEW in r8 — never driver-checked, they lead (path
+    # seven queries NEW in r8 — never driver-checked, they lead
+    # (FFT spectral features, path
     # mining, robust MAD anomaly screen, PMI collocations, script
     # profile, nDCG retrieval eval, cross-source vocabulary overlap);
-    # per the displacement rule they push the BOTTOM six r5-slice
-    # entries ("classifier_train_eval" .. "corpus_weighted_sample")
+    # per the displacement rule they push the BOTTOM seven r5-slice
+    # entries ("cdc_orders_scd2" .. "corpus_weighted_sample")
     # back to the front of the tail's r9 queue
+    "multimodal_spectral_features",
     "events_session_paths",
     "events_anomaly_mad",
     "text_pmi_collocations",
@@ -160,12 +162,12 @@ _CHECK_WINDOW_HEAD = [
     # alphabetically-first slice of the r5-last-green cohort fills
     # the window; the remainder queues at the head of
     # _CHECK_WINDOW_TAIL for r9
-    "cdc_orders_scd2",
 ]
 
 _CHECK_WINDOW_TAIL = [
-    # displaced from the r8 head by the six new-in-r8 queries — these
+    # displaced from the r8 head by the seven new-in-r8 queries — these
     # lead the r9 window queue, then the r5-last-green remainder
+    "cdc_orders_scd2",
     "classifier_train_eval",
     "corpus_mixture",
     "corpus_shard_manifest",

@@ -43,6 +43,7 @@ NAMES = [
     "multimodal_jpeg_roundtrip",
     "multimodal_video_frames",
     "events_kmv_segment_overlap",
+    "multimodal_spectral_features",
 ]
 
 

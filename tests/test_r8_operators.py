@@ -269,3 +269,74 @@ def test_vocab_overlap_jaccard_and_min_count(spark, tmp_path):
     # fully disjoint pairs produce NO row (inner intersection join) —
     # the absence IS the signal, mirrored by the oracle's inner join
     assert ("A", "C") not in out and ("B", "C") not in out
+
+
+# ---------------------------------------------------------------------------
+# FFT spectral features
+# ---------------------------------------------------------------------------
+
+
+def test_spectral_features_recover_synthesized_tone(spark, tmp_path):
+    """The dominant DFT bin must equal the bin the tone was planted
+    on, for a spread of doc_ids across the bin range."""
+    from mahjong_etl_spark.operators.multimodal import (
+        SPEC_N,
+        SPEC_RATE,
+        multimodal_spectral_features,
+    )
+
+    ids = [0, 1, 37, 99, 100, 123]
+    spark.createDataFrame(
+        [(d, "x", "en", "s", 1) for d in ids],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: r
+        for r in multimodal_spectral_features(spark, str(tmp_path)).collect()
+    }
+    for d in ids:
+        want_bin = 5 + d % 100
+        assert got[d].dominant_bin == want_bin, d
+        assert got[d].dominant_hz == round(want_bin * SPEC_RATE / SPEC_N, 6)
+        # centroid is pulled toward the tone but the noise floor keeps
+        # it strictly inside the band
+        assert 0 < got[d].spectral_centroid_hz < SPEC_RATE / 2
+
+
+def test_spectral_parseval_identity():
+    """Parseval: sum |X|^2 / n == sum v^2 for the synthesized clip —
+    pins the FFT scaling convention the features rely on."""
+    import numpy as np
+
+    from mahjong_etl_spark.operators.multimodal import SPEC_N, synth_tone_clip
+
+    clip, _ = synth_tone_clip(42)
+    v = clip.astype(np.float64)
+    spec = np.fft.rfft(v)
+    # rfft halves the spectrum: double the non-DC/non-Nyquist bins
+    power = (
+        np.abs(spec[0]) ** 2
+        + np.abs(spec[-1]) ** 2
+        + 2 * (np.abs(spec[1:-1]) ** 2).sum()
+    ) / SPEC_N
+    assert abs(power - (v * v).sum()) / (v * v).sum() < 1e-12
+
+
+def test_spectral_clip_survives_wav_roundtrip():
+    """The DSP path reads DECODED bytes: the RIFF roundtrip must be
+    bit-exact for the synthesized int16 clips."""
+    import numpy as np
+
+    from mahjong_etl_spark.operators.multimodal import (
+        SPEC_RATE,
+        decode_wav_samples,
+        encode_wav,
+        synth_tone_clip,
+    )
+
+    clip, _ = synth_tone_clip(7)
+    back, rate, ch = decode_wav_samples(encode_wav(clip, SPEC_RATE))
+    assert rate == SPEC_RATE and ch == 1
+    assert np.array_equal(back, clip)
