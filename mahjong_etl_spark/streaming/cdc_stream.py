@@ -106,6 +106,97 @@ def run_scd1_stream(
 
     ``changes_stream`` must carry ``key``, ``op`` ('upsert'|'delete'),
     ``change_seq`` (monotone per key) and the payload columns."""
+
+    def scd1_merge(batch_df: DataFrame, base: DataFrame | None) -> DataFrame:
+        compacted = compact_batch(batch_df, key).drop("change_seq")
+        if base is None:
+            return compacted.where(F.col(OP_COL) == OP_UPSERT).drop(OP_COL)
+        # inline apply_changes (operators/cdc.py): anti-join out
+        # every changed key, union the upsert payloads back in
+        return base.join(
+            compacted.select(key), key, "left_anti"
+        ).unionByName(
+            compacted.where(F.col(OP_COL) == OP_UPSERT).drop(OP_COL)
+        )
+
+    return _run_merge_stream(
+        spark, changes_stream, base_dir, checkpoint_dir, scd1_merge,
+        keep_versions, available_now,
+    )
+
+
+def run_scd2_stream(
+    spark: SparkSession,
+    changes_stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    keep_versions: int = 1,
+    available_now: bool = True,
+):
+    """SCD2 variant: the maintained snapshot is the full INTERVAL
+    HISTORY (payload, valid_from, valid_to, is_current — the same
+    shape operators/cdc.py::scd2_history builds in batch), with
+    ``change_seq`` as the version axis.
+
+    Per batch: every change is a version (no latest-wins compaction).
+    Upserts open intervals [seq, next-change-seq-of-the-key); a delete
+    closes the preceding interval and opens nothing; a changed key's
+    carried CURRENT row is closed at the key's first batch seq.  The
+    whole merge is one per-key window over the BATCH plus an anti-join
+    split of the carried history — no history-scale window, so cost
+    per batch is O(batch + touched history rows)."""
+
+    def scd2_merge(batch_df: DataFrame, base: DataFrame | None) -> DataFrame:
+        w = Window.partitionBy(key).orderBy("change_seq")
+        batch_hist = (
+            batch_df.withColumn("_next", F.lead("change_seq").over(w))
+            .where(F.col(OP_COL) == OP_UPSERT)
+            .select(
+                *[c for c in batch_df.columns if c not in (OP_COL, "change_seq")],
+                F.col("change_seq").alias("valid_from"),
+                F.col("_next").alias("valid_to"),
+                F.col("_next").isNull().cast("int").alias("is_current"),
+            )
+        )
+        if base is None:
+            return batch_hist
+        first_seq = batch_df.groupBy(key).agg(
+            F.min("change_seq").alias("_first_seq")
+        )
+        # the changed keys' carried current rows close at the key's
+        # first batch seq; everything else rides through untouched
+        closing = (
+            base.where(F.col("is_current") == 1)
+            .join(first_seq, key)
+            .withColumn("valid_to", F.col("_first_seq"))
+            .withColumn("is_current", F.lit(0))
+            .drop("_first_seq")
+        )
+        untouched = base.where(F.col("is_current") == 0).unionByName(
+            base.where(F.col("is_current") == 1).join(
+                first_seq.select(key), key, "left_anti"
+            )
+        )
+        return untouched.unionByName(closing).unionByName(batch_hist)
+
+    return _run_merge_stream(
+        spark, changes_stream, base_dir, checkpoint_dir, scd2_merge,
+        keep_versions, available_now,
+    )
+
+
+def _run_merge_stream(
+    spark: SparkSession,
+    changes_stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    merge_fn,
+    keep_versions: int,
+    available_now: bool,
+):
+    """Shared skeleton: exactly-once versioned-snapshot publish around
+    a pluggable (batch, current-snapshot) -> new-snapshot merge."""
     lineage = _lineage_id(spark, checkpoint_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -129,19 +220,7 @@ def run_scd1_stream(
             fs.write_bytes(marker, b"")
             _retire_old_versions(fs, version, keep_versions)
             return
-        compacted = compact_batch(batch_df, key).drop("change_seq")
-        base = read_current(session, base_dir)
-        if base is None:
-            merged = compacted.where(F.col(OP_COL) == OP_UPSERT).drop(OP_COL)
-        else:
-            # inline apply_changes (operators/cdc.py): anti-join out
-            # every changed key, union the upsert payloads back in
-            merged = base.join(
-                compacted.select(key), key, "left_anti"
-            ).unionByName(
-                compacted.where(F.col(OP_COL) == OP_UPSERT).drop(OP_COL)
-            )
-        version = f"_v{bkey}"
+        merged = merge_fn(batch_df, read_current(session, base_dir))
         merged.write.mode("overwrite").parquet(f"{base_dir}/{version}")
         # atomic pointer swap: write-to-temp + rename, then the commit
         # marker; a crash between the two replays into the SAME

@@ -207,3 +207,107 @@ def test_delete_only_feed_and_empty_snapshot(spark, tmp_path):
     df = read_current(spark, base)
     assert df is not None and df.count() == 0
     assert set(df.columns) == {"k", "name", "score"}
+
+
+# ---------------------------------------------------------------------------
+# SCD2 (history-keeping) variant
+# ---------------------------------------------------------------------------
+
+
+def _drain2(spark, changes_dir, base, ckpt, **kw):
+    from mahjong_etl_spark.streaming.cdc_stream import run_scd2_stream
+
+    q = run_scd2_stream(spark, _stream(spark, changes_dir), base, ckpt, "k", **kw)
+    assert q.awaitTermination(120), "stream did not drain in time"
+    q.stop()
+    time.sleep(0.2)
+
+
+def _reference_scd2(rows):
+    """Pure-python fold of the whole feed: every change is a version;
+    upserts open [seq, next_change_seq); deletes close and open
+    nothing."""
+    by_key = {}
+    for k, op, seq, nm, sc in sorted(rows, key=lambda r: (r[0], r[2])):
+        by_key.setdefault(k, []).append((seq, op, nm, sc))
+    out = set()
+    for k, changes in by_key.items():
+        for i, (seq, op, nm, sc) in enumerate(changes):
+            if op != "upsert":
+                continue
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            out.add((k, nm, sc, seq, nxt, int(nxt is None)))
+    return out
+
+
+def test_scd2_stream_history_converges_across_choppings(spark, tmp_path):
+    """Chopped arrivals must build the exact interval history the
+    whole-feed fold implies — including a delete that closes without
+    opening, a re-insert after delete, and multi-version batches."""
+    rows = [
+        (1, "upsert", 1, "alice", 10),
+        (1, "upsert", 3, "alice", 11),
+        (1, "delete", 5, None, None),
+        (1, "upsert", 7, "alice2", 12),
+        (2, "upsert", 2, "bob", 20),
+        (2, "upsert", 4, "bobby", 21),
+        (3, "upsert", 6, "carol", 30),
+        (3, "delete", 8, None, None),
+    ]
+    want = _reference_scd2(rows)
+
+    ordered = sorted(rows, key=lambda r: r[2])
+    for chop in ([4, 8], [2, 5, 8], [8]):
+        tag = "_".join(map(str, chop))
+        base = str(tmp_path / f"base_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        feed = tmp_path / f"feed_{tag}"
+        feed.mkdir()
+        prev = 0
+        for i, c in enumerate(chop):
+            p = feed / f"b{i}.jsonl"
+            with open(p, "w") as f:
+                for k, op, seq, nm, sc in ordered[prev:c]:
+                    f.write(json.dumps({
+                        "k": k, "op": op, "change_seq": seq,
+                        "name": nm, "score": sc,
+                    }) + "\n")
+            os.utime(p, (1000 + i, 1000 + i))
+            prev = c
+        from mahjong_etl_spark.streaming.cdc_stream import (
+            read_current,
+            run_scd2_stream,
+        )
+
+        q = run_scd2_stream(spark, _stream(spark, str(feed)), base, ckpt, "k")
+        assert q.awaitTermination(120)
+        q.stop()
+        time.sleep(0.2)
+        got = {
+            (r.k, r.name, r.score, r.valid_from, r.valid_to, r.is_current)
+            for r in read_current(spark, base).collect()
+        }
+        assert got == want, f"chopping {chop} diverged"
+
+
+def test_scd2_stream_point_in_time_matches_as_of(spark, tmp_path):
+    """The streamed history answers AS OF reads through the SAME
+    scd2_as_of filter the batch plane uses."""
+    from mahjong_etl_spark.operators.cdc import scd2_as_of
+    from mahjong_etl_spark.streaming.cdc_stream import read_current
+
+    base, ckpt = str(tmp_path / "base"), str(tmp_path / "ckpt")
+    d = _drop(tmp_path, "b0.jsonl", [
+        (1, "upsert", 1, "v1", 10),
+        (1, "upsert", 5, "v2", 11),
+    ], 1_000)
+    _drop(tmp_path, "b1.jsonl", [(1, "delete", 9, None, None)], 2_000)
+    _drain2(spark, d, base, ckpt)
+    hist = read_current(spark, base)
+    at = lambda v: {  # noqa: E731
+        (r.k, r.name) for r in scd2_as_of(hist, v).collect()
+    }
+    assert at(1) == {(1, "v1")}
+    assert at(4) == {(1, "v1")}
+    assert at(5) == {(1, "v2")}
+    assert at(9) == set()  # deleted
