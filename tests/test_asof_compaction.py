@@ -298,3 +298,64 @@ def test_compaction_crash_mid_delete_rolls_forward(spark, tmp_path, monkeypatch)
     assert len(after) == 1 and after[0].startswith("c")
     assert spark.read.parquet(f"{root}/t").count() == 200
     assert spark.read.parquet(f"{root}/t").select("id").distinct().count() == 200
+
+
+def test_compaction_repair_converges_multiple_interrupted_swaps(spark, tmp_path, monkeypatch):
+    """Several partitions' swaps interrupted in ONE run (first crashes
+    mid-delete after its moves completed, leaving the rest never
+    started): repair must roll the completed-move partition FORWARD
+    and leave untouched partitions intact, in one pass."""
+    import os
+
+    import pytest
+
+    import mahjong_etl_spark.plans.compaction as pc
+    import mahjong_etl_spark.streaming.etl_stream as es
+
+    root = str(tmp_path)
+    df = spark.range(400).select(
+        F.when(F.col("id") < 200, "2024-01-01").otherwise("2024-01-02").alias("dt"),
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+    )
+    df.repartition(8).write.partitionBy("dt").parquet(f"{root}/t")
+
+    real_par = es._par_files
+    crashed = {"done": False}
+
+    def crash_first_delete_phase(fn, items):
+        items = list(items)
+        if (
+            items
+            and not isinstance(items[0], tuple)
+            and "/dt=" in str(items[0])
+            and not crashed["done"]
+        ):
+            crashed["done"] = True
+            fn(items[0])  # delete ONE original of the first partition
+            raise RuntimeError("injected crash mid-delete")
+        return real_par(fn, items)
+
+    monkeypatch.setattr(es, "_par_files", crash_first_delete_phase)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pc.compact_table(spark, root, "t", target_file_bytes=10**9)
+
+    monkeypatch.setattr(es, "_par_files", real_par)
+    fixed = pc.repair_compaction(spark, root)
+    assert list(fixed.values()) == ["forward"]
+    # next run compacts the remaining fragmented partition normally
+    out = pc.compact_table(spark, root, "t", target_file_bytes=10**9)
+    assert len(out) == 1
+    back = spark.read.parquet(f"{root}/t")
+    assert back.count() == 400
+    assert back.select("id").distinct().count() == 400
+    for dt in ("2024-01-01", "2024-01-02"):
+        files = [
+            f
+            for f in os.listdir(f"{root}/t/dt={dt}")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (dt, files)
+    assert not os.path.exists(f"{root}/_compaction") or not os.listdir(
+        f"{root}/_compaction"
+    )
