@@ -76,8 +76,8 @@ def read_current(spark: SparkSession, base_dir: str) -> DataFrame | None:
 def _retire_old_versions(fs, current: str, keep_versions: int) -> None:
     """Delete superseded ``_v`` snapshot dirs beyond ``keep_versions``
     (the pointer's target is always kept).  Version names embed
-    (lineage, batch); lexicographic order within a lineage tracks
-    batch order, and cross-lineage order is irrelevant — anything not
+    (lineage, batch); retention keeps the numerically NEWEST batches
+    (lexicographic order would sort batch 10 before 2) — anything not
     current is retirable, newest-first retention is a courtesy to
     readers in flight."""
     import re
@@ -85,11 +85,11 @@ def _retire_old_versions(fs, current: str, keep_versions: int) -> None:
     dirs = set()
     for p in fs.list_files(fs.root, recursive=True):
         rel = p[len(fs.root) + 1:]
-        m = re.match(r"(_v[0-9a-f]{12}-\d+)/", rel)
+        m = re.match(r"(_v([0-9a-f]{12})-(\d+))/", rel)
         if m:
-            dirs.add(m.group(1))
-    dirs.discard(current)
-    for d in sorted(dirs)[: max(0, len(dirs) - keep_versions)]:
+            dirs.add((m.group(2), int(m.group(3)), m.group(1)))
+    dirs = {d for d in dirs if d[2] != current}
+    for _, _, d in sorted(dirs)[: max(0, len(dirs) - keep_versions)]:
         fs.delete_dir(f"{fs.root}/{d}")
 
 
