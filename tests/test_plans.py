@@ -697,3 +697,104 @@ def test_chunk_udtf_arrow_and_pruned(reg, spark, sf_dir):
     assert "partial_count" in plan
     read = plan.split("ReadSchema")[-1]
     assert "text" in read and "doc_id" not in read
+
+
+# ---------------------------------------------------------------------------
+# r8 operator plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_session_paths_shares_one_user_exchange(reg, spark, sf_dir):
+    """Window + per-session groupBy must reuse ONE user_id exchange;
+    the only other exchange keys the bounded path string; top-20 is
+    TakeOrdered, never a global sort; the scan reads only the four
+    session columns."""
+    df = _run(reg, "events_session_paths", spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "TakeOrderedAndProject" in plan
+    read = plan.split("ReadSchema")[-1]
+    assert "event_type" in read and "user_id" in read
+    assert "props" not in read and "value" not in read
+
+
+def test_anomaly_mad_broadcasts_per_type_medians(reg, spark, sf_dir):
+    """The med/mad sides are per-event-type aggregates (~5 rows): all
+    three joins (med into the MAD pass, then med and mad onto the
+    screened scan) must be broadcast — never sort-merge; the cut is
+    TakeOrdered; the fact scan must not read props."""
+    plan = plan_of(_run(reg, "events_anomaly_mad", spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "TakeOrderedAndProject" in plan
+    read = plan.split("ReadSchema")[-1]
+    assert "value" in read and "props" not in read
+
+
+def test_pmi_min_count_cut_precedes_marginal_joins(reg, spark, sf_dir):
+    """The cab >= min-count filter must run INSIDE the pair aggregate
+    (before any join), so Zipf's rare-pair tail never reaches the
+    marginal joins; the N scalar is a 1-row broadcast; top-25 is
+    TakeOrdered."""
+    df = _run(reg, "text_pmi_collocations", spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    # the min-count filter appears as a post-aggregate Filter on cab,
+    # upstream of (= printed below) the first join in the tree
+    first_join = min(
+        i for i, ln in enumerate(plan.splitlines()) if "Join" in ln
+    )
+    filt_lines = [
+        i
+        for i, ln in enumerate(plan.splitlines())
+        if "Filter" in ln and "cab" in ln
+    ]
+    assert filt_lines and all(i > first_join for i in filt_lines)
+
+
+def test_script_profile_is_single_scan_single_exchange(reg, spark, sf_dir):
+    """Pure columnar regexp deltas: exactly one scan, one per-lang
+    exchange, no joins, and only (lang, text) read."""
+    plan = plan_of(_run(reg, "text_script_profile", spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    read = plan.split("ReadSchema")[-1]
+    assert "lang" in read and "text" in read and "doc_id" not in read
+
+
+def test_ndcg_labels_join_broadcasts_topk_not_corpus(reg, spark, sf_dir):
+    """The corpus-sized label table must NEVER be the broadcast side:
+    the k-row top-k table broadcasts against it, and every other join
+    side (query labels, totals) is query-count-sized."""
+    plan = plan_of(_run(reg, "similarity_ndcg_eval", spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    # brute-force scorer contributes the one allowed nested-loop join;
+    # all label/total attachments are broadcast hash joins
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_vocab_overlap_cuts_before_pair_join(reg, spark, sf_dir):
+    """The min-count HAVING must run inside the (source, term)
+    aggregate BEFORE the term-keyed self-join, and the size tables
+    broadcast onto the |sources|^2 pair result."""
+    df = _run(reg, "corpus_vocab_overlap", spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    lines = plan.splitlines()
+    first_join = min(i for i, ln in enumerate(lines) if "Join" in ln)
+    cut = [i for i, ln in enumerate(lines) if "Filter" in ln and "c#" in ln]
+    assert cut and all(i > first_join for i in cut)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_spectral_features_no_shuffle_pruned_scan(reg, spark, sf_dir):
+    """Embarrassingly parallel mapInPandas: zero exchanges, one scan
+    reading ONLY doc_id."""
+    plan = plan_of(_run(reg, "multimodal_spectral_features", spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    read = plan.split("ReadSchema")[-1]
+    assert "doc_id" in read and "text" not in read
