@@ -91,6 +91,41 @@ def cmd_stream(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_cdc(args: argparse.Namespace) -> int:
+    from pyspark.sql.types import StructType
+
+    from .streaming.cdc_stream import read_current, run_scd1_stream, run_scd2_stream
+
+    spark = _spark("mahjong-cdc")
+    schema = StructType.fromDDL(args.schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .json(args.changes_dir)
+    )
+    runner = run_scd2_stream if args.scd2 else run_scd1_stream
+    q = runner(
+        spark,
+        stream,
+        args.output_dir,
+        args.checkpoint,
+        args.key,
+        keep_versions=args.keep_versions,
+        available_now=not args.follow,
+    )
+    if args.follow:
+        print("CDC merge stream running; ctrl-c to stop")
+        q.awaitTermination()
+        return 0
+    q.awaitTermination()
+    q.stop()
+    cur = read_current(spark, args.output_dir)
+    n = cur.count() if cur is not None else 0
+    shape = "SCD2 history rows" if args.scd2 else "current keys"
+    print(f"merged change feed into {args.output_dir}: {n} {shape}")
+    return 0
+
+
 def cmd_sync(args: argparse.Namespace) -> int:
     from .sources.sync import DEFAULT_EXCLUDE, run_sync
 
@@ -220,6 +255,29 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sy.add_argument("--dry-run", action="store_true")
     sy.set_defaults(fn=cmd_sync)
+
+    cd = sub.add_parser(
+        "cdc",
+        help="merge a JSONL change feed (key, op, change_seq, payload...) "
+        "into a versioned dimension snapshot (SCD1) or interval "
+        "history (--scd2), exactly-once",
+    )
+    cd.add_argument("-L", "--changes-dir", required=True)
+    cd.add_argument("-O", "--output-dir", required=True)
+    cd.add_argument("-C", "--checkpoint", required=True)
+    cd.add_argument("-k", "--key", required=True, help="merge key column")
+    cd.add_argument(
+        "-s",
+        "--schema",
+        required=True,
+        help="change-feed DDL, e.g. 'k long, op string, change_seq long, "
+        "name string'",
+    )
+    cd.add_argument("--scd2", action="store_true", help="keep full interval history")
+    cd.add_argument("--keep-versions", type=int, default=1)
+    cd.add_argument("--max-files-per-trigger", type=int, default=1000)
+    cd.add_argument("--follow", action="store_true")
+    cd.set_defaults(fn=cmd_cdc)
 
     sq = sub.add_parser("sql", help="Spark SQL over the written tables")
     sq.add_argument("-D", "--data-dir", required=True)

@@ -311,3 +311,27 @@ def test_scd2_stream_point_in_time_matches_as_of(spark, tmp_path):
     assert at(4) == {(1, "v1")}
     assert at(5) == {(1, "v2")}
     assert at(9) == set()  # deleted
+
+
+def test_cli_cdc_merge_drains(tmp_path):
+    from mahjong_etl_spark.cli import main
+
+    _drop(tmp_path, "b0.jsonl", [
+        (1, "upsert", 1, "a", 1),
+        (2, "upsert", 2, "b", 2),
+    ], 1_000)
+    _drop(tmp_path, "b1.jsonl", [(1, "delete", 3, None, None)], 2_000)
+    out = str(tmp_path / "out")
+    rc = main([
+        "cdc",
+        "-L", str(tmp_path / "changes"),
+        "-O", out,
+        "-C", str(tmp_path / "ckpt"),
+        "-k", "k",
+        "-s", _CHANGE_SCHEMA,
+    ])
+    assert rc == 0
+    from mahjong_etl_spark.session import get_spark
+
+    spark = get_spark("cli-cdc-check")
+    assert _snapshot(spark, out) == {2: ("b", 2)}
