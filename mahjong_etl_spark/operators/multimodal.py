@@ -1916,3 +1916,128 @@ def multimodal_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dominant_hz double, spectral_centroid_hz double, rms double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: perceptual-hash (pHash) image near-duplicate detection
+# ---------------------------------------------------------------------------
+
+PHASH_SIDE = 32       # DCT input side (pHash standard)
+PHASH_LOWF = 8        # low-frequency block kept (8x8 -> 64-bit hash)
+PHASH_GROUPS = 40     # distinct base patterns in the synthetic corpus
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (the JPEG/pHash transform)."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.float64)
+    mat = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    mat[0] *= 1.0 / np.sqrt(2.0)
+    return mat * np.sqrt(2.0 / n)
+
+
+def synth_image(doc_id: int):
+    """Deterministic 32x32 grayscale test image: the group's identity
+    (``doc_id % PHASH_GROUPS``) is a seeded +-25 SIGN PATTERN planted
+    directly in the low-frequency DCT block (strong, distinctive
+    structure — like real photos' coarse luminance layout), plus
+    per-DOCUMENT +-4 high-frequency pixel noise — the perturbation
+    class pHash is designed to see through."""
+    import numpy as np
+
+    n, lf = PHASH_SIDE, PHASH_LOWF
+    g = doc_id % PHASH_GROUPS
+    idx = np.arange(lf * lf, dtype=np.uint64)
+    x = (np.uint64(g) * np.uint64(1_000_003) + idx) * np.uint64(2654435761)
+    x ^= x >> np.uint64(16)
+    x *= np.uint64(2246822519)
+    signs = (((x >> np.uint64(13)) & np.uint64(1)).astype(np.int64)) * 2 - 1
+    block = np.zeros((n, n))
+    block[:lf, :lf] = (signs * 25.0).reshape(lf, lf)
+    c = _dct_matrix(n)
+    base = 128.0 + c.T @ block @ c  # inverse orthonormal DCT-II
+    y, x = np.mgrid[0:n, 0:n].astype(np.float64)
+    noise = ((doc_id * 37 + (y * n + x) * 97) % 9) - 4
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def phash64(gray) -> int:
+    """64-bit pHash: 2-D DCT-II, keep the PHASH_LOWF^2 low-frequency
+    block, threshold each AC coefficient against the block's MEAN
+    (DC excluded — the mean-threshold pHash variant: with coefficient
+    values clustered away from zero the median can sit ON a cluster
+    and turn hash bits noise-sensitive, while the mean stays between
+    clusters)."""
+    import numpy as np
+
+    c = _dct_matrix(PHASH_SIDE)
+    d = c @ gray.astype(np.float64) @ c.T
+    low = d[:PHASH_LOWF, :PHASH_LOWF].flatten()
+    med = low[1:].mean()  # exclude DC
+    bits = low > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=_golden_oracle(
+        "multimodal_phash_dedup",
+        "phash_hex, n_docs, min_doc_id, n_groups_sharing",
+    ),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash: every
+    document's image rides the REAL PNG encode→decode path, is
+    DCT-transformed, and hashed to 64 bits of low-frequency structure;
+    exact-hash grouping then finds the near-duplicate clusters — the
+    image-plane twin of the text MinHash pipeline (high-frequency
+    noise, recompression artifacts and small edits leave the hash
+    unchanged by construction, which the law tests pin).
+
+    Plan: one Arrow-batched mapInPandas pass (decode + two 32x32
+    matmuls per image — constant per-doc CPU, embarrassingly
+    parallel), then ONE groupBy on the 8-byte hash — dedup shuffles
+    hashes, never pixels, the exact-dedup scale shape.  Oracle:
+    corpus-sig-keyed golden (DCT/median are libm); grouping semantics
+    pinned against the synthesized group structure in pytest."""
+    from ..shipping import ensure_shipped
+    from ..sources.tables import load_spread
+
+    ensure_shipped(spark)
+    enc, dec, synth, ph = encode_png, decode_png_pixels, synth_image, phash64
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                img = synth(d)
+                px = dec(enc(img[:, :, None]))
+                assert px is not None
+                back = px[:, :, 0]
+                assert np.array_equal(back, img)  # lossless path
+                rows.append((d, d % PHASH_GROUPS, f"{ph(back):016x}"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "grp", "phash_hex"]
+            )
+
+    hashed = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(_hash, "doc_id long, grp int, phash_hex string")
+    )
+    return (
+        hashed.groupBy("phash_hex")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.countDistinct("grp").alias("n_groups_sharing"),
+        )
+        .orderBy("phash_hex")
+    )

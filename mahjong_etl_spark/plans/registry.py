@@ -94,14 +94,15 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # outranks evidence freshness.
 
 _CHECK_WINDOW_HEAD = [
-    # seven queries NEW in r8 — never driver-checked, they lead
-    # (FFT spectral features, path
+    # eight queries NEW in r8 — never driver-checked, they lead
+    # (FFT spectral features, pHash image dedup, path
     # mining, robust MAD anomaly screen, PMI collocations, script
     # profile, nDCG retrieval eval, cross-source vocabulary overlap);
     # per the displacement rule they push the BOTTOM seven r5-slice
     # entries ("cdc_orders_scd2" .. "corpus_weighted_sample")
     # back to the front of the tail's r9 queue
     "multimodal_spectral_features",
+    "multimodal_phash_dedup",
     "events_session_paths",
     "events_anomaly_mad",
     "text_pmi_collocations",
@@ -117,13 +118,15 @@ _CHECK_WINDOW_HEAD = [
     "text_token_stats",
     "text_top_terms",
     "cdc_customer_upsert",
-    # the four queries whose CODE changed this round: BPE snapshot
+    # the queries whose CODE changed this round: BPE snapshot
     # lifecycle (free-every-4) + the Arrow local-rows result path
-    # (local_rows_df) shared by embedding_pca and the CMS heavy hitters
+    # (local_rows_df) shared with embedding_pca (the CMS heavy hitters
+    # — r5 evidence, same shared path — was displaced by the eighth
+    # new query, multimodal_phash_dedup; text_bpe_vocab re-proves the
+    # local_rows_df path in-window)
     "text_bpe_vocab",
     "text_bpe_doc_tokens",
     "embedding_pca",
-    "events_heavy_hitters_cms",
     # the ENTIRE r4-last-green cohort (33) — after this board lands,
     # no registry query's newest hash row is older than r5
     "corpus_chunk_dedup",
@@ -165,7 +168,8 @@ _CHECK_WINDOW_HEAD = [
 ]
 
 _CHECK_WINDOW_TAIL = [
-    # displaced from the r8 head by the seven new-in-r8 queries — these
+    "events_heavy_hitters_cms",
+    # displaced from the r8 head by the eight new-in-r8 queries — these
     # lead the r9 window queue, then the r5-last-green remainder
     "cdc_orders_scd2",
     "classifier_train_eval",

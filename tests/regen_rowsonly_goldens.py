@@ -44,6 +44,7 @@ NAMES = [
     "multimodal_video_frames",
     "events_kmv_segment_overlap",
     "multimodal_spectral_features",
+    "multimodal_phash_dedup",
 ]
 
 

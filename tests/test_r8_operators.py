@@ -340,3 +340,64 @@ def test_spectral_clip_survives_wav_roundtrip():
     back, rate, ch = decode_wav_samples(encode_wav(clip, SPEC_RATE))
     assert rate == SPEC_RATE and ch == 1
     assert np.array_equal(back, clip)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup
+# ---------------------------------------------------------------------------
+
+
+def test_phash_invariant_to_noise_and_separates_groups():
+    """The pHash LAW: per-document high-frequency noise never changes
+    the hash (intra-group hamming 0), while distinct base patterns
+    stay far apart (inter-group hamming >= 16 of 64 bits)."""
+    import itertools
+
+    from mahjong_etl_spark.operators.multimodal import (
+        PHASH_GROUPS,
+        phash64,
+        synth_image,
+    )
+
+    reps = {g: phash64(synth_image(g)) for g in range(PHASH_GROUPS)}
+    for g in range(0, PHASH_GROUPS, 3):
+        for k in (1, 5, 11):
+            assert phash64(synth_image(g + PHASH_GROUPS * k)) == reps[g]
+    for a, b in itertools.combinations(range(PHASH_GROUPS), 2):
+        assert bin(reps[a] ^ reps[b]).count("1") >= 16, (a, b)
+
+
+def test_phash_dedup_groups_match_planted_structure(spark, tmp_path):
+    """Over a corpus of doc_ids spanning every group several times,
+    exact-hash grouping must recover EXACTLY the planted groups: one
+    hash per group, correct member counts, never a cross-group
+    collision (n_groups_sharing always 1)."""
+    from mahjong_etl_spark.operators.multimodal import (
+        PHASH_GROUPS,
+        multimodal_phash_dedup,
+    )
+
+    ids = list(range(3 * PHASH_GROUPS)) + [7, 47]  # group 7 twice more
+    spark.createDataFrame(
+        [(d, "x", "en", "s", 1) for d in set(ids)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = multimodal_phash_dedup(spark, str(tmp_path)).collect()
+    assert len(out) == PHASH_GROUPS  # one cluster per planted group
+    assert all(r.n_groups_sharing == 1 for r in out)
+    by_min = {r.min_doc_id: r.n_docs for r in out}
+    assert by_min[7] == 3  # docs 7, 47, 87
+    assert sum(by_min.values()) == len(set(ids))
+
+
+def test_phash_dct_is_orthonormal():
+    """The DCT basis must be orthonormal (C @ C.T = I): the transform
+    preserves energy, so planted coefficients come back exactly."""
+    import numpy as np
+
+    from mahjong_etl_spark.operators.multimodal import PHASH_SIDE, _dct_matrix
+
+    c = _dct_matrix(PHASH_SIDE)
+    assert np.allclose(c @ c.T, np.eye(PHASH_SIDE), atol=1e-12)
