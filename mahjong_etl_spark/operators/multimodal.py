@@ -1990,7 +1990,9 @@ def phash64(gray) -> int:
     ),
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate detection by perceptual hash: every
+    """Image near-duplicate detection by perceptual hash (the
+    DCT-pHash of Zauner 2010, "Implementation and Benchmarking of
+    Perceptual Image Hash Functions", with a mean threshold): every
     document's image rides the REAL PNG encode→decode path, is
     DCT-transformed, and hashed to 64 bits of low-frequency structure;
     exact-hash grouping then finds the near-duplicate clusters — the

@@ -1674,7 +1674,9 @@ NDCG_K = 10
     """,
 )
 def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval-quality evaluation: nDCG@10 of the exact cosine
+    """Retrieval-quality evaluation (Järvelin & Kekäläinen 2002,
+    "Cumulated gain-based evaluation of IR techniques"): nDCG@10 of
+    the exact cosine
     ranking, scored against label agreement as binary relevance — the
     offline eval loop every embedding-based retrieval / RAG corpus
     runs when embeddings are refreshed.

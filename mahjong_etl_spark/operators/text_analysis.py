@@ -1434,8 +1434,10 @@ PMI_MIN_PAIR = 5  # min bigram count: PMI of rare pairs is pure noise
     """,
 )
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation mining: top-25 adjacent word pairs by pointwise
-    mutual information, PMI = ln(c(a,b)·N / (c₁(a)·c₂(b))) over the
+    """Collocation mining (Church & Hanks 1990, "Word Association
+    Norms, Mutual Information, and Lexicography"): top-25 adjacent
+    word pairs by pointwise mutual information,
+    PMI = ln(c(a,b)·N / (c₁(a)·c₂(b))) over the
     corpus bigram table (N = total bigrams; left/right marginals kept
     separate, the textbook estimator).  High-PMI pairs are the
     multi-word expressions a tokenizer or phrase-merge pass should

@@ -4736,8 +4736,9 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust anomaly screen: modified z-score on median/MAD
-    (0.6745·(x−median)/MAD, flag |z| > 3.5 — Iglewicz & Hoaglin's
+    """Robust anomaly screen (Iglewicz & Hoaglin 1993, "How to
+    Detect and Handle Outliers", ASQC): modified z-score on
+    median/MAD (0.6745·(x−median)/MAD, flag |z| > 3.5 — the
     outlier-resistant alternative to events_anomaly_zscore, which a
     single extreme value can mask by inflating the stddev).
 
