@@ -4660,14 +4660,20 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many sessions and events each path accounts for.
 
     Plan: the gap-and-island sessionization shares ONE shuffle on
-    user_id (window + the per-session groupBy reuse the partitioning);
-    the path prefix is an array slice BEFORE string materialization,
-    so state per session is bounded at 8 event types no matter how
-    long the session; the path-frequency aggregate shuffles on the
-    bounded path string; top-20 is TakeOrderedAndProject.  At 100 TB
-    the path-string cardinality is capped by (event-type alphabet)^8,
-    and the heavy hitters concentrate (Zipf) — the final exchange
-    carries counts, not sessions."""
+    user_id (the session window, the rank window and the per-session
+    groupBy all reuse the hash(user_id) partitioning — the rank
+    window's (user_id, session_num) clustering is satisfied by it, so
+    only a re-sort is inserted); the 8-event prefix is selected by a
+    row_number BEFORE aggregation, so the per-session aggregation
+    buffer holds at most 8 (rn, event_type) structs no matter how
+    long the session — a months-long bot "session" with millions of
+    events contributes millions of rows to the sort but never more
+    than 8 entries to any aggregation buffer; the path-frequency
+    aggregate shuffles on the bounded path string; top-20 is
+    TakeOrderedAndProject.  At 100 TB the path-string cardinality is
+    capped by (event-type alphabet)^8, and the heavy hitters
+    concentrate (Zipf) — the final exchange carries counts, not
+    sessions."""
     from pyspark.sql.window import Window
 
     e = load(spark, sf_dir, "events")
@@ -4684,12 +4690,16 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum(is_new).over(wrun).alias("session_num"),
     )
-    per_session = numbered.groupBy("user_id", "session_num").agg(
+    wsess = Window.partitionBy("user_id", "session_num").orderBy(
+        "ts", "event_id"
+    )
+    ranked = numbered.withColumn("rn", F.row_number().over(wsess))
+    per_session = ranked.groupBy("user_id", "session_num").agg(
         F.concat_ws(
             ">",
             F.expr(
-                "transform(slice(array_sort(collect_list("
-                "struct(ts, event_id, event_type))), 1, 8),"
+                "transform(array_sort(collect_list("
+                "CASE WHEN rn <= 8 THEN struct(rn, event_type) END)),"
                 " s -> s.event_type)"
             ),
         ).alias("path"),
@@ -4748,9 +4758,16 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     results broadcast back against the fact scan (AQE: the per-type
     tables are rows-of-types sized); the final screen is a TakeOrdered
     top-25, never a full sort.  At 100 TB exact per-type medians are
-    the one genuinely heavy piece — the documented fallback is
-    approx_percentile (events_approx_quantiles idiom) with identical
-    downstream shape."""
+    the one genuinely heavy piece (exact ``percentile`` buffers each
+    group's value multiset) — flip to events_anomaly_mad_approx, the
+    wired percentile_approx twin with identical downstream shape."""
+    return _anomaly_mad(spark, sf_dir, exact=True)
+
+
+def _anomaly_mad(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+    """Shared med/MAD screen plan; ``exact`` picks the percentile
+    engine (exact value-multiset buffers vs GK sketches) and nothing
+    else — both variants emit the identical downstream shape."""
     e = load(spark, sf_dir, "events")
     m = e.select(
         "event_id",
@@ -4758,13 +4775,21 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 1000).cast("long").alias("xm"),
     )
-    med = m.groupBy("event_type").agg(
-        F.expr("percentile(xm, 0.5)").alias("med_m")
-    )
+    if exact:
+        med_agg = F.expr("percentile(xm, 0.5)").alias("med_m")
+        mad_agg = F.expr("percentile(abs(xm - med_m), 0.5)").alias("mad_m")
+    else:
+        med_agg = F.expr(
+            "CAST(approx_percentile(xm, 0.5, 10000) AS DOUBLE)"
+        ).alias("med_m")
+        mad_agg = F.expr(
+            "CAST(approx_percentile(abs(xm - med_m), 0.5, 10000) AS DOUBLE)"
+        ).alias("mad_m")
+    med = m.groupBy("event_type").agg(med_agg)
     mad = (
         m.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
-        .agg(F.expr("percentile(abs(xm - med_m), 0.5)").alias("mad_m"))
+        .agg(mad_agg)
     )
     z = F.lit(0.6745) * (F.col("xm") - F.col("med_m")) / F.col("mad_m")
     return (
@@ -4781,3 +4806,30 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("robust_z"),
         )
     )
+
+
+@query(
+    "events_anomaly_mad_approx",
+    oracle=golden_oracle(
+        "events_anomaly_mad_approx",
+        "event_id, user_id, event_type, value, robust_z",
+    ),
+)
+def events_anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB knob for events_anomaly_mad: the SAME modified
+    z-score screen (Iglewicz & Hoaglin 1993) with the two exact
+    per-type medians swapped for ``approx_percentile`` GK sketches
+    (accuracy 10000, i.e. ≤1e-4 rank error) — constant-size
+    aggregation state per event type instead of a buffered value
+    multiset, so the one genuinely heavy piece of the exact plan
+    disappears at scale while the downstream shape (broadcast med/mad
+    joins, TakeOrdered top-25, identical output schema) is untouched.
+
+    Oracle: committed corpus-sig-keyed golden — the sketch is
+    approximate by design so no exact SQL twin exists; the tolerance
+    law vs the exact medians (rank error, screen overlap) is pinned in
+    tests/test_r9_operators.py.  approx_percentile returns an ACTUAL
+    data value (no interpolation), so med_m/mad_m sit on the exact
+    int64 milli-grid and everything downstream is the one-division
+    discipline shared with the exact twin."""
+    return _anomaly_mad(spark, sf_dir, exact=False)

@@ -6,9 +6,12 @@ libm-keyed sampling) have no DuckDB-SQL twin but are byte-deterministic
 oracle is the query's own committed output keyed by the COMBINED corpus
 signature.  Run after any change to their logic or to ANY test corpus:
 
-    python tests/regen_rowsonly_goldens.py [sf_dir ...]
+    python tests/regen_rowsonly_goldens.py [sf_dir ...] [--names a,b]
 
-Writes tests/fixtures/golden_<name>.parquet; commit the results.
+(--names regenerates ONLY the listed goldens — use it when adding a
+new golden query so the other committed files keep byte-identical
+diffs.)  Writes tests/fixtures/golden_<name>.parquet; commit the
+results.
 Quality contracts (recall bounds, error bounds, numpy parity) live in
 pytest and are unaffected by regeneration.
 """
@@ -45,20 +48,34 @@ NAMES = [
     "events_kmv_segment_overlap",
     "multimodal_spectral_features",
     "multimodal_phash_dedup",
+    "events_anomaly_mad_approx",
 ]
 
 
-def main(sf_dirs: list[str]) -> None:
+def main(argv: list[str]) -> None:
     from mahjong_etl_spark.functions.goldens import combined_sig
     from mahjong_etl_spark.plans.registry import registry
     from mahjong_etl_spark.session import get_spark
 
+    names = list(NAMES)
+    sf_dirs = []
+    it = iter(argv)
+    for a in it:
+        if a == "--names":
+            names = [n for n in next(it).split(",") if n]
+        else:
+            sf_dirs.append(a)
+    sf_dirs = sf_dirs or DEFAULT_SF_DIRS
+    unknown = set(names) - set(NAMES)
+    if unknown:
+        raise SystemExit(f"--names not in NAMES: {sorted(unknown)}")
+
     spark = get_spark("regen-rowsonly-goldens")
     reg = registry()
-    frames: dict[str, list] = {n: [] for n in NAMES}
+    frames: dict[str, list] = {n: [] for n in names}
     for sf_dir in sf_dirs:
         sig = combined_sig(spark, sf_dir)
-        for n in NAMES:
+        for n in names:
             pdf = reg[n].spark_fn(spark, sf_dir).toPandas()
             pdf["corpus_sig"] = sig
             frames[n].append(pdf)
@@ -67,8 +84,8 @@ def main(sf_dirs: list[str]) -> None:
         pd.concat(fs, ignore_index=True).to_parquet(
             os.path.join(FIXTURES, f"golden_{n}.parquet"), index=False
         )
-    print(f"wrote {len(NAMES)} golden files")
+    print(f"wrote {len(names)} golden files")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or DEFAULT_SF_DIRS)
+    main(sys.argv[1:])
