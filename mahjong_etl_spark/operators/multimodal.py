@@ -1963,19 +1963,22 @@ def synth_image(doc_id: int):
 
 
 def phash64(gray) -> int:
-    """64-bit pHash: 2-D DCT-II, keep the PHASH_LOWF^2 low-frequency
-    block, threshold each AC coefficient against the block's MEAN
-    (DC excluded — the mean-threshold pHash variant: with coefficient
-    values clustered away from zero the median can sit ON a cluster
-    and turn hash bits noise-sensitive, while the mean stays between
-    clusters)."""
+    """63-bit pHash: 2-D DCT-II, keep the PHASH_LOWF^2 low-frequency
+    block, threshold each of the 63 AC coefficients against their MEAN
+    (the mean-threshold pHash variant: with coefficient values
+    clustered away from zero the median can sit ON a cluster and turn
+    hash bits noise-sensitive, while the mean stays between clusters).
+    The DC term is excluded from the HASH as well as the mean — per
+    Zauner 2010 pHash hashes AC structure only; DC (~mean luminance ×
+    side) always sits far above the ±AC scale, so a DC bit would be a
+    constant 1 carrying no information (r8 advice finding)."""
     import numpy as np
 
     c = _dct_matrix(PHASH_SIDE)
     d = c @ gray.astype(np.float64) @ c.T
     low = d[:PHASH_LOWF, :PHASH_LOWF].flatten()
-    med = low[1:].mean()  # exclude DC
-    bits = low > med
+    ac = low[1:]  # drop DC: hash AC coefficients only
+    bits = ac > ac.mean()
     out = 0
     for b in bits:
         out = (out << 1) | int(b)

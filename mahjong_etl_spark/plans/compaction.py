@@ -40,6 +40,15 @@ lists the partition mid-swap can transiently see both copies, the
 same class of anomaly as any non-atomic multi-file commit — the
 documented operating mode is after the partition's ingest closes.
 
+Single-compactor enforced (r9): overlapping runs used to treat each
+other's live manifests as crash debris — run B's opening repair
+rolled back run A's in-flight swap, and A's subsequent moves became
+orphaned duplicates.  Both ``compact_table`` and the standalone
+``repair_compaction`` now hold ``{root}/_compaction/_lease`` for the
+duration (write-then-read-back-the-winner, TTL against dead holders)
+and raise ``CompactionLeaseHeld`` instead of repairing under a live
+peer.
+
 Listing and file ops go through the scheme-portable metadata FS of
 streaming/etl_stream.py (pyarrow where it resolves, JVM Hadoop
 connectors otherwise) — an os.listdir walk would silently no-op
@@ -51,11 +60,70 @@ from __future__ import annotations
 import json
 import math
 import re
+import time
 import uuid
 
 from pyspark.sql import SparkSession
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+# single-compactor lease: a crashed holder blocks others only until
+# expiry; a LIVE holder makes a second run refuse loudly instead of
+# rolling back the live swap as if it had crashed
+DEFAULT_LEASE_TTL_SEC = 900.0
+
+
+class CompactionLeaseHeld(RuntimeError):
+    """Another compactor holds the lease — its in-flight manifests are
+    live state, not crash debris; re-run after it finishes (or after
+    the lease TTL if it died without releasing)."""
+
+
+def _acquire_lease(fs, ttl_sec: float) -> str:
+    """Take ``{root}/_compaction/_lease`` or raise CompactionLeaseHeld.
+
+    write-then-read-back-the-winner (the lineage-id discipline of
+    streaming/etl_stream.py): two racers both write, both read back,
+    at most one sees its own token.  Not a distributed lock against a
+    byzantine store — a guard that turns the silent mutual-rollback of
+    overlapping cron runs into a loud refusal."""
+    lease = f"{fs.root}/_compaction/_lease"
+    now = time.time()
+    if fs.kind(lease) == "file":
+        try:
+            cur = json.loads(fs.read_bytes(lease).decode())
+        except (ValueError, OSError):
+            cur = {}
+        if now < float(cur.get("expires", 0)):
+            raise CompactionLeaseHeld(
+                f"compaction lease held until {cur.get('expires')} "
+                f"by {cur.get('token')!r}"
+            )
+    token = uuid.uuid4().hex
+    fs.mkdirs(f"{fs.root}/_compaction")
+    fs.write_bytes(
+        lease, json.dumps({"token": token, "expires": now + ttl_sec}).encode()
+    )
+    got = {}
+    try:
+        got = json.loads(fs.read_bytes(lease).decode())
+    except (ValueError, OSError):
+        pass
+    if got.get("token") != token:
+        raise CompactionLeaseHeld(f"lost lease race to {got.get('token')!r}")
+    return token
+
+
+def _release_lease(fs, token: str) -> None:
+    lease = f"{fs.root}/_compaction/_lease"
+    if fs.kind(lease) != "file":
+        return
+    try:
+        cur = json.loads(fs.read_bytes(lease).decode())
+    except (ValueError, OSError):
+        return
+    if cur.get("token") == token:
+        fs.delete_file(lease)
 
 # b{lineage}-{batch}- prefix of the streaming publish (etl_stream.py)
 _BATCH_PREFIX_RE = re.compile(r"^b([0-9a-f]{12}-\d+)-")
@@ -116,7 +184,12 @@ def _uncommitted_batch_keys(
     }
 
 
-def repair_compaction(spark: SparkSession, root: str) -> dict[str, str]:
+def repair_compaction(
+    spark: SparkSession,
+    root: str,
+    lease_ttl_sec: float = DEFAULT_LEASE_TTL_SEC,
+    _lease_held: bool = False,
+) -> dict[str, str]:
     """Converge any interrupted snapshot-swaps recorded under
     ``{root}/_compaction/``; returns {manifest_key: "forward"|"back"}.
 
@@ -127,14 +200,30 @@ def repair_compaction(spark: SparkSession, root: str) -> dict[str, str]:
     landed — the originals are all still present, because originals
     are only ever deleted after ALL replacements land.  Either way the
     final state holds each row exactly once.  Idempotent; called
-    automatically by :func:`compact_table`."""
+    automatically by :func:`compact_table`.
+
+    Runs under the single-compactor lease: a manifest can belong to a
+    LIVE run (overlapping cron), and "repairing" it would roll back
+    the live swap and orphan its later moves as duplicates — so a held
+    lease raises :class:`CompactionLeaseHeld` instead."""
     from ..streaming.etl_stream import _meta_fs, _par_files
 
     fs = _meta_fs(spark, root)
+    token = None if _lease_held else _acquire_lease(fs, lease_ttl_sec)
+    try:
+        return _repair_locked(fs, _par_files)
+    finally:
+        if token is not None:
+            _release_lease(fs, token)
+
+
+def _repair_locked(fs, _par_files) -> dict[str, str]:
     mdir = f"{fs.root}/_compaction"
     out: dict[str, str] = {}
     for mpath in fs.list_files(mdir) if fs.kind(mdir) == "dir" else []:
         key = mpath.rsplit("/", 1)[1]
+        if key.startswith("_"):
+            continue  # the lease file, not a manifest
         m = json.loads(fs.read_bytes(mpath).decode())
         pdir = f"{fs.root}/{m['table']}/dt={m['dt']}"
         present = {
@@ -166,16 +255,43 @@ def compact_table(
     table: str,
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     min_files_to_compact: int = 2,
+    lease_ttl_sec: float = DEFAULT_LEASE_TTL_SEC,
 ) -> dict[str, int]:
     """Compact every partition with more part files than its data
     needs; returns {dt: files_after} for the rewritten partitions.
     Partitions holding an in-flight streaming batch's files are
     skipped, and the swap touches ONLY the files listed in the
-    snapshot (see module docstring)."""
+    snapshot (see module docstring).
+
+    Single-compactor enforced: the whole run holds the
+    ``_compaction/_lease`` file — an overlapping run (cron overlap)
+    raises :class:`CompactionLeaseHeld` instead of treating this
+    run's journaled manifests as crash debris and rolling back its
+    live swaps.  A holder that died without releasing blocks others
+    only until ``lease_ttl_sec`` expires."""
     from ..streaming.etl_stream import _meta_fs, _par_files
 
-    repair_compaction(spark, root)  # converge any interrupted swap first
     fs = _meta_fs(spark, root)
+    token = _acquire_lease(fs, lease_ttl_sec)
+    try:
+        return _compact_locked(
+            spark, root, table, target_file_bytes, min_files_to_compact,
+            fs, _par_files,
+        )
+    finally:
+        _release_lease(fs, token)
+
+
+def _compact_locked(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    target_file_bytes: int,
+    min_files_to_compact: int,
+    fs,
+    _par_files,
+) -> dict[str, int]:
+    _repair_locked(fs, _par_files)  # converge any interrupted swap first
     rewritten: dict[str, int] = {}
     for dt, (n_files, total_bytes, names) in partition_stats(
         spark, root, table

@@ -31,7 +31,12 @@ snapshot current as batches arrive:
   an interrupted batch left only an unreferenced ``_v`` directory and
   no marker, so its replay rewrites and re-points idempotently.
   Superseded snapshot directories are retired after the swap (keeping
-  ``keep_versions`` for readers in flight).
+  ``keep_versions`` for readers in flight).  Connectors whose rename
+  refuses an existing destination (Hadoop) force a delete(_current)
+  → move window; a crash or a racing reader inside it recovers the
+  pointer from the newest committed marker's ``_v`` directory
+  (``_recover_pointer``) — no crash point merges against a vanished
+  base, and readers never observe the dimension missing.
 
 Delivery pinned by tests/test_cdc_stream.py: chopped arrivals
 converge to the batch ``apply_changes`` fold, a crash between
@@ -62,13 +67,48 @@ def compact_batch(changes: DataFrame, key: str, seq_col: str = "change_seq") -> 
     )
 
 
+def _recover_pointer(fs) -> str | None:
+    """Reconstruct the ``_current`` target from the commit markers.
+
+    The non-overwriting-rename fallback in ``merge_batch`` does
+    delete(_current) then move(tmp, _current); a crash (or a reader
+    racing) between the two sees no pointer file even though commits
+    exist.  The markers are the durable truth: the newest committed
+    (lineage, batch) whose ``_v`` snapshot directory still exists IS
+    the current snapshot (retirement always keeps the pointer target,
+    so the newest committed version is never retired).  Returns the
+    version directory name, or None when nothing was ever committed
+    (the legitimate base=None case)."""
+    import re
+
+    commits = f"{fs.root}/_merge_commits"
+    if fs.kind(commits) is None:
+        return None
+    cands = []
+    for p in fs.list_files(commits):
+        m = re.match(r"([0-9a-f]{12})-(\d+)$", p.rsplit("/", 1)[-1])
+        if m and fs.kind(f"{fs.root}/_v{m.group(0)}") is not None:
+            cands.append((int(m.group(2)), m.group(0)))
+    if not cands:
+        return None
+    return f"_v{max(cands)[1]}"
+
+
 def read_current(spark: SparkSession, base_dir: str) -> DataFrame | None:
     """The snapshot the ``_current`` pointer references, or None
-    before the first commit."""
+    before the first commit.  A missing pointer file with committed
+    versions behind it (the delete→move window of the rename
+    fallback, or a crash inside it) resolves to the newest committed
+    snapshot instead of None — a reader never observes the dimension
+    vanishing, and a crashed writer's replay merges against the real
+    base instead of silently rebuilding from one batch."""
     fs = _meta_fs(spark, base_dir)
     ptr = f"{fs.root}/{CURRENT_PTR}"
     if fs.kind(ptr) != "file":
-        return None
+        version = _recover_pointer(fs)
+        if version is None:
+            return None
+        return spark.read.parquet(f"{base_dir}/{version}")
     version = fs.read_bytes(ptr).decode().strip()
     return spark.read.parquet(f"{base_dir}/{version}")
 

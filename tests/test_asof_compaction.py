@@ -359,3 +359,56 @@ def test_compaction_repair_converges_multiple_interrupted_swaps(spark, tmp_path,
     assert not os.path.exists(f"{root}/_compaction") or not os.listdir(
         f"{root}/_compaction"
     )
+
+
+def test_compaction_lease_blocks_overlapping_run(spark, tmp_path):
+    """A LIVE lease (overlapping cron run) makes compact_table and the
+    standalone repair refuse loudly — never roll back the live run's
+    manifests; an EXPIRED lease (crashed holder) is taken over; the
+    lease file is released after a successful run."""
+    import json
+    import time
+
+    import pytest
+
+    from mahjong_etl_spark.plans.compaction import (
+        CompactionLeaseHeld,
+        repair_compaction,
+    )
+    from mahjong_etl_spark.streaming.etl_stream import _meta_fs
+
+    root = str(tmp_path)
+    df = spark.range(500).select(
+        F.lit("2024-01-02").alias("dt"), F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(8).write.partitionBy("dt").parquet(f"{root}/t")
+
+    fs = _meta_fs(spark, root)
+    fs.mkdirs(f"{fs.root}/_compaction")
+    fs.write_bytes(
+        f"{fs.root}/_compaction/_lease",
+        json.dumps(
+            {"token": "other-live-run", "expires": time.time() + 600}
+        ).encode(),
+    )
+    with pytest.raises(CompactionLeaseHeld):
+        compact_table(spark, root, "t", target_file_bytes=10**9)
+    with pytest.raises(CompactionLeaseHeld):
+        repair_compaction(spark, root)
+    # the live run's state is untouched
+    assert partition_stats(spark, root, "t")["2024-01-02"][0] == 8
+
+    # crashed holder: expired lease is taken over and the run proceeds
+    fs.write_bytes(
+        f"{fs.root}/_compaction/_lease",
+        json.dumps(
+            {"token": "crashed-run", "expires": time.time() - 1}
+        ).encode(),
+    )
+    assert compact_table(spark, root, "t", target_file_bytes=10**9) == {
+        "2024-01-02": 1
+    }
+    assert spark.read.parquet(f"{root}/t").count() == 500
+    # released: the lease file is gone, a fresh run is unblocked
+    assert fs.kind(f"{fs.root}/_compaction/_lease") is None
+    assert compact_table(spark, root, "t", target_file_bytes=10**9) == {}

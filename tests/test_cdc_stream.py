@@ -184,6 +184,43 @@ def test_crash_between_swap_and_marker_does_not_remerge(spark, tmp_path, monkeyp
     assert glob.glob(f"{base}/_merge_commits/*-0")  # marker restored
 
 
+def test_missing_pointer_recovers_from_commit_markers(spark, tmp_path):
+    """The rename-fallback crash window (delete(_current) done, move
+    not): the pointer file is GONE but commits exist.  A reader must
+    resolve the newest committed snapshot (never observe the dimension
+    vanishing), and the next batch's merge must fold against that
+    recovered base — not silently rebuild the dimension from one
+    batch's upserts."""
+    base, ckpt = str(tmp_path / "base"), str(tmp_path / "ckpt")
+    d = _drop(tmp_path, "b0.jsonl", [
+        (1, "upsert", 1, "a", 1),
+        (2, "upsert", 2, "b", 2),
+    ], 1_000)
+    _drain(spark, d, base, ckpt)
+    assert _snapshot(spark, base) == {1: ("a", 1), 2: ("b", 2)}
+
+    # simulate the crash point: pointer deleted, replacement never
+    # moved in (a stray tmp may linger — it must be ignored)
+    os.remove(f"{base}/{CURRENT_PTR}")
+    with open(f"{base}/{CURRENT_PTR}.tmp-deadbeef", "w") as f:
+        f.write("_vbogus-99")
+
+    # reader recovery: the committed snapshot is still visible
+    assert _snapshot(spark, base) == {1: ("a", 1), 2: ("b", 2)}
+
+    # writer recovery: the next merge folds against the recovered base
+    _drop(tmp_path, "b1.jsonl", [(3, "upsert", 3, "c", 3)], 2_000)
+    _drain(spark, d, base, ckpt)
+    assert _snapshot(spark, base) == {
+        1: ("a", 1),
+        2: ("b", 2),
+        3: ("c", 3),
+    }
+    # the swap re-established the pointer file itself
+    with open(f"{base}/{CURRENT_PTR}") as f:
+        assert f.read().strip().endswith("-1")
+
+
 def test_version_retirement_keeps_pointer_target(spark, tmp_path):
     """Superseded _v dirs are retired down to keep_versions; the
     pointer's target always survives and stays readable."""
