@@ -56,6 +56,16 @@ from ..schemas import TABLE_SCHEMAS
 
 _EPOCH = datetime.date(1970, 1, 1)
 
+# Micro-batch sink path (run_etl): when every table's row count —
+# known for free from the bookkeeping aggregate — is at or below
+# SMALL_SINK_ROWS, sinks coalesce to ceil(rows / SINK_ROWS_PER_TASK)
+# narrow tasks instead of paying a REBALANCE(dt) exchange + AQE
+# re-plan per sink.  A daily incremental or streaming micro-batch
+# rides this; any real backfill exceeds the threshold and keeps the
+# scale path.
+SMALL_SINK_ROWS = 262_144
+SINK_ROWS_PER_TASK = 131_072
+
 # kyoku-scoped tables and the name of their final id column
 _KYOKU_KEYED = {
     "kyokus": "id",
@@ -272,21 +282,42 @@ def run_etl(
         # persisted: five kyoku-keyed table writes broadcast this —
         # without the persist each job re-runs the window shuffle
         offsets = _with_offsets(good).persist()
+        sizes = {t: sum(int(r[t]) for r in per_dt) for t in TABLE_SCHEMAS}
+        # Sink sizing comes FREE from the bookkeeping aggregate: a
+        # micro-batch (every table under SMALL_SINK_ROWS) takes the
+        # narrow path — coalesce to ceil(rows / SINK_ROWS_PER_TASK)
+        # tasks, no exchange, so each sink is ONE classic stage with
+        # no AQE re-planning round-trip; nine of those submitted
+        # concurrently collapse the fanout's job-latency floor (the
+        # ~1.6 s/2.2 s share of mahjong_etl_1k at r8).  File count
+        # stays tasks x dates with tasks ~ 1-2.  A real backfill
+        # (any table over the threshold) keeps the REBALANCE(dt)
+        # shuffle, which clusters rows by date AND splits a hot date
+        # across writers by shuffle-block size.
+        tiny = max(sizes.values(), default=0) <= SMALL_SINK_ROWS
 
         def write_one(table: str) -> None:
             # agaris/nagares may be empty for a date — Spark simply
             # writes no partition directory (the reference skips the
             # file too, scrape.py:651-660).
-            # REBALANCE(dt) before partitionBy: without it every write
-            # task opens a writer per date it happens to hold (task x
-            # date small files, the classic partitioned-write storm).
-            # The AQE rebalance clusters rows by dt but, unlike a plain
-            # repartition("dt"), SPLITS an oversized date across tasks
-            # by shuffle-block size — so one hot date never serializes
-            # onto one writer at cluster scale.
-            table_df(good, offsets, table).hint("rebalance", "dt").write.mode(
-                "overwrite"
-            ).partitionBy("dt").parquet(f"{out_dir}/{table}")
+            df = table_df(good, offsets, table)
+            if tiny:
+                df = df.coalesce(
+                    max(1, -(-sizes[table] // SINK_ROWS_PER_TASK))
+                )
+            else:
+                # REBALANCE(dt) before partitionBy: without it every
+                # write task opens a writer per date it happens to
+                # hold (task x date small files, the classic
+                # partitioned-write storm).  The AQE rebalance
+                # clusters rows by dt but, unlike a plain
+                # repartition("dt"), SPLITS an oversized date across
+                # tasks by shuffle-block size — so one hot date never
+                # serializes onto one writer at cluster scale.
+                df = df.hint("rebalance", "dt")
+            df.write.mode("overwrite").partitionBy("dt").parquet(
+                f"{out_dir}/{table}"
+            )
 
         # The nine sinks are independent narrow jobs over the SAME
         # persisted parse (materialized above by the corrupt count, so
@@ -313,7 +344,6 @@ def run_etl(
             _drop_partitions(
                 spark, f"{out_dir}/{t}", sorted(processed_dts - nonempty)
             )
-        sizes = {t: sum(int(r[t]) for r in per_dt) for t in TABLE_SCHEMAS}
         return {"_corrupt": n_corrupt, **sizes}
     finally:
         parsed.unpersist()

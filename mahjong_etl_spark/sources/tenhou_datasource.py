@@ -34,10 +34,13 @@ the written-parquet output of plans/etl.py::run_etl):
   ETL; ``on_error=skip`` reproduces the quarantine behavior (a bad
   log contributes no rows and no offset), ``fail`` (default) raises.
 
-Row production is plain-tuple yields — correctness-first; the Arrow
-RecordBatch fast path slots into ``read`` without interface changes
-if this source ever carries bulk traffic (the ETL's mapInPandas path
-remains the bulk ingest route).
+Row production (r9): flat-table batch reads yield Arrow RecordBatches
+(``ARROW_BATCH_ROWS`` rows per batch — one Arrow buffer on the
+worker<->JVM socket instead of one pickled tuple per row); the
+``_parsed`` nested envelope and the stream reader keep plain-tuple
+yields (correctness-first; the streaming feed is micro-batch-sized by
+construction).  Both productions are pinned byte-equivalent to the
+ETL's written parquet by tests/test_tenhou_datasource.py.
 """
 
 from __future__ import annotations
@@ -75,6 +78,11 @@ def _minted_tuple(r: dict, fields, key: str | None, days: int, offset: int):
 # (streaming/etl_stream.py): nine per-table streams would parse the
 # same XML nine times; this parses once and lets foreachBatch fan out.
 PARSED_TABLE = "_parsed"
+
+# rows per pyarrow.RecordBatch on the batch-read fast path: big
+# enough to amortize the Arrow framing, small enough that a batch
+# (widest table `actions`, ~60 B/row) stays well under a megabyte
+ARROW_BATCH_ROWS = 8_192
 
 
 def parsed_stream_schema() -> StructType:
@@ -176,13 +184,58 @@ class TenhouReader(DataSourceReader):
         offset = _prior_offset(
             self, fs, partition.dt_raw, partition.prior_files
         )
-        yield from _read_files(
+        rows = _read_files(
             self,
             partition.dt_raw,
             sorted(partition.files),
             prior_offset=offset,
             fs=fs,
         )
+        if self.table == PARSED_TABLE:
+            # nested array<struct> envelope (the streaming-ETL feed):
+            # row-tuple yields; the bulk flat-table path below is the
+            # one that carries ad-hoc scan traffic
+            yield from rows
+            return
+        # Arrow fast path: the Python DataSource API accepts
+        # pyarrow.RecordBatch yields, replacing one pickled tuple per
+        # ROW on the worker<->JVM socket with one Arrow buffer per
+        # ARROW_BATCH_ROWS — the same economics as the ETL's
+        # mapInPandas parse.  The arrow schema is derived from the
+        # declared Spark schema (decimal/date/array fields included),
+        # so both paths stay byte-equivalent (parity pinned in
+        # tests/test_tenhou_datasource.py).
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        aschema = to_arrow_schema(
+            StructType(
+                [
+                    StructField("dt", StringType(), True),
+                    *TABLE_SCHEMAS[self.table].fields,
+                ]
+            )
+        )
+
+        def to_batch(buf: list) -> pa.RecordBatch:
+            cols = list(zip(*buf))
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(c, type=f.type)
+                    for c, f in zip(cols, aschema)
+                ],
+                schema=aschema,
+            )
+
+        buf: list = []
+        for r in rows:
+            buf.append(r)
+            if len(buf) >= ARROW_BATCH_ROWS:
+                yield to_batch(buf)
+                buf = []
+        if buf:
+            yield to_batch(buf)
 
 
 def _read_files(b: TenhouReader, dt_raw, files, prior_offset: int, fs=None):

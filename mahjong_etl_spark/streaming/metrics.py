@@ -17,11 +17,22 @@ line is a few hundred bytes per micro-batch.  The ledger is an
 append-only local/posix file — on a cluster, point it at shared
 storage or ship it with sources/sync.py; one file per driver process
 (the writer is the only concurrency).
+
+Rotation (r9): a long-lived driver (a standing stream triggers every
+few seconds for months) must not grow one file without bound — when
+the active file passes ``max_bytes`` it is renamed to ``{path}.{n}``
+(n increasing, so lexicographic+numeric order is age order) and only
+the newest ``max_segments`` rotated segments are kept: total ledger
+disk is bounded at ~(max_segments+1) x max_bytes no matter how long
+the driver lives.  ``read_progress`` reads the active file AND every
+surviving segment, so rotation is invisible to the SQL surface.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import json
+import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,12 +46,46 @@ PROGRESS_SCHEMA = (
 )
 
 
-class ProgressRecorder(StreamingQueryListener):
-    """Append one JSON line per micro-batch progress event."""
+def _rotated_indexes(path: str) -> list[int]:
+    """Numeric suffixes of existing rotated segments, ascending."""
+    out = []
+    for p in _glob.glob(f"{_glob.escape(path)}.*"):
+        suffix = p[len(path) + 1:]
+        if suffix.isdigit():
+            out.append(int(suffix))
+    return sorted(out)
 
-    def __init__(self, path: str):
+
+class ProgressRecorder(StreamingQueryListener):
+    """Append one JSON line per micro-batch progress event, rotating
+    the file at ``max_bytes`` and keeping ``max_segments`` rotated
+    segments (module docstring)."""
+
+    def __init__(
+        self,
+        path: str,
+        max_bytes: int = 16 * 1024 * 1024,
+        max_segments: int = 8,
+    ):
         self.path = path
+        self.max_bytes = max_bytes
+        self.max_segments = max_segments
         self._lock = threading.Lock()
+
+    def _rotate_locked(self) -> None:
+        try:
+            if os.path.getsize(self.path) < self.max_bytes:
+                return
+        except OSError:
+            return  # nothing written yet
+        idxs = _rotated_indexes(self.path)
+        nxt = (idxs[-1] + 1) if idxs else 1
+        os.replace(self.path, f"{self.path}.{nxt}")
+        for old in (idxs + [nxt])[: -self.max_segments or None]:
+            try:
+                os.remove(f"{self.path}.{old}")
+            except OSError:
+                pass  # already gone — retention is best-effort
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
         pass
@@ -74,22 +119,34 @@ class ProgressRecorder(StreamingQueryListener):
             "state_mem_bytes": state_mem,
         }
         # progress events for different queries arrive on one bus
-        # thread pool — serialize appends so lines never interleave
+        # thread pool — serialize appends so lines never interleave;
+        # rotation happens under the same lock so a segment boundary
+        # can never split a line
         with self._lock:
+            self._rotate_locked()
             with open(self.path, "a") as f:
                 f.write(json.dumps(row) + "\n")
 
 
 def attach_progress_recorder(
-    spark: SparkSession, path: str
+    spark: SparkSession,
+    path: str,
+    max_bytes: int = 16 * 1024 * 1024,
+    max_segments: int = 8,
 ) -> ProgressRecorder:
     """Register (and return) a recorder on the session's listener bus;
     detach with ``spark.streams.removeListener(recorder)``."""
-    rec = ProgressRecorder(path)
+    rec = ProgressRecorder(path, max_bytes, max_segments)
     spark.streams.addListener(rec)
     return rec
 
 
 def read_progress(spark: SparkSession, path: str) -> DataFrame:
-    """The ledger as a DataFrame (plain SQL over stream health)."""
-    return spark.read.schema(PROGRESS_SCHEMA).json(path)
+    """The ledger as a DataFrame (plain SQL over stream health) —
+    the active file plus every surviving rotated segment, so queries
+    span rotation boundaries transparently."""
+    paths = [path] if os.path.exists(path) else []
+    paths += [
+        f"{path}.{i}" for i in _rotated_indexes(path)
+    ]
+    return spark.read.schema(PROGRESS_SCHEMA).json(paths or path)

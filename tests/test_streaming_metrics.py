@@ -76,3 +76,45 @@ def test_progress_ledger_accounts_all_input_rows(spark, tmp_path):
         "SELECT percentile(trigger_ms, 0.95) FROM stream_progress"
     ).collect()[0]
     assert p95 is not None
+
+
+def test_progress_ledger_rotation_bounds_disk_and_spans_reads(spark, tmp_path):
+    """A tiny max_bytes forces a rotation per append: the active file
+    plus at most max_segments rotated segments survive (older ones
+    deleted), and read_progress sees every surviving line across the
+    boundary — rotation is invisible to the SQL surface."""
+    from mahjong_etl_spark.streaming.metrics import ProgressRecorder
+
+    ledger = str(tmp_path / "progress.jsonl")
+    rec = ProgressRecorder(ledger, max_bytes=1, max_segments=3)
+
+    class _P:
+        def __init__(self, i):
+            self.id, self.runId, self.name = f"q{i}", f"r{i}", "probe"
+            self.batchId, self.timestamp = i, f"t{i}"
+            self.numInputRows = 10 + i
+            self.inputRowsPerSecond = 1.0
+            self.processedRowsPerSecond = 2.0
+            self.durationMs = {"triggerExecution": 5}
+            self.stateOperators = []
+
+    class _E:
+        def __init__(self, i):
+            self.progress = _P(i)
+
+    for i in range(10):
+        rec.onQueryProgress(_E(i))
+
+    # every append past the first rotated: active file holds the last
+    # line, and only max_segments=3 rotated segments survive
+    segs = sorted(
+        p for p in os.listdir(tmp_path) if p.startswith("progress.jsonl.")
+    )
+    assert len(segs) == 3
+    assert {s.rsplit(".", 1)[1] for s in segs} == {"7", "8", "9"}
+
+    df = read_progress(spark, ledger)
+    got = sorted(r.batch_id for r in df.collect())
+    # 4 surviving lines: 3 rotated segments + the active file
+    assert got == [6, 7, 8, 9]
+    assert all(r.num_input_rows == 10 + r.batch_id for r in df.collect())
