@@ -1003,13 +1003,17 @@ def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses the session-cached coarse quantizer (one Lloyd training
     serves IVF/int8/semantic-dedup/this), assigns documents via the
     same one-matmul-per-batch pass, joins the documents table on the
-    cross-modal doc_id = vec_id key, and aggregates per cell: one
-    cluster-keyed shuffle of (cluster, source, n_chars) triples.  The
-    dominant source is a (count DESC, source ASC) row_number over the
-    |clusters|×|sources| aggregate — a relation bounded by k·sources,
-    not by corpus size.  Rows-only driver check (k-means is not
-    SQL-expressible); cluster-count conservation and determinism are
-    pytest-pinned."""
+    cross-modal doc_id = vec_id key, and aggregates EVERYTHING off a
+    single (cluster, source) rollup: per-cluster totals re-aggregate
+    that |clusters|×|sources|-bounded relation and the dominant
+    source is a (count DESC, source ASC) row_number over it.  Both
+    consumers therefore build the IDENTICAL hash(cluster, source)
+    exchange, which Spark's ReuseExchange collapses — the expensive
+    assign-matmul + corpus join subtree executes ONCE (the pre-r9
+    shape aggregated the join on two different keys, so the whole
+    subtree ran twice; that was the r8 bench drift).  Rows-only
+    driver check (k-means is not SQL-expressible); cluster-count
+    conservation and determinism are pytest-pinned."""
     from pyspark.sql.window import Window
 
     e = corpus_embeddings(spark, sf_dir)
@@ -1018,21 +1022,26 @@ def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "source", "n_chars"
     )
-    j = assigned.join(docs, "vec_id")
-    per_cluster = j.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")
-        ).alias("mean_chars"),
+    cs = (
+        assigned.join(docs, "vec_id")
+        .groupBy("cluster", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_src"),
+            F.sum("n_chars").alias("chars_src"),
+        )
     )
-    src_counts = j.groupBy("cluster", "source").agg(
-        F.count(F.lit(1)).alias("n_src")
+    per_cluster = cs.groupBy("cluster").agg(
+        F.sum("n_src").alias("n_docs"),
+        (
+            F.sum("chars_src").cast("double")
+            / F.sum("n_src").cast("double")
+        ).alias("mean_chars"),
     )
     w = Window.partitionBy("cluster").orderBy(
         F.desc("n_src"), F.asc("source")
     )
     top_src = (
-        src_counts.withColumn("rk", F.row_number().over(w))
+        cs.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select("cluster", F.col("source").alias("top_source"), "n_src")
     )

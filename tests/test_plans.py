@@ -798,3 +798,21 @@ def test_spectral_features_no_shuffle_pruned_scan(reg, spark, sf_dir):
     assert "Join" not in plan
     read = plan.split("ReadSchema")[-1]
     assert "doc_id" in read and "text" not in read
+
+
+# ---------------------------------------------------------------------------
+# r9 plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_topic_clusters_assign_subtree_executes_once(reg, spark, sf_dir):
+    """Both aggregate consumers (per-cluster totals, dominant source)
+    must hang off ONE (cluster, source) rollup so AQE stage reuse
+    collapses the assign-matmul + corpus-join subtree: the FINAL plan
+    carries exactly one MapInPandas and one parquet scan (the pre-r9
+    two-key shape ran the whole subtree twice — the r8 bench drift)."""
+    df = _run(reg, "corpus_topic_clusters", spark, sf_dir)
+    df.collect()
+    final = plan_of(df).split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1
+    assert final.count("Scan parquet") == 1
