@@ -1762,3 +1762,170 @@ def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "corpus_source_drift_js",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, doc_id % 2 AS half,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    ct AS (
+        SELECT source, term,
+               CASE WHEN sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                         >= {VOCAB_MIN_COUNT}
+                    THEN sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                    ELSE 0 END AS c0,
+               CASE WHEN sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                         >= {VOCAB_MIN_COUNT}
+                    THEN sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                    ELSE 0 END AS c1
+        FROM tok WHERE term != ''
+        GROUP BY source, term
+    ),
+    ct2 AS (SELECT * FROM ct WHERE c0 > 0 OR c1 > 0),
+    tot AS (
+        SELECT source, sum(c0) AS n0, sum(c1) AS n1 FROM ct2 GROUP BY source
+    ),
+    terms AS (
+        SELECT c.source, c.term,
+               CASE WHEN t.n0 > 0 THEN CAST(c.c0 AS DOUBLE) / t.n0
+                    ELSE 0 END AS p,
+               CASE WHEN t.n1 > 0 THEN CAST(c.c1 AS DOUBLE) / t.n1
+                    ELSE 0 END AS q
+        FROM ct2 c JOIN tot t USING (source)
+    ),
+    contrib AS (
+        SELECT source, term,
+               CAST(round(1e9 * 0.5 * (
+                   CASE WHEN p > 0
+                        THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+                 + CASE WHEN q > 0
+                        THEN q * ln(q / ((p + q) / 2)) ELSE 0 END
+               )) AS BIGINT) AS js_nano,
+               CAST(round(1e9 * abs(p - q)) AS BIGINT) AS delta_nano
+        FROM terms
+    ),
+    per_source AS (
+        SELECT source, count(*) AS n_terms, sum(js_nano) AS sjs
+        FROM contrib GROUP BY source
+    ),
+    top AS (
+        SELECT source, term, delta_nano,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY delta_nano DESC, term) AS rn
+        FROM contrib
+    )
+    SELECT p.source, p.n_terms,
+           round(p.sjs / 1e9, 6)       AS js_divergence,
+           t.term                      AS top_drift_term,
+           round(t.delta_nano / 1e9, 6) AS top_drift_delta
+    FROM per_source p JOIN top t ON t.source = p.source AND t.rn = 1
+    ORDER BY p.source
+    """,
+)
+def corpus_source_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source between two corpus snapshots
+    (doc_id parity stands in for version N vs N+1): Jensen-Shannon
+    divergence of the two term distributions (Lin 1991, "Divergence
+    Measures Based on the Shannon Entropy" — symmetric, bounded by
+    ln 2, defined when one side lacks a term), plus the single most
+    drifting term by probability delta.  This is the audit a refresh
+    pipeline runs before swapping a corpus version in: a source whose
+    JS jumps got re-crawled, re-filtered, or mislabeled.
+
+    Plan: ONE (source, term) aggregate over the token explode with
+    BOTH halves' counts as conditional sums and the min-count cut
+    applied inside it (Zipf's rare tail never leaves the aggregate);
+    per-source totals broadcast back onto the vocab-bounded term
+    relation; the JS sum and the top-drift row_number both reuse the
+    same source-keyed partitioning.  Cross-engine exactness: p and q
+    are ratios of identical int64 counts, each term's JS contribution
+    is snapped to a nano-int64 BEFORE the per-source sum (the nDCG
+    discipline — summing doubles would expose parallel-reduction
+    order), and the final emit is one rounded division."""
+    tok = (
+        load_spread(spark, sf_dir, "documents")
+        .select(
+            "source",
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    cut = F.lit(VOCAB_MIN_COUNT)
+    c0raw = F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+    c1raw = F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+    ct = (
+        tok.groupBy("source", "term")
+        .agg(c0raw.alias("c0raw"), c1raw.alias("c1raw"))
+        .select(
+            "source",
+            "term",
+            F.when(F.col("c0raw") >= cut, F.col("c0raw"))
+            .otherwise(F.lit(0))
+            .alias("c0"),
+            F.when(F.col("c1raw") >= cut, F.col("c1raw"))
+            .otherwise(F.lit(0))
+            .alias("c1"),
+        )
+        .where((F.col("c0") > 0) | (F.col("c1") > 0))
+    )
+    tot = ct.groupBy("source").agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    p = F.when(
+        F.col("n0") > 0, F.col("c0").cast("double") / F.col("n0")
+    ).otherwise(F.lit(0.0))
+    q = F.when(
+        F.col("n1") > 0, F.col("c1").cast("double") / F.col("n1")
+    ).otherwise(F.lit(0.0))
+    terms = ct.join(F.broadcast(tot), "source").select(
+        "source", "term", p.alias("p"), q.alias("q")
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    js_term = F.lit(0.5) * (
+        F.when(
+            F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)
+        ).otherwise(F.lit(0.0))
+    )
+    contrib = terms.select(
+        "source",
+        "term",
+        F.round(F.lit(1e9) * js_term).cast("long").alias("js_nano"),
+        F.round(F.lit(1e9) * F.abs(F.col("p") - F.col("q")))
+        .cast("long")
+        .alias("delta_nano"),
+    )
+    per_source = contrib.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("js_nano").alias("sjs"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("delta_nano"), F.asc("term")
+    )
+    top = (
+        contrib.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("term").alias("top_drift_term"),
+            "delta_nano",
+        )
+    )
+    return (
+        per_source.join(top, "source")
+        .select(
+            "source",
+            "n_terms",
+            F.round(F.col("sjs") / 1e9, 6).alias("js_divergence"),
+            "top_drift_term",
+            F.round(F.col("delta_nano") / 1e9, 6).alias("top_drift_delta"),
+        )
+        .orderBy("source")
+    )

@@ -2046,3 +2046,148 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phash_hex")
     )
+
+
+# ---------------------------------------------------------------------------
+# r9: energy-based audio segmentation (VAD-style voiced/silence runs)
+# ---------------------------------------------------------------------------
+
+SEG_FRAMES = 16       # frames per clip (one voiced/silence bit each)
+SEG_FRAME_LEN = 64    # samples per frame
+SEG_RMS_THRESHOLD = 1000.0  # tone RMS ~8485 vs noise RMS <= 15
+
+
+def synth_voiced_clip(doc_id: int):
+    """Deterministic per-document test clip with a PLANTED
+    voiced/silence envelope: frame f is voiced iff bit f of
+    ``doc_id * 2654435761 + 1234567`` is set (int64-safe arithmetic a
+    SQL oracle can re-derive bit-for-bit).  Voiced frames carry a
+    12000-amplitude tone (frame RMS ~8485), silent frames only the
+    +-15 LCG noise floor — three orders of magnitude of separation,
+    so the RMS threshold decision is exact regardless of libm."""
+    import numpy as np
+
+    h = doc_id * 2654435761 + 1234567
+    k = np.arange(SEG_FRAMES * SEG_FRAME_LEN, dtype=np.int64)
+    frame = k // SEG_FRAME_LEN
+    voiced = ((h >> frame) & 1).astype(np.int64)
+    tone = np.round(12000 * np.sin(2.0 * np.pi * 9 * k / SEG_FRAME_LEN))
+    noise = (doc_id * 37 + k * 97) % 31 - 15
+    return (voiced * tone.astype(np.int64) + noise).astype(np.int16)
+
+
+@query(
+    "multimodal_audio_segments",
+    oracle="""
+    WITH f AS (
+        SELECT d.doc_id, r.range AS frame,
+               CAST(((d.doc_id * 2654435761 + 1234567) >> r.range) & 1
+                    AS BIGINT) AS voiced
+        FROM documents d, range(16) r
+    ),
+    flagged AS (
+        SELECT doc_id, frame, voiced,
+               CASE WHEN voiced = 1
+                    AND coalesce(lag(voiced) OVER
+                        (PARTITION BY doc_id ORDER BY frame), 0) = 0
+                    THEN 1 ELSE 0 END AS new_seg
+        FROM f
+    ),
+    seg AS (
+        SELECT doc_id, frame, voiced,
+               sum(new_seg) OVER (PARTITION BY doc_id ORDER BY frame
+                                  ROWS UNBOUNDED PRECEDING) AS seg_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT doc_id, seg_id, sum(voiced) AS n_v
+        FROM seg GROUP BY doc_id, seg_id
+    )
+    SELECT doc_id,
+           CAST(sum(n_v) AS BIGINT)                        AS n_voiced,
+           CAST(sum(CASE WHEN n_v > 0 THEN 1 ELSE 0 END)
+                AS BIGINT)                                 AS n_segments,
+           CAST(max(n_v) AS BIGINT)                        AS longest_run,
+           round(sum(n_v) / 16.0, 6)                       AS voiced_ratio
+    FROM runs GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style audio segmentation: each clip rides the real WAV
+    encode→RIFF→decode path, per-frame RMS energy (one vectorized
+    numpy pass per Arrow batch) thresholds into voiced/silence flags,
+    and a relational gap-and-islands pass turns the flags into
+    segment statistics — voiced frame count, number of voiced runs,
+    the longest run, voiced ratio.  This is the speech-curation cut
+    ("keep clips with >= X s of contiguous speech") every audio
+    pretraining mixture applies, expressed Spark-first: DSP in the
+    Arrow batch, run detection in windows/aggregates the optimizer
+    can see.
+
+    Plan: the mapInPandas emits 16 (doc, frame, voiced) rows per clip;
+    ONE doc_id exchange feeds the lag window, the cumulative-sum
+    window and both aggregates (frame state is bounded at SEG_FRAMES
+    rows per doc).  Oracle: the planted envelope is int64 bit
+    arithmetic a SQL oracle re-derives EXACTLY, so the hash-match
+    proves the full encode→decode→RMS→threshold→islands path
+    reproduces ground truth bit-for-bit — no golden needed; the
+    three-orders RMS margin makes the threshold decision
+    libm-independent."""
+    from ..shipping import ensure_shipped
+    from ..sources.tables import load_spread
+    from pyspark.sql.window import Window
+
+    ensure_shipped(spark)
+    n_f, flen, thr = SEG_FRAMES, SEG_FRAME_LEN, SEG_RMS_THRESHOLD
+    enc, dec, synth = encode_wav, decode_wav_samples, synth_voiced_clip
+
+    def _flags(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            if not ids:
+                continue
+            mat = np.empty((len(ids), n_f * flen), dtype=np.float64)
+            for i, d in enumerate(ids):
+                got = dec(enc(synth(d), SPEC_RATE))
+                assert got is not None and got[1] == SPEC_RATE
+                mat[i] = got[0].astype(np.float64)
+            frames = mat.reshape(len(ids), n_f, flen)
+            rms = np.sqrt((frames * frames).mean(axis=2))  # (B, n_f)
+            voiced = (rms > thr).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(np.asarray(ids, dtype=np.int64), n_f),
+                    "frame": np.tile(np.arange(n_f, dtype=np.int32), len(ids)),
+                    "voiced": voiced.reshape(-1),
+                }
+            )
+
+    flags = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(_flags, "doc_id long, frame int, voiced long")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    new_seg = F.when(
+        (F.col("voiced") == 1)
+        & (F.coalesce(F.lag("voiced").over(w), F.lit(0)) == 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    seg = flags.withColumn("seg_id", F.sum(new_seg).over(wrun))
+    runs = seg.groupBy("doc_id", "seg_id").agg(F.sum("voiced").alias("n_v"))
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.sum("n_v").alias("n_voiced"),
+            F.sum(F.when(F.col("n_v") > 0, 1).otherwise(0)).alias(
+                "n_segments"
+            ),
+            F.max("n_v").alias("longest_run"),
+            F.round(F.sum("n_v") / 16.0, 6).alias("voiced_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -82,103 +82,45 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r8 window (the rotation the r7 tail comment declared; r7 verdict
-# item 2): the six r3-last-green queries lead, then the four whose
-# code changed this round, then the ENTIRE r4-last-green cohort, then
-# an alphabetical slice of the r5 cohort fills the window.  After the
-# r8 board lands, no query's newest hash row is older than r5; the
-# remaining r5 slice queues at the head of _CHECK_WINDOW_TAIL for r9,
-# followed by the r6 and r7 cohorts.  Any query added mid-round MUST
-# displace from the BOTTOM of the head (the r5 slice first) — the
-# never-checked invariant (test_head_leads_with_unproven_queries)
-# outranks evidence freshness.
+# r9 window (the rotation the r8 tail comment declared; r8 verdict
+# item 2): the three new-in-r9 queries lead (never-checked invariant),
+# then the five whose code changed this round, then the ENTIRE
+# r5-last-green cohort (the declared 42-query queue;
+# corpus_topic_clusters of that queue sits in the changed group), and
+# one r6-cohort filler completes the window.  After the r9 board
+# lands, no query's newest hash row is older than r6; the r6 cohort
+# (minus the filler) leads the r10 queue.  Any query added mid-round
+# MUST displace from the BOTTOM of the head — the never-checked
+# invariant (test_head_leads_with_unproven_queries) outranks evidence
+# freshness.
 
 _CHECK_WINDOW_HEAD = [
-    # eight queries NEW in r8 — never driver-checked, they lead
-    # (FFT spectral features, pHash image dedup, path
-    # mining, robust MAD anomaly screen, PMI collocations, script
-    # profile, nDCG retrieval eval, cross-source vocabulary overlap);
-    # per the displacement rule they push the BOTTOM seven r5-slice
-    # entries ("cdc_orders_scd2" .. "corpus_weighted_sample")
-    # back to the front of the tail's r9 queue
-    "multimodal_spectral_features",
-    "multimodal_phash_dedup",
+    # three queries NEW in r9 — never driver-checked, they lead
+    # (approx-percentile MAD twin, JS-divergence corpus drift,
+    # audio energy segmentation)
+    "events_anomaly_mad_approx",
+    "corpus_source_drift_js",
+    "multimodal_audio_segments",
+    # queries whose CODE or data path changed in r9: the
+    # session-path bounded buffer + the shared _anomaly_mad refactor,
+    # the pHash DC-bit fix (golden regenerated), the topic-cluster
+    # exchange-reuse rewrite, and the tenhou DataSource Arrow batching
     "events_session_paths",
     "events_anomaly_mad",
-    "text_pmi_collocations",
-    "text_script_profile",
-    "similarity_ndcg_eval",
-    "corpus_vocab_overlap",
-    # r3-last-green cohort — the five text queries displaced from the
-    # r7 head plus cdc_customer_upsert, the oldest standing driver
-    # evidence (r7 verdict item 1): they lead, as the r7 tail promised
-    "text_lang_id",
-    "text_quality",
-    "text_repetition",
-    "text_token_stats",
-    "text_top_terms",
-    "cdc_customer_upsert",
-    # the queries whose CODE changed this round: BPE snapshot
-    # lifecycle (free-every-4) + the Arrow local-rows result path
-    # (local_rows_df) shared with embedding_pca (the CMS heavy hitters
-    # — r5 evidence, same shared path — was displaced by the eighth
-    # new query, multimodal_phash_dedup; text_bpe_vocab re-proves the
-    # local_rows_df path in-window)
-    "text_bpe_vocab",
-    "text_bpe_doc_tokens",
-    "embedding_pca",
-    # the ENTIRE r4-last-green cohort (33) — after this board lands,
-    # no registry query's newest hash row is older than r5
-    "corpus_chunk_dedup",
-    "corpus_chunk_windows",
-    "corpus_negative_samples",
-    "corpus_pipeline_funnel",
-    "corpus_source_quota",
-    "customers_rfm_segments",
-    "dedup_incremental",
-    "embedding_quantize_int8",
-    "events_anomaly_zscore",
-    "events_asof_next_purchase",
-    "events_exact_quantiles",
-    "events_hourly_incremental",
-    "events_key_skew_profile",
-    "events_multitouch_attribution",
-    "events_trailing_hour",
-    "jsonl_roundtrip_stats",
-    "lineitem_feature_corr",
-    "lineitem_unpivot_metrics",
-    "mahjong_dealer_advantage",
-    "mahjong_placement_stats",
-    "mahjong_sql_udf_dora",
-    "orders_grouping_sets",
-    "q11_supplier_value_share",
-    "q13_order_count_distribution",
-    "q19_disjunctive_predicates",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "similarity_semantic_search",
-    "text_c4_filters",
-    "text_perplexity_proxy",
-    "text_tfidf_topk",
-    # alphabetically-first slice of the r5-last-green cohort fills
-    # the window; the remainder queues at the head of
-    # _CHECK_WINDOW_TAIL for r9
-]
-
-_CHECK_WINDOW_TAIL = [
+    "multimodal_phash_dedup",
+    "corpus_topic_clusters",
+    "tenhou_source_actions",
+    # the ENTIRE r5-last-green cohort (41; corpus_topic_clusters,
+    # the 42nd, sits in the changed group above) — the rotation the
+    # r8 tail declared.  After this board lands, no registry query's
+    # newest hash row is older than r6
     "events_heavy_hitters_cms",
-    # displaced from the r8 head by the eight new-in-r8 queries — these
-    # lead the r9 window queue, then the r5-last-green remainder
     "cdc_orders_scd2",
     "classifier_train_eval",
     "corpus_mixture",
     "corpus_shard_manifest",
-    "corpus_topic_clusters",
     "corpus_version_diff",
     "corpus_weighted_sample",
-    # r5-last-green remainder
     "dedup_containment",
     "dedup_duplicate_spans",
     "dedup_ensemble",
@@ -213,8 +155,13 @@ _CHECK_WINDOW_TAIL = [
     "similarity_ann_ivf_int8",
     "text_zipf_spectrum",
     "tpch_scalar_revenues",
-    # r6-last-green cohort (queues after the r5 remainder for r9/r10)
+    # one r6-cohort filler completes the 50-slot window
     "similarity_ann_lsh",
+]
+
+_CHECK_WINDOW_TAIL = [
+    # r6-last-green cohort (leads the r10 queue; similarity_ann_lsh
+    # was pulled into the r9 head as the filler)
     "similarity_ann_ivf",
     "events_approx_quantiles",
     "mahjong_experiments_games",
@@ -260,7 +207,7 @@ _CHECK_WINDOW_TAIL = [
     "dedup_connected_components",
     "dedup_embedding_cosine",
     "dedup_exact",
-    # r7-last-green cohort (freshest evidence, rotates last)
+    # r7-last-green cohort
     "similarity_rrf_ensemble",
     "similarity_knn_classify",
     "text_inverted_index",
@@ -282,7 +229,6 @@ _CHECK_WINDOW_TAIL = [
     "similarity_ann_pq_persisted",
     "multimodal_jpeg_roundtrip",
     "multimodal_video_frames",
-    "tenhou_source_actions",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_normalized",
@@ -311,7 +257,56 @@ _CHECK_WINDOW_TAIL = [
     "similarity_topk_bruteforce",
     "sql_text_roundtrip",
     "text_fingerprint",
+    # r8/r9-last-green cohort (freshest evidence, rotates last)
+    "multimodal_spectral_features",
+    "text_pmi_collocations",
+    "text_script_profile",
+    "similarity_ndcg_eval",
+    "corpus_vocab_overlap",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_token_stats",
+    "text_top_terms",
+    "cdc_customer_upsert",
+    "text_bpe_vocab",
+    "text_bpe_doc_tokens",
+    "embedding_pca",
+    "corpus_chunk_dedup",
+    "corpus_chunk_windows",
+    "corpus_negative_samples",
+    "corpus_pipeline_funnel",
+    "corpus_source_quota",
+    "customers_rfm_segments",
+    "dedup_incremental",
+    "embedding_quantize_int8",
+    "events_anomaly_zscore",
+    "events_asof_next_purchase",
+    "events_exact_quantiles",
+    "events_hourly_incremental",
+    "events_key_skew_profile",
+    "events_multitouch_attribution",
+    "events_trailing_hour",
+    "jsonl_roundtrip_stats",
+    "lineitem_feature_corr",
+    "lineitem_unpivot_metrics",
+    "mahjong_dealer_advantage",
+    "mahjong_placement_stats",
+    "mahjong_sql_udf_dora",
+    "orders_grouping_sets",
+    "q11_supplier_value_share",
+    "q13_order_count_distribution",
+    "q19_disjunctive_predicates",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "similarity_semantic_search",
+    "text_c4_filters",
+    "text_perplexity_proxy",
+    "text_tfidf_topk",
 ]
+
 
 
 def registry() -> dict[str, Query]:

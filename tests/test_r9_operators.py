@@ -161,3 +161,135 @@ def test_anomaly_mad_approx_broadcast_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 3
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# JS-divergence corpus drift
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: (doc_id, source, text)."""
+    df = spark.createDataFrame(
+        [(d, s, t, "en", len(t)) for d, s, t in rows],
+        "doc_id long, source string, text string, lang string, n_chars int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_drift_js_hand_computed_and_bounds(spark, tmp_path):
+    """Planted two-term distributions: half 0 (even doc_ids) all 'aa',
+    half 1 (odd) all 'bb' -> disjoint supports, JS = ln 2 exactly;
+    a second source with IDENTICAL halves -> JS = 0."""
+    import math
+
+    from mahjong_etl_spark.operators.corpus import corpus_source_drift_js
+
+    rows = []
+    # source s1: evens say aa (x3 to clear min-count), odds say bb
+    for i in range(6):
+        rows.append((2 * i, "s1", "aa aa aa"))
+        rows.append((2 * i + 1, "s1", "bb bb bb"))
+    # source s2: both halves identical 50/50 mixture
+    for i in range(6):
+        rows.append((100 + 2 * i, "s2", "cc cc cc dd dd dd"))
+        rows.append((101 + 2 * i, "s2", "cc cc cc dd dd dd"))
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r.source: r for r in corpus_source_drift_js(spark, sf).collect()}
+    assert abs(got["s1"].js_divergence - math.log(2)) < 1e-6
+    assert got["s1"].n_terms == 2
+    # disjoint supports: both terms drift by probability 1
+    assert got["s1"].top_drift_term == "aa"  # tiebreak: term asc
+    assert abs(got["s1"].top_drift_delta - 1.0) < 1e-6
+    assert got["s2"].js_divergence == 0.0
+    assert got["s2"].top_drift_delta == 0.0
+
+
+def test_drift_js_min_count_cuts_rare_terms(spark, tmp_path):
+    """A term under VOCAB_MIN_COUNT in a half contributes 0 to that
+    half (cut inside the aggregate), shifting — not crashing — the
+    divergence; and JS stays within [0, ln 2]."""
+    import math
+
+    from mahjong_etl_spark.operators.corpus import corpus_source_drift_js
+
+    rows = [
+        (0, "s", "aa aa aa aa rare"),   # 'rare' x1 < 3: cut from half 0
+        (2, "s", "aa aa aa aa"),
+        (1, "s", "aa aa aa aa"),
+        (3, "s", "aa aa aa aa"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    (r,) = corpus_source_drift_js(spark, sf).collect()
+    assert r.n_terms == 1  # only 'aa' survives the cut in either half
+    assert 0.0 <= r.js_divergence <= math.log(2) + 1e-9
+    assert r.js_divergence < 1e-6  # identical surviving distributions
+
+
+# ---------------------------------------------------------------------------
+# audio energy segmentation
+# ---------------------------------------------------------------------------
+
+
+def _expected_segments(doc_id):
+    h = doc_id * 2654435761 + 1234567
+    bits = [(h >> f) & 1 for f in range(16)]
+    runs, cur = [], 0
+    for b in bits:
+        if b:
+            cur += 1
+        elif cur:
+            runs.append(cur)
+            cur = 0
+    if cur:
+        runs.append(cur)
+    return sum(bits), len(runs), max(runs) if runs else 0
+
+
+def test_audio_segments_recover_planted_envelope(spark, tmp_path):
+    """The full WAV encode->decode->frame-RMS->threshold->islands path
+    must reproduce the planted voiced/silence bit pattern exactly,
+    including an ALL-SILENT clip (n_segments = longest_run = 0)."""
+    from mahjong_etl_spark.operators.multimodal import (
+        multimodal_audio_segments,
+    )
+
+    # doc_id whose envelope hash has all-zero low 16 bits:
+    # solve doc * 2654435761 + 1234567 == 0 (mod 2^16)
+    silent = (-1234567 * pow(2654435761, -1, 1 << 16)) % (1 << 16)
+    ids = [0, 1, 7, 12345, silent]
+    sf = _write_docs(
+        spark, tmp_path, [(d, "s", "x") for d in ids]
+    )
+    got = {
+        r.doc_id: (r.n_voiced, r.n_segments, r.longest_run, r.voiced_ratio)
+        for r in multimodal_audio_segments(spark, sf).collect()
+    }
+    assert set(got) == set(ids)
+    for d in ids:
+        nv, ns, lr = _expected_segments(d)
+        assert got[d] == (nv, ns, lr, round(nv / 16.0, 6)), d
+    nv_s, ns_s, lr_s = _expected_segments(silent)
+    assert (nv_s, ns_s, lr_s) == (0, 0, 0)  # the edge case is real
+
+
+def test_audio_segments_one_doc_exchange(spark, sf_dir):
+    """Windows and both aggregates must share ONE doc_id exchange;
+    per-doc state is bounded at SEG_FRAMES rows."""
+    from mahjong_etl_spark.operators.multimodal import (
+        multimodal_audio_segments,
+    )
+
+    df = multimodal_audio_segments(spark, sf_dir)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("MapInPandas") == 1
