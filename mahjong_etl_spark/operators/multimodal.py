@@ -1923,7 +1923,7 @@ def multimodal_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PHASH_SIDE = 32       # DCT input side (pHash standard)
-PHASH_LOWF = 8        # low-frequency block kept (8x8 -> 64-bit hash)
+PHASH_LOWF = 8        # low-frequency block kept (8x8; 63 AC bits hashed)
 PHASH_GROUPS = 40     # distinct base patterns in the synthetic corpus
 
 
@@ -1997,7 +1997,8 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DCT-pHash of Zauner 2010, "Implementation and Benchmarking of
     Perceptual Image Hash Functions", with a mean threshold): every
     document's image rides the REAL PNG encode→decode path, is
-    DCT-transformed, and hashed to 64 bits of low-frequency structure;
+    DCT-transformed, and hashed to 63 bits of low-frequency AC
+    structure (the DC term carries no information — see phash64);
     exact-hash grouping then finds the near-duplicate clusters — the
     image-plane twin of the text MinHash pipeline (high-frequency
     noise, recompression artifacts and small edits leave the hash
@@ -2078,12 +2079,12 @@ def synth_voiced_clip(doc_id: int):
 
 @query(
     "multimodal_audio_segments",
-    oracle="""
+    oracle=f"""
     WITH f AS (
         SELECT d.doc_id, r.range AS frame,
                CAST(((d.doc_id * 2654435761 + 1234567) >> r.range) & 1
                     AS BIGINT) AS voiced
-        FROM documents d, range(16) r
+        FROM documents d, range({SEG_FRAMES}) r
     ),
     flagged AS (
         SELECT doc_id, frame, voiced,
@@ -2108,7 +2109,7 @@ def synth_voiced_clip(doc_id: int):
            CAST(sum(CASE WHEN n_v > 0 THEN 1 ELSE 0 END)
                 AS BIGINT)                                 AS n_segments,
            CAST(max(n_v) AS BIGINT)                        AS longest_run,
-           round(sum(n_v) / 16.0, 6)                       AS voiced_ratio
+           round(sum(n_v) / {SEG_FRAMES}.0, 6)             AS voiced_ratio
     FROM runs GROUP BY doc_id
     ORDER BY doc_id
     """,
@@ -2187,7 +2188,9 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_segments"
             ),
             F.max("n_v").alias("longest_run"),
-            F.round(F.sum("n_v") / 16.0, 6).alias("voiced_ratio"),
+            F.round(F.sum("n_v") / float(SEG_FRAMES), 6).alias(
+                "voiced_ratio"
+            ),
         )
         .orderBy("doc_id")
     )

@@ -79,51 +79,73 @@ class CompactionLeaseHeld(RuntimeError):
     the lease TTL if it died without releasing)."""
 
 
+def _read_lease(fs) -> dict:
+    lease = f"{fs.root}/_compaction/_lease"
+    if fs.kind(lease) != "file":
+        return {}
+    try:
+        return json.loads(fs.read_bytes(lease).decode())
+    except (ValueError, OSError):
+        return {}
+
+
 def _acquire_lease(fs, ttl_sec: float) -> str:
     """Take ``{root}/_compaction/_lease`` or raise CompactionLeaseHeld.
 
-    write-then-read-back-the-winner (the lineage-id discipline of
-    streaming/etl_stream.py): two racers both write, both read back,
-    at most one sees its own token.  Not a distributed lock against a
-    byzantine store — a guard that turns the silent mutual-rollback of
-    overlapping cron runs into a loud refusal."""
+    Write-then-read-back with a delayed CONFIRMATION read: two racers
+    can each read back their own token if their writes interleave with
+    their first reads (A-write, A-read, B-write, B-read), so the
+    winner is decided by a second read after a short settle — by then
+    both writes have landed and at most one token survives.  Still not
+    a distributed lock against a byzantine store (no atomic
+    create-exclusive in the portable FS surface) — a guard that turns
+    the silent mutual-rollback of overlapping cron runs into a loud
+    refusal with a vanishingly small race window."""
     lease = f"{fs.root}/_compaction/_lease"
     now = time.time()
-    if fs.kind(lease) == "file":
-        try:
-            cur = json.loads(fs.read_bytes(lease).decode())
-        except (ValueError, OSError):
-            cur = {}
-        if now < float(cur.get("expires", 0)):
-            raise CompactionLeaseHeld(
-                f"compaction lease held until {cur.get('expires')} "
-                f"by {cur.get('token')!r}"
-            )
+    cur = _read_lease(fs)
+    if cur and now < float(cur.get("expires", 0)):
+        raise CompactionLeaseHeld(
+            f"compaction lease held until {cur.get('expires')} "
+            f"by {cur.get('token')!r}"
+        )
     token = uuid.uuid4().hex
     fs.mkdirs(f"{fs.root}/_compaction")
     fs.write_bytes(
         lease, json.dumps({"token": token, "expires": now + ttl_sec}).encode()
     )
-    got = {}
-    try:
-        got = json.loads(fs.read_bytes(lease).decode())
-    except (ValueError, OSError):
-        pass
+    if _read_lease(fs).get("token") != token:
+        raise CompactionLeaseHeld("lost lease race")
+    time.sleep(0.05)  # let a same-tick racer's write land
+    got = _read_lease(fs)
     if got.get("token") != token:
         raise CompactionLeaseHeld(f"lost lease race to {got.get('token')!r}")
     return token
 
 
+def _renew_lease(fs, token: str, ttl_sec: float) -> None:
+    """Push the expiry forward mid-run (called per partition in
+    ``compact_table``): a run longer than the TTL must not silently
+    lose the single-compactor guard — if the lease was stolen by a
+    taker who saw it expired, refuse loudly instead of continuing a
+    now-unprotected swap."""
+    cur = _read_lease(fs)
+    if cur.get("token") != token:
+        raise CompactionLeaseHeld(
+            f"lease lost mid-run to {cur.get('token')!r} — this run "
+            f"exceeded the TTL and another compactor took over"
+        )
+    fs.write_bytes(
+        f"{fs.root}/_compaction/_lease",
+        json.dumps(
+            {"token": token, "expires": time.time() + ttl_sec}
+        ).encode(),
+    )
+
+
 def _release_lease(fs, token: str) -> None:
-    lease = f"{fs.root}/_compaction/_lease"
-    if fs.kind(lease) != "file":
-        return
-    try:
-        cur = json.loads(fs.read_bytes(lease).decode())
-    except (ValueError, OSError):
-        return
-    if cur.get("token") == token:
-        fs.delete_file(lease)
+    if _read_lease(fs).get("token") == token:
+        fs.delete_file(f"{fs.root}/_compaction/_lease")
 
 # b{lineage}-{batch}- prefix of the streaming publish (etl_stream.py)
 _BATCH_PREFIX_RE = re.compile(r"^b([0-9a-f]{12}-\d+)-")
@@ -188,7 +210,6 @@ def repair_compaction(
     spark: SparkSession,
     root: str,
     lease_ttl_sec: float = DEFAULT_LEASE_TTL_SEC,
-    _lease_held: bool = False,
 ) -> dict[str, str]:
     """Converge any interrupted snapshot-swaps recorded under
     ``{root}/_compaction/``; returns {manifest_key: "forward"|"back"}.
@@ -209,12 +230,11 @@ def repair_compaction(
     from ..streaming.etl_stream import _meta_fs, _par_files
 
     fs = _meta_fs(spark, root)
-    token = None if _lease_held else _acquire_lease(fs, lease_ttl_sec)
+    token = _acquire_lease(fs, lease_ttl_sec)
     try:
         return _repair_locked(fs, _par_files)
     finally:
-        if token is not None:
-            _release_lease(fs, token)
+        _release_lease(fs, token)
 
 
 def _repair_locked(fs, _par_files) -> dict[str, str]:
@@ -276,7 +296,7 @@ def compact_table(
     try:
         return _compact_locked(
             spark, root, table, target_file_bytes, min_files_to_compact,
-            fs, _par_files,
+            fs, _par_files, token, lease_ttl_sec,
         )
     finally:
         _release_lease(fs, token)
@@ -290,6 +310,8 @@ def _compact_locked(
     min_files_to_compact: int,
     fs,
     _par_files,
+    token: str,
+    lease_ttl_sec: float,
 ) -> dict[str, int]:
     _repair_locked(fs, _par_files)  # converge any interrupted swap first
     rewritten: dict[str, int] = {}
@@ -302,6 +324,10 @@ def _compact_locked(
         if _uncommitted_batch_keys(spark, root, names):
             continue  # in-flight streaming batch: its replay
             # erases by filename prefix, which compaction destroys
+        # a big-table run can outlive the TTL: renew per partition so
+        # the single-compactor guard holds for the whole run (and a
+        # stolen lease aborts BEFORE this partition's swap starts)
+        _renew_lease(fs, token, lease_ttl_sec)
         key = uuid.uuid4().hex[:12]
         pdir = f"{fs.root}/{table}/dt={dt}"
         staging = f"{fs.root}/_compact_staging/{key}"

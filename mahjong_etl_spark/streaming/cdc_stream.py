@@ -32,11 +32,16 @@ snapshot current as batches arrive:
   no marker, so its replay rewrites and re-points idempotently.
   Superseded snapshot directories are retired after the swap (keeping
   ``keep_versions`` for readers in flight).  Connectors whose rename
-  refuses an existing destination (Hadoop) force a delete(_current)
-  → move window; a crash or a racing reader inside it recovers the
-  pointer from the newest committed marker's ``_v`` directory
-  (``_recover_pointer``) — no crash point merges against a vanished
-  base, and readers never observe the dimension missing.
+  refuses an existing destination (Hadoop) cannot swap in place; the
+  fallback PARKS the old pointer under a ``.prev-{batch}`` journal
+  name, moves the replacement in, then drops the park — every crash
+  point leaves either ``_current`` or the journal carrying the old
+  value, so a racing reader resolves the old snapshot
+  (``_recover_pointer``) and a replaying writer restores the pointer
+  before merging (``_restore_parked_pointer``) — no crash point
+  merges against a vanished base, lineage re-mints included; a
+  markers-scan last resort covers bases written before the journal
+  existed.
 
 Delivery pinned by tests/test_cdc_stream.py: chopped arrivals
 converge to the batch ``apply_changes`` fold, a crash between
@@ -67,20 +72,57 @@ def compact_batch(changes: DataFrame, key: str, seq_col: str = "change_seq") -> 
     )
 
 
-def _recover_pointer(fs) -> str | None:
-    """Reconstruct the ``_current`` target from the commit markers.
+def _parked_pointer(fs) -> str | None:
+    """The old pointer value parked under ``_current.prev-{bkey}`` by
+    the rename-fallback swap (at most one exists: it is created only
+    inside the fallback and deleted right after the new pointer lands).
+    Returns its content, or None."""
+    if fs.kind(fs.root) is None:
+        return None  # base not created yet (first batch)
+    for p in fs.list_files(fs.root):
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith(f"{CURRENT_PTR}.prev-"):
+            return fs.read_bytes(p).decode().strip()
+    return None
 
-    The non-overwriting-rename fallback in ``merge_batch`` does
-    delete(_current) then move(tmp, _current); a crash (or a reader
-    racing) between the two sees no pointer file even though commits
-    exist.  The markers are the durable truth: the newest committed
-    (lineage, batch) whose ``_v`` snapshot directory still exists IS
-    the current snapshot (retirement always keeps the pointer target,
-    so the newest committed version is never retired).  Returns the
-    version directory name, or None when nothing was ever committed
-    (the legitimate base=None case)."""
+
+def _restore_parked_pointer(fs, ptr: str) -> None:
+    """Writer-side repair for the rename-fallback crash windows: a
+    parked ``.prev`` with no ``_current`` means the crash hit between
+    park and move-in — move the old pointer back; a parked ``.prev``
+    WITH a ``_current`` means the crash hit after move-in — the park
+    is stale, delete it."""
+    if fs.kind(fs.root) is None:
+        return  # base not created yet (first batch)
+    for p in fs.list_files(fs.root):
+        name = p.rsplit("/", 1)[-1]
+        if not name.startswith(f"{CURRENT_PTR}.prev-"):
+            continue
+        if fs.kind(ptr) == "file":
+            fs.delete_file(p)
+        else:
+            fs.move(p, ptr)
+
+
+def _recover_pointer(fs) -> str | None:
+    """Reader-side resolution when the ``_current`` file is absent.
+
+    Primary: the ``.prev`` journal parked by the rename-fallback swap
+    (``merge_batch``) — it carries the OLD pointer value, which is the
+    correct base for any in-flight replay, lineage changes included.
+    Last resort (legacy bases written before the park journal existed):
+    the newest committed (lineage, batch) marker whose ``_v`` snapshot
+    directory still exists.  The marker scan compares batch numbers,
+    which is only meaningful within ONE lineage — a base that lived
+    through a checkpoint re-mint resolves via the journal path, never
+    this one, because post-journal writers can no longer crash into a
+    no-pointer state.  Returns the version directory name, or None
+    when nothing was ever committed (the legitimate base=None case)."""
     import re
 
+    parked = _parked_pointer(fs)
+    if parked and fs.kind(f"{fs.root}/{parked}") is not None:
+        return parked
     commits = f"{fs.root}/_merge_commits"
     if fs.kind(commits) is None:
         return None
@@ -244,10 +286,11 @@ def _run_merge_stream(
         fs = _meta_fs(session, base_dir)
         bkey = f"{lineage}-{batch_id}"
         marker = f"{fs.root}/_merge_commits/{bkey}"
+        ptr = f"{fs.root}/{CURRENT_PTR}"
+        _restore_parked_pointer(fs, ptr)
         if fs.kind(marker) is not None:
             return  # committed before a crash: replay is a no-op
         version = f"_v{bkey}"
-        ptr = f"{fs.root}/{CURRENT_PTR}"
         if (
             fs.kind(ptr) == "file"
             and fs.read_bytes(ptr).decode().strip() == version
@@ -270,9 +313,17 @@ def _run_merge_stream(
         try:
             fs.move(tmp, f"{fs.root}/{CURRENT_PTR}")
         except Exception:
-            # Hadoop rename refuses an existing destination; replace
-            fs.delete_file(f"{fs.root}/{CURRENT_PTR}")
+            # Hadoop rename refuses an existing destination.  Never
+            # delete-then-move (a crash inside that window leaves NO
+            # pointer anywhere): PARK the old pointer under a .prev
+            # journal name first — every crash point then has either
+            # _current or the .prev journal carrying the old value,
+            # and _restore_parked_pointer / read_current resolve it
+            # without guessing across lineages.
+            prev = f"{fs.root}/{CURRENT_PTR}.prev-{bkey}"
+            fs.move(f"{fs.root}/{CURRENT_PTR}", prev)
             fs.move(tmp, f"{fs.root}/{CURRENT_PTR}")
+            fs.delete_file(prev)
         fs.mkdirs(f"{fs.root}/_merge_commits")
         fs.write_bytes(marker, b"")
         _retire_old_versions(fs, version, keep_versions)

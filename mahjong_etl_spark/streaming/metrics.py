@@ -144,9 +144,17 @@ def attach_progress_recorder(
 def read_progress(spark: SparkSession, path: str) -> DataFrame:
     """The ledger as a DataFrame (plain SQL over stream health) —
     the active file plus every surviving rotated segment, so queries
-    span rotation boundaries transparently."""
-    paths = [path] if os.path.exists(path) else []
-    paths += [
-        f"{path}.{i}" for i in _rotated_indexes(path)
-    ]
-    return spark.read.schema(PROGRESS_SCHEMA).json(paths or path)
+    span rotation boundaries transparently.
+
+    The segment set is resolved by a HADOOP GLOB at scan time, not a
+    driver-local ``os``/``glob`` walk — a ledger shipped to shared
+    storage (the module docstring's suggestion) keeps its rotated
+    history, and ``ignoreMissingFiles`` tolerates a segment the live
+    recorder deletes between listing and read (rotation racing a
+    monitoring query drops at most the rotated-away lines of that
+    instant, never the job)."""
+    return (
+        spark.read.schema(PROGRESS_SCHEMA)
+        .option("ignoreMissingFiles", "true")
+        .json(f"{path}*")
+    )

@@ -412,3 +412,33 @@ def test_compaction_lease_blocks_overlapping_run(spark, tmp_path):
     # released: the lease file is gone, a fresh run is unblocked
     assert fs.kind(f"{fs.root}/_compaction/_lease") is None
     assert compact_table(spark, root, "t", target_file_bytes=10**9) == {}
+
+
+def test_compaction_lease_renewal_and_theft_detection(spark, tmp_path):
+    """A long run renews per partition; a mid-run theft (another taker
+    after TTL expiry) aborts loudly instead of continuing unprotected."""
+    import json
+
+    import pytest
+
+    from mahjong_etl_spark.plans.compaction import (
+        CompactionLeaseHeld,
+        _acquire_lease,
+        _read_lease,
+        _renew_lease,
+    )
+    from mahjong_etl_spark.streaming.etl_stream import _meta_fs
+
+    fs = _meta_fs(spark, str(tmp_path))
+    token = _acquire_lease(fs, ttl_sec=900)
+    before = float(_read_lease(fs)["expires"])
+    _renew_lease(fs, token, ttl_sec=2000)
+    assert float(_read_lease(fs)["expires"]) > before
+
+    # theft: another compactor overwrote the lease (saw it expired)
+    fs.write_bytes(
+        f"{fs.root}/_compaction/_lease",
+        json.dumps({"token": "thief", "expires": 9e18}).encode(),
+    )
+    with pytest.raises(CompactionLeaseHeld, match="mid-run"):
+        _renew_lease(fs, token, ttl_sec=900)

@@ -185,12 +185,12 @@ def test_crash_between_swap_and_marker_does_not_remerge(spark, tmp_path, monkeyp
 
 
 def test_missing_pointer_recovers_from_commit_markers(spark, tmp_path):
-    """The rename-fallback crash window (delete(_current) done, move
-    not): the pointer file is GONE but commits exist.  A reader must
-    resolve the newest committed snapshot (never observe the dimension
-    vanishing), and the next batch's merge must fold against that
-    recovered base — not silently rebuild the dimension from one
-    batch's upserts."""
+    """A legacy no-pointer state (pre-journal writers could crash in a
+    delete(_current)->move window): the pointer file is GONE but
+    commits exist.  A reader must resolve the newest committed
+    snapshot (never observe the dimension vanishing), and the next
+    batch's merge must fold against that recovered base — not
+    silently rebuild the dimension from one batch's upserts."""
     base, ckpt = str(tmp_path / "base"), str(tmp_path / "ckpt")
     d = _drop(tmp_path, "b0.jsonl", [
         (1, "upsert", 1, "a", 1),
@@ -219,6 +219,49 @@ def test_missing_pointer_recovers_from_commit_markers(spark, tmp_path):
     # the swap re-established the pointer file itself
     with open(f"{base}/{CURRENT_PTR}") as f:
         assert f.read().strip().endswith("-1")
+
+
+def test_parked_pointer_journal_beats_cross_lineage_markers(spark, tmp_path):
+    """The rename-fallback park journal: with _current parked under
+    .prev-{bkey} (the crash window between park and move-in), a reader
+    resolves the PARKED value — even when a stale higher-batch marker
+    from another lineage survives (the checkpoint-re-mint trap: batch
+    numbers are only comparable within one lineage) — and the next
+    writer restores the pointer before merging."""
+    import shutil
+
+    base, ckpt = str(tmp_path / "base"), str(tmp_path / "ckpt")
+    d = _drop(tmp_path, "b0.jsonl", [(1, "upsert", 1, "a", 1)], 1_000)
+    _drop(tmp_path, "b1.jsonl", [(2, "upsert", 2, "b", 2)], 2_000)
+    _drain(spark, d, base, ckpt, keep_versions=2)
+    with open(f"{base}/{CURRENT_PTR}") as f:
+        current = f.read().strip()
+    assert current.endswith("-1")
+
+    # plant a STALE other-lineage commit (higher batch number, older
+    # data): marker aaaaaaaaaaaa-99 + its _v dir cloned from batch 0
+    v0 = current.rsplit("-", 1)[0] + "-0"
+    shutil.copytree(f"{base}/{v0}", f"{base}/_vaaaaaaaaaaaa-99")
+    open(f"{base}/_merge_commits/aaaaaaaaaaaa-99", "w").close()
+
+    # crash window: pointer parked, replacement never moved in
+    os.rename(f"{base}/{CURRENT_PTR}", f"{base}/{CURRENT_PTR}.prev-x")
+
+    # reader resolves the journal (batch-1 data), NOT the stale
+    # higher-batch marker of the foreign lineage (batch-0 data)
+    assert _snapshot(spark, base) == {1: ("a", 1), 2: ("b", 2)}
+
+    # writer restores the pointer, then folds normally
+    _drop(tmp_path, "b2.jsonl", [(3, "upsert", 3, "c", 3)], 3_000)
+    _drain(spark, d, base, ckpt, keep_versions=2)
+    assert _snapshot(spark, base) == {
+        1: ("a", 1),
+        2: ("b", 2),
+        3: ("c", 3),
+    }
+    assert not [
+        p for p in os.listdir(base) if p.startswith(f"{CURRENT_PTR}.prev-")
+    ]
 
 
 def test_version_retirement_keeps_pointer_target(spark, tmp_path):
