@@ -36,6 +36,9 @@ PROBES = [
     "corpus_chunk_windows",  # explode + slice
     "graph_triangle_counts",  # multi-join + top-k
     "governance_forget_cascade",  # anti-join cascade audit
+    "events_anomaly_mad_approx",  # GK sketch medians (golden-pinned, r9)
+    "multimodal_audio_segments",  # WAV DSP + islands (SQL-oracled, r9)
+    "corpus_source_drift_js",  # nano-int JS contributions (r9)
 ]
 
 
