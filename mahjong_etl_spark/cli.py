@@ -163,6 +163,66 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    from .plans.compaction import (
+        CompactionLeaseHeld,
+        compact_table,
+        repair_compaction,
+    )
+
+    if not args.repair_only and not args.table:
+        print("compact: -t/--table is required unless --repair-only",
+              file=sys.stderr)
+        return 2
+    spark = _spark("mahjong-compact")
+    try:
+        if args.repair_only:
+            out = repair_compaction(spark, args.data_dir)
+            for key, action in sorted(out.items()):
+                print(f"repaired {key}: rolled {action}")
+            if not out:
+                print("nothing to repair")
+            return 0
+        rewritten = compact_table(
+            spark,
+            args.data_dir,
+            args.table,
+            target_file_bytes=args.target_file_bytes,
+            min_files_to_compact=args.min_files,
+        )
+        for dt, n in sorted(rewritten.items()):
+            print(f"{args.table}/dt={dt}: {n} file(s)")
+        if not rewritten:
+            print("nothing to compact")
+        return 0
+    except CompactionLeaseHeld as e:
+        print(f"refused: {e}", file=sys.stderr)
+        return 1
+
+
+def cmd_progress(args: argparse.Namespace) -> int:
+    from .streaming.metrics import read_progress
+
+    spark = _spark("mahjong-progress")
+    df = read_progress(spark, args.ledger)
+    df.createOrReplaceTempView("stream_progress")
+    if args.summary:
+        spark.sql(
+            """
+            SELECT name,
+                   count(*)                          AS batches,
+                   sum(num_input_rows)               AS rows_in,
+                   round(percentile(trigger_ms, 0.5))  AS p50_trigger_ms,
+                   round(percentile(trigger_ms, 0.95)) AS p95_trigger_ms,
+                   max(state_rows)                   AS max_state_rows
+            FROM stream_progress GROUP BY name ORDER BY name
+            """
+        ).show(truncate=False)
+        return 0
+    df.orderBy("ts").show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     from .plans.registry import registry
 
@@ -278,6 +338,34 @@ def build_parser() -> argparse.ArgumentParser:
     cd.add_argument("--max-files-per-trigger", type=int, default=1000)
     cd.add_argument("--follow", action="store_true")
     cd.set_defaults(fn=cmd_cdc)
+
+    co = sub.add_parser(
+        "compact", help="rewrite small-file partitions (snapshot swap)"
+    )
+    co.add_argument("-D", "--data-dir", required=True, help="table root")
+    co.add_argument("-t", "--table", default=None, help="table name")
+    co.add_argument(
+        "--target-file-bytes", type=int, default=128 * 1024 * 1024
+    )
+    co.add_argument("--min-files", type=int, default=2)
+    co.add_argument(
+        "--repair-only",
+        action="store_true",
+        help="only converge interrupted swaps, compact nothing",
+    )
+    co.set_defaults(fn=cmd_compact)
+
+    pg = sub.add_parser(
+        "progress", help="query a streaming progress ledger (metrics.py)"
+    )
+    pg.add_argument("ledger", help="ledger path (rotated segments included)")
+    pg.add_argument("--limit", type=int, default=50)
+    pg.add_argument(
+        "--summary",
+        action="store_true",
+        help="per-query batch counts and trigger-latency percentiles",
+    )
+    pg.set_defaults(fn=cmd_progress)
 
     sq = sub.add_parser("sql", help="Spark SQL over the written tables")
     sq.add_argument("-D", "--data-dir", required=True)

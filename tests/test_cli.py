@@ -85,3 +85,48 @@ def test_cli_query_list_and_run(capsys):
     assert "l_returnflag" in out
 
     assert main(["query", "no_such_query"]) == 1
+
+
+def test_cli_compact_and_repair(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from mahjong_etl_spark.cli import main
+
+    root = str(tmp_path)
+    spark.range(500).select(
+        F.lit("2024-01-02").alias("dt"), "id"
+    ).repartition(8).write.partitionBy("dt").parquet(f"{root}/t")
+
+    assert main(["compact", "-D", root]) == 2  # table required
+    capsys.readouterr()
+    assert main(
+        ["compact", "-D", root, "-t", "t", "--target-file-bytes", str(10**9)]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "t/dt=2024-01-02: 1 file(s)" in out
+    assert spark.read.parquet(f"{root}/t").count() == 500
+
+    assert main(["compact", "-D", root, "--repair-only"]) == 0
+    assert "nothing to repair" in capsys.readouterr().out
+
+
+def test_cli_progress_summary(spark, tmp_path, capsys):
+    import json
+
+    from mahjong_etl_spark.cli import main
+
+    ledger = tmp_path / "progress.jsonl"
+    with open(ledger, "w") as f:
+        for i in range(4):
+            f.write(json.dumps({
+                "query_id": "q", "run_id": "r", "name": "probe",
+                "batch_id": i, "ts": f"t{i}", "num_input_rows": 10,
+                "input_rows_per_sec": 1.0, "processed_rows_per_sec": 2.0,
+                "trigger_ms": 5 + i, "state_rows": i, "state_mem_bytes": 1,
+            }) + "\n")
+
+    assert main(["progress", str(ledger)]) == 0
+    assert "probe" in capsys.readouterr().out
+    assert main(["progress", str(ledger), "--summary"]) == 0
+    out = capsys.readouterr().out
+    assert "p95_trigger_ms" in out and "40" in out  # rows_in = 4 x 10
