@@ -183,11 +183,13 @@ def cmd_compact(args: argparse.Namespace) -> int:
             if not out:
                 print("nothing to repair")
             return 0
+        from .plans.compaction import DEFAULT_TARGET_BYTES
+
         rewritten = compact_table(
             spark,
             args.data_dir,
             args.table,
-            target_file_bytes=args.target_file_bytes,
+            target_file_bytes=args.target_file_bytes or DEFAULT_TARGET_BYTES,
             min_files_to_compact=args.min_files,
         )
         for dt, n in sorted(rewritten.items()):
@@ -345,7 +347,10 @@ def build_parser() -> argparse.ArgumentParser:
     co.add_argument("-D", "--data-dir", required=True, help="table root")
     co.add_argument("-t", "--table", default=None, help="table name")
     co.add_argument(
-        "--target-file-bytes", type=int, default=128 * 1024 * 1024
+        "--target-file-bytes",
+        type=int,
+        default=None,
+        help="defaults to the library's DEFAULT_TARGET_BYTES",
     )
     co.add_argument("--min-files", type=int, default=2)
     co.add_argument(

@@ -47,7 +47,13 @@ orphaned duplicates.  Both ``compact_table`` and the standalone
 ``repair_compaction`` now hold ``{root}/_compaction/_lease`` for the
 duration (write-then-read-back-the-winner, TTL against dead holders)
 and raise ``CompactionLeaseHeld`` instead of repairing under a live
-peer.
+peer.  The lease is renewed before each partition AND re-checked
+after each partition's staging write (the long pole) immediately
+before the first destination mutation — a theft during staging
+aborts with the destination untouched.  Residual window: the
+journal+move phase itself exceeding the TTL; it is metadata-sized
+(two file batches), so size ``lease_ttl_sec`` against listing
+latency, not data volume.
 
 Listing and file ops go through the scheme-portable metadata FS of
 streaming/etl_stream.py (pyarrow where it resolves, JVM Hadoop
@@ -345,6 +351,17 @@ def _compact_locked(
             if not p.rsplit("/", 1)[1].startswith(("_", "."))
         ]
         adds = [f"c{key}-{p.rsplit('/', 1)[1]}" for p in staged]
+        # the staging write is the long pole (a big partition can
+        # alone outlive the TTL): re-check the lease AFTER staging and
+        # BEFORE the first destination mutation — if a taker stole the
+        # lease mid-stage it may have already swapped this partition,
+        # and journaling/moving our adds on top would duplicate every
+        # row; abort and drop our (destination-untouched) staging
+        try:
+            _renew_lease(fs, token, lease_ttl_sec)
+        except CompactionLeaseHeld:
+            fs.delete_dir(staging)
+            raise
         # journal BEFORE any destination mutation: repair_compaction
         # can then converge any crash point (module docstring)
         fs.mkdirs(f"{fs.root}/_compaction")

@@ -82,7 +82,12 @@ def _parked_pointer(fs) -> str | None:
     for p in fs.list_files(fs.root):
         name = p.rsplit("/", 1)[-1]
         if name.startswith(f"{CURRENT_PTR}.prev-"):
-            return fs.read_bytes(p).decode().strip()
+            try:
+                return fs.read_bytes(p).decode().strip()
+            except OSError:
+                continue  # the writer finished the swap and dropped
+                # the park between our listing and this read — the
+                # caller re-checks _current
     return None
 
 
@@ -149,7 +154,14 @@ def read_current(spark: SparkSession, base_dir: str) -> DataFrame | None:
     if fs.kind(ptr) != "file":
         version = _recover_pointer(fs)
         if version is None:
-            return None
+            # the live writer may have COMPLETED the swap between our
+            # pointer check and the recovery scan (park dropped, new
+            # pointer in place) — re-check once before concluding the
+            # base has never been committed
+            if fs.kind(ptr) == "file":
+                version = fs.read_bytes(ptr).decode().strip()
+            else:
+                return None
         return spark.read.parquet(f"{base_dir}/{version}")
     version = fs.read_bytes(ptr).decode().strip()
     return spark.read.parquet(f"{base_dir}/{version}")

@@ -146,15 +146,37 @@ def read_progress(spark: SparkSession, path: str) -> DataFrame:
     the active file plus every surviving rotated segment, so queries
     span rotation boundaries transparently.
 
-    The segment set is resolved by a HADOOP GLOB at scan time, not a
-    driver-local ``os``/``glob`` walk — a ledger shipped to shared
-    storage (the module docstring's suggestion) keeps its rotated
-    history, and ``ignoreMissingFiles`` tolerates a segment the live
-    recorder deletes between listing and read (rotation racing a
-    monitoring query drops at most the rotated-away lines of that
-    instant, never the job)."""
-    return (
-        spark.read.schema(PROGRESS_SCHEMA)
-        .option("ignoreMissingFiles", "true")
-        .json(f"{path}*")
+    Segments are enumerated through the scheme-portable metadata FS
+    (streaming/etl_stream.py), so a ledger shipped to shared storage
+    keeps its rotated history; only EXACT ``{name}.{digits}`` siblings
+    are included (a glob like ``{path}*`` would sweep ``.bak`` files
+    into the scan as all-null PERMISSIVE rows, and break outright on
+    glob metacharacters in the path).  ``ignoreMissingFiles`` plus one
+    re-enumeration retry tolerate the live recorder rotating between
+    listing and scan."""
+    from .etl_stream import _meta_fs
+
+    def _paths() -> list[str]:
+        fs = _meta_fs(spark, path)
+        parent, name = fs.root.rsplit("/", 1)
+        if fs.kind(parent) is None:
+            return [path]
+        out = []
+        for p in fs.list_files(parent):
+            base = p.rsplit("/", 1)[-1]
+            if base == name or (
+                base.startswith(f"{name}.")
+                and base[len(name) + 1:].isdigit()
+            ):
+                out.append(p)
+        return sorted(out) or [path]
+
+    reader = spark.read.schema(PROGRESS_SCHEMA).option(
+        "ignoreMissingFiles", "true"
     )
+    try:
+        return reader.json(_paths())
+    except Exception:
+        # a rotation landed between enumeration and resolution —
+        # re-enumerate once; a genuinely missing ledger re-raises
+        return reader.json(_paths())

@@ -113,6 +113,11 @@ def test_progress_ledger_rotation_bounds_disk_and_spans_reads(spark, tmp_path):
     assert len(segs) == 3
     assert {s.rsplit(".", 1)[1] for s in segs} == {"7", "8", "9"}
 
+    # a sibling sharing the prefix but NOT a numeric segment must be
+    # excluded (it would materialize as all-null PERMISSIVE rows)
+    with open(f"{ledger}.bak", "w") as f:
+        f.write("not json at all\n")
+
     df = read_progress(spark, ledger)
     got = sorted(r.batch_id for r in df.collect())
     # 4 surviving lines: 3 rotated segments + the active file
