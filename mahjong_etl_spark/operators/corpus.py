@@ -1929,3 +1929,86 @@ def corpus_source_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "corpus_leakage_safe_split",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, n_chars,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS grp,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{VAL_HEX_CUTOFF}'
+                    THEN 'val' ELSE 'train' END AS naive_split
+        FROM documents
+    ),
+    reps AS (
+        SELECT grp,
+               min(doc_id)                  AS rep,
+               count(*)                     AS n_docs_g,
+               CAST(sum(n_chars) AS BIGINT) AS chars_g,
+               CASE WHEN count(DISTINCT naive_split) > 1
+                    THEN 1 ELSE 0 END       AS naive_leak
+        FROM g GROUP BY grp
+    )
+    SELECT CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2)
+                     < '{VAL_HEX_CUTOFF}'
+                THEN 'val' ELSE 'train' END     AS split,
+           CAST(sum(n_docs_g) AS BIGINT)        AS n_docs,
+           count(*)                             AS n_groups,
+           CAST(sum(chars_g) AS BIGINT)         AS total_chars,
+           CAST(sum(naive_leak) AS BIGINT)      AS naive_leaked_groups
+    FROM reps GROUP BY 1 ORDER BY split
+    """,
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware train/val split: duplicate GROUPS (normalized
+    content hash — the dedup_normalized key) are assigned to a split
+    as a unit, keyed by the group representative's md5 bucket, so two
+    copies of one document can never straddle train and val — the
+    eval-contamination guard a per-document hash split cannot give
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", documents exactly this leakage mode).  The output
+    also MEASURES the averted damage: ``naive_leaked_groups`` counts
+    the groups the per-document split would have torn across both
+    sides.
+
+    Plan: one scan → one (group-hash) aggregate carrying the member
+    count, char volume and the would-have-leaked flag (a distinct
+    count over the two naive labels, computed in-aggregate) → a tiny
+    group-keyed relation split by the same md5-bucket discipline as
+    deterministic_split → a 2-row final aggregate.  At 100 TB the
+    only fact-scale shuffle is the group hash — the dedup_exact scale
+    shape; everything after is group-bounded.  Safety is structural
+    (one split per group, by construction) and the zero-straddle law
+    plus planted-duplicate semantics are pinned in
+    tests/test_r9_operators.py."""
+    d = load_spread(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    naive_bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    g = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(norm).alias("grp"),
+        F.when(naive_bucket < VAL_HEX_CUTOFF, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("naive_split"),
+    )
+    reps = g.groupBy("grp").agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).alias("n_docs_g"),
+        F.sum("n_chars").alias("chars_g"),
+        (F.countDistinct("naive_split") > 1).cast("int").alias("naive_leak"),
+    )
+    assigned = deterministic_split(reps, id_col="rep")
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.sum("n_docs_g").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("chars_g").cast("long").alias("total_chars"),
+            F.sum("naive_leak").cast("long").alias("naive_leaked_groups"),
+        )
+        .orderBy("split")
+    )

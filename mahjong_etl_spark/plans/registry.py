@@ -95,12 +95,13 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # freshness.
 
 _CHECK_WINDOW_HEAD = [
-    # three queries NEW in r9 — never driver-checked, they lead
+    # four queries NEW in r9 — never driver-checked, they lead
     # (approx-percentile MAD twin, JS-divergence corpus drift,
-    # audio energy segmentation)
+    # audio energy segmentation, leakage-safe split)
     "events_anomaly_mad_approx",
     "corpus_source_drift_js",
     "multimodal_audio_segments",
+    "corpus_leakage_safe_split",
     # queries whose CODE or data path changed in r9: the
     # session-path bounded buffer + the shared _anomaly_mad refactor,
     # the pHash DC-bit fix (golden regenerated), the topic-cluster
@@ -155,13 +156,14 @@ _CHECK_WINDOW_HEAD = [
     "similarity_ann_ivf_int8",
     "text_zipf_spectrum",
     "tpch_scalar_revenues",
-    # one r6-cohort filler completes the 50-slot window
-    "similarity_ann_lsh",
+    # (the r6-cohort filler similarity_ann_lsh was displaced back to
+    # the tail front by the fourth new-in-r9 query, per the
+    # bottom-displacement rule — its evidence stays r6, floor intact)
 ]
 
 _CHECK_WINDOW_TAIL = [
-    # r6-last-green cohort (leads the r10 queue; similarity_ann_lsh
-    # was pulled into the r9 head as the filler)
+    # r6-last-green cohort (leads the r10 queue)
+    "similarity_ann_lsh",
     "similarity_ann_ivf",
     "events_approx_quantiles",
     "mahjong_experiments_games",

@@ -293,3 +293,51 @@ def test_audio_segments_one_doc_exchange(spark, sf_dir):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("MapInPandas") == 1
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_groups_never_straddle(spark, tmp_path):
+    """Planted duplicate groups whose members' PER-DOC hash buckets
+    disagree: the leakage-safe split must put each group entirely in
+    one split (zero straddle, by construction) and report exactly how
+    many groups the naive per-doc split would have torn apart."""
+    import hashlib
+
+    from mahjong_etl_spark.operators.corpus import (
+        VAL_HEX_CUTOFF,
+        corpus_leakage_safe_split,
+    )
+
+    def naive(doc_id):
+        b = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        return "val" if b < VAL_HEX_CUTOFF else "train"
+
+    ids = list(range(400))
+    train_ids = [d for d in ids if naive(d) == "train"]
+    val_ids = [d for d in ids if naive(d) == "val"]
+    assert len(val_ids) >= 2 and len(train_ids) >= 2
+
+    rows = []
+    # group A: copies whose naive splits DISAGREE (one train, one val)
+    rows.append((train_ids[0], "s", "Dup   Text one"))
+    rows.append((val_ids[0], "s", "dup text ONE"))  # same normalized
+    # group B: two copies, both naive-train (no naive leak)
+    rows.append((train_ids[1], "s", "dup two"))
+    rows.append((train_ids[2], "s", "DUP  TWO"))
+    # singleton
+    rows.append((val_ids[1], "s", "unique text"))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.split: r for r in corpus_leakage_safe_split(spark, sf).collect()}
+
+    # conservation: every doc and every group lands in exactly one split
+    assert sum(r.n_docs for r in out.values()) == 5
+    assert sum(r.n_groups for r in out.values()) == 3
+    # exactly group A would have leaked under the per-doc split
+    assert sum(r.naive_leaked_groups for r in out.values()) == 1
+    # group A's split is decided by its representative (min doc_id)
+    rep_split = naive(min(train_ids[0], val_ids[0]))
+    assert out[rep_split].naive_leaked_groups == 1
