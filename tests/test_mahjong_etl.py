@@ -290,3 +290,39 @@ def test_output_manifest_reconciles_with_reported_counts(spark, tmp_path):
     for t, n in counts.items():
         if t != "_corrupt" and n > 0:
             assert by_table.get(t) == n
+
+
+def test_tiny_sink_path_vs_rebalance_path_identical(spark, etl_out, tmp_path, monkeypatch):
+    """r9 micro-batch sink sizing: the fixture run rides the tiny path
+    (every table under SMALL_SINK_ROWS -> coalesced narrow writes, ONE
+    file per (table, dt)); forcing the threshold to 0 re-runs the
+    REBALANCE(dt) backfill path — both must write byte-identical rows."""
+    import mahjong_etl_spark.plans.etl as etl_mod
+
+    out, counts = etl_out
+    # the tiny path produced exactly one file per written partition
+    for table in ("games", "actions"):
+        for dt_dir in glob.glob(f"{out}/{table}/dt=*"):
+            parts = [
+                f for f in os.listdir(dt_dir) if f.endswith(".parquet")
+            ]
+            assert len(parts) == 1, (dt_dir, parts)
+
+    monkeypatch.setattr(etl_mod, "SMALL_SINK_ROWS", 0)  # force rebalance
+    out2 = str(tmp_path / "rebalanced")
+    counts2 = run_etl(spark, FIXTURE_ROOT, out2)
+    assert counts2 == counts
+    for table in ("games", "actions", "agaris"):
+        a = sorted(
+            tuple(str(v) for v in r)
+            for r in spark.read.parquet(f"{out}/{table}")
+            .select(*sorted(spark.read.parquet(f"{out}/{table}").columns))
+            .collect()
+        )
+        b = sorted(
+            tuple(str(v) for v in r)
+            for r in spark.read.parquet(f"{out2}/{table}")
+            .select(*sorted(spark.read.parquet(f"{out2}/{table}").columns))
+            .collect()
+        )
+        assert a == b, table

@@ -358,3 +358,28 @@ def test_split_offset_rebuild_skips_corrupt_prior_file(spark, tmp_path):
         *[f.name for f in whole.schema.fields]
     )
     assert _canon(whole) == _canon(written)
+
+
+def test_batch_read_yields_arrow_batches_parsed_yields_tuples():
+    """The r9 fast path contract, pinned at the reader level: a flat
+    table's read() produces pyarrow.RecordBatch objects whose schema
+    leads with dt (matching DataSource.schema()), while the _parsed
+    nested envelope keeps per-row tuple yields (the streaming feed)."""
+    import pyarrow as pa
+
+    from mahjong_etl_spark.sources.tenhou_datasource import (
+        PARSED_TABLE,
+        TenhouReader,
+    )
+
+    r = TenhouReader({"path": FIXTURE_LOGS}, "games")
+    (part, *_) = r.partitions()
+    out = list(r.read(part))
+    assert out and all(isinstance(b, pa.RecordBatch) for b in out)
+    assert out[0].schema.names[0] == "dt"
+    assert sum(b.num_rows for b in out) > 0
+
+    rp = TenhouReader({"path": FIXTURE_LOGS}, PARSED_TABLE)
+    (part_p, *_) = rp.partitions()
+    rows = list(rp.read(part_p))
+    assert rows and all(isinstance(t, tuple) for t in rows)
