@@ -34,13 +34,14 @@ the written-parquet output of plans/etl.py::run_etl):
   ETL; ``on_error=skip`` reproduces the quarantine behavior (a bad
   log contributes no rows and no offset), ``fail`` (default) raises.
 
-Row production (r9): flat-table batch reads yield Arrow RecordBatches
-(``ARROW_BATCH_ROWS`` rows per batch — one Arrow buffer on the
-worker<->JVM socket instead of one pickled tuple per row); the
-``_parsed`` nested envelope and the stream reader keep plain-tuple
-yields (correctness-first; the streaming feed is micro-batch-sized by
-construction).  Both productions are pinned byte-equivalent to the
-ETL's written parquet by tests/test_tenhou_datasource.py.
+Row production (r9/r10): flat-table reads — batch AND stream — yield
+Arrow RecordBatches (``ARROW_BATCH_ROWS`` rows per batch — one Arrow
+buffer on the worker<->JVM socket instead of one pickled tuple per
+row; the stream path matters exactly when a stream drains a backlog);
+only the ``_parsed`` nested envelope keeps plain-tuple yields
+(micro-batch-sized by construction).  All productions are pinned
+byte-equivalent to the ETL's written parquet by
+tests/test_tenhou_datasource.py.
 """
 
 from __future__ import annotations
@@ -193,49 +194,54 @@ class TenhouReader(DataSourceReader):
         )
         if self.table == PARSED_TABLE:
             # nested array<struct> envelope (the streaming-ETL feed):
-            # row-tuple yields; the bulk flat-table path below is the
-            # one that carries ad-hoc scan traffic
+            # row-tuple yields; the flat-table paths are the ones that
+            # carry scan traffic
             yield from rows
             return
-        # Arrow fast path: the Python DataSource API accepts
-        # pyarrow.RecordBatch yields, replacing one pickled tuple per
-        # ROW on the worker<->JVM socket with one Arrow buffer per
-        # ARROW_BATCH_ROWS — the same economics as the ETL's
-        # mapInPandas parse.  The arrow schema is derived from the
-        # declared Spark schema (decimal/date/array fields included),
-        # so both paths stay byte-equivalent (parity pinned in
-        # tests/test_tenhou_datasource.py).
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import StructType
+        yield from _arrow_batches(self.table, rows)
 
-        aschema = to_arrow_schema(
-            StructType(
-                [
-                    StructField("dt", StringType(), True),
-                    *TABLE_SCHEMAS[self.table].fields,
-                ]
-            )
+
+def _arrow_batches(table: str, rows):
+    """Arrow fast path shared by the batch reader and the stream
+    reader (r10: the stream's backlog-replay path paid per-row
+    pickling): the Python DataSource API accepts pyarrow.RecordBatch
+    yields, replacing one pickled tuple per ROW on the worker<->JVM
+    socket with one Arrow buffer per ARROW_BATCH_ROWS — the same
+    economics as the ETL's mapInPandas parse.  The arrow schema is
+    derived from the declared Spark schema (decimal/date/array fields
+    included), so both paths stay byte-equivalent to the row-tuple
+    production (parity pinned in tests/test_tenhou_datasource.py)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    aschema = to_arrow_schema(
+        StructType(
+            [
+                StructField("dt", StringType(), True),
+                *TABLE_SCHEMAS[table].fields,
+            ]
+        )
+    )
+
+    def to_batch(buf: list) -> pa.RecordBatch:
+        cols = list(zip(*buf))
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(c, type=f.type)
+                for c, f in zip(cols, aschema)
+            ],
+            schema=aschema,
         )
 
-        def to_batch(buf: list) -> pa.RecordBatch:
-            cols = list(zip(*buf))
-            return pa.RecordBatch.from_arrays(
-                [
-                    pa.array(c, type=f.type)
-                    for c, f in zip(cols, aschema)
-                ],
-                schema=aschema,
-            )
-
-        buf: list = []
-        for r in rows:
-            buf.append(r)
-            if len(buf) >= ARROW_BATCH_ROWS:
-                yield to_batch(buf)
-                buf = []
-        if buf:
+    buf: list = []
+    for r in rows:
+        buf.append(r)
+        if len(buf) >= ARROW_BATCH_ROWS:
             yield to_batch(buf)
+            buf = []
+    if buf:
+        yield to_batch(buf)
 
 
 def _read_files(b: TenhouReader, dt_raw, files, prior_offset: int, fs=None):
@@ -507,13 +513,26 @@ class TenhouStreamReader(DataSourceStreamReader):
         b = self._b
         fs, _ = _fs_and_path(b.path)
         offset = _prior_offset(b, fs, partition.dt_raw, partition.prior_files)
-        yield from _read_files(
+        rows = _read_files(
             b,
             partition.dt_raw,
             sorted(partition.new_files),
             prior_offset=offset,
             fs=fs,
         )
+        if b.table == PARSED_TABLE:
+            # nested envelope: row-tuple yields (micro-batch-sized by
+            # construction — the streaming-ETL feed)
+            yield from rows
+            return
+        # flat tables ride the same Arrow RecordBatch production as
+        # the batch reader (r10): a stream draining a BACKLOG (first
+        # start against a populated date dir, or catch-up after
+        # downtime) is a batch-sized read in streaming clothes, and
+        # per-row pickling was exactly the cost the r9 batch fix
+        # removed — parity with the tuple path pinned in
+        # tests/test_tenhou_datasource.py
+        yield from _arrow_batches(b.table, rows)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are pure file positions; nothing to release

@@ -383,3 +383,50 @@ def test_batch_read_yields_arrow_batches_parsed_yields_tuples():
     (part_p, *_) = rp.partitions()
     rows = list(rp.read(part_p))
     assert rows and all(isinstance(t, tuple) for t in rows)
+
+
+def test_stream_read_yields_arrow_batches_for_flat_tables():
+    """The r10 extension of the fast-path contract to the STREAM
+    reader (a backlog drain is a batch-sized read in streaming
+    clothes): flat-table stream partitions produce RecordBatches
+    row-identical to the tuple production; the _parsed envelope keeps
+    tuple yields."""
+    import pyarrow as pa
+
+    from mahjong_etl_spark.sources.tenhou_datasource import (
+        PARSED_TABLE,
+        TenhouReader,
+        TenhouStreamReader,
+    )
+
+    sr = TenhouStreamReader(TenhouReader({"path": FIXTURE_LOGS}, "actions"))
+    parts = sr.partitions(sr.initialOffset(), sr.latestOffset())
+    assert parts
+    batches = list(sr.read(parts[0]))
+    assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert batches[0].schema.names[0] == "dt"
+    # row-parity with the batch reader's production over the same
+    # files (the batch read() path shares _arrow_batches, so this
+    # pins the stream slice plumbing, not just the encoding)
+    br = TenhouReader({"path": FIXTURE_LOGS}, "actions")
+    bpart = next(
+        p for p in br.partitions() if p.dt_raw == parts[0].dt_raw
+    )
+    want = [
+        tuple(r)
+        for b in br.read(bpart)
+        for r in zip(*[c.to_pylist() for c in b.columns])
+    ]
+    got = [
+        tuple(r)
+        for b in batches
+        for r in zip(*[c.to_pylist() for c in b.columns])
+    ]
+    assert got == want
+
+    srp = TenhouStreamReader(
+        TenhouReader({"path": FIXTURE_LOGS}, PARSED_TABLE)
+    )
+    pparts = srp.partitions(srp.initialOffset(), srp.latestOffset())
+    rows = list(srp.read(pparts[0]))
+    assert rows and all(isinstance(t, tuple) for t in rows)
