@@ -412,6 +412,25 @@ def test_semantic_dedup_precision_and_recall(spark, sf_dir):
     assert recall >= 0.5, f"semantic dedup recall too low: {recall}"
 
 
+def test_semantic_dedup_persisted_is_bit_identical(spark, sf_dir):
+    """The persisted-quantizer variant must return EXACTLY the rows of
+    the in-session variant: centroids are trained on the int64
+    fixed-point grid and the chunked-binary parquet round-trip is the
+    identity on float64 bytes, so any divergence is a persistence-layer
+    bug, not float noise.  (This bit-exactness is also why both share
+    one committed golden oracle.)"""
+    from mahjong_etl_spark.operators.dedup import (
+        dedup_semantic,
+        dedup_semantic_persisted,
+    )
+
+    live = {tuple(r) for r in dedup_semantic(spark, sf_dir).collect()}
+    persisted = {
+        tuple(r) for r in dedup_semantic_persisted(spark, sf_dir).collect()
+    }
+    assert live == persisted and len(live) > 0
+
+
 def test_embedding_pca_matches_exact_numpy(spark, sf_dir):
     """The distributed scatter-matrix PCA must reproduce the exact
     single-node spectrum: same eigenvalues (to float tolerance — the
