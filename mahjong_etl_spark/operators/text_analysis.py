@@ -1563,3 +1563,118 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.round(other.cast("double") / n_sum, 6).alias("frac_other"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary budgeting: coverage curve over term frequencies
+# ---------------------------------------------------------------------------
+
+VOCAB_BUDGETS = [4, 8, 16, 32]
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT term, count(*) AS cnt FROM toks GROUP BY term
+    ),
+    top AS (
+        SELECT term, cnt,
+               row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+        FROM tf
+        ORDER BY cnt DESC, term
+        LIMIT {max(VOCAB_BUDGETS)}
+    ),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM tf),
+    budgets AS (
+        SELECT CAST(unnest({VOCAB_BUDGETS}) AS BIGINT) AS vocab_budget
+    )
+    SELECT b.vocab_budget,
+           CAST(count(*) AS BIGINT)   AS n_terms_used,
+           CAST(sum(t.cnt) AS BIGINT) AS covered_tokens,
+           total.total_tokens,
+           round(sum(t.cnt) / CAST(total.total_tokens AS DOUBLE), 6)
+               AS coverage
+    FROM budgets b
+    JOIN top t ON t.rnk <= b.vocab_budget
+    CROSS JOIN total
+    GROUP BY b.vocab_budget, total.total_tokens
+    ORDER BY b.vocab_budget
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab budget, the
+    corpus token share covered by the top-k most frequent terms (ties
+    broken by term) — the tokenizer-design question behind every BPE
+    vocab-size choice ("how big must the vocabulary be before the
+    OOV/byte-fallback rate is acceptable"), answered straight off the
+    corpus before any tokenizer training run.  Complements
+    text_zipf_spectrum (the frequency LAW) with the budgeted
+    cumulative view (the planning number: 1 − coverage = fallback
+    rate at that budget).
+
+    Plan shape: the corpus-scale work is one explode + term groupBy
+    (the text_top_terms exchange); everything after operates on
+    BOUNDED relations — the top-max(budget) cut plans as
+    TakeOrderedAndProject (per-partition heaps, k rows to the
+    driver, never a vocabulary-wide sort even at a 1e8-term real
+    vocabulary), the rank window runs over those ≤{max-budget} rows,
+    the corpus-total is a 1-row scalar crossed on (the
+    text_tfidf_topk idf shape), and the budget join is a 4-row
+    broadcast.  All counts are int64; coverage is the single
+    end-of-plan double division."""
+    from pyspark.sql.window import Window
+
+    from ..session import local_rows_df
+
+    d = load_spread(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        tf.orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(max(VOCAB_BUDGETS))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("term"))
+            ),
+        )
+    )
+    # Σcnt over tf == the corpus token count, so the total comes from
+    # a plain document-scan aggregate — no second term-keyed exchange
+    total = d.select(
+        F.size(F.split("text", " ")).alias("n_tok")
+    ).agg(F.sum("n_tok").cast("long").alias("total_tokens"))
+    budgets = local_rows_df(
+        spark,
+        [(b,) for b in VOCAB_BUDGETS],
+        "vocab_budget long",
+    )
+    return (
+        F.broadcast(budgets)
+        .join(top, F.col("rnk") <= F.col("vocab_budget"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("vocab_budget", "total_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_used"),
+            F.sum("cnt").cast("long").alias("covered_tokens"),
+        )
+        .select(
+            "vocab_budget",
+            "n_terms_used",
+            "covered_tokens",
+            "total_tokens",
+            F.round(
+                F.col("covered_tokens")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_budget")
+    )

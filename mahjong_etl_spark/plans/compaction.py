@@ -75,7 +75,13 @@ DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 # single-compactor lease: a crashed holder blocks others only until
 # expiry; a LIVE holder makes a second run refuse loudly instead of
-# rolling back the live swap as if it had crashed
+# rolling back the live swap as if it had crashed.  TTL expiry
+# compares the holder's recorded wall-clock against the taker's —
+# hosts are assumed NTP-synchronized to well under the TTL; a taker
+# whose clock runs minutes fast can steal a live lease early (the
+# renew-per-partition check then makes the displaced holder refuse
+# loudly rather than double-swap, so skew degrades to a spurious
+# CompactionLeaseHeld, never a silent concurrent compaction)
 DEFAULT_LEASE_TTL_SEC = 900.0
 
 
@@ -89,10 +95,24 @@ def _read_lease(fs) -> dict:
     lease = f"{fs.root}/_compaction/_lease"
     if fs.kind(lease) != "file":
         return {}
-    try:
-        return json.loads(fs.read_bytes(lease).decode())
-    except (ValueError, OSError):
-        return {}
+    for _ in range(3):
+        try:
+            return json.loads(fs.read_bytes(lease).decode())
+        except ValueError:
+            # present but unparseable: a concurrent holder's write is
+            # partially visible (no atomic create-exclusive in the
+            # portable FS surface).  That is a LIVE holder mid-write,
+            # not an absent lease — treating it as absent would let a
+            # racer overwrite it.  A short settle retry resolves the
+            # torn read; if it never parses, report it as held so the
+            # caller refuses loudly (operator deletes the file if it
+            # is genuinely corrupt debris).
+            time.sleep(0.05)
+        except OSError:
+            if fs.kind(lease) != "file":
+                return {}  # deleted between the kind check and read
+            time.sleep(0.05)
+    return {"token": "<unparseable>", "expires": time.time() + 1.0}
 
 
 def _acquire_lease(fs, ttl_sec: float) -> str:

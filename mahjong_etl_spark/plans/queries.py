@@ -4833,3 +4833,127 @@ def events_anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 milli-grid and everything downstream is the one-division
     discipline shared with the exact twin."""
     return _anomaly_mad(spark, sf_dir, exact=False)
+
+
+# CUSUM parameters, in centi-units of events.value: slack (the "k"
+# reference value subtracted per step, 0.5 units) and decision
+# threshold h (20 units).  Raw-unit parameterization keeps every
+# accumulator on the exact int64 grid; the σ-scaled textbook form
+# would put a sqrt into the recursion and off the grid.
+CUSUM_SLACK_CENTI = 50
+CUSUM_H_CENTI = 2000
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, CAST(sum(vc) AS BIGINT) AS sum_v,
+               count(*) AS n
+        FROM v GROUP BY event_type
+    ),
+    p AS (
+        SELECT v.event_type, v.ts, v.event_id, s.n,
+               sum(s.n * v.vc - s.sum_v - s.n * {CUSUM_SLACK_CENTI})
+                   OVER w AS pv
+        FROM v JOIN s USING (event_type)
+        WINDOW w AS (PARTITION BY v.event_type ORDER BY v.ts, v.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+        SELECT event_type, ts, n,
+               pv - least(0, min(pv) OVER w) AS sv
+        FROM p
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(max(sv) / (100.0 * max(n)), 4) AS max_cusum,
+           CAST(count(*) FILTER (WHERE sv > n * {CUSUM_H_CENTI})
+                AS BIGINT) AS n_breaches,
+           strftime(min(ts) FILTER (WHERE sv > n * {CUSUM_H_CENTI}),
+                    '%Y-%m-%d %H:%M:%S') AS first_breach_ts
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential change-point detection per event type: the one-sided
+    upper CUSUM chart (Page 1954, "Continuous inspection schemes",
+    Biometrika 41) over each type's value series — S_i = max(0,
+    S_{{i-1}} + (x_i − target − slack)), flag when S crosses h.  The
+    drift detector that complements the POINT-outlier screens
+    (events_anomaly_zscore/_mad): a slow upward shift in mean never
+    trips a z-score but accumulates in S.
+
+    The max() recursion is not a SQL aggregate, but it has a closed
+    window form (the reflection identity): with P_i the plain running
+    sum of (x_i − target − slack), S_i = P_i − min(0, min_{{j≤i}} P_j).
+    Both engines compute it as two cumulative windows over one
+    (type, ts) sort.  Exactness: values snap to centi-unit int64 and
+    every deviation is multiplied through by the per-type row count n
+    (n·x_i − Σx is the exact integer form of n·(x_i − mean)), so all
+    three window accumulators stay on the int64 grid — the single
+    float division happens once, in the final per-type aggregate.
+
+    Plan: one fact-scale shuffle (the (event_type, ts) window sort);
+    the per-type stats are a tiny aggregate broadcast back; the final
+    rollup groups a handful of types.  Both window specs share the
+    partitioning AND ordering, so Spark chains them in one Window
+    operator — no second exchange, no second sort.  At 100 TB the
+    int64 headroom is the knob: n·vc·|series| must stay under 2^63,
+    which holds to ~1e5 rows/type at centi-precision; past that,
+    CUSUM the per-minute pre-aggregates (same plan, bounded n) — the
+    standard production chart granularity anyway."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.sum("vc").cast("long").alias("sum_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    y = (
+        F.col("n") * F.col("vc")
+        - F.col("sum_v")
+        - F.col("n") * F.lit(CUSUM_SLACK_CENTI)
+    )
+    p = v.join(F.broadcast(s), "event_type").select(
+        "event_type", "ts", "event_id", "n", F.sum(y).over(w).alias("pv")
+    )
+    c = p.select(
+        "event_type",
+        "ts",
+        "n",
+        (F.col("pv") - F.least(F.lit(0), F.min("pv").over(w))).alias("sv"),
+    )
+    breach = F.col("sv") > F.col("n") * F.lit(CUSUM_H_CENTI)
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.round(
+                F.max("sv") / (F.lit(100.0) * F.max("n")), 4
+            ).alias("max_cusum"),
+            F.sum(breach.cast("long")).alias("n_breaches"),
+            F.date_format(
+                F.min(F.when(breach, F.col("ts"))), "yyyy-MM-dd HH:mm:ss"
+            ).alias("first_breach_ts"),
+        )
+        .orderBy("event_type")
+    )

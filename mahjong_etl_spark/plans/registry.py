@@ -82,87 +82,38 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r9 window (the rotation the r8 tail comment declared; r8 verdict
-# item 2): the three new-in-r9 queries lead (never-checked invariant),
-# then the five whose code changed this round, then the ENTIRE
-# r5-last-green cohort (the declared 42-query queue;
-# corpus_topic_clusters of that queue sits in the changed group), and
-# one r6-cohort filler completes the window.  After the r9 board
-# lands, no query's newest hash row is older than r6; the r6 cohort
-# (minus the filler) leads the r10 queue.  Any query added mid-round
-# MUST displace from the BOTTOM of the head — the never-checked
-# invariant (test_head_leads_with_unproven_queries) outranks evidence
-# freshness.
+# r10 window (the rotation the r9 tail comment declared; r9 verdict
+# item 1 — note the r9 head actually led with FOUR new queries, not
+# the three its own comment claimed, displacing the similarity_ann_lsh
+# filler back to the tail): the three new-in-r10 queries lead
+# (never-checked invariant), then the one whose code path changed
+# this round (the tenhou DataSource read now routes BOTH readers
+# through the shared _arrow_batches helper), then the ENTIRE
+# r6-last-green cohort — the declared 46-query queue,
+# similarity_ann_lsh first.  After this board lands, no registry
+# query's newest hash row is older than r7; the r7 cohort leads the
+# r11 queue.  Any query added mid-round MUST displace from the BOTTOM
+# of the head — the never-checked invariant
+# (test_head_leads_with_unproven_queries) outranks evidence freshness.
 
 _CHECK_WINDOW_HEAD = [
-    # four queries NEW in r9 — never driver-checked, they lead
-    # (approx-percentile MAD twin, JS-divergence corpus drift,
-    # audio energy segmentation, leakage-safe split)
-    "events_anomaly_mad_approx",
-    "corpus_source_drift_js",
-    "multimodal_audio_segments",
-    "corpus_leakage_safe_split",
-    # queries whose CODE or data path changed in r9: the
-    # session-path bounded buffer + the shared _anomaly_mad refactor,
-    # the pHash DC-bit fix (golden regenerated), the topic-cluster
-    # exchange-reuse rewrite, and the tenhou DataSource Arrow batching
-    "events_session_paths",
-    "events_anomaly_mad",
-    "multimodal_phash_dedup",
-    "corpus_topic_clusters",
+    # three queries NEW in r10 — never driver-checked, they lead
+    # (persisted-quantizer SemDeDup twin, CUSUM change-point chart,
+    # tokenizer vocabulary-coverage curve)
+    "dedup_semantic_persisted",
+    "events_cusum_changepoint",
+    "text_vocab_coverage",
+    # code/data path changed in r10: the tenhou DataSource batch read
+    # now shares its Arrow RecordBatch production with the stream
+    # reader (sources/tenhou_datasource.py::_arrow_batches)
     "tenhou_source_actions",
-    # the ENTIRE r5-last-green cohort (41; corpus_topic_clusters,
-    # the 42nd, sits in the changed group above) — the rotation the
-    # r8 tail declared.  After this board lands, no registry query's
-    # newest hash row is older than r6
-    "events_heavy_hitters_cms",
-    "cdc_orders_scd2",
-    "classifier_train_eval",
-    "corpus_mixture",
-    "corpus_shard_manifest",
-    "corpus_version_diff",
-    "corpus_weighted_sample",
-    "dedup_containment",
-    "dedup_duplicate_spans",
-    "dedup_ensemble",
-    "dq_constraint_suite",
-    "er_fuzzy_name_pairs",
-    "er_resolve_entities",
-    "events_anomaly_prequential",
-    "events_dedup_consecutive",
-    "events_distinct_sketch_merge",
-    "events_hourly_gapfill",
-    "events_moving_avg",
-    "events_retention",
-    "events_rolling_mau_approx",
-    "events_rolling_wau",
-    "events_type_transitions",
-    "events_variant_stats",
-    "governance_forget_cascade",
-    "graph_pagerank",
-    "lineitem_copurchase_pairs",
-    "lineitem_quantile_bins",
-    "mahjong_han_fu_table",
-    "mahjong_machi_distribution",
-    "mahjong_paiyama_walls",
-    "orc_roundtrip_stats",
-    "q10_returned_items",
-    "q12_late_line_priority",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q6_forecast_revenue",
-    "q9_profit_by_nation_year",
-    "similarity_ann_ivf_int8",
-    "text_zipf_spectrum",
-    "tpch_scalar_revenues",
-    # (the r6-cohort filler similarity_ann_lsh was displaced back to
-    # the tail front by the fourth new-in-r9 query, per the
-    # bottom-displacement rule — its evidence stays r6, floor intact)
-]
-
-_CHECK_WINDOW_TAIL = [
-    # r6-last-green cohort (leads the r10 queue)
+    # the ENTIRE r6-last-green cohort (46) — the rotation the r9 tail
+    # declared, similarity_ann_lsh (the displaced r9 filler) first.
+    # After this board lands, no registry query's newest hash row is
+    # older than r7.  dedup_semantic additionally had an
+    # extract-shared-helper refactor this round (operators/dedup.py::
+    # _sem_dedup), so its membership here doubles as its changed-code
+    # slot.
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "events_approx_quantiles",
@@ -209,7 +160,10 @@ _CHECK_WINDOW_TAIL = [
     "dedup_connected_components",
     "dedup_embedding_cosine",
     "dedup_exact",
-    # r7-last-green cohort
+]
+
+_CHECK_WINDOW_TAIL = [
+    # r7-last-green cohort (leads the r11 queue)
     "similarity_rrf_ensemble",
     "similarity_knn_classify",
     "text_inverted_index",
@@ -259,7 +213,7 @@ _CHECK_WINDOW_TAIL = [
     "similarity_topk_bruteforce",
     "sql_text_roundtrip",
     "text_fingerprint",
-    # r8/r9-last-green cohort (freshest evidence, rotates last)
+    # r8-last-green cohort (second in the r11 queue)
     "multimodal_spectral_features",
     "text_pmi_collocations",
     "text_script_profile",
@@ -307,6 +261,58 @@ _CHECK_WINDOW_TAIL = [
     "text_c4_filters",
     "text_perplexity_proxy",
     "text_tfidf_topk",
+    # r9-last-green cohort (freshest evidence, rotates last): the
+    # full r9 check window minus tenhou_source_actions, which
+    # re-entered the r10 head on changed code
+    "events_anomaly_mad_approx",
+    "corpus_source_drift_js",
+    "multimodal_audio_segments",
+    "corpus_leakage_safe_split",
+    "events_session_paths",
+    "events_anomaly_mad",
+    "multimodal_phash_dedup",
+    "corpus_topic_clusters",
+    "events_heavy_hitters_cms",
+    "cdc_orders_scd2",
+    "classifier_train_eval",
+    "corpus_mixture",
+    "corpus_shard_manifest",
+    "corpus_version_diff",
+    "corpus_weighted_sample",
+    "dedup_containment",
+    "dedup_duplicate_spans",
+    "dedup_ensemble",
+    "dq_constraint_suite",
+    "er_fuzzy_name_pairs",
+    "er_resolve_entities",
+    "events_anomaly_prequential",
+    "events_dedup_consecutive",
+    "events_distinct_sketch_merge",
+    "events_hourly_gapfill",
+    "events_moving_avg",
+    "events_retention",
+    "events_rolling_mau_approx",
+    "events_rolling_wau",
+    "events_type_transitions",
+    "events_variant_stats",
+    "governance_forget_cascade",
+    "graph_pagerank",
+    "lineitem_copurchase_pairs",
+    "lineitem_quantile_bins",
+    "mahjong_han_fu_table",
+    "mahjong_machi_distribution",
+    "mahjong_paiyama_walls",
+    "orc_roundtrip_stats",
+    "q10_returned_items",
+    "q12_late_line_priority",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q6_forecast_revenue",
+    "q9_profit_by_nation_year",
+    "similarity_ann_ivf_int8",
+    "text_zipf_spectrum",
+    "tpch_scalar_revenues",
 ]
 
 

@@ -128,6 +128,20 @@ def _recover_pointer(fs) -> str | None:
     parked = _parked_pointer(fs)
     if parked and fs.kind(f"{fs.root}/{parked}") is not None:
         return parked
+    # The park scan coming up empty — including the read-raced case
+    # where the writer dropped the park between listing and read — is
+    # exactly the moment a fresh ``_current`` may have just landed.
+    # Re-check it BEFORE the legacy marker scan: on a legacy base with
+    # foreign-lineage markers, falling straight through would resolve
+    # a stale snapshot despite a live pointer.
+    ptr = f"{fs.root}/{CURRENT_PTR}"
+    if fs.kind(ptr) == "file":
+        try:
+            cur = fs.read_bytes(ptr).decode().strip()
+        except OSError:
+            cur = ""
+        if cur and fs.kind(f"{fs.root}/{cur}") is not None:
+            return cur
     commits = f"{fs.root}/_merge_commits"
     if fs.kind(commits) is None:
         return None
@@ -332,6 +346,12 @@ def _run_merge_stream(
             # _current or the .prev journal carrying the old value,
             # and _restore_parked_pointer / read_current resolve it
             # without guessing across lineages.
+            if fs.kind(ptr) != "file":
+                # the move failed transiently while NO pointer exists
+                # (e.g. first publish): there is nothing to park, and
+                # fs.move(_current, prev) would raise FileNotFound and
+                # mask the original error — surface the real failure
+                raise
             prev = f"{fs.root}/{CURRENT_PTR}.prev-{bkey}"
             fs.move(f"{fs.root}/{CURRENT_PTR}", prev)
             fs.move(tmp, f"{fs.root}/{CURRENT_PTR}")

@@ -21,7 +21,9 @@ storage or ship it with sources/sync.py; one file per driver process
 Rotation (r9): a long-lived driver (a standing stream triggers every
 few seconds for months) must not grow one file without bound — when
 the active file passes ``max_bytes`` it is renamed to ``{path}.{n}``
-(n increasing, so lexicographic+numeric order is age order) and only
+(n increasing — numeric order is age order; NOT lexicographic, which
+breaks at ``.10`` vs ``.2``, so every reader sorts by the parsed
+suffix) and only
 the newest ``max_segments`` rotated segments are kept: total ledger
 disk is bounded at ~(max_segments+1) x max_bytes no matter how long
 the driver lives.  ``read_progress`` reads the active file AND every
@@ -169,7 +171,14 @@ def read_progress(spark: SparkSession, path: str) -> DataFrame:
                 and base[len(name) + 1:].isdigit()
             ):
                 out.append(p)
-        return sorted(out) or [path]
+        # age order = NUMERIC suffix order ('.10' is younger than
+        # '.2'; lexicographic sorting would interleave them), active
+        # file (no suffix) last as the youngest
+        def _age(p: str) -> int:
+            suffix = p.rsplit("/", 1)[-1][len(name) + 1:]
+            return int(suffix) if suffix.isdigit() else 1 << 62
+
+        return sorted(out, key=_age) or [path]
 
     reader = spark.read.schema(PROGRESS_SCHEMA).option(
         "ignoreMissingFiles", "true"

@@ -289,6 +289,11 @@ _ALLOWED_NESTED_LOOP = {
     "q11_supplier_value_share",
     # 1-row corpus-count side feeding idf = ln(N/df)
     "text_tfidf_topk",
+    # 4-row budget side non-equi-joined (rnk <= budget) onto the
+    # TakeOrdered top-max(budget) term cut, plus the 1-row
+    # corpus-total scalar — every nested-loop side is budget/scalar
+    # sized by construction
+    "text_vocab_coverage",
     # 1-row (S, T, V) corpus-totals side feeding the DSIR per-term
     # log-ratio — same shape as text_tfidf_topk's idf scalar
     "corpus_dsir_selection",
