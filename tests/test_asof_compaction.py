@@ -414,6 +414,30 @@ def test_compaction_lease_blocks_overlapping_run(spark, tmp_path):
     assert compact_table(spark, root, "t", target_file_bytes=10**9) == {}
 
 
+def test_unparseable_lease_treated_as_held_not_absent(spark, tmp_path):
+    """A present-but-unparseable lease is a LIVE holder's partially
+    visible write (no atomic create-exclusive in the portable FS
+    surface), not an absent lease: an acquirer must refuse loudly and
+    must NOT overwrite it (the pre-r10 behavior treated it as absent
+    and steamrolled the live holder)."""
+    import pytest
+
+    from mahjong_etl_spark.plans.compaction import (
+        CompactionLeaseHeld,
+        _acquire_lease,
+    )
+    from mahjong_etl_spark.streaming.etl_stream import _meta_fs
+
+    fs = _meta_fs(spark, str(tmp_path))
+    fs.mkdirs(f"{fs.root}/_compaction")
+    torn = b'{"token": "live-holder", "expi'  # torn mid-write
+    fs.write_bytes(f"{fs.root}/_compaction/_lease", torn)
+    with pytest.raises(CompactionLeaseHeld):
+        _acquire_lease(fs, 600)
+    # the torn lease survives — the racer never overwrote it
+    assert fs.read_bytes(f"{fs.root}/_compaction/_lease") == torn
+
+
 def test_compaction_lease_renewal_and_theft_detection(spark, tmp_path):
     """A long run renews per partition; a mid-run theft (another taker
     after TTL expiry) aborts loudly instead of continuing unprotected."""

@@ -264,6 +264,131 @@ def test_parked_pointer_journal_beats_cross_lineage_markers(spark, tmp_path):
     ]
 
 
+def test_recover_pointer_prefers_live_current_over_legacy_markers(
+    spark, tmp_path
+):
+    """The r10 race fix: a reader that entered recovery (pointer
+    looked absent), found no park, and is about to fall back to the
+    legacy marker scan must RE-CHECK _current first — on a legacy base
+    carrying foreign-lineage markers, the live writer may have
+    completed its swap in the meantime, and the marker scan would
+    resolve a stale snapshot despite a fresh pointer."""
+    from mahjong_etl_spark.streaming.cdc_stream import (
+        _recover_pointer,
+    )
+    from mahjong_etl_spark.streaming.etl_stream import _meta_fs
+
+    base, ckpt = str(tmp_path / "base"), str(tmp_path / "ckpt")
+    d = _drop(tmp_path, "b0.jsonl", [(1, "upsert", 1, "a", 1)], 1_000)
+    _drop(tmp_path, "b1.jsonl", [(2, "upsert", 2, "b", 2)], 2_000)
+    _drain(spark, d, base, ckpt, keep_versions=2)
+    with open(f"{base}/{CURRENT_PTR}") as f:
+        current = f.read().strip()  # _v{lineage}-1, the LIVE pointer
+
+    # legacy foreign-lineage marker with a higher batch number whose
+    # snapshot dir still exists (cloned from batch 0 — stale data)
+    import shutil
+
+    v0 = current.rsplit("-", 1)[0] + "-0"
+    shutil.copytree(f"{base}/{v0}", f"{base}/_vaaaaaaaaaaaa-99")
+    open(f"{base}/_merge_commits/aaaaaaaaaaaa-99", "w").close()
+
+    # no park on disk, _current present: recovery must return the live
+    # pointer's value, never the foreign marker's
+    fs = _meta_fs(spark, base)
+    assert _recover_pointer(fs) == current
+
+
+# ---------------------------------------------------------------------------
+# r10 crash matrix: every rename-fallback crash point × both recovery
+# actors, mirroring what tests/test_asof_compaction.py does for the
+# compaction journal.  The fallback's step sequence is
+#   [initial move fails] → park(_current → .prev-b) → move(tmp →
+#   _current) → delete(.prev-b)
+# so the reachable crash states are: BEFORE_PARK (the initial move
+# failed transiently, nothing parked), AFTER_PARK (no _current — the
+# journal carries the old value), AFTER_MOVE_IN (_current = new, the
+# park is stale), AFTER_CLEANUP (fully swapped, marker not yet
+# recorded).  For each state a READER must resolve the newest
+# committed snapshot (old value until move-in lands, new after) and a
+# WRITER must fold the next batch against that base, restoring /
+# clearing the journal as a side effect.
+# ---------------------------------------------------------------------------
+
+
+def _plant_crash_state(base, point):
+    """Rewind a healthy 2-batch base ({1: a, 2: b} current, batch-0
+    snapshot retained) into the on-disk state the given crash point
+    leaves behind.  Returns the k->(name, score) dict a correct reader
+    must resolve."""
+    import shutil
+
+    with open(f"{base}/{CURRENT_PTR}") as f:
+        current = f.read().strip()  # _v{lineage}-1
+    lineage = current.rsplit("-", 1)[0]
+    old_rows = {1: ("a", 1), 2: ("b", 2)}
+    if point == "before_park":
+        # the move(tmp, _current) failed transiently; _current intact,
+        # the tmp replacement lingers (and must be ignored)
+        with open(f"{base}/{CURRENT_PTR}.tmp-x", "w") as f:
+            f.write("_vbogus-99")
+        return old_rows
+    if point == "after_park":
+        # old pointer parked, replacement never moved in: no _current
+        os.rename(f"{base}/{CURRENT_PTR}", f"{base}/{CURRENT_PTR}.prev-2")
+        with open(f"{base}/{CURRENT_PTR}.tmp-2", "w") as f:
+            f.write(f"{lineage}-2")
+        return old_rows
+    # Both remaining states have the NEW snapshot visible.  The
+    # crashed publisher is given a FOREIGN lineage (the reachable
+    # real-world shape: a checkpoint re-mint changed the lineage, the
+    # re-minted writer crashed mid-fallback) so the fold that follows
+    # exercises the genuine merge path — under the original lineage
+    # the next batch id would collide with the fabricated version and
+    # take the idempotent marker-only branch instead.
+    new_version = "_vbbbbbbbbbbbb-7"
+    shutil.copytree(f"{base}/{current}", f"{base}/{new_version}")
+    with open(f"{base}/{CURRENT_PTR}", "w") as f:
+        f.write(new_version)
+    if point == "after_move_in":
+        # the stale park survived (crash before delete(.prev-b))
+        with open(f"{base}/{CURRENT_PTR}.prev-7", "w") as f:
+            f.write(current)
+    # after_cleanup: swapped and cleaned, only the marker is missing —
+    # nothing else to plant
+    return old_rows
+
+
+@pytest.mark.parametrize(
+    "point", ["before_park", "after_park", "after_move_in", "after_cleanup"]
+)
+@pytest.mark.parametrize("actor", ["reader", "writer"])
+def test_fallback_crash_matrix(spark, tmp_path, point, actor):
+    base, ckpt = str(tmp_path / "base"), str(tmp_path / "ckpt")
+    d = _drop(tmp_path, "b0.jsonl", [(1, "upsert", 1, "a", 1)], 1_000)
+    _drop(tmp_path, "b1.jsonl", [(2, "upsert", 2, "b", 2)], 2_000)
+    _drain(spark, d, base, ckpt, keep_versions=2)
+
+    expected = _plant_crash_state(base, point)
+    if actor == "reader":
+        # a reader racing the crashed writer resolves a committed
+        # snapshot — never None, never a half state
+        assert _snapshot(spark, base) == expected
+        return
+    # writer recovery: the next batch folds against the resolved base;
+    # the journal/tmp debris is cleared by the time the fold commits
+    _drop(tmp_path, "b2.jsonl", [(3, "upsert", 3, "c", 3)], 3_000)
+    _drain(spark, d, base, ckpt, keep_versions=2)
+    merged = dict(expected)
+    merged[3] = ("c", 3)
+    assert _snapshot(spark, base) == merged
+    assert not [
+        p for p in os.listdir(base) if p.startswith(f"{CURRENT_PTR}.prev-")
+    ]
+    # and the pointer file itself is back (a file, not a directory)
+    assert os.path.isfile(f"{base}/{CURRENT_PTR}")
+
+
 def test_version_retirement_keeps_pointer_target(spark, tmp_path):
     """Superseded _v dirs are retired down to keep_versions; the
     pointer's target always survives and stays readable."""

@@ -123,3 +123,42 @@ def test_progress_ledger_rotation_bounds_disk_and_spans_reads(spark, tmp_path):
     # 4 surviving lines: 3 rotated segments + the active file
     assert got == [6, 7, 8, 9]
     assert all(r.num_input_rows == 10 + r.batch_id for r in df.collect())
+
+
+def test_rotation_past_index_ten_keeps_numeric_age_order(spark, tmp_path):
+    """Segment age order is the NUMERIC suffix order ('.10' is younger
+    than '.2'; lexicographic sorting interleaves them — the r9
+    docstring claimed otherwise).  Retention past ten segments must
+    delete the numerically oldest, and read_progress must still see
+    every surviving line."""
+    from mahjong_etl_spark.streaming.metrics import (
+        ProgressRecorder,
+        _rotated_indexes,
+        read_progress,
+    )
+
+    ledger = str(tmp_path / "p.jsonl")
+
+    class _P:
+        def __init__(self, i):
+            self.id, self.runId, self.name = f"q{i}", f"r{i}", "probe"
+            self.batchId, self.timestamp = i, f"t{i}"
+            self.numInputRows = i
+            self.inputRowsPerSecond = 1.0
+            self.processedRowsPerSecond = 2.0
+            self.durationMs = {"triggerExecution": 5}
+            self.stateOperators = []
+
+    class _E:
+        def __init__(self, i):
+            self.progress = _P(i)
+
+    rec = ProgressRecorder(ledger, max_bytes=1, max_segments=4)
+    for i in range(14):  # rotations reach suffix .13
+        rec.onQueryProgress(_E(i))
+    idxs = _rotated_indexes(ledger)
+    # numerically newest four survive — lexicographic retention would
+    # have kept {10, 11, 12, 13, 2}-style mixtures or dropped .13
+    assert idxs == [10, 11, 12, 13]
+    got = sorted(r.batch_id for r in read_progress(spark, ledger).collect())
+    assert got == [9, 10, 11, 12, 13]
