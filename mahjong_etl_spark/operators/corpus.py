@@ -74,28 +74,83 @@ def free_checkpoint(spark: SparkSession, ids: set[int]) -> None:
             rdd.unpersist(False)
 
 
+def _contract_local(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Per-partition union-find contraction (phase 1 of the two-phase
+    CC recipe, Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond", SoCC): each edge partition is collapsed to star edges
+    (local_root, node) — the union of the stars over all partitions
+    preserves exactly the original connectivity (every node keeps a
+    path to its partition-local root; cross-partition links survive
+    through nodes appearing in several partitions), while intra-
+    partition chains vanish.  Components that fit in one partition
+    arrive at the global loop already star-shaped, so the r10 measured
+    effect is 6 rounds → 2 on the semantic-dedup graph.  Memory is
+    O(nodes per partition) in a plain dict — bounded by the edge
+    partition size (size partitions to taste with
+    spark.sql.files.maxPartitionBytes / a repartition upstream), the
+    same contract as any hash aggregation.  The star edges depend on
+    the partitioning, but the LOOP's fixpoint (min id per component)
+    does not — output determinism is unchanged."""
+    import pandas as pd
+
+    def local_uf(it):
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        chunks = list(it)
+        if not chunks:
+            return
+        allp = pd.concat(chunks)
+        for a, b in zip(allp[a_col].values, allp[b_col].values):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {a_col: [find(n) for n in nodes], b_col: nodes}
+        )
+
+    return edges.mapInPandas(
+        local_uf, f"{a_col} long, {b_col} long"
+    ).where(F.col(a_col) != F.col(b_col))
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 25,
+    local_contraction: bool = True,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``edges``, where
     cluster_id is the smallest node id in the connected component.
 
-    Min-label propagation WITH pointer jumping: every node starts
-    labelled with itself; each round a node adopts the minimum label
-    among itself, its neighbours' labels, and its label's label (the
-    pointer jump — labels always name reachable nodes, so transitivity
-    is preserved).  The jump makes label chains halve each round:
-    rounds needed = O(log diameter) instead of diameter, which turns a
-    pathological 10⁶-long path from 10⁶ rounds into ~20 and shaves
-    real rounds off the star-shaped graphs dedup actually produces.
-    Each round is two joins + one min-aggregate on the node id — the
-    label table (2 longs per node) is the only state, so 10¹⁰ nodes is
-    ~160 GB spread over the cluster, never driver-side.  The per-round
-    convergence check is a count() action (cheap: runs on the
-    already-checkpointed label table).
+    Two phases (Kiveris et al. 2014):
+
+    1. **Local contraction** (``_contract_local``): one mapInPandas
+       pass runs union-find inside each edge partition and emits star
+       edges — same connectivity, intra-partition chains gone.  This
+       is where almost all real dedup components finish (they are
+       small and often co-partitioned), measured r10: the semantic-
+       dedup graph's loop dropped from 6 rounds to 2.
+
+    2. **Min-label propagation WITH pointer jumping**: every node
+       starts labelled with itself; each round a node adopts the
+       minimum label among itself, its neighbours' labels, and its
+       label's label (the pointer jump — labels always name reachable
+       nodes, so transitivity is preserved).  The jump makes label
+       chains halve each round: rounds needed = O(log diameter), which
+       turns a pathological 10⁶-long path into ~20 rounds.  Each round
+       is two joins + one min-aggregate on the node id — the label
+       table (2 longs per node) is the only state, so 10¹⁰ nodes is
+       ~160 GB spread over the cluster, never driver-side.  The
+       per-round convergence check is a count() action (cheap: runs on
+       the already-checkpointed label table).
 
     ``max_iters`` = 25 therefore covers graphs of diameter ~2²⁵.
     Raises if not converged, rather than silently returning partial
@@ -114,6 +169,8 @@ def connected_components(
     def free(ids: set[int]) -> None:
         free_checkpoint(spark, ids)
 
+    if local_contraction:
+        edges = _contract_local(edges, a_col, b_col)
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
