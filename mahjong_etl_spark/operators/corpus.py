@@ -175,10 +175,20 @@ def connected_components(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
     sym, sym_ids = checkpoint(sym)
+    # Seeded init: label = min(id, min neighbor) — the same exchange
+    # the identity init's distinct() paid, but the first propagation
+    # comes for free, so a star graph (phase 1's output for any
+    # component that fit in a partition) enters the loop already at
+    # its fixpoint and round 1 is the convergence confirm.  A min
+    # neighbor is reachable by definition, so the invariant (labels
+    # always name reachable nodes) holds from round 0.
     labels, labels_ids = checkpoint(
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("mn")).alias("label"),
+        )
     )
     try:
         for _ in range(max_iters):
