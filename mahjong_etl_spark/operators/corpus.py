@@ -111,13 +111,16 @@ def _contract_local(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         nodes = list(parent)
+        # roots emit a (root, root) self-edge: harmless to the label
+        # loop (self-propagation is the identity) and it preserves the
+        # exact node set — filtering self-rows would drop a component
+        # root whose children landed in OTHER partitions, and any
+        # degenerate self-loop-only node
         yield pd.DataFrame(
             {a_col: [find(n) for n in nodes], b_col: nodes}
         )
 
-    return edges.mapInPandas(
-        local_uf, f"{a_col} long, {b_col} long"
-    ).where(F.col(a_col) != F.col(b_col))
+    return edges.mapInPandas(local_uf, f"{a_col} long, {b_col} long")
 
 
 def connected_components(
