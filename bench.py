@@ -107,6 +107,8 @@ def main() -> None:
         "/tmp/spark_graft_synth_corpus", n_games=n_games
     )
 
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+
     def _ref_parse_sec() -> float | None:
         """One timed pass of the reference's own parser over the same
         corpus (parse only — no key minting, no parquet writes — so
@@ -116,9 +118,6 @@ def main() -> None:
             import glob as _glob
             from collections import defaultdict
 
-            sys.path.insert(
-                0, os.path.join(os.path.dirname(__file__), "tests")
-            )
             from reference_oracle import run_reference_date
 
             by_date = defaultdict(list)
@@ -203,13 +202,18 @@ def main() -> None:
     }
     out["tenhou_source_actions_1k_sec"] = tenhou_source_sec
     if pair_ratios:
-        med = sorted(pair_ratios)[len(pair_ratios) // 2]
-        out["baseline_ref_parse_1k_sec"] = round(
-            sorted(ref_times)[len(ref_times) // 2], 3
-        )
+        from statistics import median  # even-length lists average the
+        # middle pair (a failed ref pass leaves 2 ratios; the naive
+        # sorted()[n//2] would silently pick the LARGER one)
+
+        med = median(pair_ratios)
+        out["baseline_ref_parse_1k_sec"] = round(median(ref_times), 3)
         # headline = median of interleaved paired ratios (see the
         # protocol comment above); the per-pair vector and spread make
-        # a noisy run visible instead of silently trusted
+        # a noisy run visible instead of silently trusted.  The value
+        # is emitted under BOTH names deliberately: etl_vs_ref_speedup
+        # keeps the round-over-round comparison key alive, _median
+        # states the r10 estimator in the name.
         out["etl_vs_ref_speedup"] = round(med, 2)
         out["etl_vs_ref_speedup_median"] = round(med, 2)
         out["etl_vs_ref_speedup_pairs"] = [round(r, 2) for r in pair_ratios]

@@ -102,14 +102,17 @@ def _contract_local(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
                 x = parent[x]
             return x
 
-        chunks = list(it)
-        if not chunks:
+        # union each Arrow chunk as it streams through — holding the
+        # chunk list (plus a concat copy) would double-buffer the
+        # whole partition right where contraction matters most; this
+        # keeps peak memory at O(nodes) + one Arrow batch
+        for pdf in it:
+            for a, b in zip(pdf[a_col].values, pdf[b_col].values):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        if not parent:
             return
-        allp = pd.concat(chunks)
-        for a, b in zip(allp[a_col].values, allp[b_col].values):
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
         nodes = list(parent)
         # roots emit a (root, root) self-edge: harmless to the label
         # loop (self-propagation is the identity) and it preserves the

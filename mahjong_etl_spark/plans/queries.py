@@ -4886,14 +4886,14 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential change-point detection per event type: the one-sided
     upper CUSUM chart (Page 1954, "Continuous inspection schemes",
     Biometrika 41) over each type's value series — S_i = max(0,
-    S_{{i-1}} + (x_i − target − slack)), flag when S crosses h.  The
+    S_{i-1} + (x_i − target − slack)), flag when S crosses h.  The
     drift detector that complements the POINT-outlier screens
     (events_anomaly_zscore/_mad): a slow upward shift in mean never
     trips a z-score but accumulates in S.
 
     The max() recursion is not a SQL aggregate, but it has a closed
     window form (the reflection identity): with P_i the plain running
-    sum of (x_i − target − slack), S_i = P_i − min(0, min_{{j≤i}} P_j).
+    sum of (x_i − target − slack), S_i = P_i − min(0, min_{j≤i} P_j).
     Both engines compute it as two cumulative windows over one
     (type, ts) sort.  Exactness: values snap to centi-unit int64 and
     every deviation is multiplied through by the per-type row count n

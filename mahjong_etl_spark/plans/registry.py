@@ -86,14 +86,17 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # item 1 — note the r9 head actually led with FOUR new queries, not
 # the three its own comment claimed, displacing the similarity_ann_lsh
 # filler back to the tail): the three new-in-r10 queries lead
-# (never-checked invariant), then the one whose code path changed
+# (never-checked invariant), then the two whose code path changed
 # this round (the tenhou DataSource read now routes BOTH readers
-# through the shared _arrow_batches helper), then the ENTIRE
-# r6-last-green cohort — the declared 46-query queue,
-# similarity_ann_lsh first.  After this board lands, no registry
-# query's newest hash row is older than r7; the r7 cohort leads the
-# r11 queue.  Any query added mid-round MUST displace from the BOTTOM
-# of the head — the never-checked invariant
+# through the shared _arrow_batches helper; er_resolve_entities rides
+# the rewritten two-phase connected_components), then the r6-last-
+# green cohort — the declared 46-query queue, similarity_ann_lsh
+# first, minus dedup_exact, which the er changed-code slot displaced
+# to the tail front.  After this board lands, no registry query's
+# newest hash row is older than r7 EXCEPT dedup_exact (r6, displaced
+# filler — the r9 similarity_ann_lsh precedent); it leads the r11
+# queue, then the r7 cohort.  Any query added mid-round MUST displace
+# from the BOTTOM of the head — the never-checked invariant
 # (test_head_leads_with_unproven_queries) outranks evidence freshness.
 
 _CHECK_WINDOW_HEAD = [
@@ -105,8 +108,14 @@ _CHECK_WINDOW_HEAD = [
     "text_vocab_coverage",
     # code/data path changed in r10: the tenhou DataSource batch read
     # now shares its Arrow RecordBatch production with the stream
-    # reader (sources/tenhou_datasource.py::_arrow_batches)
+    # reader (sources/tenhou_datasource.py::_arrow_batches); and
+    # er_resolve_entities rides the rewritten two-phase
+    # connected_components (operators/er.py:173) — the other CC
+    # consumers sit in the r6 cohort below, but this one's last hash
+    # row is r7, so the changed-code invariant pulls it in from the
+    # tail (displacing dedup_exact, see the cohort note)
     "tenhou_source_actions",
+    "er_resolve_entities",
     # the ENTIRE r6-last-green cohort (46) — the rotation the r9 tail
     # declared, similarity_ann_lsh (the displaced r9 filler) first.
     # After this board lands, no registry query's newest hash row is
@@ -159,11 +168,17 @@ _CHECK_WINDOW_HEAD = [
     "decimal_revenue",
     "dedup_connected_components",
     "dedup_embedding_cosine",
-    "dedup_exact",
+    # (dedup_exact, the 46th r6-cohort member, was displaced to the
+    # tail front by er_resolve_entities' changed-code slot — the
+    # changed-code invariant outranks evidence freshness, and
+    # dedup_exact is the cohort's simplest, most code-stable plan.
+    # Its evidence stays r6; it leads the r11 queue.)
 ]
 
 _CHECK_WINDOW_TAIL = [
-    # r7-last-green cohort (leads the r11 queue)
+    # displaced r10 filler — leads the r11 queue (evidence r6)
+    "dedup_exact",
+    # r7-last-green cohort (second in the r11 queue)
     "similarity_rrf_ensemble",
     "similarity_knn_classify",
     "text_inverted_index",
@@ -284,7 +299,6 @@ _CHECK_WINDOW_TAIL = [
     "dedup_ensemble",
     "dq_constraint_suite",
     "er_fuzzy_name_pairs",
-    "er_resolve_entities",
     "events_anomaly_prequential",
     "events_dedup_consecutive",
     "events_distinct_sketch_merge",

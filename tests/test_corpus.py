@@ -34,11 +34,15 @@ def test_connected_components_chain_needs_diameter_rounds(spark):
 
 
 def test_connected_components_raises_without_fixpoint(spark):
+    # local_contraction=False: this test pins the LOOP's fixpoint
+    # guard, and with contraction on the outcome would depend on how
+    # many partitions the 12 edges land in (a 1-2 core host would
+    # collapse the whole path in phase 1 and converge within 2 rounds)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(edges, max_iters=2)
+        connected_components(edges, max_iters=2, local_contraction=False)
 
 
 def test_deterministic_split_is_order_and_partitioning_invariant(spark):
