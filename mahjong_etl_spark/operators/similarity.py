@@ -533,9 +533,14 @@ def write_ivf_index(
     if centroids is None:
         centroids = train_ivf_centroids(c, n_clusters, iters)
     _write_ndarray(spark, centroids, f"{path}/centroids")
-    _assign_clusters(c, centroids).write.mode("overwrite").parquet(
-        f"{path}/postings"
-    )
+    # postings are PARTITIONED by cluster (r10): a per-cluster read
+    # prunes to its inverted list's files, and the streaming index
+    # maintenance (streaming/ann_index_stream.py) appends batch-keyed
+    # files into the same cluster=N layout — one directory scheme for
+    # the built and the maintained index
+    _assign_clusters(c, centroids).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(f"{path}/postings")
 
 
 def read_ivf_index(spark: SparkSession, path: str):

@@ -317,24 +317,30 @@ def _publish_table(batch_df, t: str, out_dir: str, key: str, fs) -> None:
     )
 
 
-def _publish_table_df(df, t: str, out_dir: str, key: str, fs) -> None:
+def _publish_table_df(
+    df, t: str, out_dir: str, key: str, fs, part_col: str = "dt"
+) -> None:
     """Idempotent batch-keyed publish of one already-shaped table
-    DataFrame (must carry a ``dt`` column): stage under ``_staging/``,
-    delete any ``b{key}-*`` leftovers from an interrupted attempt in
-    the target partitions, then move the staged files in under that
-    batch-keyed prefix.  Shared by the tenhou streaming ETL (array
-    fan-out) and the binaryFile ingest stream (pre-exploded tables)."""
+    DataFrame (must carry the ``part_col`` partition column — ``dt``
+    for the fact planes, ``cluster`` for the ANN postings stream):
+    stage under ``_staging/``, delete any ``b{key}-*`` leftovers from
+    an interrupted attempt in the target partitions, then move the
+    staged files in under that batch-keyed prefix.  Shared by the
+    tenhou streaming ETL (array fan-out), the binaryFile ingest
+    stream (pre-exploded tables), and the IVF index maintenance
+    stream (streaming/ann_index_stream.py)."""
     staging = f"{out_dir}/_staging/batch-{key}/{t}"
     (
         df.write.mode("overwrite")
-        .partitionBy("dt")
+        .partitionBy(part_col)
         .parquet(staging)
     )
     s_root = f"{fs.root}/_staging/batch-{key}/{t}"
     staged = [
         p
         for p in fs.list_files(s_root, recursive=True)
-        if "/dt=" in p and not p.rsplit("/", 1)[1].startswith(("_", "."))
+        if f"/{part_col}=" in p
+        and not p.rsplit("/", 1)[1].startswith(("_", "."))
     ]
     prefix = f"b{key}-"
     # partition dirs this batch touches (replay touches the same set:

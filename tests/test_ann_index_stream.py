@@ -1,0 +1,190 @@
+"""Streaming IVF index maintenance (streaming/ann_index_stream.py):
+the maintained index must be BIT-IDENTICAL to a batch rebuild over the
+union corpus with the same frozen centroids, and the batch-keyed
+publish must replay without duplicating postings."""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from mahjong_etl_spark.operators.similarity import (
+    ann_ivf_topk,
+    read_ivf_index,
+    train_ivf_centroids,
+    with_norm,
+    write_ivf_index,
+)
+from mahjong_etl_spark.streaming.ann_index_stream import (
+    run_ivf_maintenance_stream,
+)
+
+TOPK = 5
+
+
+def _load_emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _drain(spark, drop_dir, index_dir, ckpt):
+    schema = "vec_id long, embedding array<float>, label int"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    q = run_ivf_maintenance_stream(spark, stream, index_dir, ckpt)
+    assert q.awaitTermination(120), "maintenance stream did not drain"
+    q.stop()
+    time.sleep(0.2)
+
+
+def _postings_set(spark, index_dir):
+    return {
+        (r.cluster, r.vec_id)
+        for r in spark.read.parquet(f"{index_dir}/postings").collect()
+    }
+
+
+def test_maintained_index_matches_batch_rebuild(spark, sf_dir, tmp_path):
+    """Build the index on the first 60% of the corpus, stream the rest
+    in as three arrival files, then: (a) the maintained postings equal
+    a from-scratch write_ivf_index over the FULL corpus with the same
+    centroids; (b) queries served from the maintained index return
+    rows identical to the rebuild's."""
+    e = _load_emb(spark, sf_dir)
+    cut = int(e.count() * 0.6)
+    base = e.where(F.col("vec_id") < cut)
+    late = e.where(F.col("vec_id") >= cut)
+
+    index_dir = str(tmp_path / "index")
+    write_ivf_index(spark, base, index_dir)
+
+    # three arrival files with distinct mtimes (micro-batch order)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    parts = late.randomSplit([1.0, 1.0, 1.0], seed=7)
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        (src,) = glob.glob(str(tmp_path / f"stage{i}" / "part-*.parquet"))
+        dst = drop / f"arrival{i}.parquet"
+        os.rename(src, dst)
+        os.utime(dst, (1_000 + i, 1_000 + i))
+    _drain(spark, str(drop), index_dir, str(tmp_path / "ckpt"))
+
+    # (a) postings parity with a batch rebuild on the same centroids
+    cents, postings = read_ivf_index(spark, index_dir)
+    rebuilt_dir = str(tmp_path / "rebuilt")
+    write_ivf_index(spark, e, rebuilt_dir, centroids=cents)
+    assert _postings_set(spark, index_dir) == _postings_set(
+        spark, rebuilt_dir
+    )
+    # every corpus vector is indexed exactly once
+    assert postings.count() == e.count()
+    assert postings.select("vec_id").distinct().count() == e.count()
+
+    # (b) served queries are row-identical to the rebuild
+    queries = e.where("vec_id < 5")
+    from_maintained = {
+        tuple(r)
+        for r in ann_ivf_topk(
+            spark, queries, e, TOPK, centroids=cents, postings=postings
+        ).collect()
+    }
+    _, rebuilt_postings = read_ivf_index(spark, rebuilt_dir)
+    from_rebuilt = {
+        tuple(r)
+        for r in ann_ivf_topk(
+            spark,
+            queries,
+            e,
+            TOPK,
+            centroids=cents,
+            postings=rebuilt_postings,
+        ).collect()
+    }
+    assert from_maintained == from_rebuilt and from_maintained
+
+
+def test_replay_does_not_duplicate_postings(spark, sf_dir, tmp_path):
+    """Crash-window replay: wipe a committed batch's marker AND its
+    checkpoint commit (the crash-before-marker state) — the re-drain
+    must erase its own leftovers and re-publish into the SAME final
+    posting set, never a duplicated one."""
+    e = _load_emb(spark, sf_dir)
+    cut = int(e.count() * 0.8)
+    index_dir = str(tmp_path / "index")
+    write_ivf_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    e.where(F.col("vec_id") >= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "stage"))
+    (src,) = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))
+    os.rename(src, drop / "arrival.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    _drain(spark, str(drop), index_dir, ckpt)
+    want = _postings_set(spark, index_dir)
+
+    # simulate the crash: batch published but marker + ckpt commit lost
+    (marker,) = glob.glob(f"{index_dir}/_batch_commits/*-0")
+    os.remove(marker)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _drain(spark, str(drop), index_dir, ckpt)
+
+    assert _postings_set(spark, index_dir) == want
+    # and a plain re-drain with nothing new is a committed no-op
+    _drain(spark, str(drop), index_dir, ckpt)
+    assert _postings_set(spark, index_dir) == want
+
+
+def test_frozen_centroids_read_once_per_session(spark, sf_dir, tmp_path):
+    """The centroid cache: two assign calls against one index read the
+    ndarray once (landed snapshots are immutable), and the assignment
+    equals the batch plane's against the same matrix."""
+    from mahjong_etl_spark.operators.similarity import _assign_clusters
+    from mahjong_etl_spark.streaming import ann_index_stream as ais
+
+    e = _load_emb(spark, sf_dir)
+    index_dir = str(tmp_path / "index")
+    cents = train_ivf_centroids(with_norm(e))
+    write_ivf_index(spark, e, index_dir, centroids=cents)
+
+    reads = []
+
+    import mahjong_etl_spark.operators.similarity as sim
+
+    orig = sim._read_ndarray
+
+    def counting(spark_, path):
+        reads.append(path)
+        return orig(spark_, path)
+
+    ais._CENTROID_CACHE.clear()
+    try:
+        sim._read_ndarray = counting
+        a1 = {
+            tuple(r)
+            for r in ais.assign_batch(spark, e, index_dir).collect()
+        }
+        a2 = {
+            tuple(r)
+            for r in ais.assign_batch(spark, e, index_dir).collect()
+        }
+    finally:
+        sim._read_ndarray = orig
+    assert len(reads) == 1
+    want = {
+        (r.cluster, r.vec_id)
+        for r in _assign_clusters(with_norm(e), cents).collect()
+    }
+    assert a1 == a2 == want
