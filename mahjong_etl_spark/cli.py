@@ -126,6 +126,57 @@ def cmd_cdc(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_index(args: argparse.Namespace) -> int:
+    """Build a persisted IVF index from a vector parquet, or maintain
+    an existing one from a parquet drop directory of arriving
+    vectors — the CLI face of the train-once / maintain-between-
+    rebuilds lifecycle (operators/similarity.py::write_ivf_index +
+    streaming/ann_index_stream.py)."""
+    if (args.vectors is None) == (args.maintain is None):
+        print(
+            "index: exactly one of --vectors (build) or --maintain "
+            "(stream) is required",
+            file=sys.stderr,
+        )
+        return 2
+    if args.maintain is not None and args.checkpoint is None:
+        print("index: --maintain requires --checkpoint", file=sys.stderr)
+        return 2
+    spark = _spark("mahjong-index")
+    if args.maintain is None:
+        from .operators.similarity import write_ivf_index
+
+        vecs = spark.read.parquet(args.vectors)
+        write_ivf_index(spark, vecs, args.index_dir, n_clusters=args.clusters)
+        n = spark.read.parquet(f"{args.index_dir}/postings").count()
+        print(f"built IVF index at {args.index_dir}: {n} postings")
+        return 0
+    from .streaming.ann_index_stream import run_ivf_maintenance_stream
+
+    schema = "vec_id long, embedding array<float>, label int"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .parquet(args.maintain)
+    )
+    q = run_ivf_maintenance_stream(
+        spark,
+        stream,
+        args.index_dir,
+        args.checkpoint,
+        available_now=not args.follow,
+    )
+    if args.follow:
+        print("index maintenance stream running; ctrl-c to stop")
+        q.awaitTermination()
+        return 0
+    q.awaitTermination()
+    q.stop()
+    n = spark.read.parquet(f"{args.index_dir}/postings").count()
+    print(f"maintained IVF index at {args.index_dir}: {n} postings")
+    return 0
+
+
 def cmd_sync(args: argparse.Namespace) -> int:
     from .sources.sync import DEFAULT_EXCLUDE, run_sync
 
@@ -371,6 +422,29 @@ def build_parser() -> argparse.ArgumentParser:
         help="per-query batch counts and trigger-latency percentiles",
     )
     pg.set_defaults(fn=cmd_progress)
+
+    ix = sub.add_parser(
+        "index",
+        help="build a persisted IVF index, or maintain one from a "
+        "vector drop directory (streaming)",
+    )
+    ix.add_argument("-I", "--index-dir", required=True)
+    ix.add_argument(
+        "-V", "--vectors", default=None,
+        help="vector parquet to BUILD from (vec_id, embedding)",
+    )
+    ix.add_argument(
+        "-M", "--maintain", default=None,
+        help="parquet drop dir to MAINTAIN from (streaming append)",
+    )
+    ix.add_argument("-C", "--checkpoint", default=None)
+    ix.add_argument("--clusters", type=int, default=16)
+    ix.add_argument("--max-files-per-trigger", type=int, default=16)
+    ix.add_argument(
+        "--follow", action="store_true",
+        help="keep maintaining as new files land (default: drain once)",
+    )
+    ix.set_defaults(fn=cmd_index)
 
     sq = sub.add_parser("sql", help="Spark SQL over the written tables")
     sq.add_argument("-D", "--data-dir", required=True)

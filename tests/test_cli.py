@@ -130,3 +130,45 @@ def test_cli_progress_summary(spark, tmp_path, capsys):
     assert main(["progress", str(ledger), "--summary"]) == 0
     out = capsys.readouterr().out
     assert "p95_trigger_ms" in out and "40" in out  # rows_in = 4 x 10
+
+
+def test_cli_index_build_and_maintain(spark, sf_dir, tmp_path, capsys):
+    """`index -V` builds a persisted IVF index; `index -M` drains a
+    vector drop dir into it through the maintenance stream; usage
+    errors (both modes / missing checkpoint) exit 2 without a run."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cut = int(e.count() * 0.8)
+    base_pq = str(tmp_path / "base_vectors")
+    e.where(F.col("vec_id") < cut).write.parquet(base_pq)
+    index_dir = str(tmp_path / "index")
+
+    rc = main(["index", "-I", index_dir, "-V", base_pq])
+    assert rc == 0
+    assert "built IVF index" in capsys.readouterr().out
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    e.where(F.col("vec_id") >= cut).coalesce(1).write.parquet(
+        str(tmp_path / "stage")
+    )
+    (src,) = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))
+    os.rename(src, drop / "arrival.parquet")
+    rc = main(
+        [
+            "index", "-I", index_dir,
+            "-M", str(drop),
+            "-C", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    assert f"{e.count()} postings" in capsys.readouterr().out
+    indexed = spark.read.parquet(f"{index_dir}/postings")
+    assert indexed.select("vec_id").distinct().count() == e.count()
+
+    assert main(["index", "-I", index_dir]) == 2
+    assert main(["index", "-I", index_dir, "-M", str(drop)]) == 2
