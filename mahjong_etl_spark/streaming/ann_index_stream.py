@@ -42,9 +42,11 @@ Scale shape: per batch, one mapInPandas matmul over the batch's rows
 the write), file count bounded by clusters-touched per batch, state
 NONE (the index directory is the state).  At 100 TB the postings
 table is fact-scale but the stream only ever appends batch-sized
-slices; compaction of small posting files rides plans/compaction.py
-unchanged, because the publish uses the same ``b{key}-`` prefix
-discipline it cooperates with.
+slices; small posting files accumulate at one-per-(batch, cluster)
+until the next snapshot rebuild, which IS the compaction (a rebuild
+rewrites postings from scratch with fresh centroids — the moment the
+drift limit forces anyway).  plans/compaction.py itself is dt-scoped
+and does not apply here.
 """
 
 from __future__ import annotations
