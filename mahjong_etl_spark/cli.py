@@ -152,8 +152,33 @@ def cmd_index(args: argparse.Namespace) -> int:
         print(f"built IVF index at {args.index_dir}: {n} postings")
         return 0
     from .streaming.ann_index_stream import run_ivf_maintenance_stream
+    from .streaming.etl_stream import _meta_fs
 
-    schema = "vec_id long, embedding array<float>, label int"
+    _ifs = _meta_fs(spark, args.index_dir)
+    if _ifs.kind(f"{_ifs.root}/centroids") is None:
+        print(
+            f"index: {args.index_dir} has no centroids — build it "
+            f"first with --vectors",
+            file=sys.stderr,
+        )
+        return 2
+    if args.schema is not None:
+        schema = args.schema
+    else:
+        # infer from files already in the drop dir (float vs double
+        # embeddings, extra payload columns) — a stream needs an
+        # explicit schema, but hardcoding one breaks the first
+        # double-typed drop
+        try:
+            schema = spark.read.parquet(args.maintain).schema
+        except Exception:
+            print(
+                f"index: cannot infer a schema from {args.maintain} "
+                f"(empty?) — pass --schema "
+                f"'vec_id long, embedding array<double>'",
+                file=sys.stderr,
+            )
+            return 2
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", args.max_files_per_trigger)
@@ -438,6 +463,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="parquet drop dir to MAINTAIN from (streaming append)",
     )
     ix.add_argument("-C", "--checkpoint", default=None)
+    ix.add_argument(
+        "-s", "--schema", default=None,
+        help="drop-file schema DDL (default: inferred from files "
+        "already in the drop dir)",
+    )
     ix.add_argument("--clusters", type=int, default=16)
     ix.add_argument("--max-files-per-trigger", type=int, default=16)
     ix.add_argument(

@@ -533,6 +533,13 @@ def write_ivf_index(
     if centroids is None:
         centroids = train_ivf_centroids(c, n_clusters, iters)
     _write_ndarray(spark, centroids, f"{path}/centroids")
+    # an in-place retrain must not leave the maintenance stream
+    # assigning against the pre-rebuild matrix (its cache assumes
+    # landed snapshots are immutable — this write is the one
+    # sanctioned mutation, so it busts the cache itself)
+    from ..streaming.ann_index_stream import invalidate_centroids
+
+    invalidate_centroids(path)
     # postings are PARTITIONED by cluster (r10): a per-cluster read
     # prunes to its inverted list's files, and the streaming index
     # maintenance (streaming/ann_index_stream.py) appends batch-keyed

@@ -17,14 +17,13 @@ Per micro-batch of (vec_id, embedding) rows:
   (session, index) and cached, so a standing stream pays the
   centroid read exactly once);
 - append the (cluster, vec_id) rows into ``{index}/postings`` through
-  the repo's batch-keyed staged publish (``_publish_table_df``,
-  partitioned by ``cluster`` instead of ``dt``) plus a
-  ``_batch_commits`` marker — the identical effective-exactly-once
-  delivery contract as the streaming ETL: a replayed batch erases its
-  own leftovers before re-moving files in, a committed batch
-  short-circuits, and a crash at any point replays into the same
-  final file set (same erase-before-republish argument as
-  streaming/etl_stream.py).
+  the SAME ``publish_batch`` the streaming ETL and the binaryFile
+  ingest use (partitioned by ``cluster`` instead of ``dt``) — one
+  copy of the effective-exactly-once delivery contract: a replayed
+  batch erases its own leftovers before re-moving files in, a
+  committed batch short-circuits on its marker, and a crash at any
+  point replays into the same final file set (the
+  erase-before-republish argument of streaming/etl_stream.py).
 
 Because the centroids are FROZEN between rebuilds, assignment is
 deterministic and the maintained index is BIT-IDENTICAL to a batch
@@ -53,13 +52,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .etl_stream import _lineage_id, _meta_fs, _publish_table_df
+from .etl_stream import _lineage_id, publish_batch
 
-# (applicationId, index_dir) -> centroid ndarray; landed index
-# snapshots are immutable (a rebuild writes a NEW index dir), so the
-# cache never staleness-checks.  Keyed by applicationId, not id(sc)
-# (ids reuse after stop).
+# (applicationId, index_dir) -> centroid ndarray.  Keyed by
+# applicationId, not id(sc) (ids reuse after stop).  Landed index
+# snapshots are treated as immutable, and the one sanctioned way to
+# retrain in place — operators/similarity.py::write_ivf_index —
+# invalidates this cache for its path (invalidate_centroids below),
+# so a same-application rebuild is never assigned against stale
+# centroids.  An out-of-band overwrite from ANOTHER process remains
+# invisible (rebuild to a new directory in that deployment shape).
 _CENTROID_CACHE: dict[tuple, object] = {}
+
+
+def invalidate_centroids(index_dir: str) -> None:
+    """Drop every cached centroid matrix for ``index_dir`` (called by
+    write_ivf_index on rewrite, any application)."""
+    for key in [k for k in _CENTROID_CACHE if k[1] == index_dir]:
+        del _CENTROID_CACHE[key]
 
 
 def _index_centroids(spark: SparkSession, index_dir: str):
@@ -102,20 +112,18 @@ def run_ivf_maintenance_stream(
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
-        fs = _meta_fs(session, index_dir)
-        key = f"{lineage}-{batch_id}"
-        marker = f"{fs.root}/_batch_commits/{key}"
-        if fs.kind(marker) is not None:
-            return  # committed before a crash: replay is a no-op
         assigned = assign_batch(session, batch_df, index_dir)
-        _publish_table_df(
-            assigned, "postings", index_dir, key, fs, part_col="cluster"
+        # the shared replay-idempotent publish (marker short-circuit,
+        # staged erase-before-republish, marker-after-all-tables) —
+        # one copy of the exactly-once contract for ETL, ingest and
+        # this stream
+        publish_batch(
+            session,
+            index_dir,
+            f"{lineage}-{batch_id}",
+            {"postings": assigned},
+            part_col="cluster",
         )
-        bdir = f"{fs.root}/_staging/batch-{key}"
-        if fs.kind(bdir) is not None:
-            fs.delete_dir(bdir)
-        fs.mkdirs(f"{fs.root}/_batch_commits")
-        fs.write_bytes(marker, b"")
 
     writer = (
         vectors_stream.writeStream.foreachBatch(maintain)

@@ -370,15 +370,19 @@ def _publish_table_df(
     fs.delete_dir(s_root)
 
 
-def publish_batch(spark, out_dir: str, key: str, table_dfs: dict) -> bool:
+def publish_batch(
+    spark, out_dir: str, key: str, table_dfs: dict, part_col: str = "dt"
+) -> bool:
     """Replay-idempotent publish of one micro-batch: the batch-keyed
     staged publish of every table in ``table_dfs`` (name -> DataFrame
-    with a ``dt`` column) followed by the ``_batch_commits/{key}``
-    marker.  Returns False (a no-op) when the marker already exists —
-    the batch fully published before a crash.  This is the foreachBatch
-    sink discipline shared by run_etl_stream and streaming/ingest.py;
-    ``key`` must embed a per-checkpoint lineage id (``_lineage_id``)
-    so distinct checkpoints never collide on batch numbers."""
+    with a ``part_col`` partition column) followed by the
+    ``_batch_commits/{key}`` marker.  Returns False (a no-op) when the
+    marker already exists — the batch fully published before a crash.
+    This is the foreachBatch sink discipline shared by run_etl_stream,
+    streaming/ingest.py and the IVF index maintenance stream
+    (``part_col="cluster"``); ``key`` must embed a per-checkpoint
+    lineage id (``_lineage_id``) so distinct checkpoints never collide
+    on batch numbers."""
     fs = _meta_fs(spark, out_dir)
     marker = f"{fs.root}/_batch_commits/{key}"
     if fs.kind(marker) is not None:
@@ -392,7 +396,7 @@ def publish_batch(spark, out_dir: str, key: str, table_dfs: dict) -> bool:
     # replays (erase-before-republish makes that idempotent).
     with ThreadPoolExecutor(max_workers=max(1, len(table_dfs))) as pool:
         futs = [
-            pool.submit(_publish_table_df, df, t, out_dir, key, fs)
+            pool.submit(_publish_table_df, df, t, out_dir, key, fs, part_col)
             for t, df in table_dfs.items()
         ]
         errs = []
