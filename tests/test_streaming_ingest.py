@@ -95,7 +95,7 @@ def test_ingest_crash_mid_publish_replays_without_duplicates(spark, tmp_path, mo
     lock = threading.Lock()
     calls = {"n": 0, "failed": False}
 
-    def flaky(df, t, out_dir, key, fs):
+    def flaky(df, t, out_dir, key, fs, part_col="dt"):
         with lock:
             calls["n"] += 1
             fail = t == "kyokus" and not calls["failed"]
@@ -103,7 +103,7 @@ def test_ingest_crash_mid_publish_replays_without_duplicates(spark, tmp_path, mo
                 calls["failed"] = True
         if fail:
             raise RuntimeError("injected crash between sink writes")
-        real(df, t, out_dir, key, fs)
+        real(df, t, out_dir, key, fs, part_col)
 
     monkeypatch.setattr(es, "_publish_table_df", flaky)
     q = start_ingest(spark, str(logs), out, ckpt, available_now=True)
