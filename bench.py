@@ -273,6 +273,10 @@ def main() -> None:
 
         names = sorted(timings)
         out_c = dict(out)
+        # the raw pair vector stays in the DETAIL file only — the
+        # spread summarizes it, and its ~48 chars are better spent on
+        # named slowest-queries entries inside the 1500-char budget
+        out_c.pop("etl_vs_ref_speedup_pairs", None)
         out_c["n_queries"] = len(timings)
         out_c["qvals"] = [round(timings[n], 2) for n in names]
         out_c["qorder"] = "sorted(bench-names+mahjong_*_1k)"

@@ -59,6 +59,9 @@ def test_compact_line_shape_and_size():
 
     names = sorted(timings)
     out_c = dict(out)
+    # mirrors bench.py: the raw pair vector lives in the detail file
+    # only; the compact line keeps median + spread
+    out_c.pop("etl_vs_ref_speedup_pairs", None)
     out_c["n_queries"] = len(timings)
     out_c["qvals"] = [round(timings[n], 2) for n in names]
     out_c["qorder"] = "sorted(bench-names+mahjong_*_1k)"
