@@ -818,14 +818,49 @@ def _sem_centroids(spark: SparkSession, sf_dir: str, e: DataFrame):
 
 def _sem_dedup(spark: SparkSession, e: DataFrame, centroids) -> DataFrame:
     """SemDeDup downstream of the trained quantizer (shared by the
-    in-session and persisted-quantizer variants): top-2 soft assign,
-    within-cell BLAS pair enumeration, pointer-jumping components."""
+    in-session and persisted-quantizer variants): exact-duplicate
+    pre-collapse, top-2 soft assign, within-cell BLAS pair
+    enumeration, pointer-jumping components.
+
+    The pre-collapse (r10 verdict item 7): identical embeddings land
+    in identical cells and score cosine 1 against everything their
+    representative scores, so letting copies into the cell stage only
+    grows the within-cell pair count by copies² — the dominant term of
+    the 100× probe on the 99-copies worst-case corpus.  Exact copies
+    are therefore grouped FIRST (the cheap ``dedup_exact`` shape — one
+    exchange keyed on the raw double vector, so the collapse is exact
+    and no digest collision can weld two distinct vectors into a false
+    cosine-1 edge; at 100 TB swap the key for a 128-bit digest of the
+    raw bytes and accept the ~n²/2¹²⁸ odds), each copy star-links to
+    its group representative (a true cosine-1 ≥ τ edge), and only the
+    representatives enter assignment + pair enumeration.  Components
+    are UNCHANGED by construction: for a copy m of rep r, m's cells
+    equal r's cells and cos(m, v) == cos(r, v) for every v, so the
+    edge m—v exists in the uncollapsed graph iff r—v does, and the
+    star edge keeps m connected — the output is bit-identical (both
+    variants keep sharing one committed golden)."""
     import numpy as np
     import pandas as pd
+
+    from pyspark.sql.window import Window
 
     from .corpus import connected_components
 
     cents = centroids
+
+    w_rep = Window.partitionBy("emb_d")
+    marked = e.select(
+        "vec_id",
+        "emb_d",
+        "norm",
+        F.min("vec_id").over(w_rep).alias("rep"),
+    )
+    reps = marked.where(F.col("vec_id") == F.col("rep")).select(
+        "vec_id", "emb_d", "norm"
+    )
+    star = marked.where(F.col("vec_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col("vec_id").alias("doc_b")
+    )
 
     # Ship the centroid matrix to executors ONCE via a torrent
     # broadcast, not by closure capture: a captured ndarray is
@@ -852,10 +887,10 @@ def _sem_dedup(spark: SparkSession, e: DataFrame, centroids) -> DataFrame:
                 }
             )
 
-    cells = e.select("vec_id", "emb_d").mapInPandas(
+    cells = reps.select("vec_id", "emb_d").mapInPandas(
         soft_assign, "vec_id long, cluster int"
     )
-    assigned = e.join(cells, "vec_id").select(
+    assigned = reps.join(cells, "vec_id").select(
         "cluster", "vec_id", "emb_d", "norm"
     )
 
@@ -892,6 +927,7 @@ def _sem_dedup(spark: SparkSession, e: DataFrame, centroids) -> DataFrame:
         assigned.groupBy("cluster")
         .applyInPandas(cell_pairs, "doc_a long, doc_b long")
         .distinct()  # a pair may share both cells
+        .unionByName(star)  # copies rejoin through their representative
     )
     comp = connected_components(edges)  # (id, cluster_id=min member)
     return (

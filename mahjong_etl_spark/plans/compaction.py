@@ -112,7 +112,15 @@ def _read_lease(fs) -> dict:
             if fs.kind(lease) != "file":
                 return {}  # deleted between the kind check and read
             time.sleep(0.05)
-    return {"token": "<unparseable>", "expires": time.time() + 1.0}
+    # A persistently unparseable lease blocks for the FULL TTL, same
+    # as a valid one: a live holder whose write stays torn must not
+    # get weaker protection (r10 advice — the old now+1s sentinel let
+    # any acquirer retrying >1s later steamroll it).  The escape hatch
+    # for genuine corrupt debris stays the operator deleting the file.
+    return {
+        "token": "<unparseable>",
+        "expires": time.time() + DEFAULT_LEASE_TTL_SEC,
+    }
 
 
 def _acquire_lease(fs, ttl_sec: float) -> str:

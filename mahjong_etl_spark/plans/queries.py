@@ -4909,7 +4909,12 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 headroom is the knob: n·vc·|series| must stay under 2^63,
     which holds to ~1e5 rows/type at centi-precision; past that,
     CUSUM the per-minute pre-aggregates (same plan, bounded n) — the
-    standard production chart granularity anyway."""
+    standard production chart granularity anyway.  The headroom is
+    ENFORCED, not prose (r10 advice): a per-type double-arithmetic
+    bound on the accumulators rides the per-type aggregate and raises
+    loudly when exceeded — matching the oracle, which errors on int64
+    overflow — instead of wrapping into silently wrong breach
+    counts."""
     from pyspark.sql.window import Window
 
     e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
@@ -4922,6 +4927,49 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = v.groupBy("event_type").agg(
         F.sum("vc").cast("long").alias("sum_v"),
         F.count(F.lit(1)).alias("n"),
+        F.max(F.abs("vc")).alias("max_abs_vc"),
+    )
+    # int64 headroom guard (r10 advice): every window accumulator is
+    # bounded by |pv| <= n·(n·(max|vc|+slack) + |sum_v|) and
+    # sv <= 2·max|pv|, so past the documented ~1e5 rows/type bound the
+    # chart must fail LOUDLY (as the DuckDB oracle does on int64
+    # overflow) instead of silently wrapping into wrong breach counts.
+    # The bound itself is evaluated in double (no overflow possible)
+    # with the 2x sv factor explicit; it rides the already-computed
+    # per-type aggregate, so the guard costs nothing at fact scale.
+    headroom = (
+        F.lit(2.0)
+        * F.col("n").cast("double")
+        * (
+            F.col("n").cast("double")
+            * (
+                F.col("max_abs_vc").cast("double")
+                + F.lit(float(CUSUM_SLACK_CENTI))
+            )
+            + F.abs(F.col("sum_v")).cast("double")
+        )
+    )
+    s = s.select(
+        "event_type",
+        "sum_v",
+        F.when(
+            headroom >= F.lit(float(2**62)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "events_cusum_changepoint: int64 CUSUM headroom "
+                        "exceeded for event_type "
+                    ),
+                    F.col("event_type"),
+                    F.lit(
+                        " — pre-aggregate the series to a coarser grain "
+                        "(e.g. per-minute means) before charting"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("n"))
+        .alias("n"),
     )
     w = (
         Window.partitionBy("event_type")

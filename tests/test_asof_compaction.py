@@ -436,6 +436,17 @@ def test_unparseable_lease_treated_as_held_not_absent(spark, tmp_path):
         _acquire_lease(fs, 600)
     # the torn lease survives — the racer never overwrote it
     assert fs.read_bytes(f"{fs.root}/_compaction/_lease") == torn
+    # and it blocks for the FULL default TTL, not a 1-second grace
+    # (r10 advice: a retry >1s later must still refuse — a live
+    # holder's torn write gets the same protection as a valid lease)
+    from mahjong_etl_spark.plans.compaction import (
+        DEFAULT_LEASE_TTL_SEC,
+        _read_lease,
+    )
+
+    info = _read_lease(fs)
+    assert info["token"] == "<unparseable>"
+    assert info["expires"] - time.time() > 0.9 * DEFAULT_LEASE_TTL_SEC
 
 
 def test_compaction_lease_renewal_and_theft_detection(spark, tmp_path):

@@ -114,6 +114,38 @@ def test_cusum_flags_planted_mean_shift(spark, tmp_path):
     )
 
 
+def test_cusum_overflows_loudly_not_silently(spark, tmp_path):
+    """Past the int64 headroom the chart must RAISE (as the DuckDB
+    oracle does on int64 overflow), never wrap into wrong breach
+    counts (r10 advice): a series whose n²·max|vc| bound exceeds 2^62
+    trips the per-type guard with a message naming the fix."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from mahjong_etl_spark.plans.queries import events_cusum_changepoint
+
+    t0 = datetime(2024, 1, 1)
+    # 1000 rows at value ~ 1e12 -> vc ~ 1e14 centi-units: sum_v ~ 1e17
+    # fits int64 (the plain aggregate is fine, ANSI or not), but the
+    # n-scaled accumulator bound 2·n·(n·max|vc| + |sum_v|) ~ 4e20
+    # exceeds 2^62 ~ 4.6e18 — exactly the regime where the window
+    # cumsum would be the thing that overflows
+    rows = [
+        (i, t0 + timedelta(seconds=i), 1, "huge", 1.0e12 + i, "{}")
+        for i in range(1000)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    with pytest.raises(Exception, match="CUSUM headroom"):
+        events_cusum_changepoint(spark, str(tmp_path)).collect()
+
+
 # ---------------------------------------------------------------------------
 # vocabulary coverage curve invariants
 # ---------------------------------------------------------------------------
