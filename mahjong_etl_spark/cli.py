@@ -127,15 +127,18 @@ def cmd_cdc(args: argparse.Namespace) -> int:
 
 
 def cmd_index(args: argparse.Namespace) -> int:
-    """Build a persisted IVF index from a vector parquet, or maintain
-    an existing one from a parquet drop directory of arriving
-    vectors — the CLI face of the train-once / maintain-between-
-    rebuilds lifecycle (operators/similarity.py::write_ivf_index +
+    """Build a persisted IVF index from a vector parquet, maintain an
+    existing one from a parquet drop directory of arriving vectors, or
+    compact a maintained index's accumulated posting files — the CLI
+    face of the train / maintain / compact / rebuild lifecycle
+    (operators/similarity.py::write_ivf_index +
     streaming/ann_index_stream.py)."""
-    if (args.vectors is None) == (args.maintain is None):
+    modes = [args.vectors is not None, args.maintain is not None,
+             args.compact]
+    if sum(modes) != 1:
         print(
-            "index: exactly one of --vectors (build) or --maintain "
-            "(stream) is required",
+            "index: exactly one of --vectors (build), --maintain "
+            "(stream) or --compact is required",
             file=sys.stderr,
         )
         return 2
@@ -143,6 +146,16 @@ def cmd_index(args: argparse.Namespace) -> int:
         print("index: --maintain requires --checkpoint", file=sys.stderr)
         return 2
     spark = _spark("mahjong-index")
+    if args.compact:
+        from .streaming.ann_index_stream import compact_postings
+
+        rewritten = compact_postings(spark, args.index_dir)
+        n = spark.read.parquet(f"{args.index_dir}/postings").count()
+        print(
+            f"compacted {len(rewritten)} cluster partitions at "
+            f"{args.index_dir}: {n} postings"
+        )
+        return 0
     if args.maintain is None:
         from .operators.similarity import write_ivf_index
 
@@ -199,6 +212,19 @@ def cmd_index(args: argparse.Namespace) -> int:
     q.stop()
     n = spark.read.parquet(f"{args.index_dir}/postings").count()
     print(f"maintained IVF index at {args.index_dir}: {n} postings")
+    # surface the data-driven retrain signal (drift ledger, r11): the
+    # frozen quantizer's operational limit, as a number instead of a
+    # calendar habit
+    from .streaming.ann_index_stream import rebuild_recommended
+
+    drift = rebuild_recommended(spark, args.index_dir)
+    last = drift.get("last") or {}
+    print(
+        f"drift: {drift['flagged']}/{drift['batches']} batches flagged; "
+        f"last batch residual_ratio={last.get('residual_ratio')} "
+        f"top_cell_share={last.get('top_cell_share')} -> "
+        f"rebuild recommended: {drift['rebuild_recommended']}"
+    )
     return 0
 
 
@@ -467,6 +493,11 @@ def build_parser() -> argparse.ArgumentParser:
         "-s", "--schema", default=None,
         help="drop-file schema DDL (default: inferred from files "
         "already in the drop dir)",
+    )
+    ix.add_argument(
+        "--compact", action="store_true",
+        help="compact accumulated maintenance posting files "
+        "(snapshot-file swap; safe beside a live stream)",
     )
     ix.add_argument("--clusters", type=int, default=16)
     ix.add_argument("--max-files-per-trigger", type=int, default=16)

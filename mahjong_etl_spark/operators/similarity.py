@@ -306,6 +306,45 @@ def _assign_clusters(vecs: DataFrame, centroids) -> DataFrame:
     return vecs.select("vec_id", "emb_d").mapInPandas(batches, "vec_id long, cluster int")
 
 
+def _assign_clusters_res(vecs: DataFrame, centroids) -> DataFrame:
+    """(vec_id, cluster, res2) — nearest-centroid assignment PLUS the
+    squared L2 residual ||x−c||² = ||x||² − 2·(x·c − ||c||²/2), read
+    off the same matmul the plain assignment does (no extra FLOPs).
+    Kept separate from ``_assign_clusters`` so the batch query path
+    stays byte-identical; consumers are the index drift plane
+    (write_ivf_index baseline, streaming/ann_index_stream.py)."""
+    import numpy as np
+    import pandas as pd
+
+    cent = centroids
+    half_sq = 0.5 * (cent * cent).sum(axis=1)
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb_d"].values]
+            )
+            score = mat @ cent.T - half_sq
+            cluster = score.argmax(axis=1)
+            res2 = (mat * mat).sum(axis=1) - 2.0 * score[
+                np.arange(len(mat)), cluster
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": cluster.astype("int32"),
+                    # clip the tiny negative fp drift of exact matches
+                    "res2": np.maximum(res2, 0.0),
+                }
+            )
+
+    return vecs.select("vec_id", "emb_d").mapInPandas(
+        batches, "vec_id long, cluster int, res2 double"
+    )
+
+
 def train_ivf_centroids(corpus: DataFrame, k: int = IVF_CLUSTERS, iters: int = IVF_LLOYD_ITERS):
     """Deterministic coarse quantizer: seed with the k corpus vectors
     of smallest xxhash64(vec_id) (a seedless, cluster-size-independent
@@ -548,6 +587,51 @@ def write_ivf_index(
     _assign_clusters(c, centroids).write.mode("overwrite").partitionBy(
         "cluster"
     ).parquet(f"{path}/postings")
+    # Index-epoch fencing + drift baseline (r11):
+    # - a fresh random _index_epoch marks every rebuild; the
+    #   maintenance stream binds its checkpoint to the epoch it first
+    #   saw and REFUSES to run against a rebuilt index (a crashed
+    #   unmarked batch replaying against NEW centroids would append
+    #   vec_ids the rebuild already indexed — r10 advice);
+    # - stale maintenance commit markers from the pre-rebuild lineage
+    #   are cleared (the epoch fence makes them unreachable anyway);
+    # - the build-time assignment quality (mean residual distance,
+    #   cell-occupancy skew) lands in _drift/baseline.json — the
+    #   reference the streaming drift monitor compares arrivals
+    #   against to make the retrain cadence data-driven instead of
+    #   calendar-driven.  One extra assignment pass at build time,
+    #   which already runs multi-pass Lloyd — snapshot-build cost,
+    #   never query-path cost.
+    import json as _json
+    import uuid as _uuid
+
+    from ..streaming.etl_stream import _meta_fs
+
+    fs = _meta_fs(spark, path)
+    if fs.kind(f"{fs.root}/_batch_commits") is not None:
+        fs.delete_dir(f"{fs.root}/_batch_commits")
+    fs.write_bytes(f"{fs.root}/_index_epoch", _uuid.uuid4().hex.encode())
+    occ = _assign_clusters_res(c, centroids).groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.sqrt("res2")).alias("sres"),
+    )
+    (row,) = occ.agg(
+        F.sum("n").alias("n"),
+        F.max("n").alias("max_cell"),
+        F.count(F.lit(1)).alias("cells"),
+        F.sum("sres").alias("sres"),
+    ).collect()
+    baseline = {
+        "n": row.n,
+        "k": int(len(centroids)),
+        "mean_residual": (row.sres / row.n) if row.n else 0.0,
+        "top_cell_share": (row.max_cell / row.n) if row.n else 0.0,
+        "nonempty_cells": row.cells,
+    }
+    fs.mkdirs(f"{fs.root}/_drift")
+    fs.write_bytes(
+        f"{fs.root}/_drift/baseline.json", _json.dumps(baseline).encode()
+    )
 
 
 def read_ivf_index(spark: SparkSession, path: str):

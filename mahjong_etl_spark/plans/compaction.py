@@ -192,25 +192,28 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def partition_stats(
-    spark: SparkSession, root: str, table: str
+    spark: SparkSession, root: str, table: str, part_col: str = "dt"
 ) -> dict[str, tuple[int, int, list[str]]]:
-    """{dt: (n_files, total_bytes, file_names)} via the Hadoop
-    FileSystem — scheme-agnostic, one listStatus per partition."""
+    """{partition value: (n_files, total_bytes, file_names)} via the
+    Hadoop FileSystem — scheme-agnostic, one listStatus per partition.
+    ``part_col`` is the hive partition column of the table's layout
+    (``dt`` for the fact planes, ``cluster`` for ANN postings)."""
     out: dict[str, tuple[int, int, list[str]]] = {}
     jvm, fs = _hadoop_fs(spark, root)
     tpath = jvm.org.apache.hadoop.fs.Path(f"{root}/{table}")
     if not fs.exists(tpath):
         return out
+    prefix_len = len(part_col) + 1
     for st in fs.listStatus(tpath):
         name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith("dt=")):
+        if not (st.isDirectory() and name.startswith(f"{part_col}=")):
             continue
         files = [
             f
             for f in fs.listStatus(st.getPath())
             if f.isFile() and f.getPath().getName().endswith(".parquet")
         ]
-        out[name[3:]] = (
+        out[name[prefix_len:]] = (
             len(files),
             sum(f.getLen() for f in files),
             sorted(f.getPath().getName() for f in files),
@@ -279,7 +282,8 @@ def _repair_locked(fs, _par_files) -> dict[str, str]:
         if key.startswith("_"):
             continue  # the lease file, not a manifest
         m = json.loads(fs.read_bytes(mpath).decode())
-        pdir = f"{fs.root}/{m['table']}/dt={m['dt']}"
+        pc = m.get("part_col", "dt")  # pre-r11 manifests carried dt only
+        pdir = f"{fs.root}/{m['table']}/{pc}={m['part']}"
         present = {
             p.rsplit("/", 1)[1]
             for p in (fs.list_files(pdir) if fs.kind(pdir) == "dir" else [])
@@ -310,6 +314,7 @@ def compact_table(
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     min_files_to_compact: int = 2,
     lease_ttl_sec: float = DEFAULT_LEASE_TTL_SEC,
+    part_col: str = "dt",
 ) -> dict[str, int]:
     """Compact every partition with more part files than its data
     needs; returns {dt: files_after} for the rewritten partitions.
@@ -330,7 +335,7 @@ def compact_table(
     try:
         return _compact_locked(
             spark, root, table, target_file_bytes, min_files_to_compact,
-            fs, _par_files, token, lease_ttl_sec,
+            fs, _par_files, token, lease_ttl_sec, part_col,
         )
     finally:
         _release_lease(fs, token)
@@ -346,11 +351,12 @@ def _compact_locked(
     _par_files,
     token: str,
     lease_ttl_sec: float,
+    part_col: str = "dt",
 ) -> dict[str, int]:
     _repair_locked(fs, _par_files)  # converge any interrupted swap first
     rewritten: dict[str, int] = {}
-    for dt, (n_files, total_bytes, names) in partition_stats(
-        spark, root, table
+    for part, (n_files, total_bytes, names) in partition_stats(
+        spark, root, table, part_col
     ).items():
         want = max(1, math.ceil(total_bytes / target_file_bytes))
         if n_files < min_files_to_compact or n_files <= want:
@@ -363,7 +369,7 @@ def _compact_locked(
         # stolen lease aborts BEFORE this partition's swap starts)
         _renew_lease(fs, token, lease_ttl_sec)
         key = uuid.uuid4().hex[:12]
-        pdir = f"{fs.root}/{table}/dt={dt}"
+        pdir = f"{fs.root}/{table}/{part_col}={part}"
         staging = f"{fs.root}/_compact_staging/{key}"
         # read EXACTLY the snapshot files (not the directory): a file
         # published concurrently is neither read nor, later, deleted.
@@ -371,7 +377,7 @@ def _compact_locked(
         # upstream scan tasks together and can skew one output file
         # huge.
         spark.read.parquet(
-            *[f"{root}/{table}/dt={dt}/{n}" for n in names]
+            *[f"{root}/{table}/{part_col}={part}/{n}" for n in names]
         ).repartition(want).write.mode("overwrite").parquet(staging)
         staged = [
             p
@@ -396,7 +402,13 @@ def _compact_locked(
         fs.write_bytes(
             f"{fs.root}/_compaction/{key}",
             json.dumps(
-                {"table": table, "dt": dt, "delete": names, "add": adds}
+                {
+                    "table": table,
+                    "part_col": part_col,
+                    "part": part,
+                    "delete": names,
+                    "add": adds,
+                }
             ).encode(),
         )
         # strict phases: ALL replacements land, then originals go —
@@ -410,5 +422,5 @@ def _compact_locked(
         _par_files(fs.delete_file, [f"{pdir}/{n}" for n in names])
         fs.delete_dir(staging)
         fs.delete_file(f"{fs.root}/_compaction/{key}")
-        rewritten[dt] = want
+        rewritten[part] = want
     return rewritten

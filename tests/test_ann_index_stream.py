@@ -147,6 +147,159 @@ def test_replay_does_not_duplicate_postings(spark, sf_dir, tmp_path):
     assert _postings_set(spark, index_dir) == want
 
 
+def _stage_arrival(df, tmp_path, drop, name, mtime):
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / f"stage_{name}")
+    )
+    (src,) = glob.glob(str(tmp_path / f"stage_{name}" / "part-*.parquet"))
+    dst = drop / f"{name}.parquet"
+    os.rename(src, dst)
+    os.utime(dst, (mtime, mtime))
+
+
+def test_drift_ledger_flags_distribution_shift(spark, sf_dir, tmp_path):
+    """The data-driven retrain signal (r10 verdict item 3): arrivals
+    drawn from the index's own distribution record ledger rows but do
+    NOT flag; a shifted batch (every component +5 — mass the frozen
+    codebook has no resolution for) flips rebuild_recommended, and the
+    summary surfaced by the CLI reflects the newest batch."""
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        DRIFT_MIN_BATCH,
+        read_drift,
+        rebuild_recommended,
+    )
+
+    e = _load_emb(spark, sf_dir)
+    n = e.count()
+    assert n >= DRIFT_MIN_BATCH  # both arrival batches clear the bar
+    index_dir = str(tmp_path / "index")
+    write_ivf_index(spark, e, index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    # batch 0: the corpus itself under fresh ids (in-distribution)
+    same = e.select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding", "label"
+    )
+    _stage_arrival(same, tmp_path, drop, "same", 1_000)
+    # batch 1: every component shifted +5.0 (out-of-distribution)
+    shifted = e.select(
+        (F.col("vec_id") + 2 * n).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> cast(x + 5.0 as float))"
+        ).alias("embedding"),
+        "label",
+    )
+    _stage_arrival(shifted, tmp_path, drop, "shifted", 2_000)
+    _drain(spark, str(drop), index_dir, str(tmp_path / "ckpt"))
+
+    rows = sorted(
+        read_drift(spark, index_dir).collect(), key=lambda r: r.batch_id
+    )
+    assert len(rows) == 2
+    assert not rows[0].rebuild_recommended
+    assert abs(rows[0].residual_ratio - 1.0) < 0.25  # same distribution
+    assert rows[1].rebuild_recommended
+    assert rows[1].residual_ratio > 1.5
+    summary = rebuild_recommended(spark, index_dir)
+    assert summary["rebuild_recommended"] is True
+    assert summary["batches"] == 2 and summary["flagged"] == 1
+
+
+def test_rebuild_fences_stale_checkpoint(spark, sf_dir, tmp_path):
+    """An in-place rebuild (fresh _index_epoch) must make a restart
+    against the OLD checkpoint refuse loudly (r10 advice: a crashed
+    unmarked batch replaying against the new centroids would append
+    vec_ids the rebuild already indexed); a fresh checkpoint runs."""
+    import pytest
+
+    e = _load_emb(spark, sf_dir)
+    cut = int(e.count() * 0.8)
+    index_dir = str(tmp_path / "index")
+    write_ivf_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage_arrival(
+        e.where(F.col("vec_id") >= cut), tmp_path, drop, "arrival", 1_000
+    )
+    ckpt = str(tmp_path / "ckpt")
+    _drain(spark, str(drop), index_dir, ckpt)
+
+    # in-place rebuild over the union corpus: fresh epoch, stale
+    # maintenance markers cleared
+    write_ivf_index(spark, e, index_dir)
+    assert not os.path.exists(f"{index_dir}/_batch_commits")
+
+    with pytest.raises(RuntimeError, match="REBUILT"):
+        _drain(spark, str(drop), index_dir, ckpt)
+
+    # a fresh checkpoint (with a re-dropped arrival dir) is the
+    # sanctioned restart path
+    drop2 = tmp_path / "drop2"
+    drop2.mkdir()
+    _drain(spark, str(drop2), index_dir, str(tmp_path / "ckpt2"))
+
+
+def test_compact_postings_preserves_rows_and_replay_safety(
+    spark, sf_dir, tmp_path
+):
+    """The cluster-scoped compactor (r10 verdict item 4): after many
+    tiny maintenance batches, compaction must (a) cut the posting file
+    count, (b) leave the posting ROWS bit-identical, (c) keep served
+    queries identical, and (d) stay replay-safe — a committed batch
+    re-offered after compaction short-circuits on its marker instead
+    of re-erasing files the swap folded away."""
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        compact_postings,
+    )
+
+    e = _load_emb(spark, sf_dir)
+    cut = int(e.count() * 0.6)
+    index_dir = str(tmp_path / "index")
+    write_ivf_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    late = e.where(F.col("vec_id") >= cut)
+    parts = late.randomSplit([1.0] * 8, seed=11)
+    for i, p in enumerate(parts):
+        _stage_arrival(p, tmp_path, drop, f"arrival{i}", 1_000 + i)
+    ckpt = str(tmp_path / "ckpt")
+    _drain(spark, str(drop), index_dir, ckpt)
+
+    def files():
+        return glob.glob(f"{index_dir}/postings/cluster=*/*.parquet")
+
+    before_files = files()
+    want = _postings_set(spark, index_dir)
+    rewritten = compact_postings(spark, index_dir)
+    assert rewritten  # at least one cluster partition was rewritten
+    assert len(files()) < len(before_files)
+    assert _postings_set(spark, index_dir) == want
+
+    # served-query parity across the swap
+    cents, postings = read_ivf_index(spark, index_dir)
+    got = {
+        tuple(r)
+        for r in ann_ivf_topk(
+            spark, e.where("vec_id < 5"), e, TOPK,
+            centroids=cents, postings=postings,
+        ).collect()
+    }
+    assert got
+
+    # replay a COMMITTED batch (wipe the checkpoint commit, keep the
+    # publish marker): the marker short-circuit must make it a no-op —
+    # the compacted files are never touched
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _drain(spark, str(drop), index_dir, ckpt)
+    assert _postings_set(spark, index_dir) == want
+
+
 def test_frozen_centroids_read_once_per_session(spark, sf_dir, tmp_path):
     """The centroid cache: two assign calls against one index read the
     ndarray once (landed snapshots are immutable), and the assignment

@@ -180,8 +180,8 @@ def test_compaction_never_drops_files_published_during_swap(spark, tmp_path, mon
     real_stats = pc.partition_stats
     key = "0123456789ab-7"
 
-    def stats_then_publish(spark_, root_, table_):
-        out = real_stats(spark_, root_, table_)
+    def stats_then_publish(spark_, root_, table_, part_col_="dt"):
+        out = real_stats(spark_, root_, table_, part_col_)
         late = spark.range(1000, 1010).select(
             F.col("id"), (F.col("id") * 2).alias("v")
         )
@@ -439,6 +439,8 @@ def test_unparseable_lease_treated_as_held_not_absent(spark, tmp_path):
     # and it blocks for the FULL default TTL, not a 1-second grace
     # (r10 advice: a retry >1s later must still refuse — a live
     # holder's torn write gets the same protection as a valid lease)
+    import time
+
     from mahjong_etl_spark.plans.compaction import (
         DEFAULT_LEASE_TTL_SEC,
         _read_lease,

@@ -166,9 +166,25 @@ def test_cli_index_build_and_maintain(spark, sf_dir, tmp_path, capsys):
         ]
     )
     assert rc == 0
-    assert f"{e.count()} postings" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert f"{e.count()} postings" in out
+    # the drift plane's CLI face: every drain reports the ledger
+    # verdict (in-distribution arrivals -> no rebuild recommended)
+    assert "rebuild recommended: False" in out
     indexed = spark.read.parquet(f"{index_dir}/postings")
     assert indexed.select("vec_id").distinct().count() == e.count()
 
+    # --compact folds the maintenance batch's files into the build's
+    # (snapshot swap; rows unchanged)
+    rc = main(["index", "-I", index_dir, "--compact"])
+    assert rc == 0
+    assert "compacted" in capsys.readouterr().out
+    assert (
+        spark.read.parquet(f"{index_dir}/postings").count() == e.count()
+    )
+
     assert main(["index", "-I", index_dir]) == 2
     assert main(["index", "-I", index_dir, "-M", str(drop)]) == 2
+    assert main(
+        ["index", "-I", index_dir, "-V", base_pq, "--compact"]
+    ) == 2
