@@ -389,6 +389,17 @@ def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = NUM_HASHES) 
     shuffle-free (signatures emerge partitioned exactly like the input
     corpus — at 100 TB, no data movement until the band-bucket join)
     and its cost is a numpy matmul-shaped reduce.
+
+    The per-document Python loop is hoisted (r11): shingles of a whole
+    Arrow batch hash in ONE ``hash_array`` call and the k permutations
+    reduce per document with ``np.minimum.reduceat`` over segment
+    boundaries, blocked at ~128k shingles so the (k × block)
+    permutation table stays ~64 MB.  Bit-identical to the per-doc
+    formulation (SipHash is elementwise, uint64 wrap arithmetic is
+    unchanged, reduceat's segmented min equals the per-doc min) — the
+    committed goldens pin it.  This was the dominant term of the r7
+    100× probe (signature pass is corpus-linear; the constant is what
+    moved).
     """
     import numpy as np
     import pandas as pd
@@ -396,25 +407,49 @@ def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = NUM_HASHES) 
     rng = np.random.default_rng(42)
     a = (rng.integers(0, 2**63, num_hashes, dtype=np.uint64) * 2 + 1).astype(np.uint64)
     b = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+    block = 131_072  # shingles per permutation-table block
 
     def batches(it):
         for pdf in it:
-            sigs = np.empty((len(pdf), num_hashes), dtype=np.uint64)
-            keep = np.ones(len(pdf), dtype=bool)
-            for i, text in enumerate(pdf["text"].values):
+            doc_shingles: list[list[str]] = []
+            keep_ids = []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
                 toks = text.split(" ")
                 if len(toks) < n:
                     # no shingles => no signature row (mirrors the
                     # explode-based formulation, where such docs never
                     # reach the band join at all)
-                    keep[i] = False
                     continue
-                sh = list({" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)})
-                base = pd.util.hash_array(np.asarray(sh, dtype=object))
-                # (k, |sh|) permutation table → row-wise min
-                sigs[i] = (a[:, None] * base[None, :] + b[:, None]).min(axis=1)
-            out = pd.DataFrame({"doc_id": pdf["doc_id"][keep]})
-            s64 = sigs[keep].astype(np.int64)
+                doc_shingles.append(
+                    list({" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)})
+                )
+                keep_ids.append(doc_id)
+            if not keep_ids:
+                continue
+            counts = np.fromiter(
+                (len(s) for s in doc_shingles), dtype=np.int64
+            )
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            base = pd.util.hash_array(
+                np.asarray(
+                    [s for sh in doc_shingles for s in sh], dtype=object
+                )
+            )
+            ndocs = len(keep_ids)
+            sigs = np.empty((ndocs, num_hashes), dtype=np.uint64)
+            d0 = 0
+            while d0 < ndocs:
+                d1 = d0 + 1  # at least one doc, even an over-block one
+                while d1 < ndocs and ends[d1 - 1] - starts[d0] < block:
+                    d1 += 1
+                seg = base[starts[d0] : ends[d1 - 1]]
+                tbl = a[:, None] * seg[None, :] + b[:, None]  # (k, m)
+                idx = starts[d0:d1] - starts[d0]
+                sigs[d0:d1] = np.minimum.reduceat(tbl, idx, axis=1).T
+                d0 = d1
+            out = pd.DataFrame({"doc_id": keep_ids})
+            s64 = sigs.astype(np.int64)
             for k in range(num_hashes):
                 out[f"h{k}"] = s64[:, k]
             yield out
@@ -497,19 +532,58 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
-    Candidates = pairs agreeing on at least one band.  Rather than a
-    bucket self-join (which computes the signature pass once per join
-    side), buckets are grouped by (band, band_hash) and pairs are
-    enumerated inside each bucket with ``_bucket_pairs`` — ONE
-    signature pass, ONE shuffle keyed on the band hash.  Bucket width
-    is bounded by construction (a bucket is r=4 agreeing minhashes ⇒
-    its members are mutual near-dups, and real corpora cap dup-cluster
-    size), so the per-group pair expansion cannot blow up the way a hot
-    join key would.  Each candidate is then verified against the true
-    shingle sets, so precision is exact; recall follows the LSH S-curve
-    (see module docstring).
+    EXACT-COPY PRE-COLLAPSE (r11, same move as SemDeDup's): docs with
+    identical text share one md5 text group; only each group's
+    representative (min doc_id) is signed, banded and verified, and
+    the member pairs are re-expanded afterwards — within-group pairs
+    carry Jaccard exactly 1.0 by identity (identical text ⇒ identical
+    shingle set), cross-group pairs inherit their rep pair's verified
+    Jaccard (every member of a group has the group's shingle set, so
+    the value is exact, not approximated).  The r11 100× probe showed
+    why: on a 99-copies-per-doc corpus the old per-member pipeline
+    spent 128 s enumerating and 136 s re-verifying 27M pairs whose
+    Jaccard is knowable from 5k distinct texts.  Recall is UNCHANGED
+    (copies share their rep's signature bit-for-bit, so they collide
+    exactly when the rep does); the emitted pair set and values are
+    identical at any group size up to BUCKET_CAP.
+
+    Candidates = rep pairs agreeing on at least one band.  Rather
+    than a bucket self-join (which computes the signature pass once
+    per join side), buckets are grouped by (band, band_hash) and
+    pairs are enumerated inside each bucket with ``_bucket_pairs`` —
+    ONE signature pass over the DISTINCT texts, ONE shuffle keyed on
+    the band hash.  Each rep candidate is verified against the true
+    shingle sets, so precision is exact; recall follows the LSH
+    S-curve (module docstring).
+
+    Cap discipline: the ``BUCKET_CAP`` bound now applies at BOTH
+    levels — band buckets cap at 256 distinct-text members (the
+    heterogeneous-bucket guard, as before), and the member expansion
+    caps per text group (the first 256 copies pair fully; copies
+    beyond link to the group representative with Jaccard 1.0, exactly
+    the ``_bucket_pairs`` overflow shape).  For the mega-duplicate
+    bucket this is strictly better than the r10 behavior: the bucket
+    no longer fills up with copies, so distinct near-dup texts are
+    never crowded out of the cap by boilerplate repetition.
     """
-    sig = minhash_signatures(df, n, bands * rows_per_band)
+    from pyspark.sql.window import Window
+
+    # eligible docs mirror the signature pass's own cut: < n tokens ⇒
+    # no shingles ⇒ never reaches the band join
+    elig = df.where(F.size(F.split(F.col("text"), " ")) >= n).select(
+        "doc_id", "text"
+    )
+    w = Window.partitionBy("th")
+    marked = elig.select(
+        "doc_id", F.md5("text").alias("th")
+    ).select("doc_id", "th", F.min("doc_id").over(w).alias("rep"))
+    reps = marked.where(F.col("doc_id") == F.col("rep")).select("doc_id")
+
+    sig = minhash_signatures(
+        df.join(reps, "doc_id").select("doc_id", "text"),
+        n,
+        bands * rows_per_band,
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -522,19 +596,44 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
-    cand = _bucket_pairs(buckets, ["band", "bh"], "doc_id", "doc_a", "doc_b")
+    cand = _bucket_pairs(buckets, ["band", "bh"], "doc_id", "rep_a", "rep_b")
     sh = shingle_sets(df, n) if sh is None else sh
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sha = sh.select(F.col("doc_id").alias("rep_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("rep_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
-    return (
-        cand.join(sha, "doc_a")
-        .join(shb, "doc_b")
+    ver = (
+        cand.join(sha, "rep_a")
+        .join(shb, "rep_b")
         .where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("rep_a", "rep_b", F.round(jac, 6).alias("jaccard"))
     )
+
+    # member expansion: capped member lists per text group (overflow
+    # copies are represented by their group rep — their own pair rows
+    # come from the within-group stage below)
+    wm = Window.partitionBy("rep").orderBy("doc_id")
+    mcap = (
+        marked.select("rep", "doc_id", F.row_number().over(wm).alias("__rk"))
+        .where(F.col("__rk") <= BUCKET_CAP)
+        .select("rep", "doc_id")
+    )
+    ma = mcap.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("da"))
+    mb = mcap.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("db"))
+    cross = (
+        ver.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = _bucket_pairs(
+        marked.select("rep", "doc_id"), ["rep"], "doc_id", "doc_a", "doc_b"
+    ).select("doc_a", "doc_b", F.round(F.lit(1.0), 6).alias("jaccard"))
+    return cross.unionByName(within)
 
 
 @query(

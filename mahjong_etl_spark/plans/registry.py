@@ -82,103 +82,40 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r10 window (the rotation the r9 tail comment declared; r9 verdict
-# item 1 — note the r9 head actually led with FOUR new queries, not
-# the three its own comment claimed, displacing the similarity_ann_lsh
-# filler back to the tail): the three new-in-r10 queries lead
-# (never-checked invariant), then the two whose code path changed
-# this round (the tenhou DataSource read now routes BOTH readers
-# through the shared _arrow_batches helper; er_resolve_entities rides
-# the rewritten two-phase connected_components), then the r6-last-
-# green cohort — the declared 46-query queue, similarity_ann_lsh
-# first, minus dedup_exact, which the er changed-code slot displaced
-# to the tail front.  After this board lands, no registry query's
-# newest hash row is older than r7 EXCEPT dedup_exact (r6, displaced
-# filler — the r9 similarity_ann_lsh precedent); it leads the r11
-# queue, then the r7 cohort.  Any query added mid-round MUST displace
-# from the BOTTOM of the head — the never-checked invariant
+# r11 window (the rotation the r10 tail comment declared; r10 verdict
+# item 1): no brand-new queries this round, so the changed-code slots
+# lead — dedup_semantic + dedup_semantic_persisted (exact-duplicate
+# pre-collapse in operators/dedup.py::_sem_dedup), dedup_ensemble
+# (consumes the r11-vectorized minhash signature pass),
+# events_cusum_changepoint (int64 headroom guard),
+# similarity_ann_ivf_persisted (write_ivf_index now stamps an index
+# epoch + drift baseline), tenhou_source_actions (the shared
+# _arrow_batches helper grew the _parsed envelope branch) — then the
+# declared queue: dedup_exact (the r6-floor exception, retired by this
+# board) and the r7-last-green cohort, whose last SIX members the six
+# changed-code slots displace to the tail front (they lead the r12
+# queue; the dedup_exact/similarity_ann_lsh displacement precedent).
+# dedup_minhash_lsh also changed this round (vectorized signatures) —
+# its r7-cohort membership doubles as its changed-code slot, exactly
+# like dedup_semantic's r6-cohort membership did in r10.  After this
+# board lands, no registry query's newest hash row is older than r7,
+# and the floor exception is retired.  Any query added mid-round MUST
+# displace from the BOTTOM of the head — the never-checked invariant
 # (test_head_leads_with_unproven_queries) outranks evidence freshness.
 
 _CHECK_WINDOW_HEAD = [
-    # three queries NEW in r10 — never driver-checked, they lead
-    # (persisted-quantizer SemDeDup twin, CUSUM change-point chart,
-    # tokenizer vocabulary-coverage curve)
-    "dedup_semantic_persisted",
-    "events_cusum_changepoint",
-    "text_vocab_coverage",
-    # code/data path changed in r10: the tenhou DataSource batch read
-    # now shares its Arrow RecordBatch production with the stream
-    # reader (sources/tenhou_datasource.py::_arrow_batches); and
-    # er_resolve_entities rides the rewritten two-phase
-    # connected_components (operators/er.py:173) — the other CC
-    # consumers sit in the r6 cohort below, but this one's last hash
-    # row is r7, so the changed-code invariant pulls it in from the
-    # tail (displacing dedup_exact, see the cohort note)
-    "tenhou_source_actions",
-    "er_resolve_entities",
-    # the ENTIRE r6-last-green cohort (46) — the rotation the r9 tail
-    # declared, similarity_ann_lsh (the displaced r9 filler) first.
-    # After this board lands, no registry query's newest hash row is
-    # older than r7.  dedup_semantic additionally had an
-    # extract-shared-helper refactor this round (operators/dedup.py::
-    # _sem_dedup), so its membership here doubles as its changed-code
-    # slot.
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "events_approx_quantiles",
-    "mahjong_experiments_games",
-    "csv_roundtrip_stats",
-    "similarity_ann_ivf_persisted",
-    "dq_column_profile",
-    "multimodal_gif_roundtrip",
-    "multimodal_pixel_resize",
-    "multimodal_wav_roundtrip",
-    "multimodal_gif_frames",
-    "part_bom_recursive",
-    "text_bigram_lm_scores",
+    # changed-code in r11 (see the rotation note above)
     "dedup_semantic",
-    "graph_triangle_counts",
-    "text_unigram_entropy",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_stats",
-    "multimodal_png_roundtrip",
-    "customer_rank_by_nation",
-    "events_json_stats",
-    "events_top3_per_user",
-    "events_user_gaps",
-    "events_user_type_pivot",
-    "orders_by_month",
-    "orders_price_quantiles",
-    "orders_price_rank_dist",
-    "orders_status_priority_cube",
-    "q18_large_orders",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "top_customers",
-    "corpus_canonical_docs",
-    "corpus_decontaminate",
-    "corpus_global_shuffle",
-    "corpus_pack_sequences",
-    "corpus_quality_funnel",
-    "corpus_stratified_sample",
-    "corpus_train_val_split",
-    "customers_semi_anti",
-    "decimal_revenue",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    # (dedup_exact, the 46th r6-cohort member, was displaced to the
-    # tail front by er_resolve_entities' changed-code slot — the
-    # changed-code invariant outranks evidence freshness, and
-    # dedup_exact is the cohort's simplest, most code-stable plan.
-    # Its evidence stays r6; it leads the r11 queue.)
-]
-
-_CHECK_WINDOW_TAIL = [
-    # displaced r10 filler — leads the r11 queue (evidence r6)
+    "dedup_semantic_persisted",
+    "dedup_ensemble",
+    "events_cusum_changepoint",
+    "similarity_ann_ivf_persisted",
+    "tenhou_source_actions",
+    # the declared r11 queue: the displaced r6 filler first — its
+    # board row retires the last sub-r7 evidence on the registry
     "dedup_exact",
-    # r7-last-green cohort (second in the r11 queue)
+    # then the r7-last-green cohort (first 43 of 49; the last six are
+    # displaced to the tail front by the changed-code slots above)
     "similarity_rrf_ensemble",
     "similarity_knn_classify",
     "text_inverted_index",
@@ -222,13 +159,18 @@ _CHECK_WINDOW_TAIL = [
     "part_string_stats",
     "q1_pricing_summary",
     "q22_global_sales_opportunity",
+]
+
+_CHECK_WINDOW_TAIL = [
+    # r7-cohort members displaced by the r11 changed-code slots —
+    # they lead the r12 queue (evidence r7)
     "q3_shipping_priority",
     "q5_nation_revenue",
     "segment_set_ops",
     "similarity_topk_bruteforce",
     "sql_text_roundtrip",
     "text_fingerprint",
-    # r8-last-green cohort (second in the r11 queue)
+    # r8-last-green cohort (second in the r12 queue)
     "multimodal_spectral_features",
     "text_pmi_collocations",
     "text_script_profile",
@@ -296,7 +238,8 @@ _CHECK_WINDOW_TAIL = [
     "corpus_weighted_sample",
     "dedup_containment",
     "dedup_duplicate_spans",
-    "dedup_ensemble",
+    # (dedup_ensemble, r9-cohort member, re-entered the r11 head on
+    # changed code — the vectorized minhash signature pass)
     "dq_constraint_suite",
     "er_fuzzy_name_pairs",
     "events_anomaly_prequential",
@@ -327,6 +270,54 @@ _CHECK_WINDOW_TAIL = [
     "similarity_ann_ivf_int8",
     "text_zipf_spectrum",
     "tpch_scalar_revenues",
+    # r10-last-green cohort (freshest evidence, rotates last): the
+    # full r10 check window minus the five members the r11
+    # changed-code slots pulled back into the head
+    "text_vocab_coverage",
+    "er_resolve_entities",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "events_approx_quantiles",
+    "mahjong_experiments_games",
+    "csv_roundtrip_stats",
+    "dq_column_profile",
+    "multimodal_gif_roundtrip",
+    "multimodal_pixel_resize",
+    "multimodal_wav_roundtrip",
+    "multimodal_gif_frames",
+    "part_bom_recursive",
+    "text_bigram_lm_scores",
+    "graph_triangle_counts",
+    "text_unigram_entropy",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_stats",
+    "multimodal_png_roundtrip",
+    "customer_rank_by_nation",
+    "events_json_stats",
+    "events_top3_per_user",
+    "events_user_gaps",
+    "events_user_type_pivot",
+    "orders_by_month",
+    "orders_price_quantiles",
+    "orders_price_rank_dist",
+    "orders_status_priority_cube",
+    "q18_large_orders",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "top_customers",
+    "corpus_canonical_docs",
+    "corpus_decontaminate",
+    "corpus_global_shuffle",
+    "corpus_pack_sequences",
+    "corpus_quality_funnel",
+    "corpus_stratified_sample",
+    "corpus_train_val_split",
+    "customers_semi_anti",
+    "decimal_revenue",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
 ]
 
 

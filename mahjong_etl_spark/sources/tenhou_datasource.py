@@ -84,6 +84,9 @@ PARSED_TABLE = "_parsed"
 # enough to amortize the Arrow framing, small enough that a batch
 # (widest table `actions`, ~60 B/row) stays well under a megabyte
 ARROW_BATCH_ROWS = 8_192
+# envelope rows are whole games (~a few KB each across nine nested
+# columns) — same under-a-few-MB target, far fewer rows per batch
+PARSED_ARROW_ROWS = 256
 
 
 def parsed_stream_schema() -> StructType:
@@ -192,12 +195,8 @@ class TenhouReader(DataSourceReader):
             prior_offset=offset,
             fs=fs,
         )
-        if self.table == PARSED_TABLE:
-            # nested array<struct> envelope (the streaming-ETL feed):
-            # row-tuple yields; the flat-table paths are the ones that
-            # carry scan traffic
-            yield from rows
-            return
+        # every table — the flat scans AND the nested _parsed envelope
+        # (r11) — yields Arrow RecordBatches, never pickled row tuples
         yield from _arrow_batches(self.table, rows)
 
 
@@ -206,23 +205,34 @@ def _arrow_batches(table: str, rows):
     reader (r10: the stream's backlog-replay path paid per-row
     pickling): the Python DataSource API accepts pyarrow.RecordBatch
     yields, replacing one pickled tuple per ROW on the worker<->JVM
-    socket with one Arrow buffer per ARROW_BATCH_ROWS — the same
-    economics as the ETL's mapInPandas parse.  The arrow schema is
-    derived from the declared Spark schema (decimal/date/array fields
-    included), so both paths stay byte-equivalent to the row-tuple
-    production (parity pinned in tests/test_tenhou_datasource.py)."""
+    socket with one Arrow buffer per batch — the same economics as the
+    ETL's mapInPandas parse.  The arrow schema is derived from the
+    declared Spark schema (decimal/date/array fields included), so
+    both paths stay byte-equivalent to the row-tuple production
+    (parity pinned in tests/test_tenhou_datasource.py).
+
+    The ``_parsed`` envelope (one row per GAME, every table's rows as
+    a minted array<struct> column) rides the same path since r11 — it
+    was the repo's last per-row-pickled production; pyarrow converts
+    the nested tuple rows against the arrow struct types directly.
+    Envelope rows are whole games (a few KB each), so the batch is
+    capped at PARSED_ARROW_ROWS instead of ARROW_BATCH_ROWS."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType
 
-    aschema = to_arrow_schema(
-        StructType(
+    if table == PARSED_TABLE:
+        spark_schema = parsed_stream_schema()
+        batch_rows = PARSED_ARROW_ROWS
+    else:
+        spark_schema = StructType(
             [
                 StructField("dt", StringType(), True),
                 *TABLE_SCHEMAS[table].fields,
             ]
         )
-    )
+        batch_rows = ARROW_BATCH_ROWS
+    aschema = to_arrow_schema(spark_schema)
 
     def to_batch(buf: list) -> pa.RecordBatch:
         cols = list(zip(*buf))
@@ -237,7 +247,7 @@ def _arrow_batches(table: str, rows):
     buf: list = []
     for r in rows:
         buf.append(r)
-        if len(buf) >= ARROW_BATCH_ROWS:
+        if len(buf) >= batch_rows:
             yield to_batch(buf)
             buf = []
     if buf:
@@ -520,18 +530,13 @@ class TenhouStreamReader(DataSourceStreamReader):
             prior_offset=offset,
             fs=fs,
         )
-        if b.table == PARSED_TABLE:
-            # nested envelope: row-tuple yields (micro-batch-sized by
-            # construction — the streaming-ETL feed)
-            yield from rows
-            return
-        # flat tables ride the same Arrow RecordBatch production as
-        # the batch reader (r10): a stream draining a BACKLOG (first
-        # start against a populated date dir, or catch-up after
-        # downtime) is a batch-sized read in streaming clothes, and
-        # per-row pickling was exactly the cost the r9 batch fix
-        # removed — parity with the tuple path pinned in
-        # tests/test_tenhou_datasource.py
+        # every table rides the shared Arrow RecordBatch production
+        # (flat tables r10, the _parsed envelope r11): a stream
+        # draining a BACKLOG (first start against a populated date
+        # dir, or catch-up after downtime) is a batch-sized read in
+        # streaming clothes, and per-row pickling was exactly the
+        # cost the r9 batch fix removed — parity with the tuple path
+        # pinned in tests/test_tenhou_datasource.py
         yield from _arrow_batches(b.table, rows)
 
     def commit(self, end: dict) -> None:

@@ -360,16 +360,20 @@ def test_split_offset_rebuild_skips_corrupt_prior_file(spark, tmp_path):
     assert _canon(whole) == _canon(written)
 
 
-def test_batch_read_yields_arrow_batches_parsed_yields_tuples():
-    """The r9 fast path contract, pinned at the reader level: a flat
-    table's read() produces pyarrow.RecordBatch objects whose schema
-    leads with dt (matching DataSource.schema()), while the _parsed
-    nested envelope keeps per-row tuple yields (the streaming feed)."""
+def test_batch_read_yields_arrow_batches_every_table():
+    """The fast path contract, pinned at the reader level: EVERY
+    table's read() — flat scans (r9) and the _parsed nested envelope
+    (r11, the repo's last per-row-pickled production) — yields
+    pyarrow.RecordBatch objects, and the envelope's Arrow encoding is
+    value-identical to the raw tuple production it replaced."""
     import pyarrow as pa
 
+    from mahjong_etl_spark.schemas import TABLE_SCHEMAS
     from mahjong_etl_spark.sources.tenhou_datasource import (
         PARSED_TABLE,
         TenhouReader,
+        _fs_and_path,
+        _read_files,
     )
 
     r = TenhouReader({"path": FIXTURE_LOGS}, "games")
@@ -381,16 +385,40 @@ def test_batch_read_yields_arrow_batches_parsed_yields_tuples():
 
     rp = TenhouReader({"path": FIXTURE_LOGS}, PARSED_TABLE)
     (part_p, *_) = rp.partitions()
-    rows = list(rp.read(part_p))
-    assert rows and all(isinstance(t, tuple) for t in rows)
+    out_p = list(rp.read(part_p))
+    assert out_p and all(isinstance(b, pa.RecordBatch) for b in out_p)
+    assert out_p[0].schema.names[:2] == ["dt", "game_id"]
+
+    # full value parity with the tuple production (same files, same
+    # minting offset): every nested struct field of every table
+    fs, _ = _fs_and_path(rp.path)
+    raw = list(
+        _read_files(
+            rp, part_p.dt_raw, sorted(part_p.files), prior_offset=0, fs=fs
+        )
+    )
+    got = []
+    for b in out_p:
+        d = b.to_pydict()
+        for i in range(b.num_rows):
+            env = [
+                [
+                    tuple(rd[f.name] for f in TABLE_SCHEMAS[t].fields)
+                    for rd in d[t][i]
+                ]
+                for t in TABLE_SCHEMAS
+            ]
+            got.append((d["dt"][i], d["game_id"][i], env))
+    want = [(r0[0], r0[1], [list(tbl) for tbl in r0[2:]]) for r0 in raw]
+    assert got == want and got
 
 
 def test_stream_read_yields_arrow_batches_for_flat_tables():
     """The r10 extension of the fast-path contract to the STREAM
     reader (a backlog drain is a batch-sized read in streaming
     clothes): flat-table stream partitions produce RecordBatches
-    row-identical to the tuple production; the _parsed envelope keeps
-    tuple yields."""
+    row-identical to the tuple production, and since r11 the _parsed
+    envelope streams as Arrow too."""
     import pyarrow as pa
 
     from mahjong_etl_spark.sources.tenhou_datasource import (
@@ -424,9 +452,13 @@ def test_stream_read_yields_arrow_batches_for_flat_tables():
     ]
     assert got == want
 
+    # the _parsed envelope stream rides the same Arrow production
+    # (r11); batch-reader parity of the encoding itself is pinned by
+    # test_batch_read_yields_arrow_batches_every_table
     srp = TenhouStreamReader(
         TenhouReader({"path": FIXTURE_LOGS}, PARSED_TABLE)
     )
     pparts = srp.partitions(srp.initialOffset(), srp.latestOffset())
-    rows = list(srp.read(pparts[0]))
-    assert rows and all(isinstance(t, tuple) for t in rows)
+    pbatches = list(srp.read(pparts[0]))
+    assert pbatches and all(isinstance(b, pa.RecordBatch) for b in pbatches)
+    assert pbatches[0].schema.names[:2] == ["dt", "game_id"]
