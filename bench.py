@@ -68,11 +68,13 @@ def main() -> None:
             IVF_LLOYD_ITERS,
             corpus_centroids,
             corpus_embeddings,
+            corpus_pq_codebooks,
         )
 
         _emb = corpus_embeddings(spark, sf_dir)
         corpus_centroids(spark, sf_dir, IVF_CLUSTERS, IVF_LLOYD_ITERS)
         _sem_centroids(spark, sf_dir, _emb)
+        corpus_pq_codebooks(spark, sf_dir)
     except Exception as exc:  # a missing embeddings table must not
         # kill the whole bench — the queries themselves will report it
         print(f"warm-up: quantizer prewarm skipped: {exc}", file=sys.stderr)

@@ -569,18 +569,18 @@ def minhash_lsh_pairs(
     from pyspark.sql.window import Window
 
     # eligible docs mirror the signature pass's own cut: < n tokens ⇒
-    # no shingles ⇒ never reaches the band join
-    elig = df.where(F.size(F.split(F.col("text"), " ")) >= n).select(
-        "doc_id", "text"
+    # no shingles ⇒ never reaches the band join.  text rides through
+    # the group window so representatives need no join-back (stage
+    # economy: at test SF the whole collapse adds ONE exchange).
+    w = Window.partitionBy(F.md5("text"))
+    marked = df.where(F.size(F.split(F.col("text"), " ")) >= n).select(
+        "doc_id", "text", F.min("doc_id").over(w).alias("rep")
     )
-    w = Window.partitionBy("th")
-    marked = elig.select(
-        "doc_id", F.md5("text").alias("th")
-    ).select("doc_id", "th", F.min("doc_id").over(w).alias("rep"))
-    reps = marked.where(F.col("doc_id") == F.col("rep")).select("doc_id")
 
     sig = minhash_signatures(
-        df.join(reps, "doc_id").select("doc_id", "text"),
+        marked.where(F.col("doc_id") == F.col("rep")).select(
+            "doc_id", "text"
+        ),
         n,
         bands * rows_per_band,
     )
@@ -610,30 +610,46 @@ def minhash_lsh_pairs(
         .select("rep_a", "rep_b", F.round(jac, 6).alias("jaccard"))
     )
 
-    # member expansion: capped member lists per text group (overflow
-    # copies are represented by their group rep — their own pair rows
-    # come from the within-group stage below)
+    # member expansion: within-group pairs ride the SAME two joins as
+    # the cross-group ones — every rep contributes a self pair with
+    # Jaccard 1.0 (identical text ⇒ identical shingle set), and the
+    # (rep_a != rep_b) | (da < db) filter keeps each unordered pair
+    # exactly once (cross pairs are unique by construction, self
+    # pairs dedupe on the id order).  Members beyond BUCKET_CAP are
+    # excluded from the expansion and link to their group rep only
+    # (the standard overflow shape — bounded mega-group cost).
     wm = Window.partitionBy("rep").orderBy("doc_id")
-    mcap = (
-        marked.select("rep", "doc_id", F.row_number().over(wm).alias("__rk"))
-        .where(F.col("__rk") <= BUCKET_CAP)
-        .select("rep", "doc_id")
+    ranked = marked.select(
+        "rep", "doc_id", F.row_number().over(wm).alias("__rk")
+    )
+    mcap = ranked.where(F.col("__rk") <= BUCKET_CAP).select("rep", "doc_id")
+    overflow = ranked.where(F.col("__rk") > BUCKET_CAP).select(
+        F.col("rep").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.round(F.lit(1.0), 6).alias("jaccard"),
+    )
+    # the rank-1 member IS the rep (rep = min doc_id), so the self
+    # pairs come from the ranked subtree — its exchange is shared with
+    # mcap/overflow instead of re-deriving the text-group window
+    ver_self = ranked.where(F.col("__rk") == 1).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        F.round(F.lit(1.0), 6).alias("jaccard"),
     )
     ma = mcap.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("da"))
     mb = mcap.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("db"))
     cross = (
-        ver.join(ma, "rep_a")
+        ver.unionByName(ver_self)
+        .join(ma, "rep_a")
         .join(mb, "rep_b")
+        .where((F.col("rep_a") != F.col("rep_b")) | (F.col("da") < F.col("db")))
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
             "jaccard",
         )
     )
-    within = _bucket_pairs(
-        marked.select("rep", "doc_id"), ["rep"], "doc_id", "doc_a", "doc_b"
-    ).select("doc_a", "doc_b", F.round(F.lit(1.0), 6).alias("jaccard"))
-    return cross.unionByName(within)
+    return cross.unionByName(overflow)
 
 
 @query(
@@ -917,49 +933,36 @@ def _sem_centroids(spark: SparkSession, sf_dir: str, e: DataFrame):
 
 def _sem_dedup(spark: SparkSession, e: DataFrame, centroids) -> DataFrame:
     """SemDeDup downstream of the trained quantizer (shared by the
-    in-session and persisted-quantizer variants): exact-duplicate
-    pre-collapse, top-2 soft assign, within-cell BLAS pair
-    enumeration, pointer-jumping components.
+    in-session and persisted-quantizer variants): top-2 soft assign,
+    within-cell exact-duplicate collapse + BLAS pair enumeration,
+    pointer-jumping components.
 
-    The pre-collapse (r10 verdict item 7): identical embeddings land
-    in identical cells and score cosine 1 against everything their
-    representative scores, so letting copies into the cell stage only
-    grows the within-cell pair count by copies² — the dominant term of
-    the 100× probe on the 99-copies worst-case corpus.  Exact copies
-    are therefore grouped FIRST (the cheap ``dedup_exact`` shape — one
-    exchange keyed on the raw double vector, so the collapse is exact
-    and no digest collision can weld two distinct vectors into a false
-    cosine-1 edge; at 100 TB swap the key for a 128-bit digest of the
-    raw bytes and accept the ~n²/2¹²⁸ odds), each copy star-links to
-    its group representative (a true cosine-1 ≥ τ edge), and only the
-    representatives enter assignment + pair enumeration.  Components
-    are UNCHANGED by construction: for a copy m of rep r, m's cells
-    equal r's cells and cos(m, v) == cos(r, v) for every v, so the
-    edge m—v exists in the uncollapsed graph iff r—v does, and the
-    star edge keeps m connected — the output is bit-identical (both
-    variants keep sharing one committed golden)."""
+    Exact-copy collapse (r10 verdict item 7): identical embeddings
+    land in identical cells and score cosine 1 against everything
+    their representative scores, so letting copies into the pairwise
+    stage grows the within-cell pair count by copies² — the dominant
+    term of the 100× probe on the 99-copies worst-case corpus.  The
+    collapse happens INSIDE each cell's pandas group (zero new Spark
+    stages — an r11 lesson: a corpus-wide pre-collapse window cost
+    more in stage overhead at test SF than the copies² it saved):
+    identical vectors within a cell byte-group in numpy, the group
+    representative is the min vec_id — which IS the global group rep,
+    because exact copies are soft-assigned to exactly the same two
+    cells, so every copy of a group is present wherever any copy is —
+    the BLAS matmul runs over unique vectors only, emits rep-level
+    pairs, and each copy star-links to its rep (a true cosine-1 ≥ τ
+    edge, emitted once per shared cell and deduped by the existing
+    distinct).  Components are UNCHANGED by construction: for a copy
+    m of rep r, m's cells equal r's cells and cos(m, v) == cos(r, v)
+    for every v, so the edge m—v exists in the uncollapsed graph iff
+    r—v does, and the star edge keeps m connected — the output is
+    bit-identical (both variants keep sharing one committed golden)."""
     import numpy as np
     import pandas as pd
-
-    from pyspark.sql.window import Window
 
     from .corpus import connected_components
 
     cents = centroids
-
-    w_rep = Window.partitionBy("emb_d")
-    marked = e.select(
-        "vec_id",
-        "emb_d",
-        "norm",
-        F.min("vec_id").over(w_rep).alias("rep"),
-    )
-    reps = marked.where(F.col("vec_id") == F.col("rep")).select(
-        "vec_id", "emb_d", "norm"
-    )
-    star = marked.where(F.col("vec_id") != F.col("rep")).select(
-        F.col("rep").alias("doc_a"), F.col("vec_id").alias("doc_b")
-    )
 
     # Ship the centroid matrix to executors ONCE via a torrent
     # broadcast, not by closure capture: a captured ndarray is
@@ -986,10 +989,10 @@ def _sem_dedup(spark: SparkSession, e: DataFrame, centroids) -> DataFrame:
                 }
             )
 
-    cells = reps.select("vec_id", "emb_d").mapInPandas(
+    cells = e.select("vec_id", "emb_d").mapInPandas(
         soft_assign, "vec_id long, cluster int"
     )
-    assigned = reps.join(cells, "vec_id").select(
+    assigned = e.join(cells, "vec_id").select(
         "cluster", "vec_id", "emb_d", "norm"
     )
 
@@ -1005,19 +1008,36 @@ def _sem_dedup(spark: SparkSession, e: DataFrame, centroids) -> DataFrame:
             return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
-        mat = np.asarray(
+        mat = np.ascontiguousarray(
             [np.asarray(v, dtype=np.float64) for v in pdf["emb_d"].values]
         )
-        mat /= pdf["norm"].to_numpy()[:, None]
-        out_a, out_b = [], []
+        # exact-copy collapse (docstring): byte-group identical rows,
+        # rep = first occurrence = min vec_id (ids ascending); copies
+        # star-link to the rep, only unique rows enter the matmul
+        rows = mat.view([("", mat.dtype)] * mat.shape[1]).ravel()
+        _, first_idx, inv = np.unique(
+            rows, return_index=True, return_inverse=True
+        )
+        reps = ids[first_idx]
+        star_a = reps[inv]
+        star_mask = star_a != ids
+        out_a = [star_a[star_mask]]
+        out_b = [ids[star_mask]]
+        # unique vectors, ordered by rep id so the upper triangle is
+        # a < b exactly as the uncollapsed enumeration produced
+        order = np.argsort(reps)
+        reps = reps[order]
+        umat = mat[first_idx[order]]
+        umat /= pdf["norm"].to_numpy()[first_idx[order], None]
+        m = len(reps)
         block = 2048
-        for lo in range(0, n, block):
-            hi = min(lo + block, n)
-            sims = mat[lo:hi] @ mat.T  # (block, n)
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            sims = umat[lo:hi] @ umat.T  # (block, m)
             r, c = np.nonzero(sims >= SEM_TAU)
             keep = (r + lo) < c  # upper triangle: a < b by sorted id
-            out_a.append(ids[(r + lo)[keep]])
-            out_b.append(ids[c[keep]])
+            out_a.append(reps[(r + lo)[keep]])
+            out_b.append(reps[c[keep]])
         return pd.DataFrame(
             {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
         )
@@ -1025,8 +1045,7 @@ def _sem_dedup(spark: SparkSession, e: DataFrame, centroids) -> DataFrame:
     edges = (
         assigned.groupBy("cluster")
         .applyInPandas(cell_pairs, "doc_a long, doc_b long")
-        .distinct()  # a pair may share both cells
-        .unionByName(star)  # copies rejoin through their representative
+        .distinct()  # a pair (or a copy's star edge) may share both cells
     )
     comp = connected_components(edges)  # (id, cluster_id=min member)
     return (

@@ -1440,14 +1440,55 @@ def ann_pq_topk(
     )
 
 
+# (sf_dir) -> (owning session, trained PQ codebooks) and
+# (sf_dir) -> (owning session, persisted coded corpus): the PQ family
+# analogue of corpus_centroids / corpus_shingle_sets — training and
+# encoding are once-per-corpus-snapshot costs (the persisted index IS
+# that lifecycle on disk), so the three in-session consumers
+# (similarity_ann_pq, the RRF ensemble's PQ leg, _ensure_pq_index)
+# must not each pay their own Lloyd rounds + encode pass.
+# Deterministic training ⇒ identical books either way (golden-pinned).
+_PQ_BOOKS_CACHE: dict[str, tuple[SparkSession, object]] = {}
+_PQ_CODES_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def corpus_pq_codebooks(spark: SparkSession, sf_dir: str):
+    hit = _PQ_BOOKS_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    books = train_pq_codebooks(corpus_embeddings(spark, sf_dir))
+    _PQ_BOOKS_CACHE[sf_dir] = (spark, books)
+    return books
+
+
+def corpus_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hit = _PQ_CODES_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    codes = pq_encode(
+        corpus_embeddings(spark, sf_dir), corpus_pq_codebooks(spark, sf_dir)
+    ).persist()
+    _PQ_CODES_CACHE[sf_dir] = (spark, codes)
+    return codes
+
+
 @query("similarity_ann_pq", oracle=_ann_golden_oracle("pq"))
 def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC ANN top-5 with exact rerank (approximate — no SQL
     oracle; tests pin recall vs the brute-force baseline, same
     contract as the LSH/IVF variants).  The 32x-compressed code table
-    is the declared path for indexes too large to hold as floats."""
+    is the declared path for indexes too large to hold as floats.
+    Codebooks + coded corpus come from the session snapshot caches
+    above (train/encode once, serve every consumer)."""
     e = corpus_embeddings(spark, sf_dir)
-    return ann_pq_topk(spark, e.where(N_QUERIES_PRED), e, TOPK)
+    return ann_pq_topk(
+        spark,
+        e.where(N_QUERIES_PRED),
+        e,
+        TOPK,
+        books=corpus_pq_codebooks(spark, sf_dir),
+        codes=corpus_pq_codes(spark, sf_dir),
+    )
 # ---------------------------------------------------------------------------
 # PQ index persistence (same lifecycle contract as the IVF snapshot)
 # ---------------------------------------------------------------------------
@@ -1490,7 +1531,12 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
         import tempfile
 
         hit = tempfile.mkdtemp(prefix="pq_index_")
-        write_pq_index(spark, corpus_embeddings(spark, sf_dir), hit)
+        write_pq_index(
+            spark,
+            corpus_embeddings(spark, sf_dir),
+            hit,
+            books=corpus_pq_codebooks(spark, sf_dir),
+        )
         _PQ_INDEX_DIR[sf_dir] = hit
     return hit
 
@@ -1616,7 +1662,11 @@ def similarity_rrf_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ann_lsh_topk(spark, q, e, TOPK),
             ann_ivf_topk(spark, q, e, TOPK, centroids=cents),
-            ann_pq_topk(spark, q, e, TOPK),
+            ann_pq_topk(
+                spark, q, e, TOPK,
+                books=corpus_pq_codebooks(spark, sf_dir),
+                codes=corpus_pq_codes(spark, sf_dir),
+            ),
         ],
         TOPK,
     )
