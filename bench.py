@@ -75,6 +75,13 @@ def main() -> None:
         corpus_centroids(spark, sf_dir, IVF_CLUSTERS, IVF_LLOYD_ITERS)
         _sem_centroids(spark, sf_dir, _emb)
         corpus_pq_codebooks(spark, sf_dir)
+        # the text-dedup family's shared relations (shingle sets +
+        # verified Jaccard pairs) — persisted lazily, so force the
+        # materialization here instead of on the alphabetically-first
+        # consumer (corpus_canonical_docs in r11's board)
+        from mahjong_etl_spark.operators.dedup import corpus_jaccard_pairs
+
+        corpus_jaccard_pairs(spark, sf_dir).count()
     except Exception as exc:  # a missing embeddings table must not
         # kill the whole bench — the queries themselves will report it
         print(f"warm-up: quantizer prewarm skipped: {exc}", file=sys.stderr)

@@ -569,18 +569,25 @@ def minhash_lsh_pairs(
     from pyspark.sql.window import Window
 
     # eligible docs mirror the signature pass's own cut: < n tokens ⇒
-    # no shingles ⇒ never reaches the band join.  text rides through
-    # the group window so representatives need no join-back (stage
-    # economy: at test SF the whole collapse adds ONE exchange).
+    # no shingles ⇒ never reaches the band join.  The group window is
+    # kept THIN (doc_id + the md5 partition key) and the signature
+    # pass reads text from the SCAN via a rep-id join rather than
+    # from the window's output: a window exchange over a small corpus
+    # gets AQE-coalesced to a handful of post-shuffle partitions, and
+    # feeding mapInPandas from it serializes the Python signature
+    # work onto those few tasks (measured 5.2 s vs 1.1 s at sf0.1) —
+    # the join keeps the scan's file-partition parallelism (broadcast
+    # at small scale, SMJ with plenty of partitions at fact scale).
     w = Window.partitionBy(F.md5("text"))
     marked = df.where(F.size(F.split(F.col("text"), " ")) >= n).select(
-        "doc_id", "text", F.min("doc_id").over(w).alias("rep")
+        "doc_id", F.min("doc_id").over(w).alias("rep")
     )
 
     sig = minhash_signatures(
-        marked.where(F.col("doc_id") == F.col("rep")).select(
-            "doc_id", "text"
-        ),
+        df.join(
+            marked.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+            "doc_id",
+        ).select("doc_id", "text"),
         n,
         bands * rows_per_band,
     )
