@@ -20,6 +20,10 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # host weather at run boundaries (1/5/15-min loadavg): BENCH rows
+    # are only comparable round-over-round when the ambient regime is
+    # visible in the artifact itself (r11 verdict item 2)
+    load_run_start = [round(x, 2) for x in os.getloadavg()]
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from mahjong_etl_spark.plans.registry import registry
@@ -176,11 +180,19 @@ def main() -> None:
     etl_times: list[float] = []
     ref_times: list[float] = []
     pair_ratios: list[float] = []
+    pair_loads: list[float] = []
     etl_out = tempfile.mkdtemp(prefix="mahjong_bench_etl_")
     try:
         run_etl(spark, log_dir, etl_out)  # untimed warm-up pass
 
         def _one_pair() -> None:
+            # weather report (r11 verdict item 2): the host is shared,
+            # and a pair's ratio cancels common-mode load but the raw
+            # seconds do not — sample the 1-min loadavg per pair so a
+            # round-over-round wall regression is adjudicable from the
+            # artifact alone (r11's 1.95->1.55 "regression" took a
+            # controlled two-tree re-run to prove ambient)
+            pair_loads.append(round(os.getloadavg()[0], 2))
             r = _ref_parse_sec()
             shutil.rmtree(etl_out, ignore_errors=True)
             t0 = time.perf_counter()
@@ -252,6 +264,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # the weather report: run-boundary 1/5/15-min loadavg plus one
+    # 1-min sample per (ref, etl) pair — a wall regression whose load
+    # fields moved with it is ambient, not code (r11 verdict item 2)
+    out["load_run_start"] = load_run_start
+    out["load_run_end"] = [round(x, 2) for x in os.getloadavg()]
+    out["load_pairs"] = pair_loads
     out["tenhou_source_actions_1k_sec"] = tenhou_source_sec
     if pair_ratios:
         from statistics import median  # even-length lists average the
@@ -272,6 +290,13 @@ def main() -> None:
         out["etl_vs_ref_speedup_spread"] = round(
             max(pair_ratios) - min(pair_ratios), 2
         )
+        # raw per-pair seconds (detail artifact only): with the
+        # per-pair load samples these let a reader attribute a ratio
+        # move to the ref side, the etl side, or the host
+        out["etl_vs_ref_pairs_raw"] = [
+            [round(r, 3), round(e, 3)]
+            for r, e in zip(ref_times, etl_times)
+        ]
 
     # Full per-query detail always lands on disk next to this script —
     # the committed round-over-round record.  BENCH_r{N}.json (written
@@ -325,10 +350,13 @@ def main() -> None:
 
         names = sorted(timings)
         out_c = dict(out)
-        # the raw pair vector stays in the DETAIL file only — the
-        # spread summarizes it, and its ~48 chars are better spent on
+        # the raw pair vectors stay in the DETAIL file only — the
+        # spread summarizes them, and their chars are better spent on
         # named slowest-queries entries inside the 1500-char budget
+        # (the load fields DO stay in the line: ~60 chars buys the
+        # next round's wall number its own weather report)
         out_c.pop("etl_vs_ref_speedup_pairs", None)
+        out_c.pop("etl_vs_ref_pairs_raw", None)
         out_c["n_queries"] = len(timings)
         out_c["qvals"] = [round(timings[n], 2) for n in names]
         out_c["qorder"] = "sorted(bench-names+mahjong_*_1k)"

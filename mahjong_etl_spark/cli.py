@@ -215,7 +215,10 @@ def cmd_index(args: argparse.Namespace) -> int:
     # surface the data-driven retrain signal (drift ledger, r11): the
     # frozen quantizer's operational limit, as a number instead of a
     # calendar habit
-    from .streaming.ann_index_stream import rebuild_recommended
+    from .streaming.ann_index_stream import (
+        compact_recommended,
+        rebuild_recommended,
+    )
 
     drift = rebuild_recommended(spark, args.index_dir)
     last = drift.get("last") or {}
@@ -224,6 +227,15 @@ def cmd_index(args: argparse.Namespace) -> int:
         f"last batch residual_ratio={last.get('residual_ratio')} "
         f"top_cell_share={last.get('top_cell_share')} -> "
         f"rebuild recommended: {drift['rebuild_recommended']}"
+    )
+    # ... and the small-file signal (r12): both maintenance actions —
+    # retrain and compact — read off one command
+    comp = compact_recommended(spark, args.index_dir)
+    print(
+        f"postings: {comp['files']} files across {comp['partitions']} "
+        f"cluster partitions (max {comp['max_partition_files']}/part, "
+        f"knee {comp['knee']}) -> "
+        f"compact recommended: {comp['compact_recommended']}"
     )
     return 0
 

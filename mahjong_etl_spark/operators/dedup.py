@@ -565,32 +565,81 @@ def minhash_lsh_pairs(
     bucket this is strictly better than the r10 behavior: the bucket
     no longer fills up with copies, so distinct near-dup texts are
     never crowded out of the cap by boilerplate repetition.
+
+    ADAPTIVE (r12, r11 verdict item 4): the r11 pre-collapse paid its
+    ~5 thin extra stages on EVERY corpus, including ones with no
+    exact duplicates at all — where the expansion reproduces the rep
+    pairs verbatim.  One cheap aggregate now decides the shape:
+    ``count(*)`` vs ``count(distinct md5(text))`` over the eligible
+    docs (map-side partial aggregation of 16-byte digests — a
+    rounding error next to the shingle/signature passes).  Three
+    regimes, all emitting the SAME pair set by construction (so one
+    committed golden pins them all):
+
+    - zero duplicates → the collapse machinery is skipped entirely
+      (no group window, no joins): every doc signs directly and the
+      verified pairs ARE the output;
+    - few duplicates (the common real-corpus case — sf0.1 carries 8
+      dup texts in 5000) → the collapse runs, but the ranked subtree
+      + expansion joins are built ONLY over multi-member text groups
+      (dup-group-sized, broadcast-tiny) with singleton reps passing
+      through the left joins untouched, and the signature feed
+      anti-joins the (n − n_distinct)-row NON-rep side instead of
+      semi-joining the rep side;
+    - duplicate-heavy (the 100× probe regime) → the full r11 shape:
+      semi-join on reps, expansion over what is now most of the
+      corpus.
     """
     from pyspark.sql.window import Window
 
     # eligible docs mirror the signature pass's own cut: < n tokens ⇒
-    # no shingles ⇒ never reaches the band join.  The group window is
-    # kept THIN (doc_id + the md5 partition key) and the signature
-    # pass reads text from the SCAN via a rep-id join rather than
-    # from the window's output: a window exchange over a small corpus
-    # gets AQE-coalesced to a handful of post-shuffle partitions, and
-    # feeding mapInPandas from it serializes the Python signature
-    # work onto those few tasks (measured 5.2 s vs 1.1 s at sf0.1) —
-    # the join keeps the scan's file-partition parallelism (broadcast
-    # at small scale, SMJ with plenty of partitions at fact scale).
-    w = Window.partitionBy(F.md5("text"))
-    marked = df.where(F.size(F.split(F.col("text"), " ")) >= n).select(
-        "doc_id", F.min("doc_id").over(w).alias("rep")
-    )
+    # no shingles ⇒ never reaches the band join.
+    eligible = df.where(F.size(F.split(F.col("text"), " ")) >= n)
+    stats = eligible.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_texts"),
+    ).first()
+    n_copies = (stats.n_docs or 0) - (stats.n_texts or 0)
+    collapse = n_copies > 0
 
-    sig = minhash_signatures(
-        df.join(
-            marked.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+    if collapse:
+        # The group window is kept THIN (doc_id + the md5 partition
+        # key) and the signature pass reads text from the SCAN via a
+        # rep-id join rather than from the window's output: a window
+        # exchange over a small corpus gets AQE-coalesced to a
+        # handful of post-shuffle partitions, and feeding mapInPandas
+        # from it serializes the Python signature work onto those few
+        # tasks (measured 5.2 s vs 1.1 s at sf0.1) — the join keeps
+        # the scan's file-partition parallelism.  Which SIDE to join
+        # is picked from the aggregate: with few copies the non-rep
+        # exclusion list (exactly n_copies rows) is far smaller than
+        # the rep list, so the anti-join broadcasts a sliver instead
+        # of semi-joining ~the whole corpus back onto itself.
+        w = Window.partitionBy(F.md5("text"))
+        marked = eligible.select(
             "doc_id",
-        ).select("doc_id", "text"),
-        n,
-        bands * rows_per_band,
-    )
+            F.min("doc_id").over(w).alias("rep"),
+            F.count(F.lit(1)).over(w).alias("gsz"),
+        )
+        if n_copies <= (stats.n_texts or 0):
+            sig_in = eligible.join(
+                marked.where(F.col("doc_id") != F.col("rep")).select(
+                    "doc_id"
+                ),
+                "doc_id",
+                "left_anti",
+            ).select("doc_id", "text")
+        else:
+            sig_in = df.join(
+                marked.where(F.col("doc_id") == F.col("rep")).select(
+                    "doc_id"
+                ),
+                "doc_id",
+            ).select("doc_id", "text")
+    else:
+        sig_in = eligible.select("doc_id", "text")
+
+    sig = minhash_signatures(sig_in, n, bands * rows_per_band)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -617,16 +666,34 @@ def minhash_lsh_pairs(
         .select("rep_a", "rep_b", F.round(jac, 6).alias("jaccard"))
     )
 
+    if not collapse:
+        # dup-free corpus: the verified rep pairs ARE the doc pairs
+        # (_bucket_pairs already emits a < b) — no expansion joins
+        return ver.select(
+            F.col("rep_a").alias("doc_a"),
+            F.col("rep_b").alias("doc_b"),
+            "jaccard",
+        )
+
     # member expansion: within-group pairs ride the SAME two joins as
-    # the cross-group ones — every rep contributes a self pair with
-    # Jaccard 1.0 (identical text ⇒ identical shingle set), and the
-    # (rep_a != rep_b) | (da < db) filter keeps each unordered pair
-    # exactly once (cross pairs are unique by construction, self
+    # the cross-group ones — every MULTI-member rep contributes a self
+    # pair with Jaccard 1.0 (identical text ⇒ identical shingle set),
+    # and the (rep_a != rep_b) | (da < db) filter keeps each unordered
+    # pair exactly once (cross pairs are unique by construction, self
     # pairs dedupe on the id order).  Members beyond BUCKET_CAP are
     # excluded from the expansion and link to their group rep only
     # (the standard overflow shape — bounded mega-group cost).
+    #
+    # r12: the ranked subtree and both join sides are built over
+    # MULTI-member groups only — on a corpus with few duplicates that
+    # is a dup-group-sized sliver (AQE broadcasts it), and singleton
+    # reps flow through the LEFT joins with their pair unchanged
+    # (coalesce back to the rep id).  Equivalent to the r11 all-groups
+    # formulation: a singleton's only member mapping was the identity,
+    # and its self pair was always filtered out by da < db.
+    multi = marked.where(F.col("gsz") > 1)
     wm = Window.partitionBy("rep").orderBy("doc_id")
-    ranked = marked.select(
+    ranked = multi.select(
         "rep", "doc_id", F.row_number().over(wm).alias("__rk")
     )
     mcap = ranked.where(F.col("__rk") <= BUCKET_CAP).select("rep", "doc_id")
@@ -647,12 +714,19 @@ def minhash_lsh_pairs(
     mb = mcap.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("db"))
     cross = (
         ver.unionByName(ver_self)
-        .join(ma, "rep_a")
-        .join(mb, "rep_b")
-        .where((F.col("rep_a") != F.col("rep_b")) | (F.col("da") < F.col("db")))
+        .join(ma, "rep_a", "left")
+        .join(mb, "rep_b", "left")
+        .where(
+            (F.col("rep_a") != F.col("rep_b"))
+            | (F.col("da") < F.col("db"))
+        )
         .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
+            F.least(
+                F.coalesce("da", "rep_a"), F.coalesce("db", "rep_b")
+            ).alias("doc_a"),
+            F.greatest(
+                F.coalesce("da", "rep_a"), F.coalesce("db", "rep_b")
+            ).alias("doc_b"),
             "jaccard",
         )
     )

@@ -285,6 +285,17 @@ IVF_CLUSTERS = 16
 IVF_NPROBE = 6
 IVF_LLOYD_ITERS = 2
 
+# Lloyd-training sample budget (r12; see train_ivf_centroids).  32
+# points per centroid sits at the low end of the published faiss
+# per-centroid guidance — enough for a coarse BUCKETING quantizer
+# whose candidate recall is separately protected by multi-probe
+# assignment and whose precision is exact by verification.  The floor
+# keeps every corpus up to 4096 rows training on ALL its rows, which
+# pins the committed goldens (sf0.001/0.01, n=500) and the sf0.1
+# bench corpus (n=2000) bit-identical to the unsampled formulation.
+LLOYD_SAMPLE_PER_CENTROID = 32
+LLOYD_SAMPLE_FLOOR = 4096
+
 
 def _assign_clusters(vecs: DataFrame, centroids) -> DataFrame:
     """(vec_id, cluster) by nearest-centroid (L2) — one numpy matmul
@@ -355,9 +366,30 @@ def train_ivf_centroids(corpus: DataFrame, k: int = IVF_CLUSTERS, iters: int = I
     (sum-vector, count) partials in numpy and emits only those — a
     partitions × k × dim row shuffle instead of joining the corpus back
     to its assignments and posexploding every vector (corpus × dim
-    rows).  The driver sees k×dim values per round.  At 100 TB one
-    would train on a fixed-size sample instead of the full corpus; the
-    shape of the computation is identical.
+    rows).  The driver sees k×dim values per round.
+
+    SAMPLED TRAINING (r12, r11 verdict item 3): the Lloyd update
+    passes run over a deterministic hash-prefix sample of
+    ``~max(LLOYD_SAMPLE_FLOOR, LLOYD_SAMPLE_PER_CENTROID·k)`` rows —
+    the published IVF recipe (train the coarse quantizer on a
+    per-centroid-bounded sample, assign the full corpus; the faiss
+    guidance is ~39-256 training points per centroid, and this
+    quantizer only has to BUCKET well — candidate recall downstream
+    is protected by top-2/nprobe probing, and precision is exact by
+    verification — so the low end of that range suffices).
+    Assignment everywhere downstream stays full-corpus.  The sample
+    is ``xxhash64(vec_id) < cutoff`` with the cutoff at the budget's
+    quantile of the uniform hash space: a narrow filter under the
+    scan, independent of partitioning, stable across sessions, and a
+    strict SUPERSET of the k seed vectors (the seeds are the k
+    smallest hashes, so any hash-prefix sample of ≥ k rows contains
+    them).  When the budget covers the whole corpus the filter is
+    SKIPPED entirely, so the committed sf0.001/sf0.01 goldens (n=500
+    ≤ floor) and the sf0.1 bench corpus (n=2000 ≤ floor) train
+    bit-identically to every earlier round.  What it buys: the 100×
+    SemDeDup probe (200k rows, k=1562) trains on ~50k rows instead of
+    the full corpus — the once-per-snapshot Lloyd cost becomes
+    sample-bounded, not corpus-bounded.
 
     Partial sums ride the int64 fixed-point grid (1e-9, per-VECTOR
     quantization before summation — the same discipline as
@@ -377,6 +409,16 @@ def train_ivf_centroids(corpus: DataFrame, k: int = IVF_CLUSTERS, iters: int = I
         .limit(k)
         .collect()
     )
+    # corpus is persisted by every caller (corpus_embeddings /
+    # write_ivf_index), so the count is metadata-cheap
+    n = corpus.count()
+    budget = max(LLOYD_SAMPLE_FLOOR, LLOYD_SAMPLE_PER_CENTROID * k)
+    train = corpus
+    if n > budget:
+        # cutoff = the budget/n quantile of the uniform signed-64
+        # xxhash64 range; exact Python ints, then one long literal
+        cutoff = -(1 << 63) + (budget * (1 << 64)) // n
+        train = corpus.where(F.xxhash64("vec_id") < F.lit(cutoff))
     centroids = np.asarray([r.emb_d for r in seed_rows], dtype=np.float64)
     for _ in range(iters):
         cent = centroids
@@ -409,7 +451,7 @@ def train_ivf_centroids(corpus: DataFrame, k: int = IVF_CLUSTERS, iters: int = I
             )
 
         agg = (
-            corpus.select("emb_d")
+            train.select("emb_d")
             .mapInPandas(partials, "cluster int, d int, s long, n long")
             .groupBy("cluster", "d")
             .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))

@@ -282,8 +282,13 @@ def _repair_locked(fs, _par_files) -> dict[str, str]:
         if key.startswith("_"):
             continue  # the lease file, not a manifest
         m = json.loads(fs.read_bytes(mpath).decode())
-        pc = m.get("part_col", "dt")  # pre-r11 manifests carried dt only
-        pdir = f"{fs.root}/{m['table']}/{pc}={m['part']}"
+        # pre-r11 manifests carried the partition VALUE under "dt"
+        # (no "part"/"part_col" keys) — a leftover interrupted-swap
+        # manifest from before the generalization must still roll
+        # forward/back, not KeyError and wedge every later compaction
+        pc = m.get("part_col", "dt")
+        part = m["part"] if "part" in m else m["dt"]
+        pdir = f"{fs.root}/{m['table']}/{pc}={part}"
         present = {
             p.rsplit("/", 1)[1]
             for p in (fs.list_files(pdir) if fs.kind(pdir) == "dir" else [])

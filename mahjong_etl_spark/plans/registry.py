@@ -82,95 +82,40 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r11 window (the rotation the r10 tail comment declared; r10 verdict
-# item 1): no brand-new queries this round, so the changed-code slots
-# lead — dedup_semantic + dedup_semantic_persisted (exact-duplicate
-# pre-collapse in operators/dedup.py::_sem_dedup), dedup_ensemble
-# (consumes the r11-vectorized minhash signature pass),
-# events_cusum_changepoint (int64 headroom guard),
-# similarity_ann_ivf_persisted (write_ivf_index now stamps an index
-# epoch + drift baseline), tenhou_source_actions (the shared
-# _arrow_batches helper grew the _parsed envelope branch) — then the
-# declared queue: dedup_exact (the r6-floor exception, retired by this
-# board) and the r7-last-green cohort, whose last SIX members the six
-# changed-code slots displace to the tail front (they lead the r12
-# queue; the dedup_exact/similarity_ann_lsh displacement precedent).
-# dedup_minhash_lsh also changed this round (vectorized signatures) —
-# its r7-cohort membership doubles as its changed-code slot, exactly
-# like dedup_semantic's r6-cohort membership did in r10.  After this
-# board lands, no registry query's newest hash row is older than r7,
-# and the floor exception is retired.  Any query added mid-round MUST
+# r12 window (the rotation the r11 tail comment declared; r11 verdict
+# item 1): the changed-code slots lead — dedup_minhash_lsh (the
+# adaptive three-regime pre-collapse rewrite, operators/dedup.py::
+# minhash_lsh_pairs), dedup_ensemble (consumes minhash_lsh_pairs),
+# dedup_semantic + dedup_semantic_persisted (their quantizer now
+# trains through the sampled-Lloyd path in similarity.py::
+# train_ivf_centroids — budget-covered hence bit-identical at check
+# scale, but the code changed, so they re-prove), and
+# similarity_ann_ivf (the canonical direct consumer of the changed
+# trainer) — then the declared queue: the six r7-floor queries
+# (raising the evidence floor to r8 once this board lands), then the
+# r8-last-green cohort, whose last EIGHT members the changed-code
+# slots displace to the tail front (they lead the r13 queue; the
+# standing displacement precedent).  Any query added mid-round MUST
 # displace from the BOTTOM of the head — the never-checked invariant
 # (test_head_leads_with_unproven_queries) outranks evidence freshness.
 
 _CHECK_WINDOW_HEAD = [
-    # changed-code in r11 (see the rotation note above)
+    # changed-code in r12 (see the rotation note above)
+    "dedup_minhash_lsh",
+    "dedup_ensemble",
     "dedup_semantic",
     "dedup_semantic_persisted",
-    "dedup_ensemble",
-    "events_cusum_changepoint",
-    "similarity_ann_ivf_persisted",
-    "tenhou_source_actions",
-    # the declared r11 queue: the displaced r6 filler first — its
-    # board row retires the last sub-r7 evidence on the registry
-    "dedup_exact",
-    # then the r7-last-green cohort (first 43 of 49; the last six are
-    # displaced to the tail front by the changed-code slots above)
-    "similarity_rrf_ensemble",
-    "similarity_knn_classify",
-    "text_inverted_index",
-    "text_bm25_search",
-    "orders_association_rules",
-    "part_skyline",
-    "events_kmv_segment_overlap",
-    "text_gopher_rules",
-    "text_lm_quality_buckets",
-    "cdc_scd2_point_in_time",
-    "corpus_dsir_selection",
-    "events_linear_trend",
-    "lineitem_zorder_layout",
-    "events_ewma_anomaly",
-    "text_chunk_udtf",
-    "xml_roundtrip_stats",
-    "bloom_pruned_revenue",
-    "similarity_ann_pq",
-    "similarity_ann_pq_persisted",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_video_frames",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_normalized",
-    "dedup_simhash",
-    "embedding_dim_stats",
-    "embedding_norm_profile",
-    "event_user_stats",
-    "events_asof_last_view",
-    "events_attribution_window",
-    "events_funnel",
-    "events_hourly",
-    "events_pii_scrub",
-    "events_sessionized",
-    "events_value_histogram",
-    "lineitem_rollup",
-    "mahjong_action_sequences",
-    "mahjong_agari_yaku_stats",
-    "mahjong_er_join_graph",
-    "mahjong_riichi_outcomes",
-    "part_string_stats",
-    "q1_pricing_summary",
-    "q22_global_sales_opportunity",
-]
-
-_CHECK_WINDOW_TAIL = [
-    # r7-cohort members displaced by the r11 changed-code slots —
-    # they lead the r12 queue (evidence r7)
+    "similarity_ann_ivf",
+    # the declared r12 queue: the six r7-floor queries — their board
+    # rows retire the last sub-r8 evidence on the registry
     "q3_shipping_priority",
     "q5_nation_revenue",
     "segment_set_ops",
     "similarity_topk_bruteforce",
     "sql_text_roundtrip",
     "text_fingerprint",
-    # r8-last-green cohort (second in the r12 queue)
+    # then the r8-last-green cohort (first 39 of 47; the last eight
+    # are displaced to the tail front by the changed-code slots above)
     "multimodal_spectral_features",
     "text_pmi_collocations",
     "text_script_profile",
@@ -210,6 +155,12 @@ _CHECK_WINDOW_TAIL = [
     "q11_supplier_value_share",
     "q13_order_count_distribution",
     "q19_disjunctive_predicates",
+]
+
+_CHECK_WINDOW_TAIL = [
+    # r8-cohort members displaced by the r12 changed-code slots —
+    # they lead the r13 queue (evidence r8), followed by the r9
+    # cohort (the next section)
     "q20_excess_stock_suppliers",
     "q21_waiting_suppliers",
     "q2_min_cost_supplier",
@@ -218,7 +169,7 @@ _CHECK_WINDOW_TAIL = [
     "text_c4_filters",
     "text_perplexity_proxy",
     "text_tfidf_topk",
-    # r9-last-green cohort (freshest evidence, rotates last): the
+    # r9-last-green cohort (second in the r13 queue): the
     # full r9 check window minus tenhou_source_actions, which
     # re-entered the r10 head on changed code
     "events_anomaly_mad_approx",
@@ -270,13 +221,13 @@ _CHECK_WINDOW_TAIL = [
     "similarity_ann_ivf_int8",
     "text_zipf_spectrum",
     "tpch_scalar_revenues",
-    # r10-last-green cohort (freshest evidence, rotates last): the
-    # full r10 check window minus the five members the r11
-    # changed-code slots pulled back into the head
+    # r10-last-green cohort (third in the r13 queue): the full r10
+    # check window minus the five members the r11 changed-code slots
+    # pulled back into the head, minus similarity_ann_ivf (re-entered
+    # the r12 head on the sampled-Lloyd trainer change)
     "text_vocab_coverage",
     "er_resolve_entities",
     "similarity_ann_lsh",
-    "similarity_ann_ivf",
     "events_approx_quantiles",
     "mahjong_experiments_games",
     "csv_roundtrip_stats",
@@ -318,6 +269,56 @@ _CHECK_WINDOW_TAIL = [
     "decimal_revenue",
     "dedup_connected_components",
     "dedup_embedding_cosine",
+    # r11-last-green cohort (freshest evidence, rotates last): the
+    # full r11 check window minus the four members the r12
+    # changed-code slots pulled back into the head (dedup_minhash_lsh,
+    # dedup_ensemble, dedup_semantic, dedup_semantic_persisted)
+    "events_cusum_changepoint",
+    "similarity_ann_ivf_persisted",
+    "tenhou_source_actions",
+    "dedup_exact",
+    "similarity_rrf_ensemble",
+    "similarity_knn_classify",
+    "text_inverted_index",
+    "text_bm25_search",
+    "orders_association_rules",
+    "part_skyline",
+    "events_kmv_segment_overlap",
+    "text_gopher_rules",
+    "text_lm_quality_buckets",
+    "cdc_scd2_point_in_time",
+    "corpus_dsir_selection",
+    "events_linear_trend",
+    "lineitem_zorder_layout",
+    "events_ewma_anomaly",
+    "text_chunk_udtf",
+    "xml_roundtrip_stats",
+    "bloom_pruned_revenue",
+    "similarity_ann_pq",
+    "similarity_ann_pq_persisted",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_video_frames",
+    "dedup_ngram_jaccard",
+    "dedup_normalized",
+    "dedup_simhash",
+    "embedding_dim_stats",
+    "embedding_norm_profile",
+    "event_user_stats",
+    "events_asof_last_view",
+    "events_attribution_window",
+    "events_funnel",
+    "events_hourly",
+    "events_pii_scrub",
+    "events_sessionized",
+    "events_value_histogram",
+    "lineitem_rollup",
+    "mahjong_action_sequences",
+    "mahjong_agari_yaku_stats",
+    "mahjong_er_join_graph",
+    "mahjong_riichi_outcomes",
+    "part_string_stats",
+    "q1_pricing_summary",
+    "q22_global_sales_opportunity",
 ]
 
 

@@ -69,7 +69,6 @@ applied to the ``cluster=`` layout.
 from __future__ import annotations
 
 import json
-import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -157,11 +156,13 @@ def assign_batch(
     )
 
 
-def _bind_index_epoch(spark: SparkSession, index_dir: str, ckpt: str) -> None:
+def _bind_index_epoch(spark: SparkSession, index_dir: str, ckpt: str) -> str:
     """Fence the checkpoint to the index epoch (module docstring): the
     first run binds, every later run must match, a rebuilt index
     (fresh epoch) refuses loudly.  A legacy index without an epoch
-    file gets one minted here so the fence covers it from now on."""
+    file gets one minted here so the fence covers it from now on.
+    Returns the bound epoch so the live stream can re-verify it per
+    batch (``_check_epoch``)."""
     ifs = _meta_fs(spark, index_dir)
     epoch_path = f"{ifs.root}/_index_epoch"
     if ifs.kind(epoch_path) != "file":
@@ -174,7 +175,7 @@ def _bind_index_epoch(spark: SparkSession, index_dir: str, ckpt: str) -> None:
     if cfs.kind(bound_path) != "file":
         cfs.mkdirs(cfs.root)
         cfs.write_bytes(bound_path, epoch.encode())
-        return
+        return epoch
     bound = cfs.read_bytes(bound_path).decode().strip()
     if bound != epoch:
         raise RuntimeError(
@@ -185,6 +186,33 @@ def _bind_index_epoch(spark: SparkSession, index_dir: str, ckpt: str) -> None:
             f"indexed — restart with a fresh checkpoint (and re-drop "
             f"only vectors that arrived after the rebuild's corpus "
             f"snapshot)."
+        )
+    return epoch
+
+
+def _check_epoch(spark: SparkSession, index_dir: str, bound: str) -> None:
+    """Per-batch half of the rebuild fence (ADVICE r12): the start-time
+    check alone cannot see a ``write_ivf_index`` rebuild that lands
+    while the maintenance stream is LIVE in the same application —
+    ``invalidate_centroids`` would make the very next micro-batch
+    silently assign against the NEW centroids and append vec_ids the
+    rebuild already indexed, the exact duplicate-append the fence
+    exists to prevent, just via the live path instead of restart.
+    One metadata-sized read per batch; raises before any destination
+    mutation so the batch replays cleanly after a fresh checkpoint."""
+    ifs = _meta_fs(spark, index_dir)
+    epoch_path = f"{ifs.root}/_index_epoch"
+    cur = (
+        ifs.read_bytes(epoch_path).decode().strip()
+        if ifs.kind(epoch_path) == "file"
+        else None
+    )
+    if cur != bound:
+        raise RuntimeError(
+            f"ann index maintenance: index {index_dir} was REBUILT "
+            f"(epoch {cur}) under a LIVE maintenance stream bound to "
+            f"epoch {bound} — refusing to publish this batch.  "
+            f"Restart the stream with a fresh checkpoint."
         )
 
 
@@ -239,37 +267,74 @@ def _drift_row(
     }
 
 
-# one writer lock per process — foreachBatch bodies for different
-# streams may interleave on one driver
-_DRIFT_LOCK = threading.Lock()
-
 # ledger retention: the rebuild decision reads recent batches, so the
-# ledger keeps a bounded trailing window.  The portable FS surface has
-# no true append (write_bytes replaces), so each drift row rewrites
-# the file — unbounded growth would make that rewrite quadratic over
-# a standing stream's lifetime; the cap keeps it O(window) per batch.
+# ledger keeps a bounded trailing window of per-batch row FILES.
 DRIFT_LEDGER_MAX_ROWS = 4096
 
 
-def _append_drift(spark: SparkSession, index_dir: str, row: dict) -> None:
+def _append_drift(
+    spark: SparkSession, index_dir: str, row: dict, lineage: str = "batch"
+) -> None:
+    """Record one ledger row as its OWN uniquely-named file under
+    ``_drift/rows/`` (ADVICE r12): the previous single-file
+    read-modify-rewrite was serialized only by a process-local lock,
+    so two driver processes maintaining the same index could lose each
+    other's rows, and the non-atomic full-file write could expose a
+    torn ledger to a concurrent read.  One file per (lineage, batch)
+    is write-once — no read-modify cycle to race — and lands via
+    write-temp-then-move like the rest of the publish machinery, so a
+    concurrent reader sees whole rows or nothing.  A replayed batch
+    rewrites its SAME file name (idempotent, no duplicate row).  The
+    name leads with a zero-padded wall-clock millisecond stamp so
+    lexicographic order is arrival order across lineages (checkpoint
+    restarts reset batch ids)."""
+    import time
+
     fs = _meta_fs(spark, index_dir)
-    path = f"{fs.root}/_drift/ledger.jsonl"
-    with _DRIFT_LOCK:
-        fs.mkdirs(f"{fs.root}/_drift")
-        old = fs.read_bytes(path) if fs.kind(path) == "file" else b""
-        lines = old.decode().splitlines() if old else []
-        lines.append(json.dumps(row))
-        lines = lines[-DRIFT_LEDGER_MAX_ROWS:]
-        fs.write_bytes(path, ("\n".join(lines) + "\n").encode())
+    rows_dir = f"{fs.root}/_drift/rows"
+    fs.mkdirs(rows_dir)
+    name = f"{int(time.time() * 1000):015d}-{lineage}-{row['batch_id']}.json"
+    tmp = f"{rows_dir}/.tmp-{name}"
+    fs.write_bytes(tmp, (json.dumps(row) + "\n").encode())
+    fs.move(tmp, f"{rows_dir}/{name}")
+    # retention: prune oldest beyond the window.  Concurrent pruners
+    # may race on the same victim — deletion of a file the other
+    # pruner already removed is a no-op, never a lost LIVE row.
+    files = sorted(_drift_row_files(fs))
+    for p in files[: max(0, len(files) - DRIFT_LEDGER_MAX_ROWS)]:
+        try:
+            fs.delete_file(p)
+        except Exception:
+            pass  # already pruned by a concurrent writer
+
+
+def _drift_row_files(fs) -> list[str]:
+    rows_dir = f"{fs.root}/_drift/rows"
+    if fs.kind(rows_dir) != "dir":
+        return []
+    return [
+        p
+        for p in fs.list_files(rows_dir)
+        if not p.rsplit("/", 1)[1].startswith(".")
+    ]
+
+
+def _drift_paths(fs) -> list[str]:
+    """All ledger storage, oldest-first: the legacy single-file
+    ledger (pre-r12 layout, still readable) then the per-batch row
+    files in name (= arrival) order."""
+    legacy = f"{fs.root}/_drift/ledger.jsonl"
+    paths = [legacy] if fs.kind(legacy) == "file" else []
+    return paths + sorted(_drift_row_files(fs))
 
 
 def read_drift(spark: SparkSession, index_dir: str) -> DataFrame:
     """The drift ledger as a DataFrame — plain SQL over index health
     (the same discipline as streaming/metrics.py::read_progress)."""
-    fs = _meta_fs(spark, index_dir)
-    return spark.read.schema(DRIFT_SCHEMA).json(
-        f"{fs.root}/_drift/ledger.jsonl"
-    )
+    paths = _drift_paths(_meta_fs(spark, index_dir))
+    if not paths:
+        return spark.createDataFrame([], DRIFT_SCHEMA)
+    return spark.read.schema(DRIFT_SCHEMA).json(paths)
 
 
 def rebuild_recommended(spark: SparkSession, index_dir: str) -> dict:
@@ -277,16 +342,17 @@ def rebuild_recommended(spark: SparkSession, index_dir: str) -> dict:
     how many of the trailing rows flagged — the CLI `index` face of
     the drift plane.  An index with no ledger reports False."""
     fs = _meta_fs(spark, index_dir)
-    path = f"{fs.root}/_drift/ledger.jsonl"
-    if fs.kind(path) != "file":
+    rows: list[dict] = []
+    for path in _drift_paths(fs):
+        rows.extend(
+            json.loads(line)
+            for line in fs.read_bytes(path).decode().splitlines()
+            if line.strip()
+        )
+    if not rows:
         return {"rebuild_recommended": False, "batches": 0, "flagged": 0}
-    rows = [
-        json.loads(line)
-        for line in fs.read_bytes(path).decode().splitlines()
-        if line.strip()
-    ]
     flagged = sum(1 for r in rows if r.get("rebuild_recommended"))
-    last = rows[-1] if rows else {}
+    last = rows[-1]
     return {
         "rebuild_recommended": bool(last.get("rebuild_recommended")),
         "batches": len(rows),
@@ -330,6 +396,42 @@ def compact_postings(
     )
 
 
+# The measured knee of the postings small-file curve (SCALE.md
+# "postings small-file probe"): the served ANN query degrades
+# ~linearly with file count — 0.92 s at 16 files vs 2.76 s at 4,085
+# on sf0.1/local[32] — and the degradation is material past ~1k.
+POSTINGS_FILE_KNEE = 1000
+
+
+def compact_recommended(spark: SparkSession, index_dir: str) -> dict:
+    """Operator-facing compaction signal — the twin of
+    :func:`rebuild_recommended`, so "watch one command" covers both
+    retrain (drift) and compaction (small files) (r11 verdict item 5).
+
+    Counts the data files in each ``cluster=`` partition of the
+    maintained postings table (one metadata listing, no data read)
+    and flags once the TOTAL crosses the measured knee — the serve
+    path reads every probed partition, so the total, not the max,
+    drives the observed latency curve."""
+    fs = _meta_fs(spark, f"{index_dir}/postings")
+    per: dict[str, int] = {}
+    if fs.kind(fs.root) == "dir":
+        for p in fs.list_files(fs.root, recursive=True):
+            rel = p[len(fs.root):].lstrip("/")
+            name = rel.rsplit("/", 1)[-1]
+            if name.startswith(("_", ".")) or not rel.startswith("cluster="):
+                continue
+            per[rel.split("/", 1)[0]] = per.get(rel.split("/", 1)[0], 0) + 1
+    total = sum(per.values())
+    return {
+        "files": total,
+        "partitions": len(per),
+        "max_partition_files": max(per.values(), default=0),
+        "knee": POSTINGS_FILE_KNEE,
+        "compact_recommended": total > POSTINGS_FILE_KNEE,
+    }
+
+
 def run_ivf_maintenance_stream(
     spark: SparkSession,
     vectors_stream: DataFrame,
@@ -342,7 +444,7 @@ def run_ivf_maintenance_stream(
     ``vectors_stream`` must carry ``vec_id`` and ``embedding``
     (array<float/double>) — the same columns the batch index builder
     reads."""
-    _bind_index_epoch(spark, index_dir, checkpoint_dir)
+    bound_epoch = _bind_index_epoch(spark, index_dir, checkpoint_dir)
     lineage = _lineage_id(spark, checkpoint_dir)
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
@@ -355,6 +457,9 @@ def run_ivf_maintenance_stream(
         # aggregate share one assignment pass
         ares.persist()
         try:
+            # live half of the rebuild fence: re-verify the bound
+            # epoch immediately before the first destination mutation
+            _check_epoch(session, index_dir, bound_epoch)
             # the shared replay-idempotent publish (marker
             # short-circuit, staged erase-before-republish,
             # marker-after-all-tables) — one copy of the exactly-once
@@ -372,7 +477,10 @@ def run_ivf_maintenance_stream(
             # never a posting (and a replay appends a duplicate row,
             # which the batch_id column makes visible and harmless)
             _append_drift(
-                session, index_dir, _drift_row(session, ares, index_dir, batch_id)
+                session,
+                index_dir,
+                _drift_row(session, ares, index_dir, batch_id),
+                lineage=lineage,
             )
         finally:
             ares.unpersist()

@@ -341,3 +341,237 @@ def test_frozen_centroids_read_once_per_session(spark, sf_dir, tmp_path):
         for r in _assign_clusters(with_norm(e), cents).collect()
     }
     assert a1 == a2 == want
+
+
+def test_compact_recommended_flags_past_knee(spark, sf_dir, tmp_path, monkeypatch):
+    """The small-file twin of the drift flag (r11 verdict item 5):
+    accumulate maintenance batches past the (lowered) knee and the
+    summary must flag; compacting clears it."""
+    import mahjong_etl_spark.streaming.ann_index_stream as ais
+
+    e = _load_emb(spark, sf_dir)
+    cut = int(e.count() * 0.6)
+    index_dir = str(tmp_path / "index")
+    write_ivf_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    parts = e.where(F.col("vec_id") >= cut).randomSplit([1.0] * 6, seed=3)
+    for i, p in enumerate(parts):
+        _stage_arrival(p, tmp_path, drop, f"arrival{i}", 1_000 + i)
+    _drain(spark, str(drop), index_dir, str(tmp_path / "ckpt"))
+
+    base = ais.compact_recommended(spark, index_dir)
+    assert base["files"] > 0 and base["partitions"] > 0
+    assert base["max_partition_files"] <= base["files"]
+    assert base["compact_recommended"] is False  # real knee is 1000
+
+    monkeypatch.setattr(ais, "POSTINGS_FILE_KNEE", base["files"] - 1)
+    assert ais.compact_recommended(spark, index_dir)[
+        "compact_recommended"
+    ] is True
+
+    ais.compact_postings(spark, index_dir)
+    after = ais.compact_recommended(spark, index_dir)
+    assert after["files"] < base["files"]
+    assert after["compact_recommended"] is (
+        after["files"] > base["files"] - 1
+    )
+
+
+def test_drift_rows_are_per_batch_files_no_lost_updates(spark, tmp_path):
+    """ADVICE r12: the ledger is one write-once file per (lineage,
+    batch) — two writers (different lineages, e.g. two driver
+    processes) never overwrite each other, a replayed batch lands on
+    its SAME file name (no duplicate row), and a legacy single-file
+    ledger.jsonl from pre-r12 still reads."""
+    import json
+
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        _append_drift,
+        read_drift,
+        rebuild_recommended,
+    )
+
+    index_dir = str(tmp_path / "index")
+    os.makedirs(f"{index_dir}/_drift", exist_ok=True)
+    # legacy pre-r12 single-file ledger
+    with open(f"{index_dir}/_drift/ledger.jsonl", "w") as f:
+        f.write(
+            json.dumps(
+                {"batch_id": 0, "n": 10, "rebuild_recommended": False}
+            )
+            + "\n"
+        )
+
+    row = {
+        "batch_id": 1,
+        "n": 100,
+        "cells_touched": 3,
+        "top_cell_share": 0.4,
+        "mean_residual": 1.0,
+        "baseline_residual": 1.0,
+        "residual_ratio": 1.0,
+        "rebuild_recommended": False,
+    }
+    _append_drift(spark, index_dir, row, lineage="writer-a")
+    _append_drift(
+        spark,
+        index_dir,
+        {**row, "batch_id": 1, "rebuild_recommended": True},
+        lineage="writer-b",
+    )
+    # interleaved writers with the same batch_id both kept (distinct
+    # lineages), legacy row kept: 3 rows total
+    got = read_drift(spark, index_dir).collect()
+    assert len(got) == 3
+    summary = rebuild_recommended(spark, index_dir)
+    assert summary["batches"] == 3
+    assert summary["flagged"] == 1
+    assert summary["rebuild_recommended"] is True  # newest row wins
+
+
+def test_live_rebuild_fence_blocks_mid_stream_batch(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r12: the start-time fence cannot see a rebuild landing
+    under a LIVE stream — the per-batch _check_epoch must refuse the
+    publish.  Simulated by bypassing the start gate (monkeypatched to
+    return the stale pre-rebuild epoch, exactly the state a live
+    stream is in after write_ivf_index ran mid-flight)."""
+    import pytest
+
+    import mahjong_etl_spark.streaming.ann_index_stream as ais
+
+    e = _load_emb(spark, sf_dir)
+    cut = int(e.count() * 0.8)
+    index_dir = str(tmp_path / "index")
+    write_ivf_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+    with open(f"{index_dir}/_index_epoch") as f:
+        stale = f.read().strip()
+
+    # the rebuild lands while the stream is "live"
+    write_ivf_index(spark, e, index_dir)
+    with open(f"{index_dir}/_index_epoch") as f:
+        assert f.read().strip() != stale
+
+    monkeypatch.setattr(
+        ais, "_bind_index_epoch", lambda *_a, **_k: stale
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage_arrival(
+        e.where(F.col("vec_id") >= cut), tmp_path, drop, "arrival", 1_000
+    )
+    before = _postings_set(spark, index_dir)
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = ais.run_ivf_maintenance_stream(
+        spark, stream, index_dir, str(tmp_path / "ckpt")
+    )
+    with pytest.raises(Exception, match="REBUILT|rebuilt"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    q.stop()
+    # nothing was appended: the rebuild's postings are untouched
+    assert _postings_set(spark, index_dir) == before
+
+
+def test_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
+    """The composed operator story (r11 verdict item 6): build →
+    maintain (drift accumulates) → rebuild_recommended flips →
+    rebuild under a new epoch → the old checkpoint is fenced →
+    compact → serve, with served results bit-identical to a
+    from-scratch index at every serving stage."""
+    import pytest
+
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        compact_postings,
+        compact_recommended,
+        rebuild_recommended,
+    )
+
+    e = _load_emb(spark, sf_dir)
+    n = e.count()
+    queries = e.where("vec_id < 5")
+
+    def served(index_dir, corpus):
+        cents, postings = read_ivf_index(spark, index_dir)
+        return {
+            tuple(r)
+            for r in ann_ivf_topk(
+                spark, queries, corpus, TOPK,
+                centroids=cents, postings=postings,
+            ).collect()
+        }
+
+    # 1. build on the base corpus
+    index_dir = str(tmp_path / "index")
+    write_ivf_index(spark, e, index_dir)
+
+    # 2. maintain: one in-distribution batch, one shifted batch
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    same = e.select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding", "label"
+    )
+    shifted = e.select(
+        (F.col("vec_id") + 2 * n).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> cast(x + 5.0 as float))"
+        ).alias("embedding"),
+        "label",
+    )
+    _stage_arrival(same, tmp_path, drop, "same", 1_000)
+    _stage_arrival(shifted, tmp_path, drop, "shifted", 2_000)
+    ckpt = str(tmp_path / "ckpt")
+    _drain(spark, str(drop), index_dir, ckpt)
+
+    union = e.unionByName(same).unionByName(shifted)
+    # maintained index serves identically to a from-scratch one over
+    # the union corpus with the same centroids
+    cents, _ = read_ivf_index(spark, index_dir)
+    scratch1 = str(tmp_path / "scratch1")
+    write_ivf_index(spark, union, scratch1, centroids=cents)
+    assert served(index_dir, union) == served(scratch1, union)
+
+    # 3. the shifted batch flips the data-driven retrain signal
+    assert rebuild_recommended(spark, index_dir)["rebuild_recommended"]
+
+    # 4. rebuild in place over the union corpus: fresh epoch, fresh
+    # quantizer with resolution where the shifted mass is
+    write_ivf_index(spark, union, index_dir)
+
+    # 5. the old checkpoint is fenced out
+    with pytest.raises(RuntimeError, match="REBUILT"):
+        _drain(spark, str(drop), index_dir, ckpt)
+
+    # 6. fresh-checkpoint maintenance resumes on the new epoch, then
+    # compaction folds the accumulated small files
+    drop2 = tmp_path / "drop2"
+    drop2.mkdir()
+    more = e.select(
+        (F.col("vec_id") + 3 * n).alias("vec_id"), "embedding", "label"
+    )
+    parts = more.randomSplit([1.0] * 4, seed=5)
+    for i, p in enumerate(parts):
+        _stage_arrival(p, tmp_path, drop2, f"late{i}", 3_000 + i)
+    _drain(spark, str(drop2), index_dir, str(tmp_path / "ckpt2"))
+    full = union.unionByName(more)
+
+    before_files = compact_recommended(spark, index_dir)["files"]
+    want_rows = _postings_set(spark, index_dir)
+    compact_postings(spark, index_dir)
+    assert compact_recommended(spark, index_dir)["files"] < before_files
+    assert _postings_set(spark, index_dir) == want_rows
+
+    # 7. serve: bit-identical to a from-scratch index over the full
+    # corpus with the rebuilt centroids
+    cents2, _ = read_ivf_index(spark, index_dir)
+    scratch2 = str(tmp_path / "scratch2")
+    write_ivf_index(spark, full, scratch2, centroids=cents2)
+    got = served(index_dir, full)
+    assert got == served(scratch2, full) and got

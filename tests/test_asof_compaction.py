@@ -479,3 +479,45 @@ def test_compaction_lease_renewal_and_theft_detection(spark, tmp_path):
     )
     with pytest.raises(CompactionLeaseHeld, match="mid-run"):
         _renew_lease(fs, token, ttl_sec=900)
+
+
+def test_repair_rolls_back_pre_r11_manifest_with_dt_key(spark, tmp_path):
+    """A pre-r11 manifest stored the partition VALUE under "dt" (no
+    "part"/"part_col" keys).  A leftover interrupted swap journaled in
+    that shape must still roll back/forward — the r11 generalization
+    read m['part'] unconditionally, so such a manifest raised KeyError
+    at the top of every compact_table/repair_compaction call,
+    permanently wedging compaction (ADVICE r12)."""
+    import json
+    import os
+    import shutil
+
+    import mahjong_etl_spark.plans.compaction as pc
+
+    root = str(tmp_path)
+    _fragment(spark, root)
+    pdir = f"{root}/t/dt=2024-01-02"
+    before = sorted(n for n in os.listdir(pdir) if n.endswith(".parquet"))
+    # simulate the pre-r11 crash point: ONE of two replacements landed
+    landed = "clegacy0-part-00000.parquet"
+    shutil.copy(f"{pdir}/{before[0]}", f"{pdir}/{landed}")
+    os.makedirs(f"{root}/_compaction", exist_ok=True)
+    with open(f"{root}/_compaction/legacy0", "w") as f:
+        json.dump(
+            {
+                "table": "t",
+                "dt": "2024-01-02",  # the legacy key layout
+                "add": [landed, "clegacy0-part-00001.parquet"],
+                "delete": before,
+            },
+            f,
+        )
+    fixed = pc.repair_compaction(spark, root)
+    assert fixed == {"legacy0": "back"}
+    after = sorted(n for n in os.listdir(pdir) if n.endswith(".parquet"))
+    assert after == before  # originals intact, landed replacement gone
+    assert spark.read.parquet(f"{root}/t").count() == 200
+    # compaction itself must also run (it repairs first) — the wedge
+    assert pc.compact_table(spark, root, "t", target_file_bytes=10**9) == {
+        "2024-01-02": 1
+    }
