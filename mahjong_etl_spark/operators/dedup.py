@@ -522,6 +522,35 @@ def _bucket_pairs(
     return in_bucket.unionByName(overflow).distinct()
 
 
+# (applicationId, plan semanticHash) -> duplicate-stats row.  The
+# deciding aggregate is one blocking job; a session typically asks
+# for the same corpus more than once (dedup_minhash_lsh AND
+# dedup_ensemble both call minhash_lsh_pairs over the documents
+# scan), so the row is cached per logical plan.  Assumes the files
+# under an already-queried plan are immutable for the session — the
+# same contract every session-level cache in this package carries.
+_DUP_STATS_CACHE: dict[tuple, object] = {}
+
+
+def _dup_stats(df: DataFrame):
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df.semanticHash(),
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _DUP_STATS_CACHE:
+        return _DUP_STATS_CACHE[key]
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.xxhash64("text")).alias("n_texts"),
+    ).first()
+    if key is not None:
+        _DUP_STATS_CACHE[key] = row
+    return row
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -595,47 +624,73 @@ def minhash_lsh_pairs(
     # eligible docs mirror the signature pass's own cut: < n tokens ⇒
     # no shingles ⇒ never reaches the band join.
     eligible = df.where(F.size(F.split(F.col("text"), " ")) >= n)
-    stats = eligible.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count_distinct(F.md5("text")).alias("n_texts"),
-    ).first()
+    # the deciding aggregate runs on the RAW corpus, with the CHEAP
+    # 64-bit hash (not the md5 the group window keys on): a collision
+    # can only LOWER the distinct count, i.e. push toward the
+    # collapse path — which is output-identical anyway — never toward
+    # the zero-dup skip; a dup among ineligible docs likewise only
+    # forces the (identical) collapse path
+    stats = _dup_stats(df)
     n_copies = (stats.n_docs or 0) - (stats.n_texts or 0)
     collapse = n_copies > 0
+    # heavy ⇔ copies dominate distinct texts (the 100×-probe regime):
+    # the expansion maps are corpus-sized there, so the r11 inner-join
+    # shape (small pair side broadcast as the build side) is the right
+    # plan; in the few-dups regime the maps shrink to the dup groups
+    # and the build side flips
+    heavy = n_copies > (stats.n_texts or 0)
 
-    if collapse:
-        # The group window is kept THIN (doc_id + the md5 partition
-        # key) and the signature pass reads text from the SCAN via a
-        # rep-id join rather than from the window's output: a window
+    if collapse and heavy:
+        # The r11 shape for the copy-dominated regime: the group
+        # window is kept THIN (doc_id + the md5 partition key) and
+        # the signature pass reads text from the SCAN via a rep-id
+        # join rather than from the window's output: a window
         # exchange over a small corpus gets AQE-coalesced to a
         # handful of post-shuffle partitions, and feeding mapInPandas
         # from it serializes the Python signature work onto those few
         # tasks (measured 5.2 s vs 1.1 s at sf0.1) — the join keeps
-        # the scan's file-partition parallelism.  Which SIDE to join
-        # is picked from the aggregate: with few copies the non-rep
-        # exclusion list (exactly n_copies rows) is far smaller than
-        # the rep list, so the anti-join broadcasts a sliver instead
-        # of semi-joining ~the whole corpus back onto itself.
+        # the scan's file-partition parallelism.
         w = Window.partitionBy(F.md5("text"))
         marked = eligible.select(
-            "doc_id",
-            F.min("doc_id").over(w).alias("rep"),
-            F.count(F.lit(1)).over(w).alias("gsz"),
+            "doc_id", F.min("doc_id").over(w).alias("rep")
         )
-        if n_copies <= (stats.n_texts or 0):
-            sig_in = eligible.join(
-                marked.where(F.col("doc_id") != F.col("rep")).select(
-                    "doc_id"
-                ),
-                "doc_id",
-                "left_anti",
-            ).select("doc_id", "text")
-        else:
-            sig_in = df.join(
-                marked.where(F.col("doc_id") == F.col("rep")).select(
-                    "doc_id"
-                ),
-                "doc_id",
-            ).select("doc_id", "text")
+        sig_in = df.join(
+            marked.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+            "doc_id",
+        ).select("doc_id", "text")
+        exp_src = marked
+    elif collapse:
+        # Few-dups regime (r12): no corpus-wide window at all.  The
+        # dup groups are found with a map-side-partial groupBy over
+        # md5(text) — the shuffle moves one row per DISTINCT text,
+        # not per doc, and no sort — filtered to gsz > 1 (dup-group-
+        # sized output).  Members of those groups come back via ONE
+        # equi-join against the scan, which AQE turns into a
+        # broadcast when the group list is small (the regime's
+        # premise); singleton docs never enter any exchange.  The
+        # signature feed excludes exactly the non-rep copies — an
+        # (n_copies)-row broadcast anti-join sliver.
+        key = F.md5("text")
+        gkeys = (
+            eligible.groupBy(key.alias("k"))
+            .agg(
+                F.min("doc_id").alias("rep"),
+                F.count(F.lit(1)).alias("gsz"),
+            )
+            .where(F.col("gsz") > 1)
+            .select("k", "rep")
+        )
+        members = (
+            eligible.select("doc_id", key.alias("k"))
+            .join(gkeys, "k")
+            .select("rep", "doc_id")
+        )
+        sig_in = eligible.join(
+            members.where(F.col("doc_id") != F.col("rep")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        ).select("doc_id", "text")
+        exp_src = members
     else:
         sig_in = eligible.select("doc_id", "text")
 
@@ -676,24 +731,35 @@ def minhash_lsh_pairs(
         )
 
     # member expansion: within-group pairs ride the SAME two joins as
-    # the cross-group ones — every MULTI-member rep contributes a self
-    # pair with Jaccard 1.0 (identical text ⇒ identical shingle set),
-    # and the (rep_a != rep_b) | (da < db) filter keeps each unordered
-    # pair exactly once (cross pairs are unique by construction, self
+    # the cross-group ones — a group rep contributes a self pair with
+    # Jaccard 1.0 (identical text ⇒ identical shingle set), and the
+    # (rep_a != rep_b) | (da < db) filter keeps each unordered pair
+    # exactly once (cross pairs are unique by construction, self
     # pairs dedupe on the id order).  Members beyond BUCKET_CAP are
     # excluded from the expansion and link to their group rep only
     # (the standard overflow shape — bounded mega-group cost).
     #
-    # r12: the ranked subtree and both join sides are built over
-    # MULTI-member groups only — on a corpus with few duplicates that
-    # is a dup-group-sized sliver (AQE broadcasts it), and singleton
-    # reps flow through the LEFT joins with their pair unchanged
-    # (coalesce back to the rep id).  Equivalent to the r11 all-groups
-    # formulation: a singleton's only member mapping was the identity,
-    # and its self pair was always filtered out by da < db.
-    multi = marked.where(F.col("gsz") > 1)
+    # r12, regime-dependent JOIN SHAPE (the first cut of this change
+    # used left joins + dup-group-only maps unconditionally and
+    # regressed the 100× probe 6.3 → 31 s — a LEFT join cannot build
+    # its hash table on the preserved side, so in the dup-heavy
+    # regime, where the member maps are corpus-sized, the two
+    # expansion joins fell from broadcast-hash on the small pair side
+    # to sort-merge over the 27M-row expanded intermediate):
+    #
+    # - heavy: the r11 shape — maps over ALL text groups, INNER
+    #   joins, so the planner builds on whichever side is small
+    #   (here: the rep-level pair side, broadcast);
+    # - few-dups: the ranked subtree and both maps hold ONLY the
+    #   dup-group members (a dup-group-sized sliver — the
+    #   broadcastable side of a LEFT join, where building on the
+    #   right IS allowed), and singleton reps flow through the left
+    #   joins with their pair unchanged (coalesce back to the rep
+    #   id).  Equivalent output: a singleton's only member mapping
+    #   was the identity, and its self pair was always filtered out
+    #   by da < db.
     wm = Window.partitionBy("rep").orderBy("doc_id")
-    ranked = multi.select(
+    ranked = exp_src.select(
         "rep", "doc_id", F.row_number().over(wm).alias("__rk")
     )
     mcap = ranked.where(F.col("__rk") <= BUCKET_CAP).select("rep", "doc_id")
@@ -704,7 +770,9 @@ def minhash_lsh_pairs(
     )
     # the rank-1 member IS the rep (rep = min doc_id), so the self
     # pairs come from the ranked subtree — its exchange is shared with
-    # mcap/overflow instead of re-deriving the text-group window
+    # mcap/overflow instead of re-deriving the text-group window.
+    # (In the few-dups branch only multi-group reps emit self pairs;
+    # a singleton's self pair never survived the da < db filter.)
     ver_self = ranked.where(F.col("__rk") == 1).select(
         F.col("rep").alias("rep_a"),
         F.col("rep").alias("rep_b"),
@@ -712,10 +780,11 @@ def minhash_lsh_pairs(
     )
     ma = mcap.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("da"))
     mb = mcap.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("db"))
+    how = "inner" if heavy else "left"
     cross = (
         ver.unionByName(ver_self)
-        .join(ma, "rep_a", "left")
-        .join(mb, "rep_b", "left")
+        .join(ma, "rep_a", how)
+        .join(mb, "rep_b", how)
         .where(
             (F.col("rep_a") != F.col("rep_b"))
             | (F.col("da") < F.col("db"))
