@@ -145,32 +145,52 @@ def cmd_index(args: argparse.Namespace) -> int:
     if args.maintain is not None and args.checkpoint is None:
         print("index: --maintain requires --checkpoint", file=sys.stderr)
         return 2
+    pq = args.kind == "pq"
+    # (rows table, partition col, matrix dir) per index family — the
+    # lifecycle verbs below are family-agnostic
+    rows_tbl, rows_part, matrix = (
+        ("codes", "shard", "codebooks") if pq
+        else ("postings", "cluster", "centroids")
+    )
     spark = _spark("mahjong-index")
     if args.compact:
-        from .streaming.ann_index_stream import compact_postings
+        from .plans.compaction import compact_table
 
-        rewritten = compact_postings(spark, args.index_dir)
-        n = spark.read.parquet(f"{args.index_dir}/postings").count()
+        rewritten = compact_table(
+            spark, args.index_dir, rows_tbl, part_col=rows_part
+        )
+        n = spark.read.parquet(f"{args.index_dir}/{rows_tbl}").count()
         print(
-            f"compacted {len(rewritten)} cluster partitions at "
-            f"{args.index_dir}: {n} postings"
+            f"compacted {len(rewritten)} {rows_part} partitions at "
+            f"{args.index_dir}: {n} {rows_tbl}"
         )
         return 0
     if args.maintain is None:
-        from .operators.similarity import write_ivf_index
+        from .operators.similarity import write_ivf_index, write_pq_index
 
         vecs = spark.read.parquet(args.vectors)
-        write_ivf_index(spark, vecs, args.index_dir, n_clusters=args.clusters)
-        n = spark.read.parquet(f"{args.index_dir}/postings").count()
-        print(f"built IVF index at {args.index_dir}: {n} postings")
+        if pq:
+            write_pq_index(spark, vecs, args.index_dir)
+        else:
+            write_ivf_index(
+                spark, vecs, args.index_dir, n_clusters=args.clusters
+            )
+        n = spark.read.parquet(f"{args.index_dir}/{rows_tbl}").count()
+        print(
+            f"built {args.kind.upper()} index at {args.index_dir}: "
+            f"{n} {rows_tbl}"
+        )
         return 0
-    from .streaming.ann_index_stream import run_ivf_maintenance_stream
+    from .streaming.ann_index_stream import (
+        run_ivf_maintenance_stream,
+        run_pq_maintenance_stream,
+    )
     from .streaming.etl_stream import _meta_fs
 
     _ifs = _meta_fs(spark, args.index_dir)
-    if _ifs.kind(f"{_ifs.root}/centroids") is None:
+    if _ifs.kind(f"{_ifs.root}/{matrix}") is None:
         print(
-            f"index: {args.index_dir} has no centroids — build it "
+            f"index: {args.index_dir} has no {matrix} — build it "
             f"first with --vectors",
             file=sys.stderr,
         )
@@ -197,7 +217,8 @@ def cmd_index(args: argparse.Namespace) -> int:
         .option("maxFilesPerTrigger", args.max_files_per_trigger)
         .parquet(args.maintain)
     )
-    q = run_ivf_maintenance_stream(
+    run_stream = run_pq_maintenance_stream if pq else run_ivf_maintenance_stream
+    q = run_stream(
         spark,
         stream,
         args.index_dir,
@@ -210,8 +231,11 @@ def cmd_index(args: argparse.Namespace) -> int:
         return 0
     q.awaitTermination()
     q.stop()
-    n = spark.read.parquet(f"{args.index_dir}/postings").count()
-    print(f"maintained IVF index at {args.index_dir}: {n} postings")
+    n = spark.read.parquet(f"{args.index_dir}/{rows_tbl}").count()
+    print(
+        f"maintained {args.kind.upper()} index at {args.index_dir}: "
+        f"{n} {rows_tbl}"
+    )
     # surface the data-driven retrain signal (drift ledger, r11): the
     # frozen quantizer's operational limit, as a number instead of a
     # calendar habit
@@ -230,9 +254,9 @@ def cmd_index(args: argparse.Namespace) -> int:
     )
     # ... and the small-file signal (r12): both maintenance actions —
     # retrain and compact — read off one command
-    comp = compact_recommended(spark, args.index_dir)
+    comp = compact_recommended(spark, args.index_dir, table=rows_tbl)
     print(
-        f"postings: {comp['files']} files across {comp['partitions']} "
+        f"{rows_tbl}: {comp['files']} files across {comp['partitions']} "
         f"cluster partitions (max {comp['max_partition_files']}/part, "
         f"knee {comp['knee']}) -> "
         f"compact recommended: {comp['compact_recommended']}"
@@ -512,6 +536,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(snapshot-file swap; safe beside a live stream)",
     )
     ix.add_argument("--clusters", type=int, default=16)
+    ix.add_argument(
+        "--kind", choices=["ivf", "pq"], default="ivf",
+        help="index family: ivf (centroids + cluster-partitioned "
+        "postings) or pq (codebooks + shard-partitioned codes); "
+        "build/maintain/compact and the drift/compaction signals "
+        "work identically on both",
+    )
     ix.add_argument("--max-files-per-trigger", type=int, default=16)
     ix.add_argument(
         "--follow", action="store_true",

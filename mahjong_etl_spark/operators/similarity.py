@@ -1339,6 +1339,52 @@ def pq_encode(corpus: DataFrame, books) -> DataFrame:
     )
 
 
+def pq_recon_partials(corpus: DataFrame, books) -> DataFrame:
+    """(n, serr) per-partition partials of the PQ reconstruction
+    error: for each L2-normalized vector, the Euclidean distance to
+    its nearest-codeword reconstruction (√ of the summed per-subspace
+    quantization residuals).  One map-side pass, driver traffic two
+    scalars per partition — the PQ analogue of the IVF assignment
+    residual, and the metric the index-drift monitor compares
+    arrivals against (streaming/ann_index_stream.py): arrivals whose
+    sub-vectors the frozen codebooks cannot represent show a rising
+    reconstruction error exactly like IVF arrivals far from every
+    centroid show a rising assignment residual."""
+    import numpy as np
+    import pandas as pd
+
+    bk = books
+    m, ksub, dsub = bk.shape
+
+    def batches(it):
+        n = 0
+        serr = 0.0
+        seen = False
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb_d"].values]
+            )
+            nrm = pdf["norm"].to_numpy(dtype=np.float64)
+            nrm[nrm == 0.0] = 1.0
+            mat = mat / nrm[:, None]
+            tot = np.zeros(len(mat), dtype=np.float64)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+                tot += d2.min(axis=1)
+            n += len(mat)
+            serr += float(np.sqrt(tot).sum())
+        if seen:
+            yield pd.DataFrame({"n": [n], "serr": [serr]})
+
+    return corpus.select("emb_d", "norm").mapInPandas(
+        batches, "n long, serr double"
+    )
+
+
 def ann_pq_topk(
     spark: SparkSession,
     queries_df: DataFrame,
@@ -1536,6 +1582,9 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+PQ_CODE_SHARDS = 16
+
+
 def write_pq_index(
     spark: SparkSession, corpus_df: DataFrame, path: str, books=None
 ) -> None:
@@ -1548,19 +1597,63 @@ def write_pq_index(
     bit-identical to one from a fresh index — pinned by
     similarity_ann_pq_persisted sharing similarity_ann_pq's golden.
     Codebooks ride the same chunked-binary encoding as the IVF
-    centroids (_write_ndarray)."""
+    centroids (_write_ndarray).
+
+    r12 — the same maintained-index lifecycle as write_ivf_index:
+    codes are PARTITIONED by ``shard = vec_id mod PQ_CODE_SHARDS`` (a
+    layout the streaming PQ maintenance appends batch-keyed files
+    into; the ADC scan reads every shard anyway, so the partitioning
+    costs the serve path nothing), every rebuild stamps a fresh
+    ``_index_epoch`` (checkpoint fencing — frozen-codebook replay
+    idempotence is the same argument as frozen-centroid), clears
+    stale maintenance markers, and records the build-time mean
+    reconstruction error in ``_drift/baseline.json`` as the drift
+    reference."""
     c = with_norm(corpus_df)
     if books is None:
         books = train_pq_codebooks(c)
     _write_ndarray(spark, books, f"{path}/codebooks")
-    pq_encode(c, books).write.mode("overwrite").parquet(f"{path}/codes")
+    from ..streaming.ann_index_stream import invalidate_centroids
+
+    invalidate_centroids(path)
+    pq_encode(c, books).withColumn(
+        "shard", F.pmod(F.col("vec_id"), F.lit(PQ_CODE_SHARDS)).cast("int")
+    ).write.mode("overwrite").partitionBy("shard").parquet(f"{path}/codes")
+
+    import json as _json
+    import uuid as _uuid
+
+    from ..streaming.etl_stream import _meta_fs
+
+    fs = _meta_fs(spark, path)
+    if fs.kind(f"{fs.root}/_batch_commits") is not None:
+        fs.delete_dir(f"{fs.root}/_batch_commits")
+    fs.write_bytes(f"{fs.root}/_index_epoch", _uuid.uuid4().hex.encode())
+    (row,) = (
+        pq_recon_partials(c, books)
+        .agg(F.sum("n").alias("n"), F.sum("serr").alias("serr"))
+        .collect()
+    )
+    fs.mkdirs(f"{fs.root}/_drift")
+    fs.write_bytes(
+        f"{fs.root}/_drift/baseline.json",
+        _json.dumps(
+            {
+                "mean_residual": (row.serr / row.n) if row.n else 0.0,
+                "n": row.n,
+                "kind": "pq_reconstruction",
+            }
+        ).encode(),
+    )
 
 
 def read_pq_index(spark: SparkSession, path: str):
-    """(codebooks ndarray, codes DataFrame) from a written index."""
+    """(codebooks ndarray, codes DataFrame) from a written index.
+    The shard partition column (r12 layout) is projected away so
+    consumers see the same (vec_id, code) relation either way."""
     return (
         _read_ndarray(spark, f"{path}/codebooks"),
-        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/codes").select("vec_id", "code"),
     )
 
 

@@ -87,6 +87,17 @@ DRIFT_RESIDUAL_RATIO = 1.5
 DRIFT_TOP_CELL_SHARE = 0.5
 DRIFT_MIN_BATCH = 64
 
+# PQ drift threshold (r12).  PQ reconstruction error lives on the
+# unit sphere, so it is BOUNDED — unlike the unbounded IVF assignment
+# residual, a 1.5x ratio is nearly unreachable.  Calibration sweep on
+# the sf0.01 corpus (books trained on the corpus itself): arrivals
+# from the same distribution score ratio 1.000; structured
+# out-of-distribution shifts score 1.06 (per-vector random sign
+# patterns), 1.09 (alternating sign + offset), 1.33 (axis-aligned
+# one-hot spikes) — 1.2 separates the regimes with margin on both
+# sides.
+PQ_DRIFT_RECON_RATIO = 1.2
+
 DRIFT_SCHEMA = (
     "batch_id long, n long, cells_touched long, top_cell_share double, "
     "mean_residual double, baseline_residual double, "
@@ -104,12 +115,14 @@ DRIFT_SCHEMA = (
 # stream start.
 _CENTROID_CACHE: dict[tuple, object] = {}
 _BASELINE_CACHE: dict[tuple, dict] = {}
+_BOOKS_CACHE: dict[tuple, object] = {}
 
 
 def invalidate_centroids(index_dir: str) -> None:
-    """Drop every cached centroid matrix / drift baseline for
-    ``index_dir`` (called by write_ivf_index on rewrite, any app)."""
-    for cache in (_CENTROID_CACHE, _BASELINE_CACHE):
+    """Drop every cached centroid matrix / PQ codebook / drift
+    baseline for ``index_dir`` (called by write_ivf_index and
+    write_pq_index on rewrite, any app)."""
+    for cache in (_CENTROID_CACHE, _BASELINE_CACHE, _BOOKS_CACHE):
         for key in [k for k in cache if k[1] == index_dir]:
             del cache[key]
 
@@ -403,23 +416,26 @@ def compact_postings(
 POSTINGS_FILE_KNEE = 1000
 
 
-def compact_recommended(spark: SparkSession, index_dir: str) -> dict:
+def compact_recommended(
+    spark: SparkSession, index_dir: str, table: str = "postings"
+) -> dict:
     """Operator-facing compaction signal — the twin of
     :func:`rebuild_recommended`, so "watch one command" covers both
     retrain (drift) and compaction (small files) (r11 verdict item 5).
 
-    Counts the data files in each ``cluster=`` partition of the
-    maintained postings table (one metadata listing, no data read)
-    and flags once the TOTAL crosses the measured knee — the serve
-    path reads every probed partition, so the total, not the max,
-    drives the observed latency curve."""
-    fs = _meta_fs(spark, f"{index_dir}/postings")
+    Counts the data files in each hive partition of the maintained
+    rows table (``postings/cluster=`` for IVF, ``codes/shard=`` for
+    PQ — one metadata listing, no data read) and flags once the TOTAL
+    crosses the measured knee — the serve path reads every probed
+    partition, so the total, not the max, drives the observed latency
+    curve."""
+    fs = _meta_fs(spark, f"{index_dir}/{table}")
     per: dict[str, int] = {}
     if fs.kind(fs.root) == "dir":
         for p in fs.list_files(fs.root, recursive=True):
             rel = p[len(fs.root):].lstrip("/")
             name = rel.rsplit("/", 1)[-1]
-            if name.startswith(("_", ".")) or not rel.startswith("cluster="):
+            if name.startswith(("_", ".")) or "=" not in rel.split("/")[0]:
                 continue
             per[rel.split("/", 1)[0]] = per.get(rel.split("/", 1)[0], 0) + 1
     total = sum(per.values())
@@ -484,6 +500,136 @@ def run_ivf_maintenance_stream(
             )
         finally:
             ares.unpersist()
+
+    writer = (
+        vectors_stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# PQ index maintenance (r12): the second index family on the same
+# lifecycle — frozen codebooks between rebuilds, batch-keyed
+# replay-idempotent code appends, epoch fencing, drift ledger.
+# ---------------------------------------------------------------------------
+
+
+def _index_books(spark: SparkSession, index_dir: str):
+    from ..operators.similarity import _read_ndarray
+
+    key = (spark.sparkContext.applicationId, index_dir)
+    hit = _BOOKS_CACHE.get(key)
+    if hit is None:
+        hit = _read_ndarray(spark, f"{index_dir}/codebooks")
+        _BOOKS_CACHE[key] = hit
+    return hit
+
+
+def run_pq_maintenance_stream(
+    spark: SparkSession,
+    vectors_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Keep a persisted PQ index's code table current as new vectors
+    arrive — the PQ twin of :func:`run_ivf_maintenance_stream`, and
+    deliberately the SAME machinery end to end:
+
+    - per micro-batch, the arrivals are PQ-encoded against the
+      persisted index's FROZEN codebooks (read once per (session,
+      index), cache busted by write_pq_index's sanctioned rewrite)
+      and appended into the ``{index}/codes`` ``shard=`` layout
+      through ``publish_batch`` — the one copy of the
+      effective-exactly-once contract;
+    - the checkpoint is fenced to the index epoch at start AND the
+      bound epoch is re-verified before every publish, so an in-place
+      retrain under a live or crashed stream refuses loudly instead
+      of appending codes the rebuild already encoded;
+    - one drift row per batch: the batch's mean RECONSTRUCTION error
+      (operators/similarity.py::pq_recon_partials) against the
+      build-time baseline — codebooks that can no longer represent
+      the arriving distribution show a rising ratio exactly like IVF
+      centroids do, and ``rebuild_recommended``/``read_drift``/the
+      CLI ``index`` summary work on a PQ index unchanged.
+
+    Because the codebooks are frozen, encoding is deterministic and
+    the maintained code table is BIT-IDENTICAL to a batch
+    ``write_pq_index`` over the union corpus with the same books —
+    pinned by tests/test_ann_index_stream.py::
+    test_pq_maintained_index_matches_batch_rebuild."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    bound_epoch = _bind_index_epoch(spark, index_dir, checkpoint_dir)
+    lineage = _lineage_id(spark, checkpoint_dir)
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.similarity import (
+            PQ_CODE_SHARDS,
+            pq_encode,
+            pq_recon_partials,
+            with_norm,
+        )
+
+        session = batch_df.sparkSession
+        books = _index_books(session, index_dir)
+        vecs = with_norm(batch_df).persist()
+        try:
+            codes = pq_encode(vecs, books).withColumn(
+                "shard",
+                F.pmod(F.col("vec_id"), F.lit(PQ_CODE_SHARDS)).cast("int"),
+            )
+            _check_epoch(session, index_dir, bound_epoch)
+            publish_batch(
+                session,
+                index_dir,
+                f"{lineage}-{batch_id}",
+                {"codes": codes},
+                part_col="shard",
+            )
+            # drift row AFTER the publish (telemetry, not part of the
+            # exactly-once contract — same argument as the IVF stream)
+            (row,) = (
+                pq_recon_partials(vecs, books)
+                .agg(F.sum("n").alias("n"), F.sum("serr").alias("serr"))
+                .collect()
+            )
+            n = row.n or 0
+            mean_res = (row.serr / n) if n else 0.0
+            base = _index_baseline(session, index_dir)
+            base_res = base.get("mean_residual")
+            ratio = (
+                (mean_res / base_res)
+                if (base_res and base_res > 0 and n)
+                else None
+            )
+            flag = bool(
+                n >= DRIFT_MIN_BATCH
+                and ratio is not None
+                and ratio > PQ_DRIFT_RECON_RATIO
+            )
+            _append_drift(
+                session,
+                index_dir,
+                {
+                    "batch_id": batch_id,
+                    "n": n,
+                    "cells_touched": None,
+                    "top_cell_share": None,
+                    "mean_residual": round(mean_res, 6),
+                    "baseline_residual": base_res,
+                    "residual_ratio": (
+                        round(ratio, 6) if ratio is not None else None
+                    ),
+                    "rebuild_recommended": flag,
+                },
+                lineage=lineage,
+            )
+        finally:
+            vecs.unpersist()
 
     writer = (
         vectors_stream.writeStream.foreachBatch(maintain)

@@ -575,3 +575,189 @@ def test_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
     write_ivf_index(spark, full, scratch2, centroids=cents2)
     got = served(index_dir, full)
     assert got == served(scratch2, full) and got
+
+
+def _pq_codes_set(spark, index_dir):
+    from mahjong_etl_spark.operators.similarity import read_pq_index
+
+    _, codes = read_pq_index(spark, index_dir)
+    return {(r.vec_id, tuple(r.code)) for r in codes.collect()}
+
+
+def test_pq_maintained_index_matches_batch_rebuild(spark, sf_dir, tmp_path):
+    """The PQ twin of the IVF parity pin: build the PQ index on 60% of
+    the corpus, stream the rest in, and the maintained code table must
+    be BIT-IDENTICAL to a from-scratch write_pq_index over the union
+    corpus with the same frozen codebooks — and serve identical ADC
+    query rows."""
+    from mahjong_etl_spark.operators.similarity import (
+        ann_pq_topk,
+        read_pq_index,
+        write_pq_index,
+    )
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        run_pq_maintenance_stream,
+    )
+
+    e = _load_emb(spark, sf_dir)
+    cut = int(e.count() * 0.6)
+    index_dir = str(tmp_path / "pqindex")
+    write_pq_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    parts = e.where(F.col("vec_id") >= cut).randomSplit([1.0] * 3, seed=7)
+    for i, p in enumerate(parts):
+        _stage_arrival(p, tmp_path, drop, f"arrival{i}", 1_000 + i)
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = run_pq_maintenance_stream(
+        spark, stream, index_dir, str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+
+    books, codes = read_pq_index(spark, index_dir)
+    rebuilt = str(tmp_path / "rebuilt")
+    write_pq_index(spark, e, rebuilt, books=books)
+    assert _pq_codes_set(spark, index_dir) == _pq_codes_set(spark, rebuilt)
+    assert codes.count() == e.count()
+
+    queries = e.where("vec_id < 5")
+    got = {
+        tuple(r)
+        for r in ann_pq_topk(
+            spark, queries, e, TOPK, books=books, codes=codes
+        ).collect()
+    }
+    _, rcodes = read_pq_index(spark, rebuilt)
+    want = {
+        tuple(r)
+        for r in ann_pq_topk(
+            spark, queries, e, TOPK, books=books, codes=rcodes
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_pq_maintenance_replay_and_fence(spark, sf_dir, tmp_path):
+    """Replay a crash-window batch (marker + checkpoint commit wiped):
+    the re-drain lands the SAME final code set.  Then an in-place
+    write_pq_index rebuild fences the old checkpoint out."""
+    import pytest
+
+    from mahjong_etl_spark.operators.similarity import write_pq_index
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        run_pq_maintenance_stream,
+    )
+
+    e = _load_emb(spark, sf_dir)
+    cut = int(e.count() * 0.8)
+    index_dir = str(tmp_path / "pqindex")
+    write_pq_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage_arrival(
+        e.where(F.col("vec_id") >= cut), tmp_path, drop, "arrival", 1_000
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop))
+        )
+        q = run_pq_maintenance_stream(spark, stream, index_dir, ckpt)
+        assert q.awaitTermination(120)
+        q.stop()
+        time.sleep(0.2)
+
+    drain()
+    want = _pq_codes_set(spark, index_dir)
+
+    (marker,) = glob.glob(f"{index_dir}/_batch_commits/*-0")
+    os.remove(marker)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    assert _pq_codes_set(spark, index_dir) == want
+
+    # in-place rebuild: fresh epoch, old checkpoint refused
+    write_pq_index(spark, e, index_dir)
+    with pytest.raises(RuntimeError, match="REBUILT"):
+        drain()
+
+
+def test_pq_drift_flags_reconstruction_shift(spark, sf_dir, tmp_path):
+    """Arrivals the frozen codebooks can represent record ledger rows
+    without flagging; arrivals from a shifted distribution (per-
+    component +5 before normalization changes the DIRECTION profile)
+    raise the reconstruction-error ratio and flip the flag — read
+    through the SAME read_drift/rebuild_recommended surface as IVF."""
+    from mahjong_etl_spark.operators.similarity import write_pq_index
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        DRIFT_MIN_BATCH,
+        read_drift,
+        rebuild_recommended,
+        run_pq_maintenance_stream,
+    )
+
+    e = _load_emb(spark, sf_dir)
+    n = e.count()
+    assert n >= DRIFT_MIN_BATCH
+    index_dir = str(tmp_path / "pqindex")
+    write_pq_index(spark, e, index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    same = e.select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding", "label"
+    )
+    # axis-aligned one-hot spikes: normalized arrivals concentrate
+    # all mass in one dimension — sub-vector shapes the trained
+    # codebooks never saw (calibration sweep: ratio 1.33 vs the
+    # PQ_DRIFT_RECON_RATIO = 1.2 bar; in-distribution scores 1.000)
+    shifted = e.select(
+        (F.col("vec_id") + 2 * n).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "cast(CASE WHEN i = pmod(vec_id, 64) THEN 1.0 ELSE 0.0 END "
+            "as float))"
+        ).alias("embedding"),
+        "label",
+    )
+    _stage_arrival(same, tmp_path, drop, "same", 1_000)
+    _stage_arrival(shifted, tmp_path, drop, "shifted", 2_000)
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = run_pq_maintenance_stream(
+        spark, stream, index_dir, str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+
+    rows = sorted(
+        read_drift(spark, index_dir).collect(), key=lambda r: r.batch_id
+    )
+    assert len(rows) == 2
+    assert not rows[0].rebuild_recommended
+    assert abs(rows[0].residual_ratio - 1.0) < 0.1
+    assert rows[1].rebuild_recommended
+    assert rows[1].residual_ratio > 1.2
+    assert rebuild_recommended(spark, index_dir)["rebuild_recommended"]

@@ -188,3 +188,51 @@ def test_cli_index_build_and_maintain(spark, sf_dir, tmp_path, capsys):
     assert main(
         ["index", "-I", index_dir, "-V", base_pq, "--compact"]
     ) == 2
+
+
+def test_cli_index_pq_kind(spark, sf_dir, tmp_path, capsys):
+    """`index --kind pq` drives the PQ family through the SAME
+    lifecycle verbs: build (codebooks + sharded codes), maintain
+    (streaming encode-and-append with the drift summary), compact
+    (shard-partition snapshot swap)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cut = int(e.count() * 0.8)
+    base_pq = str(tmp_path / "base_vectors")
+    e.where(F.col("vec_id") < cut).write.parquet(base_pq)
+    index_dir = str(tmp_path / "pqindex")
+
+    rc = main(["index", "--kind", "pq", "-I", index_dir, "-V", base_pq])
+    assert rc == 0
+    assert "built PQ index" in capsys.readouterr().out
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    e.where(F.col("vec_id") >= cut).coalesce(1).write.parquet(
+        str(tmp_path / "stage")
+    )
+    (src,) = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))
+    os.rename(src, drop / "arrival.parquet")
+    rc = main(
+        [
+            "index", "--kind", "pq", "-I", index_dir,
+            "-M", str(drop),
+            "-C", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"{e.count()} codes" in out
+    assert "rebuild recommended: False" in out
+    assert "compact recommended" in out
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    assert codes.select("vec_id").distinct().count() == e.count()
+
+    rc = main(["index", "--kind", "pq", "-I", index_dir, "--compact"])
+    assert rc == 0
+    assert "compacted" in capsys.readouterr().out
+    assert spark.read.parquet(f"{index_dir}/codes").count() == e.count()
