@@ -59,9 +59,20 @@ def test_compact_line_shape_and_size():
 
     names = sorted(timings)
     out_c = dict(out)
-    # mirrors bench.py: the raw pair vector lives in the detail file
-    # only; the compact line keeps median + spread
+    # mirrors bench.py: the raw pair vectors and full 1/5/15 load
+    # triplets live in the detail file only; the compact line keeps
+    # median + spread + the 1-min load components
     out_c.pop("etl_vs_ref_speedup_pairs", None)
+    out_c.pop("etl_vs_ref_pairs_raw", None)
+    out_c.pop("load_run_start", None)
+    out_c.pop("load_run_end", None)
+    out_c.pop("load_pairs", None)
+    if "load_run_start" in out:  # r12+ detail files carry the weather
+        out_c["load1m"] = {
+            "s": out["load_run_start"][0],
+            "e": out["load_run_end"][0],
+            "p": out["load_pairs"],
+        }
     out_c["n_queries"] = len(timings)
     out_c["qvals"] = [round(timings[n], 2) for n in names]
     out_c["qorder"] = "sorted(bench-names+mahjong_*_1k)"
@@ -71,10 +82,10 @@ def test_compact_line_shape_and_size():
     for k in range(12, -1, -1):
         out_c["queries"] = {n: timings[n] for n in slowest[:k]}
         line = json.dumps(out_c)
-        if len(line) <= 1500:
+        if len(line) <= 1600:
             break
 
-    assert len(line) <= 1500, f"compact line still {len(line)} chars"
+    assert len(line) <= 1600, f"compact line still {len(line)} chars"
     parsed = json.loads(line)
     assert len(parsed["qvals"]) == parsed["n_queries"] == len(timings)
     # the slowest-queries dict survives whole with REAL query names
