@@ -1691,6 +1691,288 @@ def similarity_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN: IVF-PQ (IVFADC — Jégou et al. 2011 §IV: coarse-quantize, then
+# product-quantize the RESIDUALS, score probed cells with ADC tables)
+# ---------------------------------------------------------------------------
+
+IVFPQ_NPROBE = 8
+
+
+def _unit_corpus(c: DataFrame) -> DataFrame:
+    """(vec_id, emb_d, norm=1) with emb_d L2-normalized — the space
+    IVFADC quantizes here, so cosine IS the inner product and the ADC
+    decomposition below is exact in expectation.  Zero vectors pass
+    through unscaled (norm treated as 1, same convention as
+    pq_encode)."""
+    safe = F.when(F.col("norm") == 0.0, F.lit(1.0)).otherwise(F.col("norm"))
+    return c.select(
+        "vec_id",
+        F.transform("emb_d", lambda x: x / safe).alias("emb_d"),
+        F.lit(1.0).alias("norm"),
+    )
+
+
+def ivfpq_build(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    n_clusters: int = IVF_CLUSTERS,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+):
+    """(centroids, books, coded) — the IVFADC index over the UNIT
+    corpus: a coarse quantizer (trained in the normalized space, so
+    cells partition directions, which is what cosine retrieval
+    probes), per-vector assignment, and PQ codebooks trained on the
+    RESIDUALS x̂ − centroid[cell].  Residual coding is the reason
+    IVFADC beats plain PQ at equal bits: within a cell the residual
+    energy is a fraction of the vector's, so the same m×ksub codebook
+    quantizes it with far less error (Jégou et al. 2011, Table III).
+
+    Every stage is the existing distributed machinery: Lloyd rounds
+    ride train_ivf_centroids' int64 fixed-point grid (bit-identical
+    under any partitioning — the golden-oracle prerequisite),
+    residuals are ONE JVM-side zip_with against a broadcast
+    k×dim centroid table (no Python in the corpus pass), and
+    train_pq_codebooks / pq_encode see residual rows with norm=1 so
+    their internal normalization is a no-op.  ``coded`` is
+    (cluster, vec_id, code[m]) — the inverted lists with 4-bit-per-
+    subspace payloads, m/2 bytes a vector at scale."""
+    from ..session import local_rows_df
+
+    cn = _unit_corpus(with_norm(corpus_df))
+    cents = train_ivf_centroids(cn, n_clusters, IVF_LLOYD_ITERS)
+    assigned = _assign_clusters(cn, cents)
+    cent_df = local_rows_df(
+        spark,
+        [(int(i), [float(v) for v in cents[i]]) for i in range(len(cents))],
+        "cluster int, carr array<double>",
+    )
+    res = (
+        cn.join(assigned, "vec_id")
+        .join(F.broadcast(cent_df), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            F.zip_with("emb_d", "carr", lambda x, c: x - c).alias("emb_d"),
+            F.lit(1.0).alias("norm"),
+        )
+    )
+    books = train_pq_codebooks(res, m=m, ksub=ksub)
+    coded = (
+        pq_encode(res, books)
+        .join(assigned, "vec_id")
+        .select("cluster", "vec_id", "code")
+    )
+    return cents, books, coded
+
+
+# (sf_dir) -> (owning session, (cents, books, persisted coded)) — the
+# IVFADC family cache, same once-per-corpus-snapshot contract as
+# corpus_centroids / corpus_pq_codebooks.
+_IVFPQ_CACHE: dict[str, tuple[SparkSession, tuple]] = {}
+
+
+def corpus_ivfpq(spark: SparkSession, sf_dir: str):
+    hit = _IVFPQ_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    cents, books, coded = ivfpq_build(
+        spark, corpus_embeddings(spark, sf_dir)
+    )
+    built = (cents, books, coded.persist())
+    _IVFPQ_CACHE[sf_dir] = (spark, built)
+    return built
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = TOPK,
+    nprobe: int = IVFPQ_NPROBE,
+    rerank: int = PQ_RERANK,
+    index=None,
+) -> DataFrame:
+    """IVFADC ANN: probe each query's ``nprobe`` nearest coarse cells,
+    ADC-score ONLY the probed cells' residual codes, exact-cosine
+    rerank the per-query shortlist.
+
+    On the unit sphere the scored quantity decomposes exactly:
+    q̂·x̂ = q̂·centroid[cell] + q̂·residual ≈ q̂·c + Σ_s ⟨q̂_s, book[s][code_s]⟩
+    — with inner-product scoring the ADC tables are CELL-INDEPENDENT
+    (unlike L2-IVFADC, where each probed cell needs its own table),
+    so one (nq, m, ksub) einsum per query block serves every cell.
+
+    Scale shape — the best of both parents: like IVF, each batch
+    touches only rows whose cell some query probes (≈ nprobe/k of the
+    corpus does real work; the mask is one boolean gather); like PQ,
+    the scored payload is 4 bits a subspace and each batch emits only
+    its local per-query top-``rerank``, so the shuffle is bounded by
+    partitions × nq × rerank no matter the corpus size.  Queries ride
+    the same LOUD PQ_Q_CAP / PQ_Q_BLOCK / PQ_Q_CHUNK bounds as
+    ann_pq_topk, and the same stable composite sort keeps every batch
+    cut deterministic under any partitioning."""
+    from functools import reduce
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    q = with_norm(queries_df)
+    c = with_norm(corpus_df)
+    if index is None:
+        index = ivfpq_build(spark, c)
+    cents, books, coded = index
+    m, ksub, dsub = books.shape
+    n_cells = len(cents)
+    nprobe = min(nprobe, n_cells)
+
+    q_rows = (
+        q.select("vec_id", "emb_d", "norm").limit(PQ_Q_CAP + 1).collect()
+    )
+    if len(q_rows) > PQ_Q_CAP:
+        raise ValueError(
+            f"IVFPQ query set exceeds PQ_Q_CAP={PQ_Q_CAP}: this entry "
+            f"point builds per-query ADC tables on the driver; an "
+            f"all-pairs-scale query set should go through the "
+            f"cluster-blocked semantic-dedup path instead"
+        )
+    q_ids = np.asarray([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.asarray(
+        [np.asarray(r.emb_d) / (r.norm or 1.0) for r in q_rows],
+        dtype=np.float64,
+    )
+    qcent = q_mat @ cents.T  # (nq, n_cells) — the q̂·c term
+    # probe selection = the assignment metric (nearest by L2 in the
+    # unit space): argmax q·c − |c|²/2, ties by cell id (stable sort)
+    sel = qcent - 0.5 * (cents * cents).sum(axis=1)
+    probed = np.argsort(-sel, axis=1, kind="stable")[:, :nprobe]
+    probe_mask = np.zeros((len(q_ids), n_cells), dtype=bool)
+    np.put_along_axis(probe_mask, probed, True, axis=1)
+    tables = np.einsum(
+        "qsd,sjd->qsj", q_mat.reshape(len(q_mat), m, dsub), books
+    )
+
+    sc = spark.sparkContext
+
+    def block_shortlist(bc):
+        def score_batches(it):
+            qi, tb, qc, pm = bc.value
+            s_idx = np.arange(m)
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                cls = pdf["cluster"].to_numpy(dtype=np.int64)
+                cds = np.asarray(list(pdf["code"].values), dtype=np.int64)
+                top = min(len(vids), rerank)
+                # deterministic batch cut (see ann_pq_topk): pre-sort
+                # by neighbor id, stable descending-score sort
+                vorder = np.argsort(vids)
+                vids_s = vids[vorder]
+                cls_s = cls[vorder]
+                cds_s = cds[vorder]
+                for c0 in range(0, len(qi), PQ_Q_CHUNK):
+                    qch = qi[c0 : c0 + PQ_Q_CHUNK]
+                    scores = (
+                        qc[c0 : c0 + PQ_Q_CHUNK][:, cls_s]
+                        + tb[c0 : c0 + PQ_Q_CHUNK][:, s_idx, cds_s].sum(
+                            axis=2
+                        )
+                    )
+                    scores[~pm[c0 : c0 + PQ_Q_CHUNK][:, cls_s]] = -np.inf
+                    idx = np.argsort(-scores, axis=1, kind="stable")[
+                        :, :top
+                    ]
+                    adc = np.take_along_axis(scores, idx, axis=1)
+                    keep = np.isfinite(adc)
+                    if not keep.any():
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "q_id": np.repeat(qch, top)[keep.reshape(-1)],
+                            "neighbor_id": vids_s[idx].reshape(-1)[
+                                keep.reshape(-1)
+                            ],
+                            "adc": adc.reshape(-1)[keep.reshape(-1)],
+                        }
+                    )
+
+        return coded.mapInPandas(
+            score_batches, "q_id long, neighbor_id long, adc double"
+        )
+
+    blocks = [
+        block_shortlist(
+            sc.broadcast(
+                (
+                    q_ids[b0 : b0 + PQ_Q_BLOCK],
+                    tables[b0 : b0 + PQ_Q_BLOCK],
+                    qcent[b0 : b0 + PQ_Q_BLOCK],
+                    probe_mask[b0 : b0 + PQ_Q_BLOCK],
+                )
+            )
+        )
+        for b0 in range(0, max(len(q_ids), 1), PQ_Q_BLOCK)
+    ]
+    shortlist = reduce(DataFrame.unionAll, blocks).where(
+        F.col("q_id") != F.col("neighbor_id")
+    )
+    w0 = Window.partitionBy("q_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    cand = (
+        shortlist.withColumn("r0", F.row_number().over(w0))
+        .where(F.col("r0") <= rerank)
+        .select("q_id", "neighbor_id")
+    )
+    qv = q.select(F.col("vec_id").alias("q_id"), "emb_d", "norm").alias("q")
+    cv = c.select(
+        F.col("vec_id").alias("neighbor_id"), "emb_d", "norm"
+    ).alias("c")
+    cos = F.round(cosine_expr("q", "c"), 6)
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "neighbor_id")
+        .select("q_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@query("similarity_ann_ivfpq", oracle=_ann_golden_oracle("ivfpq"))
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC ANN top-5 (Jégou et al. 2011 §IV): coarse cells +
+    residual PQ codes, probed ADC scoring, exact rerank — the
+    canonical billion-scale index shape (FAISS IVFx,PQy) composed
+    from this package's IVF and PQ planes.  Approximate in recall,
+    exact in bytes (fixed-point training, stable tie-breaks), so the
+    oracle is a committed corpus_sig-keyed golden of its own output;
+    recall vs the brute-force baseline is pinned in
+    tests/test_r12_operators.py."""
+    e = corpus_embeddings(spark, sf_dir)
+    return ann_ivfpq_topk(
+        spark,
+        e.where(N_QUERIES_PRED),
+        e,
+        TOPK,
+        index=corpus_ivfpq(spark, sf_dir),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rank fusion: ensemble retrieval over heterogeneous ANN indexes
 # ---------------------------------------------------------------------------
 

@@ -154,13 +154,19 @@ _CHECK_WINDOW_HEAD = [
     "orders_grouping_sets",
     "q11_supplier_value_share",
     "q13_order_count_distribution",
-    "q19_disjunctive_predicates",
+    # NEW in r12 — never driver-checked, so it MUST sit in the window
+    # (the never-checked invariant outranks evidence freshness); it
+    # displaces q19_disjunctive_predicates from the BOTTOM of the
+    # head to the tail front, per the standing mid-round rule above
+    "similarity_ann_ivfpq",
 ]
 
 _CHECK_WINDOW_TAIL = [
-    # r8-cohort members displaced by the r12 changed-code slots —
-    # they lead the r13 queue (evidence r8), followed by the r9
+    # r8-cohort members displaced by the r12 changed-code slots (and
+    # q19, displaced by the mid-round similarity_ann_ivfpq addition)
+    # — they lead the r13 queue (evidence r8), followed by the r9
     # cohort (the next section)
+    "q19_disjunctive_predicates",
     "q20_excess_stock_suppliers",
     "q21_waiting_suppliers",
     "q2_min_cost_supplier",

@@ -16,7 +16,7 @@ the corpora:
 
     python tests/regen_ann_goldens.py [sf_dir ...]
 
-Writes tests/fixtures/ann_{lsh,ivf,pq}_golden.parquet; commit them.
+Writes tests/fixtures/ann_{lsh,ivf,pq,ivfpq}_golden.parquet; commit them.
 """
 
 from __future__ import annotations
@@ -40,14 +40,20 @@ def main(sf_dirs: list[str]) -> None:
     from mahjong_etl_spark.operators.classifier import corpus_sig
     from mahjong_etl_spark.operators.similarity import (
         similarity_ann_ivf,
+        similarity_ann_ivfpq,
         similarity_ann_lsh,
         similarity_ann_pq,
     )
     from mahjong_etl_spark.session import get_spark
 
     spark = get_spark("regen-ann-goldens")
-    out = {"lsh": [], "ivf": [], "pq": []}
-    fns = {"lsh": similarity_ann_lsh, "ivf": similarity_ann_ivf, "pq": similarity_ann_pq}
+    out = {"lsh": [], "ivf": [], "pq": [], "ivfpq": []}
+    fns = {
+        "lsh": similarity_ann_lsh,
+        "ivf": similarity_ann_ivf,
+        "pq": similarity_ann_pq,
+        "ivfpq": similarity_ann_ivfpq,
+    }
     for sf_dir in sf_dirs:
         sig = corpus_sig(spark, sf_dir)
         for key, fn in fns.items():

@@ -215,3 +215,151 @@ def test_minhash_adaptive_heavy_regime_matches(spark):
             for y in ids(b):
                 expected.add((min(x, y), max(x, y), j))
     assert p3 == expected
+
+
+# ---------------------------------------------------------------------
+# IVFADC (IVF + residual-PQ) — recall, determinism, probe discipline
+# ---------------------------------------------------------------------
+
+
+def test_ann_ivfpq_recall_and_probe_discipline(spark, sf_dir):
+    """IVFADC top-5 must recover >= 60% of the brute-force top-5
+    (the family recall contract), every returned neighbor must come
+    from a cell the query actually probed, and the coded payload must
+    be valid 4-bit indices."""
+    from mahjong_etl_spark.operators.similarity import (
+        IVFPQ_NPROBE,
+        N_QUERIES_PRED,
+        PQ_KSUB,
+        TOPK,
+        corpus_embeddings,
+        corpus_ivfpq,
+        cosine_topk,
+        similarity_ann_ivfpq,
+    )
+
+    e = corpus_embeddings(spark, sf_dir)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in cosine_topk(e.where(N_QUERIES_PRED), e, TOPK).collect()
+    }
+    ann_rows = similarity_ann_ivfpq(spark, sf_dir).collect()
+    ann = {(r.q_id, r.neighbor_id) for r in ann_rows}
+    assert len(exact) > 0
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.6, f"IVFPQ recall too low: {recall}"
+
+    cents, books, coded = corpus_ivfpq(spark, sf_dir)
+    code_rows = coded.collect()
+    assert all(
+        0 <= v < PQ_KSUB for r in code_rows for v in r.code
+    )  # 4-bit payload
+    cell_of = {r.vec_id: r.cluster for r in code_rows}
+    # reconstruct each query's probe set exactly as the operator does
+    q = np.asarray(
+        [
+            np.asarray(r.emb_d) / (r.norm or 1.0)
+            for r in sorted(
+                e.where(N_QUERIES_PRED)
+                .select("vec_id", "emb_d", "norm")
+                .collect(),
+                key=lambda r: r.vec_id,
+            )
+        ]
+    )
+    qids = sorted(r.vec_id for r in e.where(N_QUERIES_PRED).collect())
+    sel = q @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+    probed = {
+        qid: set(np.argsort(-row, kind="stable")[:IVFPQ_NPROBE])
+        for qid, row in zip(qids, sel)
+    }
+    for r in ann_rows:
+        assert cell_of[r.neighbor_id] in probed[r.q_id], (
+            f"neighbor {r.neighbor_id} of query {r.q_id} came from an "
+            f"unprobed cell"
+        )
+
+
+def test_ann_ivfpq_deterministic_under_repartition(spark, sf_dir):
+    """The golden-oracle prerequisite: identical rows no matter how
+    the coded corpus is partitioned (the batch top-cut must be
+    partition-independent)."""
+    from mahjong_etl_spark.operators.similarity import (
+        N_QUERIES_PRED,
+        TOPK,
+        ann_ivfpq_topk,
+        corpus_embeddings,
+        corpus_ivfpq,
+    )
+
+    e = corpus_embeddings(spark, sf_dir)
+    cents, books, coded = corpus_ivfpq(spark, sf_dir)
+    a = {
+        tuple(r)
+        for r in ann_ivfpq_topk(
+            spark, e.where(N_QUERIES_PRED), e, TOPK,
+            index=(cents, books, coded.repartition(1)),
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in ann_ivfpq_topk(
+            spark, e.where(N_QUERIES_PRED), e, TOPK,
+            index=(cents, books, coded.repartition(13)),
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_ann_ivfpq_residual_coding_beats_plain_pq_error(spark, sf_dir):
+    """The reason IVFADC exists: PQ over residuals must reconstruct
+    with LESS error than the same-size PQ over the raw unit vectors
+    (Jégou et al. 2011, Table III).  Measured with the same
+    pq_recon_partials pass both ways."""
+    from pyspark.sql import functions as FF
+
+    from mahjong_etl_spark.operators.similarity import (
+        _assign_clusters,
+        _unit_corpus,
+        corpus_embeddings,
+        corpus_ivfpq,
+        corpus_pq_codebooks,
+        pq_recon_partials,
+        train_ivf_centroids,
+        with_norm,
+    )
+    from mahjong_etl_spark.session import local_rows_df
+
+    e = corpus_embeddings(spark, sf_dir)
+    cents, books, _ = corpus_ivfpq(spark, sf_dir)
+    cn = _unit_corpus(with_norm(e))
+    assigned = _assign_clusters(cn, cents)
+    cent_df = local_rows_df(
+        spark,
+        [(int(i), [float(v) for v in cents[i]]) for i in range(len(cents))],
+        "cluster int, carr array<double>",
+    )
+    res = (
+        cn.join(assigned, "vec_id")
+        .join(FF.broadcast(cent_df), "cluster")
+        .select(
+            "vec_id",
+            FF.zip_with("emb_d", "carr", lambda x, c: x - c).alias("emb_d"),
+            FF.lit(1.0).alias("norm"),
+        )
+    )
+
+    def mean_err(frame, bks):
+        r = (
+            pq_recon_partials(frame, bks)
+            .agg(FF.sum("n").alias("n"), FF.sum("serr").alias("s"))
+            .first()
+        )
+        return r.s / r.n
+
+    res_err = mean_err(res, books)
+    raw_err = mean_err(cn, corpus_pq_codebooks(spark, sf_dir))
+    assert res_err < raw_err, (
+        f"residual coding should reduce quantization error: "
+        f"residual {res_err} vs raw {raw_err}"
+    )
