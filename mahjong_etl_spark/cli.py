@@ -145,13 +145,13 @@ def cmd_index(args: argparse.Namespace) -> int:
     if args.maintain is not None and args.checkpoint is None:
         print("index: --maintain requires --checkpoint", file=sys.stderr)
         return 2
-    pq = args.kind == "pq"
     # (rows table, partition col, matrix dir) per index family — the
     # lifecycle verbs below are family-agnostic
-    rows_tbl, rows_part, matrix = (
-        ("codes", "shard", "codebooks") if pq
-        else ("postings", "cluster", "centroids")
-    )
+    rows_tbl, rows_part, matrix = {
+        "ivf": ("postings", "cluster", "centroids"),
+        "pq": ("codes", "shard", "codebooks"),
+        "ivfpq": ("codes", "cluster", "centroids"),
+    }[args.kind]
     spark = _spark("mahjong-index")
     if args.compact:
         from .plans.compaction import compact_table
@@ -166,11 +166,17 @@ def cmd_index(args: argparse.Namespace) -> int:
         )
         return 0
     if args.maintain is None:
-        from .operators.similarity import write_ivf_index, write_pq_index
+        from .operators.similarity import (
+            write_ivf_index,
+            write_ivfpq_index,
+            write_pq_index,
+        )
 
         vecs = spark.read.parquet(args.vectors)
-        if pq:
+        if args.kind == "pq":
             write_pq_index(spark, vecs, args.index_dir)
+        elif args.kind == "ivfpq":
+            write_ivfpq_index(spark, vecs, args.index_dir)
         else:
             write_ivf_index(
                 spark, vecs, args.index_dir, n_clusters=args.clusters
@@ -183,6 +189,7 @@ def cmd_index(args: argparse.Namespace) -> int:
         return 0
     from .streaming.ann_index_stream import (
         run_ivf_maintenance_stream,
+        run_ivfpq_maintenance_stream,
         run_pq_maintenance_stream,
     )
     from .streaming.etl_stream import _meta_fs
@@ -217,7 +224,11 @@ def cmd_index(args: argparse.Namespace) -> int:
         .option("maxFilesPerTrigger", args.max_files_per_trigger)
         .parquet(args.maintain)
     )
-    run_stream = run_pq_maintenance_stream if pq else run_ivf_maintenance_stream
+    run_stream = {
+        "ivf": run_ivf_maintenance_stream,
+        "pq": run_pq_maintenance_stream,
+        "ivfpq": run_ivfpq_maintenance_stream,
+    }[args.kind]
     q = run_stream(
         spark,
         stream,
@@ -537,11 +548,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ix.add_argument("--clusters", type=int, default=16)
     ix.add_argument(
-        "--kind", choices=["ivf", "pq"], default="ivf",
+        "--kind", choices=["ivf", "pq", "ivfpq"], default="ivf",
         help="index family: ivf (centroids + cluster-partitioned "
-        "postings) or pq (codebooks + shard-partitioned codes); "
-        "build/maintain/compact and the drift/compaction signals "
-        "work identically on both",
+        "postings), pq (codebooks + shard-partitioned codes), or "
+        "ivfpq (IVFADC: centroids + codebooks + cluster-partitioned "
+        "residual codes); build/maintain/compact and the "
+        "drift/compaction signals work identically on all three",
     )
     ix.add_argument("--max-files-per-trigger", type=int, default=16)
     ix.add_argument(

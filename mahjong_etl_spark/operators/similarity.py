@@ -1718,6 +1718,8 @@ def ivfpq_build(
     n_clusters: int = IVF_CLUSTERS,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
+    centroids=None,
+    books=None,
 ):
     """(centroids, books, coded) — the IVFADC index over the UNIT
     corpus: a coarse quantizer (trained in the normalized space, so
@@ -1740,7 +1742,11 @@ def ivfpq_build(
     from ..session import local_rows_df
 
     cn = _unit_corpus(with_norm(corpus_df))
-    cents = train_ivf_centroids(cn, n_clusters, IVF_LLOYD_ITERS)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(cn, n_clusters, IVF_LLOYD_ITERS)
+    )
     assigned = _assign_clusters(cn, cents)
     cent_df = local_rows_df(
         spark,
@@ -1757,7 +1763,8 @@ def ivfpq_build(
             F.lit(1.0).alias("norm"),
         )
     )
-    books = train_pq_codebooks(res, m=m, ksub=ksub)
+    if books is None:
+        books = train_pq_codebooks(res, m=m, ksub=ksub)
     coded = (
         pq_encode(res, books)
         .join(assigned, "vec_id")
@@ -1949,6 +1956,125 @@ def ann_ivfpq_topk(
             "cosine",
             F.col("rnk").cast("long").alias("rnk"),
         )
+    )
+
+
+def write_ivfpq_index(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    path: str,
+    centroids=None,
+    books=None,
+) -> None:
+    """Persist an IVFADC index: ``{path}/centroids`` + ``{path}/
+    codebooks`` (both chunked-binary, exact under round-trip) and
+    ``{path}/codes`` — (vec_id, code[m]) PARTITIONED BY ``cluster``,
+    so a probed serve prunes straight to the nprobe inverted lists'
+    files (the IVF postings pruning story, now carrying the 32×-
+    compressed payload).  Same maintained-index lifecycle as the IVF
+    and PQ snapshots: fresh ``_index_epoch`` per rebuild, stale
+    maintenance markers cleared, build-time COARSE assignment
+    residual baseline in ``_drift/baseline.json`` (the IVFADC retrain
+    signal is the coarse quantizer's, not the sub-codebooks' — cells
+    going stale is what degrades both the probe recall and the
+    residual coding)."""
+    c = with_norm(corpus_df)
+    cn = _unit_corpus(c)
+    cents, books, coded = ivfpq_build(
+        spark, c, centroids=centroids, books=books
+    )
+    _write_ndarray(spark, cents, f"{path}/centroids")
+    _write_ndarray(spark, books, f"{path}/codebooks")
+    from ..streaming.ann_index_stream import invalidate_centroids
+
+    invalidate_centroids(path)
+    coded.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/codes"
+    )
+
+    import json as _json
+    import uuid as _uuid
+
+    from ..streaming.etl_stream import _meta_fs
+
+    fs = _meta_fs(spark, path)
+    if fs.kind(f"{fs.root}/_batch_commits") is not None:
+        fs.delete_dir(f"{fs.root}/_batch_commits")
+    fs.write_bytes(f"{fs.root}/_index_epoch", _uuid.uuid4().hex.encode())
+    occ = _assign_clusters_res(cn, cents).groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.sqrt("res2")).alias("sres"),
+    )
+    (row,) = occ.agg(
+        F.sum("n").alias("n"),
+        F.max("n").alias("max_cell"),
+        F.sum("sres").alias("sres"),
+    ).collect()
+    n = row.n or 0
+    fs.mkdirs(f"{fs.root}/_drift")
+    fs.write_bytes(
+        f"{fs.root}/_drift/baseline.json",
+        _json.dumps(
+            {
+                "mean_residual": (row.sres / n) if n else 0.0,
+                "top_cell_share": (row.max_cell / n) if n else 0.0,
+                "n": n,
+                "kind": "ivfpq_coarse_residual",
+            }
+        ).encode(),
+    )
+
+
+def read_ivfpq_index(spark: SparkSession, path: str):
+    """(centroids, books, codes) from a written IVFADC index — the
+    ``index`` argument shape ``ann_ivfpq_topk`` consumes."""
+    return (
+        _read_ndarray(spark, f"{path}/centroids"),
+        _read_ndarray(spark, f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/codes").select(
+            "cluster", "vec_id", "code"
+        ),
+    )
+
+
+_IVFPQ_INDEX_DIR: dict[str, str] = {}
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    hit = _IVFPQ_INDEX_DIR.get(sf_dir)
+    if hit is None:
+        import tempfile
+
+        hit = tempfile.mkdtemp(prefix="ivfpq_index_")
+        cents, books, _ = corpus_ivfpq(spark, sf_dir)
+        write_ivfpq_index(
+            spark,
+            corpus_embeddings(spark, sf_dir),
+            hit,
+            centroids=cents,
+            books=books,
+        )
+        _IVFPQ_INDEX_DIR[sf_dir] = hit
+    return hit
+
+
+@query(
+    "similarity_ann_ivfpq_persisted",
+    oracle=_ann_golden_oracle("ivfpq"),
+    bench=False,
+)
+def similarity_ann_ivfpq_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVFADC write→read→query lifecycle: centroids + codebooks +
+    cluster-partitioned codes persisted to parquet, read back cold,
+    served from the PERSISTED index (no re-train, no re-encode).
+    Shares similarity_ann_ivfpq's golden — the round-trip must be
+    bit-exact."""
+    e = corpus_embeddings(spark, sf_dir)
+    index = read_ivfpq_index(spark, _ensure_ivfpq_index(spark, sf_dir))
+    return ann_ivfpq_topk(
+        spark, e.where(N_QUERIES_PRED), e, TOPK, index=index
     )
 
 

@@ -153,19 +153,21 @@ _CHECK_WINDOW_HEAD = [
     "mahjong_sql_udf_dora",
     "orders_grouping_sets",
     "q11_supplier_value_share",
-    "q13_order_count_distribution",
-    # NEW in r12 — never driver-checked, so it MUST sit in the window
-    # (the never-checked invariant outranks evidence freshness); it
-    # displaces q19_disjunctive_predicates from the BOTTOM of the
-    # head to the tail front, per the standing mid-round rule above
+    # NEW in r12 — never driver-checked, so they MUST sit in the
+    # window (the never-checked invariant outranks evidence
+    # freshness); they displace q13_order_count_distribution and
+    # q19_disjunctive_predicates from the BOTTOM of the head to the
+    # tail front, per the standing mid-round rule above
     "similarity_ann_ivfpq",
+    "similarity_ann_ivfpq_persisted",
 ]
 
 _CHECK_WINDOW_TAIL = [
-    # r8-cohort members displaced by the r12 changed-code slots (and
-    # q19, displaced by the mid-round similarity_ann_ivfpq addition)
-    # — they lead the r13 queue (evidence r8), followed by the r9
-    # cohort (the next section)
+    # r8-cohort members displaced by the r12 changed-code slots (q13
+    # and q19 by the mid-round similarity_ann_ivfpq[_persisted]
+    # additions) — they lead the r13 queue (evidence r8), followed by
+    # the r9 cohort (the next section)
+    "q13_order_count_distribution",
     "q19_disjunctive_predicates",
     "q20_excess_stock_suppliers",
     "q21_waiting_suppliers",

@@ -638,3 +638,98 @@ def run_pq_maintenance_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_ivfpq_maintenance_stream(
+    spark: SparkSession,
+    vectors_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Keep a persisted IVFADC index current as new vectors arrive —
+    the third family on the shared lifecycle.  Per micro-batch the
+    arrivals are unit-normalized, assigned against the FROZEN coarse
+    centroids, their residuals PQ-encoded against the FROZEN
+    codebooks, and the (cluster, vec_id, code) rows appended into the
+    ``{index}/codes`` ``cluster=`` layout through ``publish_batch``.
+    Same epoch fencing (start + per-batch) and the IVF-shaped drift
+    row: the retrain signal for IVFADC is the COARSE quantizer's
+    assignment residual + top-cell occupancy — stale cells degrade
+    both probe recall and the residual coding, so the IVF thresholds
+    apply unchanged.
+
+    Frozen centroids + frozen books ⇒ deterministic encoding ⇒ the
+    maintained code table is BIT-IDENTICAL to a batch
+    ``write_ivfpq_index`` over the union corpus with the same
+    components — pinned by tests/test_ann_index_stream.py."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    bound_epoch = _bind_index_epoch(spark, index_dir, checkpoint_dir)
+    lineage = _lineage_id(spark, checkpoint_dir)
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.similarity import (
+            _assign_clusters_res,
+            _unit_corpus,
+            pq_encode,
+            with_norm,
+        )
+        from ..session import local_rows_df
+
+        session = batch_df.sparkSession
+        cents = _index_centroids(session, index_dir)
+        books = _index_books(session, index_dir)
+        cn = _unit_corpus(with_norm(batch_df))
+        # one assignment pass serves the publish AND the drift row
+        ares = _assign_clusters_res(cn, cents).persist()
+        try:
+            cent_df = local_rows_df(
+                session,
+                [
+                    (int(i), [float(v) for v in cents[i]])
+                    for i in range(len(cents))
+                ],
+                "cluster int, carr array<double>",
+            )
+            res = (
+                cn.join(ares.select("vec_id", "cluster"), "vec_id")
+                .join(F.broadcast(cent_df), "cluster")
+                .select(
+                    "vec_id",
+                    "cluster",
+                    F.zip_with(
+                        "emb_d", "carr", lambda x, c: x - c
+                    ).alias("emb_d"),
+                    F.lit(1.0).alias("norm"),
+                )
+            )
+            coded = (
+                pq_encode(res, books)
+                .join(ares.select("vec_id", "cluster"), "vec_id")
+                .select("cluster", "vec_id", "code")
+            )
+            _check_epoch(session, index_dir, bound_epoch)
+            publish_batch(
+                session,
+                index_dir,
+                f"{lineage}-{batch_id}",
+                {"codes": coded},
+                part_col="cluster",
+            )
+            _append_drift(
+                session,
+                index_dir,
+                _drift_row(session, ares, index_dir, batch_id),
+                lineage=lineage,
+            )
+        finally:
+            ares.unpersist()
+
+    writer = (
+        vectors_stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -761,3 +761,124 @@ def test_pq_drift_flags_reconstruction_shift(spark, sf_dir, tmp_path):
     assert rows[1].rebuild_recommended
     assert rows[1].residual_ratio > 1.2
     assert rebuild_recommended(spark, index_dir)["rebuild_recommended"]
+
+
+def _ivfpq_codes_set(spark, index_dir):
+    from mahjong_etl_spark.operators.similarity import read_ivfpq_index
+
+    _, _, codes = read_ivfpq_index(spark, index_dir)
+    return {(r.cluster, r.vec_id, tuple(r.code)) for r in codes.collect()}
+
+
+def test_ivfpq_maintained_index_matches_batch_rebuild(spark, sf_dir, tmp_path):
+    """The IVFADC parity pin: build on 60% of the corpus, stream the
+    rest in, and the maintained (cluster, vec_id, code) table must be
+    BIT-IDENTICAL to a from-scratch write_ivfpq_index over the union
+    corpus with the same frozen centroids + codebooks — and serve
+    identical probed-ADC query rows."""
+    from mahjong_etl_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        run_ivfpq_maintenance_stream,
+    )
+
+    e = _load_emb(spark, sf_dir)
+    cut = int(e.count() * 0.6)
+    index_dir = str(tmp_path / "ivfpq")
+    write_ivfpq_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    parts = e.where(F.col("vec_id") >= cut).randomSplit([1.0] * 3, seed=9)
+    for i, p in enumerate(parts):
+        _stage_arrival(p, tmp_path, drop, f"arrival{i}", 1_000 + i)
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = run_ivfpq_maintenance_stream(
+        spark, stream, index_dir, str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+
+    cents, books, codes = read_ivfpq_index(spark, index_dir)
+    rebuilt = str(tmp_path / "rebuilt")
+    write_ivfpq_index(spark, e, rebuilt, centroids=cents, books=books)
+    assert _ivfpq_codes_set(spark, index_dir) == _ivfpq_codes_set(
+        spark, rebuilt
+    )
+    assert codes.count() == e.count()
+
+    queries = e.where("vec_id < 5")
+    got = {
+        tuple(r)
+        for r in ann_ivfpq_topk(
+            spark, queries, e, TOPK, index=(cents, books, codes)
+        ).collect()
+    }
+    _, _, rcodes = read_ivfpq_index(spark, rebuilt)
+    want = {
+        tuple(r)
+        for r in ann_ivfpq_topk(
+            spark, queries, e, TOPK, index=(cents, books, rcodes)
+        ).collect()
+    }
+    assert got == want and got
+
+    # drift: in-distribution arrivals recorded, not flagged (the
+    # coarse-residual baseline written by write_ivfpq_index)
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        rebuild_recommended,
+    )
+
+    summary = rebuild_recommended(spark, index_dir)
+    assert summary["batches"] == 3
+    assert summary["rebuild_recommended"] is False
+
+
+def test_ivfpq_maintenance_fence_after_rebuild(spark, sf_dir, tmp_path):
+    """An in-place write_ivfpq_index rebuild (fresh epoch) fences the
+    old maintenance checkpoint out."""
+    import pytest
+
+    from mahjong_etl_spark.operators.similarity import write_ivfpq_index
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        run_ivfpq_maintenance_stream,
+    )
+
+    e = _load_emb(spark, sf_dir)
+    cut = int(e.count() * 0.8)
+    index_dir = str(tmp_path / "ivfpq")
+    write_ivfpq_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage_arrival(
+        e.where(F.col("vec_id") >= cut), tmp_path, drop, "arrival", 1_000
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop))
+        )
+        q = run_ivfpq_maintenance_stream(spark, stream, index_dir, ckpt)
+        assert q.awaitTermination(120)
+        q.stop()
+        time.sleep(0.2)
+
+    drain()
+    write_ivfpq_index(spark, e, index_dir)
+    with pytest.raises(RuntimeError, match="REBUILT"):
+        drain()
