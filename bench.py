@@ -79,6 +79,12 @@ def main() -> None:
         corpus_centroids(spark, sf_dir, IVF_CLUSTERS, IVF_LLOYD_ITERS)
         _sem_centroids(spark, sf_dir, _emb)
         corpus_pq_codebooks(spark, sf_dir)
+        # the IVFADC family cache (r12): unit-space centroids +
+        # residual codebooks + persisted coded corpus — without this
+        # the whole build lands on similarity_ann_ivfpq's first run
+        from mahjong_etl_spark.operators.similarity import corpus_ivfpq
+
+        corpus_ivfpq(spark, sf_dir)[2].count()
         # the text-dedup family's shared relations (shingle sets +
         # verified Jaccard pairs) — persisted lazily, so force the
         # materialization here instead of on the alphabetically-first

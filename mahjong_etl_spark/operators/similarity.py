@@ -1229,7 +1229,12 @@ def train_pq_codebooks(
     before summation makes the codebooks bit-identical under any
     partitioning or core count (the golden-oracle prerequisite).
     Driver traffic per round is m × ksub × dsub values.  Seeding is
-    the same deterministic smallest-xxhash sample as IVF.
+    the same deterministic smallest-xxhash sample as IVF, and the
+    Lloyd update passes ride the SAME hash-prefix training sample as
+    train_ivf_centroids (r12): budget max(floor, 32·ksub) per-
+    subspace — every golden corpus sits under the floor and trains
+    bit-identically; a 100 TB corpus trains its sub-codebooks on a
+    sample instead of every vector, which is the published recipe.
 
     Returns a (m, ksub, dsub) ndarray.
     """
@@ -1244,6 +1249,12 @@ def train_pq_codebooks(
         .limit(ksub)
         .collect()
     )
+    n = corpus.count()
+    budget = max(LLOYD_SAMPLE_FLOOR, LLOYD_SAMPLE_PER_CENTROID * ksub)
+    train = corpus
+    if n > budget:
+        cutoff = -(1 << 63) + (budget * (1 << 64)) // n
+        train = corpus.where(F.xxhash64("vec_id") < F.lit(cutoff))
     seeds = np.asarray(
         [np.asarray(r.emb_d) / (r.norm or 1.0) for r in seed_rows], dtype=np.float64
     )
@@ -1290,7 +1301,7 @@ def train_pq_codebooks(
             )
 
         agg = (
-            corpus.select("emb_d", "norm")
+            train.select("emb_d", "norm")
             .mapInPandas(partials, "sub int, cluster int, d int, s long, n long")
             .groupBy("sub", "cluster", "d")
             .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
