@@ -236,3 +236,49 @@ def test_cli_index_pq_kind(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     assert "compacted" in capsys.readouterr().out
     assert spark.read.parquet(f"{index_dir}/codes").count() == e.count()
+
+
+def test_cli_index_ivfpq_kind(spark, sf_dir, tmp_path, capsys):
+    """`index --kind ivfpq` drives the IVFADC family: build persists
+    centroids + codebooks + cluster-partitioned codes; maintain
+    encodes arrivals against the frozen components and reports both
+    lifecycle signals."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cut = int(e.count() * 0.8)
+    base_pq = str(tmp_path / "base_vectors")
+    e.where(F.col("vec_id") < cut).write.parquet(base_pq)
+    index_dir = str(tmp_path / "ivfpq")
+
+    rc = main(["index", "--kind", "ivfpq", "-I", index_dir, "-V", base_pq])
+    assert rc == 0
+    assert "built IVFPQ index" in capsys.readouterr().out
+    assert os.path.isdir(f"{index_dir}/centroids")
+    assert os.path.isdir(f"{index_dir}/codebooks")
+    assert glob.glob(f"{index_dir}/codes/cluster=*")
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    e.where(F.col("vec_id") >= cut).coalesce(1).write.parquet(
+        str(tmp_path / "stage")
+    )
+    (src,) = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))
+    os.rename(src, drop / "arrival.parquet")
+    rc = main(
+        [
+            "index", "--kind", "ivfpq", "-I", index_dir,
+            "-M", str(drop),
+            "-C", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"{e.count()} codes" in out
+    assert "rebuild recommended: False" in out
+    assert "compact recommended" in out
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    assert codes.select("vec_id").distinct().count() == e.count()
