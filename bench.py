@@ -284,6 +284,13 @@ def main() -> None:
     out["load_run_start"] = load_run_start
     out["load_run_end"] = [round(x, 2) for x in os.getloadavg()]
     out["load_pairs"] = pair_loads
+    # mechanical filter for round comparisons (r12 verdict item 7):
+    # a run that STARTED on a loaded host (1-min loadavg > 4 before
+    # any Spark work of its own) is flagged so driver-side
+    # round-over-round diffs can exclude it without eyeballing the
+    # triples.  Start load is the ambient signal — end/pair loads
+    # include this run's own executors.
+    out["host_loaded"] = load_run_start[0] > 4.0
     out["tenhou_source_actions_1k_sec"] = tenhou_source_sec
     if pair_ratios:
         from statistics import median  # even-length lists average the

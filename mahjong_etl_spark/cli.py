@@ -268,7 +268,7 @@ def cmd_index(args: argparse.Namespace) -> int:
     comp = compact_recommended(spark, args.index_dir, table=rows_tbl)
     print(
         f"{rows_tbl}: {comp['files']} files across {comp['partitions']} "
-        f"cluster partitions (max {comp['max_partition_files']}/part, "
+        f"{rows_part} partitions (max {comp['max_partition_files']}/part, "
         f"knee {comp['knee']}) -> "
         f"compact recommended: {comp['compact_recommended']}"
     )

@@ -605,16 +605,21 @@ def minhash_lsh_pairs(
     regimes, all emitting the SAME pair set by construction (so one
     committed golden pins them all):
 
-    - zero duplicates → the collapse machinery is skipped entirely
-      (no group window, no joins): every doc signs directly and the
-      verified pairs ARE the output;
-    - few duplicates (the common real-corpus case — sf0.1 carries 8
-      dup texts in 5000) → the collapse runs, but the ranked subtree
-      + expansion joins are built ONLY over multi-member text groups
-      (dup-group-sized, broadcast-tiny) with singleton reps passing
-      through the left joins untouched, and the signature feed
-      anti-joins the (n − n_distinct)-row NON-rep side instead of
-      semi-joining the rep side;
+    - fewer than BUCKET_CAP copies (r13 widened from "zero"; the
+      common real-corpus case — sf0.1 carries 8 copies in 5000) →
+      the collapse machinery is skipped entirely (no group window,
+      no joins): every doc signs directly, copies collide through
+      the band join itself (identical text ⇒ identical signature)
+      and the verified pairs ARE the output.  Output-identical
+      because the worst-case text group still fits one band bucket
+      uncapped — see the regime-pick comment below;
+    - few-to-many duplicates (BUCKET_CAP ≤ copies ≤ distinct texts)
+      → the collapse runs, but the ranked subtree + expansion joins
+      are built ONLY over multi-member text groups (dup-group-sized,
+      broadcast-tiny) with singleton reps passing through the left
+      joins untouched, and the signature feed anti-joins the
+      (n − n_distinct)-row NON-rep side instead of semi-joining the
+      rep side;
     - duplicate-heavy (the 100× probe regime) → the full r11 shape:
       semi-join on reps, expansion over what is now most of the
       corpus.
@@ -632,7 +637,25 @@ def minhash_lsh_pairs(
     # forces the (identical) collapse path
     stats = _dup_stats(df)
     n_copies = (stats.n_docs or 0) - (stats.n_texts or 0)
-    collapse = n_copies > 0
+    # r13 (r12 verdict item 2): corpora with only a HANDFUL of copies
+    # skip the collapse too — copies share their text's signature
+    # bit-for-bit, so they collide with each other in EVERY band and
+    # with their near-dup neighbours exactly when their text does;
+    # the band join itself carries the recall, and the verify step
+    # scores identical texts at Jaccard exactly 1.0.  The quiet-host
+    # measurement that motivated this: sf0.1 (8 copies in 5000)
+    # through the few-dups collapse pays ~2 s of sliver-join stages
+    # for work the band join does for free — 4.6-5.8 s vs 2.4-2.6 s
+    # warm, identical 256-row output.  The bound is BUCKET_CAP - 1:
+    # below it the worst-case text group (all copies in one group)
+    # still fits one band bucket uncapped, so the emitted pair set is
+    # IDENTICAL to the collapse regimes' by the same argument that
+    # made the r11 collapse output-preserving (the only divergence
+    # window is a band bucket already within n_copies of BUCKET_CAP,
+    # where the cap cut would land differently — boilerplate-heavy
+    # corpora that close to the cap carry far more than BUCKET_CAP
+    # copies and take the collapse path anyway).
+    collapse = n_copies >= BUCKET_CAP
     # heavy ⇔ copies dominate distinct texts (the 100×-probe regime):
     # the expansion maps are corpus-sized there, so the r11 inner-join
     # shape (small pair side broadcast as the build side) is the right

@@ -380,10 +380,14 @@ def train_ivf_centroids(corpus: DataFrame, k: int = IVF_CLUSTERS, iters: int = I
     Assignment everywhere downstream stays full-corpus.  The sample
     is ``xxhash64(vec_id) < cutoff`` with the cutoff at the budget's
     quantile of the uniform hash space: a narrow filter under the
-    scan, independent of partitioning, stable across sessions, and a
-    strict SUPERSET of the k seed vectors (the seeds are the k
-    smallest hashes, so any hash-prefix sample of ≥ k rows contains
-    them).  When the budget covers the whole corpus the filter is
+    scan, independent of partitioning, stable across sessions, and —
+    with overwhelming probability — a superset of the k seed vectors
+    (the seeds are the k smallest hashes, so any hash-prefix sample
+    that realizes ≥ k rows contains them; the realized size is
+    binomial around the ≥ 32·k budget, so a sub-k draw is
+    astronomically unlikely, and harmless when it happens: clusters
+    the sample misses keep their previous centroid).  When the budget
+    covers the whole corpus the filter is
     SKIPPED entirely, so the committed sf0.001/sf0.01 goldens (n=500
     ≤ floor) and the sf0.1 bench corpus (n=2000 ≤ floor) train
     bit-identically to every earlier round.  What it buys: the 100×
@@ -1984,11 +1988,13 @@ def write_ivfpq_index(
     files (the IVF postings pruning story, now carrying the 32×-
     compressed payload).  Same maintained-index lifecycle as the IVF
     and PQ snapshots: fresh ``_index_epoch`` per rebuild, stale
-    maintenance markers cleared, build-time COARSE assignment
-    residual baseline in ``_drift/baseline.json`` (the IVFADC retrain
-    signal is the coarse quantizer's, not the sub-codebooks' — cells
-    going stale is what degrades both the probe recall and the
-    residual coding)."""
+    maintenance markers cleared, and a TWO-axis drift baseline in
+    ``_drift/baseline.json`` — the COARSE assignment residual (cells
+    going stale degrades probe recall and residual coding alike) plus
+    the mean PQ reconstruction error of the corpus residuals
+    (``mean_recon``), because a shift that keeps cell geometry while
+    rotating within-cell structure degrades ADC precision without
+    moving the coarse signal (r12 verdict item 5)."""
     c = with_norm(corpus_df)
     cn = _unit_corpus(c)
     cents, books, coded = ivfpq_build(
@@ -2012,16 +2018,53 @@ def write_ivfpq_index(
     if fs.kind(f"{fs.root}/_batch_commits") is not None:
         fs.delete_dir(f"{fs.root}/_batch_commits")
     fs.write_bytes(f"{fs.root}/_index_epoch", _uuid.uuid4().hex.encode())
-    occ = _assign_clusters_res(cn, cents).groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.sqrt("res2")).alias("sres"),
-    )
-    (row,) = occ.agg(
-        F.sum("n").alias("n"),
-        F.max("n").alias("max_cell"),
-        F.sum("sres").alias("sres"),
-    ).collect()
-    n = row.n or 0
+    ares = _assign_clusters_res(cn, cents)
+    ares.persist()
+    try:
+        occ = ares.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.sqrt("res2")).alias("sres"),
+        )
+        (row,) = occ.agg(
+            F.sum("n").alias("n"),
+            F.max("n").alias("max_cell"),
+            F.sum("sres").alias("sres"),
+        ).collect()
+        n = row.n or 0
+        # SECOND staleness axis (r12 verdict item 5): the build-time
+        # mean PQ reconstruction error of the corpus RESIDUALS.  A
+        # corpus drift that keeps cell geometry (coarse residual flat)
+        # while rotating within-cell structure degrades ADC precision
+        # invisibly to the coarse signal — the maintenance stream
+        # compares each batch's residual-coding error against this.
+        from ..session import local_rows_df
+
+        cent_df = local_rows_df(
+            spark,
+            [
+                (int(i), [float(v) for v in cents[i]])
+                for i in range(len(cents))
+            ],
+            "cluster int, carr array<double>",
+        )
+        resid = (
+            cn.join(ares.select("vec_id", "cluster"), "vec_id")
+            .join(F.broadcast(cent_df), "cluster")
+            .select(
+                F.zip_with("emb_d", "carr", lambda x, c: x - c).alias(
+                    "emb_d"
+                ),
+                F.lit(1.0).alias("norm"),
+            )
+        )
+        (rr,) = (
+            pq_recon_partials(resid, books)
+            .agg(F.sum("n").alias("n"), F.sum("serr").alias("serr"))
+            .collect()
+        )
+        mean_recon = (rr.serr / rr.n) if rr.n else 0.0
+    finally:
+        ares.unpersist()
     fs.mkdirs(f"{fs.root}/_drift")
     fs.write_bytes(
         f"{fs.root}/_drift/baseline.json",
@@ -2029,6 +2072,7 @@ def write_ivfpq_index(
             {
                 "mean_residual": (row.sres / n) if n else 0.0,
                 "top_cell_share": (row.max_cell / n) if n else 0.0,
+                "mean_recon": mean_recon,
                 "n": n,
                 "kind": "ivfpq_coarse_residual",
             }

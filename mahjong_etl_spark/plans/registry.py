@@ -82,91 +82,31 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r12 window (the rotation the r11 tail comment declared; r11 verdict
-# item 1): the changed-code slots lead — dedup_minhash_lsh (the
-# adaptive three-regime pre-collapse rewrite, operators/dedup.py::
-# minhash_lsh_pairs), dedup_ensemble (consumes minhash_lsh_pairs),
-# dedup_semantic + dedup_semantic_persisted (their quantizer now
-# trains through the sampled-Lloyd path in similarity.py::
-# train_ivf_centroids — budget-covered hence bit-identical at check
-# scale, but the code changed, so they re-prove), and
-# similarity_ann_ivf (the canonical direct consumer of the changed
-# trainer) — then the declared queue: the six r7-floor queries
-# (raising the evidence floor to r8 once this board lands), then the
-# r8-last-green cohort, whose last EIGHT members the changed-code
-# slots displace to the tail front (they lead the r13 queue; the
-# standing displacement precedent).  Any query added mid-round MUST
-# displace from the BOTTOM of the head — the never-checked invariant
+# r13 window (the rotation the r12 tail comment declared; r12 verdict
+# item 1): the changed-code slots lead — dedup_minhash_lsh (the skip
+# regime widened from zero copies to n_copies < BUCKET_CAP,
+# operators/dedup.py::minhash_lsh_pairs — output-identical by the
+# bucket-cap argument and pinned by the forced-regime identity test,
+# but the code changed, so it re-proves), dedup_ensemble (consumes
+# minhash_lsh_pairs), and similarity_ann_ivfpq_persisted (its
+# write_ivfpq_index now also measures + stores the build-time PQ
+# reconstruction baseline for the two-axis drift row — telemetry
+# beside the served path, but the write path changed, so it
+# re-proves) — then the declared queue: the ten r8-floor queries
+# (raising the evidence floor to r9 once this board lands), then the
+# r9-last-green cohort, whose last TEN members the changed-code slots
+# displace to the tail front (they lead the r14 queue; the standing
+# displacement precedent).  Any query added mid-round MUST displace
+# from the BOTTOM of the head — the never-checked invariant
 # (test_head_leads_with_unproven_queries) outranks evidence freshness.
 
 _CHECK_WINDOW_HEAD = [
-    # changed-code in r12 (see the rotation note above)
+    # changed-code in r13 (see the rotation note above)
     "dedup_minhash_lsh",
     "dedup_ensemble",
-    "dedup_semantic",
-    "dedup_semantic_persisted",
-    "similarity_ann_ivf",
-    # the declared r12 queue: the six r7-floor queries — their board
-    # rows retire the last sub-r8 evidence on the registry
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "segment_set_ops",
-    "similarity_topk_bruteforce",
-    "sql_text_roundtrip",
-    "text_fingerprint",
-    # then the r8-last-green cohort (first 39 of 47; the last eight
-    # are displaced to the tail front by the changed-code slots above)
-    "multimodal_spectral_features",
-    "text_pmi_collocations",
-    "text_script_profile",
-    "similarity_ndcg_eval",
-    "corpus_vocab_overlap",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition",
-    "text_token_stats",
-    "text_top_terms",
-    "cdc_customer_upsert",
-    "text_bpe_vocab",
-    "text_bpe_doc_tokens",
-    "embedding_pca",
-    "corpus_chunk_dedup",
-    "corpus_chunk_windows",
-    "corpus_negative_samples",
-    "corpus_pipeline_funnel",
-    "corpus_source_quota",
-    "customers_rfm_segments",
-    "dedup_incremental",
-    "embedding_quantize_int8",
-    "events_anomaly_zscore",
-    "events_asof_next_purchase",
-    "events_exact_quantiles",
-    "events_hourly_incremental",
-    "events_key_skew_profile",
-    "events_multitouch_attribution",
-    "events_trailing_hour",
-    "jsonl_roundtrip_stats",
-    "lineitem_feature_corr",
-    "lineitem_unpivot_metrics",
-    "mahjong_dealer_advantage",
-    "mahjong_placement_stats",
-    "mahjong_sql_udf_dora",
-    "orders_grouping_sets",
-    "q11_supplier_value_share",
-    # NEW in r12 — never driver-checked, so they MUST sit in the
-    # window (the never-checked invariant outranks evidence
-    # freshness); they displace q13_order_count_distribution and
-    # q19_disjunctive_predicates from the BOTTOM of the head to the
-    # tail front, per the standing mid-round rule above
-    "similarity_ann_ivfpq",
     "similarity_ann_ivfpq_persisted",
-]
-
-_CHECK_WINDOW_TAIL = [
-    # r8-cohort members displaced by the r12 changed-code slots (q13
-    # and q19 by the mid-round similarity_ann_ivfpq[_persisted]
-    # additions) — they lead the r13 queue (evidence r8), followed by
-    # the r9 cohort (the next section)
+    # the declared r13 queue: the ten r8-floor queries — their board
+    # rows retire the last sub-r9 evidence on the registry
     "q13_order_count_distribution",
     "q19_disjunctive_predicates",
     "q20_excess_stock_suppliers",
@@ -177,9 +117,8 @@ _CHECK_WINDOW_TAIL = [
     "text_c4_filters",
     "text_perplexity_proxy",
     "text_tfidf_topk",
-    # r9-last-green cohort (second in the r13 queue): the
-    # full r9 check window minus tenhou_source_actions, which
-    # re-entered the r10 head on changed code
+    # then the r9-last-green cohort (first 37 of 47; the last ten are
+    # displaced to the tail front by the changed-code slots above)
     "events_anomaly_mad_approx",
     "corpus_source_drift_js",
     "multimodal_audio_segments",
@@ -197,8 +136,6 @@ _CHECK_WINDOW_TAIL = [
     "corpus_weighted_sample",
     "dedup_containment",
     "dedup_duplicate_spans",
-    # (dedup_ensemble, r9-cohort member, re-entered the r11 head on
-    # changed code — the vectorized minhash signature pass)
     "dq_constraint_suite",
     "er_fuzzy_name_pairs",
     "events_anomaly_prequential",
@@ -219,6 +156,12 @@ _CHECK_WINDOW_TAIL = [
     "mahjong_machi_distribution",
     "mahjong_paiyama_walls",
     "orc_roundtrip_stats",
+]
+
+_CHECK_WINDOW_TAIL = [
+    # r9-cohort members displaced by the r13 changed-code slots —
+    # they lead the r14 queue (evidence r9), followed by the r10
+    # cohort (the next section)
     "q10_returned_items",
     "q12_late_line_priority",
     "q14_promo_share",
@@ -229,7 +172,7 @@ _CHECK_WINDOW_TAIL = [
     "similarity_ann_ivf_int8",
     "text_zipf_spectrum",
     "tpch_scalar_revenues",
-    # r10-last-green cohort (third in the r13 queue): the full r10
+    # r10-last-green cohort (second in the r14 queue): the full r10
     # check window minus the five members the r11 changed-code slots
     # pulled back into the head, minus similarity_ann_ivf (re-entered
     # the r12 head on the sampled-Lloyd trainer change)
@@ -277,10 +220,10 @@ _CHECK_WINDOW_TAIL = [
     "decimal_revenue",
     "dedup_connected_components",
     "dedup_embedding_cosine",
-    # r11-last-green cohort (freshest evidence, rotates last): the
-    # full r11 check window minus the four members the r12
-    # changed-code slots pulled back into the head (dedup_minhash_lsh,
-    # dedup_ensemble, dedup_semantic, dedup_semantic_persisted)
+    # r11-last-green cohort (third in the r14 queue): the full r11
+    # check window minus the four members the r12 changed-code slots
+    # pulled back into the head (dedup_minhash_lsh, dedup_ensemble,
+    # dedup_semantic, dedup_semantic_persisted)
     "events_cusum_changepoint",
     "similarity_ann_ivf_persisted",
     "tenhou_source_actions",
@@ -327,6 +270,58 @@ _CHECK_WINDOW_TAIL = [
     "part_string_stats",
     "q1_pricing_summary",
     "q22_global_sales_opportunity",
+    # r12-last-green cohort (freshest evidence, rotates last — the
+    # r14 queue's final section): the full r12 check window minus the
+    # three members the r13 changed-code slots pulled back into the
+    # head (dedup_minhash_lsh, dedup_ensemble,
+    # similarity_ann_ivfpq_persisted)
+    "dedup_semantic",
+    "dedup_semantic_persisted",
+    "similarity_ann_ivf",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "segment_set_ops",
+    "similarity_topk_bruteforce",
+    "sql_text_roundtrip",
+    "text_fingerprint",
+    "multimodal_spectral_features",
+    "text_pmi_collocations",
+    "text_script_profile",
+    "similarity_ndcg_eval",
+    "corpus_vocab_overlap",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_token_stats",
+    "text_top_terms",
+    "cdc_customer_upsert",
+    "text_bpe_vocab",
+    "text_bpe_doc_tokens",
+    "embedding_pca",
+    "corpus_chunk_dedup",
+    "corpus_chunk_windows",
+    "corpus_negative_samples",
+    "corpus_pipeline_funnel",
+    "corpus_source_quota",
+    "customers_rfm_segments",
+    "dedup_incremental",
+    "embedding_quantize_int8",
+    "events_anomaly_zscore",
+    "events_asof_next_purchase",
+    "events_exact_quantiles",
+    "events_hourly_incremental",
+    "events_key_skew_profile",
+    "events_multitouch_attribution",
+    "events_trailing_hour",
+    "jsonl_roundtrip_stats",
+    "lineitem_feature_corr",
+    "lineitem_unpivot_metrics",
+    "mahjong_dealer_advantage",
+    "mahjong_placement_stats",
+    "mahjong_sql_udf_dora",
+    "orders_grouping_sets",
+    "q11_supplier_value_share",
+    "similarity_ann_ivfpq",
 ]
 
 

@@ -23,7 +23,7 @@ Per micro-batch of (vec_id, embedding) rows:
   committed batch short-circuits on its marker, and a crash at any
   point replays into the same final file set (the
   erase-before-republish argument of streaming/etl_stream.py);
-- record one DRIFT row into ``{index}/_drift/ledger.jsonl``: batch
+- record one DRIFT row into ``{index}/_drift/rows/``: batch
   size, mean residual distance to the assigned centroid, top-cell
   occupancy share, and their ratios against the build-time baseline
   ``write_ivf_index`` measured over the snapshot corpus.  Past the
@@ -101,7 +101,8 @@ PQ_DRIFT_RECON_RATIO = 1.2
 DRIFT_SCHEMA = (
     "batch_id long, n long, cells_touched long, top_cell_share double, "
     "mean_residual double, baseline_residual double, "
-    "residual_ratio double, rebuild_recommended boolean"
+    "residual_ratio double, recon_ratio double, "
+    "rebuild_recommended boolean, ts_ms long"
 )
 
 # (applicationId, index_dir) -> centroid ndarray / baseline dict.
@@ -282,43 +283,63 @@ def _drift_row(
 
 # ledger retention: the rebuild decision reads recent batches, so the
 # ledger keeps a bounded trailing window of per-batch row FILES.
+# Pruning trims to MAX - SLACK once MAX is crossed (hysteresis): the
+# prune pass must read every row's ts_ms to find the oldest (names are
+# no longer arrival-ordered, r13), so it amortizes over SLACK batches
+# instead of paying a full-ledger read per batch at the cap.
 DRIFT_LEDGER_MAX_ROWS = 4096
+DRIFT_LEDGER_PRUNE_SLACK = 256
 
 
 def _append_drift(
     spark: SparkSession, index_dir: str, row: dict, lineage: str = "batch"
 ) -> None:
-    """Record one ledger row as its OWN uniquely-named file under
-    ``_drift/rows/`` (ADVICE r12): the previous single-file
-    read-modify-rewrite was serialized only by a process-local lock,
-    so two driver processes maintaining the same index could lose each
-    other's rows, and the non-atomic full-file write could expose a
-    torn ledger to a concurrent read.  One file per (lineage, batch)
-    is write-once — no read-modify cycle to race — and lands via
-    write-temp-then-move like the rest of the publish machinery, so a
-    concurrent reader sees whole rows or nothing.  A replayed batch
-    rewrites its SAME file name (idempotent, no duplicate row).  The
-    name leads with a zero-padded wall-clock millisecond stamp so
-    lexicographic order is arrival order across lineages (checkpoint
-    restarts reset batch ids)."""
+    """Record one ledger row as its OWN file under ``_drift/rows/``
+    (ADVICE r12): one file per (lineage, batch) is write-once — no
+    read-modify cycle for two driver processes to race — and lands
+    via write-temp-then-move like the rest of the publish machinery,
+    so a concurrent reader sees whole rows or nothing.
+
+    The file is named ``{lineage}-{batch_id:012d}.json`` (r12 verdict
+    item 3): the name carries NO wall-clock component, so a
+    crash-replayed batch genuinely rewrites its SAME file — idempotent,
+    the newest attempt wins, and ``rebuild_recommended`` can never
+    double-count a replay (the previous name led with a millisecond
+    stamp, so a replay landed a SECOND row for the same (lineage,
+    batch)).  Arrival order across lineages (checkpoint restarts reset
+    batch ids) is carried INSIDE the row as ``ts_ms``; the read path
+    orders by it."""
     import time
 
     fs = _meta_fs(spark, index_dir)
+    _migrate_drift_layout(fs)
     rows_dir = f"{fs.root}/_drift/rows"
     fs.mkdirs(rows_dir)
-    name = f"{int(time.time() * 1000):015d}-{lineage}-{row['batch_id']}.json"
+    row = {**row, "ts_ms": int(time.time() * 1000)}
+    name = f"{lineage}-{int(row['batch_id']):012d}.json"
     tmp = f"{rows_dir}/.tmp-{name}"
     fs.write_bytes(tmp, (json.dumps(row) + "\n").encode())
     fs.move(tmp, f"{rows_dir}/{name}")
-    # retention: prune oldest beyond the window.  Concurrent pruners
-    # may race on the same victim — deletion of a file the other
-    # pruner already removed is a no-op, never a lost LIVE row.
-    files = sorted(_drift_row_files(fs))
-    for p in files[: max(0, len(files) - DRIFT_LEDGER_MAX_ROWS)]:
-        try:
-            fs.delete_file(p)
-        except Exception:
-            pass  # already pruned by a concurrent writer
+    # retention: once past the cap, prune the oldest rows by ts_ms
+    # down to MAX - SLACK.  Concurrent pruners may race on the same
+    # victim — deleting a file the other pruner already removed is a
+    # no-op, never a lost LIVE row.
+    files = _drift_row_files(fs)
+    if len(files) > DRIFT_LEDGER_MAX_ROWS:
+        stamped = []
+        for p in sorted(files):
+            try:
+                r = json.loads(fs.read_bytes(p).decode())
+                stamped.append(((r.get("ts_ms") or 0), p))
+            except Exception:
+                stamped.append((0, p))  # unreadable -> oldest
+        stamped.sort(key=lambda t: t[0])
+        keep = DRIFT_LEDGER_MAX_ROWS - DRIFT_LEDGER_PRUNE_SLACK
+        for _, p in stamped[: max(0, len(stamped) - keep)]:
+            try:
+                fs.delete_file(p)
+            except Exception:
+                pass  # already pruned by a concurrent writer
 
 
 def _drift_row_files(fs) -> list[str]:
@@ -332,19 +353,95 @@ def _drift_row_files(fs) -> list[str]:
     ]
 
 
-def _drift_paths(fs) -> list[str]:
-    """All ledger storage, oldest-first: the legacy single-file
-    ledger (pre-r12 layout, still readable) then the per-batch row
-    files in name (= arrival) order."""
-    legacy = f"{fs.root}/_drift/ledger.jsonl"
-    paths = [legacy] if fs.kind(legacy) == "file" else []
-    return paths + sorted(_drift_row_files(fs))
+def _migrate_drift_layout(fs) -> None:
+    """One-shot migration to the single r13 ledger layout (r12 verdict
+    item 6): after a restart burst the old read path interleaved THREE
+    layouts (pre-r12 single-file ``ledger.jsonl``, r12 wall-clock-
+    prefixed row files, r13 idempotent row files) by path order, so
+    "the last row" could be a stale legacy row.  Every read and append
+    first folds the older layouts into the r13 one:
+
+    - ``ledger.jsonl`` rows become ``legacy-{i:012d}.json`` with
+      ``ts_ms = i`` — tiny synthetic stamps, so they order BEFORE every
+      real wall-clock row, which is where pre-r12 history belongs;
+    - r12 ``{ms:015d}-{lineage}-{batch}.json`` files are renamed to
+      ``{lineage}-{batch:012d}.json`` with the stamp moved inside the
+      row; a replay-duplicated (lineage, batch) pair collapses to its
+      newest stamp — retroactively applying the r13 idempotence.
+
+    Idempotent and crash-safe: target rows are rewritten
+    deterministically via write-temp-then-move and each source is
+    deleted only after its rows landed, so a crash mid-migration
+    re-runs to the same result (a not-yet-deleted source just rewrites
+    the same targets)."""
+    drift = f"{fs.root}/_drift"
+    rows_dir = f"{drift}/rows"
+
+    def land(row: dict, name: str) -> None:
+        tmp = f"{rows_dir}/.tmp-mig-{name}"
+        fs.write_bytes(tmp, (json.dumps(row) + "\n").encode())
+        fs.move(tmp, f"{rows_dir}/{name}")
+
+    legacy = f"{drift}/ledger.jsonl"
+    if fs.kind(legacy) == "file":
+        fs.mkdirs(rows_dir)
+        lines = [
+            ln
+            for ln in fs.read_bytes(legacy).decode().splitlines()
+            if ln.strip()
+        ]
+        for i, line in enumerate(lines):
+            row = json.loads(line)
+            row.setdefault("ts_ms", i)
+            land(row, f"legacy-{i:012d}.json")
+        fs.delete_file(legacy)
+    for p in _drift_row_files(fs):
+        name = p.rsplit("/", 1)[1]
+        stamp, _, rest = name.partition("-")
+        if not (len(stamp) == 15 and stamp.isdigit() and rest):
+            continue  # already r13-named ({lineage}-{batch:012d}.json)
+        if rest.endswith(".json"):
+            rest = rest[: -len(".json")]
+        lineage, _, bid = rest.rpartition("-")
+        if not (bid.isdigit() and lineage):
+            continue
+        row = json.loads(fs.read_bytes(p).decode())
+        row.setdefault("ts_ms", int(stamp))
+        target = f"{rows_dir}/{lineage}-{int(bid):012d}.json"
+        newest = True
+        if fs.kind(target) == "file":
+            try:
+                cur = json.loads(fs.read_bytes(target).decode())
+                newest = (row.get("ts_ms") or 0) >= (cur.get("ts_ms") or 0)
+            except Exception:
+                newest = True
+        if newest:
+            land(row, f"{lineage}-{int(bid):012d}.json")
+        fs.delete_file(p)
+
+
+def _read_drift_rows(fs) -> list[dict]:
+    """Every ledger row, oldest-first by the in-row arrival stamp
+    (ties broken by file name — a single layout after migration, so
+    the order can never interleave wrongly across layouts)."""
+    _migrate_drift_layout(fs)
+    rows: list[dict] = []
+    for path in sorted(_drift_row_files(fs)):
+        rows.extend(
+            json.loads(line)
+            for line in fs.read_bytes(path).decode().splitlines()
+            if line.strip()
+        )
+    rows.sort(key=lambda r: (r.get("ts_ms") or 0))
+    return rows
 
 
 def read_drift(spark: SparkSession, index_dir: str) -> DataFrame:
     """The drift ledger as a DataFrame — plain SQL over index health
     (the same discipline as streaming/metrics.py::read_progress)."""
-    paths = _drift_paths(_meta_fs(spark, index_dir))
+    fs = _meta_fs(spark, index_dir)
+    _migrate_drift_layout(fs)
+    paths = sorted(_drift_row_files(fs))
     if not paths:
         return spark.createDataFrame([], DRIFT_SCHEMA)
     return spark.read.schema(DRIFT_SCHEMA).json(paths)
@@ -354,14 +451,7 @@ def rebuild_recommended(spark: SparkSession, index_dir: str) -> dict:
     """Operator-facing summary: the newest ledger row's verdict plus
     how many of the trailing rows flagged — the CLI `index` face of
     the drift plane.  An index with no ledger reports False."""
-    fs = _meta_fs(spark, index_dir)
-    rows: list[dict] = []
-    for path in _drift_paths(fs):
-        rows.extend(
-            json.loads(line)
-            for line in fs.read_bytes(path).decode().splitlines()
-            if line.strip()
-        )
+    rows = _read_drift_rows(_meta_fs(spark, index_dir))
     if not rows:
         return {"rebuild_recommended": False, "batches": 0, "flagged": 0}
     flagged = sum(1 for r in rows if r.get("rebuild_recommended"))
@@ -490,8 +580,8 @@ def run_ivf_maintenance_stream(
             # drift row AFTER the publish: the ledger is operational
             # telemetry, not part of the exactly-once contract — a
             # crash between publish and append loses one ledger row,
-            # never a posting (and a replay appends a duplicate row,
-            # which the batch_id column makes visible and harmless)
+            # never a posting (and a replay rewrites the same
+            # (lineage, batch_id)-named row file — no duplicate)
             _append_drift(
                 session,
                 index_dir,
@@ -653,11 +743,14 @@ def run_ivfpq_maintenance_stream(
     centroids, their residuals PQ-encoded against the FROZEN
     codebooks, and the (cluster, vec_id, code) rows appended into the
     ``{index}/codes`` ``cluster=`` layout through ``publish_batch``.
-    Same epoch fencing (start + per-batch) and the IVF-shaped drift
-    row: the retrain signal for IVFADC is the COARSE quantizer's
-    assignment residual + top-cell occupancy — stale cells degrade
-    both probe recall and the residual coding, so the IVF thresholds
-    apply unchanged.
+    Same epoch fencing (start + per-batch); the drift row watches
+    BOTH staleness axes (r12 verdict item 5): the COARSE quantizer's
+    assignment residual + top-cell occupancy under the IVF thresholds
+    (stale cells degrade probe recall and residual coding alike), AND
+    the batch's PQ reconstruction-error ratio over the residual
+    coding under ``PQ_DRIFT_RECON_RATIO`` — a shift that keeps cell
+    geometry while rotating within-cell structure books-stales the
+    ADC tables without moving the coarse signal.
 
     Frozen centroids + frozen books ⇒ deterministic encoding ⇒ the
     maintained code table is BIT-IDENTICAL to a batch
@@ -673,6 +766,7 @@ def run_ivfpq_maintenance_stream(
             _assign_clusters_res,
             _unit_corpus,
             pq_encode,
+            pq_recon_partials,
             with_norm,
         )
         from ..session import local_rows_df
@@ -683,6 +777,7 @@ def run_ivfpq_maintenance_stream(
         cn = _unit_corpus(with_norm(batch_df))
         # one assignment pass serves the publish AND the drift row
         ares = _assign_clusters_res(cn, cents).persist()
+        res = None
         try:
             cent_df = local_rows_df(
                 session,
@@ -703,7 +798,7 @@ def run_ivfpq_maintenance_stream(
                     ).alias("emb_d"),
                     F.lit(1.0).alias("norm"),
                 )
-            )
+            ).persist()  # serves the encode AND the recon drift axis
             coded = (
                 pq_encode(res, books)
                 .join(ares.select("vec_id", "cluster"), "vec_id")
@@ -717,14 +812,43 @@ def run_ivfpq_maintenance_stream(
                 {"codes": coded},
                 part_col="cluster",
             )
-            _append_drift(
-                session,
-                index_dir,
-                _drift_row(session, ares, index_dir, batch_id),
-                lineage=lineage,
+            # drift row carries BOTH staleness axes (r12 verdict item
+            # 5): the coarse-assignment residual/occupancy (cells
+            # stale) from _drift_row, plus the batch's PQ
+            # reconstruction-error ratio over the RESIDUAL coding
+            # (books stale) — a shift that keeps cell geometry while
+            # rotating within-cell structure degrades ADC precision
+            # without moving the coarse signal, so either axis alone
+            # may flip the flag.
+            row = _drift_row(session, ares, index_dir, batch_id)
+            (rr,) = (
+                pq_recon_partials(res, books)
+                .agg(F.sum("n").alias("n"), F.sum("serr").alias("serr"))
+                .collect()
             )
+            nrec = rr.n or 0
+            base_recon = _index_baseline(session, index_dir).get(
+                "mean_recon"
+            )
+            rratio = (
+                ((rr.serr / nrec) / base_recon)
+                if (nrec and base_recon and base_recon > 0)
+                else None
+            )
+            row["recon_ratio"] = (
+                round(rratio, 6) if rratio is not None else None
+            )
+            if (
+                rratio is not None
+                and nrec >= DRIFT_MIN_BATCH
+                and rratio > PQ_DRIFT_RECON_RATIO
+            ):
+                row["rebuild_recommended"] = True
+            _append_drift(session, index_dir, row, lineage=lineage)
         finally:
             ares.unpersist()
+            if res is not None:
+                res.unpersist()
 
     writer = (
         vectors_stream.writeStream.foreachBatch(maintain)

@@ -123,7 +123,11 @@ def main(base: str, out_json: str, copies: int = 10, probes=None) -> int:
         print(f"synthesizing {copies}x corpus ...", flush=True)
         synthesize(spark, base, scratch, copies)
 
-    results = {}
+    # self-certifying measurements (r12 verdict item 2): record host
+    # load around the run, same convention as bench.py, so a probe
+    # number carries its own weather and a quiet-host claim is
+    # checkable from the artifact alone.
+    results = {"load_run_start": [round(x, 2) for x in os.getloadavg()]}
     if probes and probes == ["pq_qcount"]:
         # Query-COUNT scaling for the PQ ANN path (r6 verdict item 8):
         # same corpus, 10x the query set.  Expected sublinear-in-nq
@@ -148,6 +152,7 @@ def main(base: str, out_json: str, copies: int = 10, probes=None) -> int:
             / max(results["similarity_ann_pq_nq100"]["t_sec"], 1e-9)
         )
         results["similarity_ann_pq_qcount_ratio_10x"] = {"ratio": round(r10, 2)}
+        results["load_run_end"] = [round(x, 2) for x in os.getloadavg()]
         with open(out_json, "w") as f:
             json.dump(results, f, indent=2)
         print(f"\nquery-count 10x ratio: {r10:.2f}")
@@ -171,9 +176,14 @@ def main(base: str, out_json: str, copies: int = 10, probes=None) -> int:
         results[name] = r
         print(f"{name:28} 1x={r['t_1x_sec']:7.3f}s  {copies}x="
               f"{r[f't_{copies}x_sec']:7.3f}s  ratio={r['ratio']}", flush=True)
+    results["load_run_end"] = [round(x, 2) for x in os.getloadavg()]
     with open(out_json, "w") as f:
         json.dump(results, f, indent=2)
-    bad = [n for n, r in results.items() if r["ratio"] > 2 * copies]
+    bad = [
+        n
+        for n, r in results.items()
+        if isinstance(r, dict) and r.get("ratio", 0) > 2 * copies
+    ]
     print(f"\nsuper-linear (>{2*copies}x) plans: {bad or 'none'}")
     return 1 if bad else 0
 

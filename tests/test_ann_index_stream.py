@@ -882,3 +882,449 @@ def test_ivfpq_maintenance_fence_after_rebuild(spark, sf_dir, tmp_path):
     write_ivfpq_index(spark, e, index_dir)
     with pytest.raises(RuntimeError, match="REBUILT"):
         drain()
+
+
+def test_drift_replayed_batch_not_double_counted(spark, tmp_path):
+    """r12 verdict item 3: the ledger row file is named (lineage,
+    batch_id) with NO wall-clock component, so a crash-replayed batch
+    rewrites its SAME file — rebuild_recommended must count the batch
+    ONCE and surface the newest attempt's row."""
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        _append_drift,
+        read_drift,
+        rebuild_recommended,
+    )
+
+    index_dir = str(tmp_path / "index")
+    row = {
+        "batch_id": 7,
+        "n": 100,
+        "cells_touched": 3,
+        "top_cell_share": 0.4,
+        "mean_residual": 1.0,
+        "baseline_residual": 1.0,
+        "residual_ratio": 1.0,
+        "rebuild_recommended": True,
+    }
+    _append_drift(spark, index_dir, row, lineage="stream-a")
+    # the replay: same (lineage, batch_id), different verdict — the
+    # newest attempt must REPLACE the first, not sit beside it
+    _append_drift(
+        spark,
+        index_dir,
+        {**row, "n": 101, "rebuild_recommended": False},
+        lineage="stream-a",
+    )
+    summary = rebuild_recommended(spark, index_dir)
+    assert summary["batches"] == 1  # not 2: no double count
+    assert summary["flagged"] == 0
+    assert summary["rebuild_recommended"] is False
+    assert summary["last"]["n"] == 101  # newest attempt won
+    assert read_drift(spark, index_dir).count() == 1
+
+
+def test_drift_legacy_layouts_migrate_to_single_layout(spark, tmp_path):
+    """r12 verdict item 6: a restart burst could leave THREE ledger
+    layouts side by side (pre-r12 ledger.jsonl, r12 wall-clock-
+    prefixed row files — including a replay duplicate — and r13 row
+    files).  The first read folds everything into the r13 layout:
+    the legacy file is gone, r12 names are gone, the replay duplicate
+    collapses to its newest stamp, and ordering follows arrival."""
+    import json
+
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        read_drift,
+        rebuild_recommended,
+    )
+
+    index_dir = str(tmp_path / "index")
+    rows_dir = f"{index_dir}/_drift/rows"
+    os.makedirs(rows_dir, exist_ok=True)
+    # pre-r12 single-file ledger: two rows
+    with open(f"{index_dir}/_drift/ledger.jsonl", "w") as f:
+        f.write(json.dumps({"batch_id": 0, "n": 10,
+                            "rebuild_recommended": False}) + "\n")
+        f.write(json.dumps({"batch_id": 1, "n": 11,
+                            "rebuild_recommended": False}) + "\n")
+    # r12 layout: wall-clock-prefixed names, including the replay
+    # duplicate the old naming allowed (same lineage+batch, two
+    # stamps) — migration must keep only the newest
+    with open(f"{rows_dir}/000000001000000-oldlin-2.json", "w") as f:
+        f.write(json.dumps({"batch_id": 2, "n": 20,
+                            "rebuild_recommended": True}) + "\n")
+    with open(f"{rows_dir}/000000001000500-oldlin-2.json", "w") as f:
+        f.write(json.dumps({"batch_id": 2, "n": 21,
+                            "rebuild_recommended": False}) + "\n")
+
+    summary = rebuild_recommended(spark, index_dir)
+    # 2 legacy + 1 deduped r12 batch = 3 rows
+    assert summary["batches"] == 3
+    assert summary["flagged"] == 0  # the flagged attempt was replayed
+    assert summary["last"]["n"] == 21  # newest stamp of the dup pair
+    assert not os.path.exists(f"{index_dir}/_drift/ledger.jsonl")
+    names = sorted(os.listdir(rows_dir))
+    assert names == [
+        "legacy-000000000000.json",
+        "legacy-000000000001.json",
+        "oldlin-000000000002.json",
+    ]
+    # the migrated layout reads stably (second read is a no-op)
+    assert read_drift(spark, index_dir).count() == 3
+    assert rebuild_recommended(spark, index_dir)["batches"] == 3
+
+
+def test_ivfpq_drift_distinguishes_cells_stale_from_books_stale(
+    spark, sf_dir, tmp_path
+):
+    """r12 verdict item 5: the IVFADC drift row carries BOTH staleness
+    axes.  Three arrival batches against a frozen index: (a) the
+    corpus itself — neither axis moves; (b) a BOOKS-stale shift —
+    each vector keeps its assigned centroid and its residual NORM but
+    the residual direction collapses onto one axis, so the coarse
+    signal stays flat (ratio ~1) while the PQ reconstruction ratio
+    crosses PQ_DRIFT_RECON_RATIO and flips the flag; (c) a
+    CELLS-stale shift (+5 per component — in the UNIT space the
+    shifted mass all points the same way, so it lands as top-cell
+    occupancy 1.0, the coarse axis's other signal) flags with the
+    recon axis QUIET — each batch flips the flag through a different
+    signal."""
+    import numpy as np
+
+    from mahjong_etl_spark.operators.similarity import (
+        _read_ndarray,
+        write_ivfpq_index,
+    )
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        DRIFT_MIN_BATCH,
+        read_drift,
+        run_ivfpq_maintenance_stream,
+    )
+
+    e = _load_emb(spark, sf_dir)
+    n = e.count()
+    assert n >= DRIFT_MIN_BATCH
+    index_dir = str(tmp_path / "ivfpq")
+    write_ivfpq_index(spark, e, index_dir)
+    cents = _read_ndarray(spark, f"{index_dir}/centroids")
+
+    rows = e.collect()
+    X = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    # assignment metric: argmax x·c − |c|²/2 (same as _assign_clusters)
+    cl = (Xn @ cents.T - 0.5 * (cents * cents).sum(axis=1)).argmax(axis=1)
+    resid = Xn - cents[cl]
+    rnorm = np.linalg.norm(resid, axis=1)
+    dim = X.shape[1]
+    spike = np.zeros_like(resid)
+    spike[np.arange(len(resid)), np.arange(len(resid)) % dim] = rnorm
+    books_stale = cents[cl] + spike
+
+    def stage_np(mat, id0, name, mtime):
+        df = spark.createDataFrame(
+            [
+                (int(id0 + i), [float(v) for v in mat[i]], 0)
+                for i in range(len(mat))
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        _stage_arrival(df, tmp_path, drop, name, mtime)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    same = e.select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding", "label"
+    )
+    _stage_arrival(same, tmp_path, drop, "same", 1_000)
+    stage_np(books_stale, 2 * n, "books", 2_000)
+    cells_stale = e.select(
+        (F.col("vec_id") + 3 * n).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> cast(x + 5.0 as float))"
+        ).alias("embedding"),
+        "label",
+    )
+    _stage_arrival(cells_stale, tmp_path, drop, "cells", 3_000)
+
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = run_ivfpq_maintenance_stream(
+        spark, stream, index_dir, str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+
+    rows = sorted(
+        read_drift(spark, index_dir).collect(), key=lambda r: r.batch_id
+    )
+    assert len(rows) == 3
+    in_dist, books, cells = rows
+    # (a) in-distribution: neither axis moves, no flag
+    assert not in_dist.rebuild_recommended
+    assert abs(in_dist.residual_ratio - 1.0) < 0.25
+    assert abs(in_dist.recon_ratio - 1.0) < 0.1
+    # (b) books-stale: coarse quiet, recon axis flags
+    assert books.rebuild_recommended
+    assert books.residual_ratio < 1.5  # invisible to the coarse axis
+    assert books.recon_ratio > 1.2
+    # (c) cells-stale: the coarse axis flags (via occupancy — the +5
+    # mass all normalizes into one cell), books axis quiet
+    assert cells.rebuild_recommended
+    assert cells.top_cell_share > 0.5
+    assert cells.recon_ratio < 1.2  # invisible to the books axis
+
+
+def test_pq_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
+    """The composed operator story for the PQ family (r12 verdict item
+    4, mirroring test_index_lifecycle_end_to_end): build → maintain
+    (in-distribution + books-stale batches) → rebuild_recommended
+    flips → in-place retrain under a fresh epoch → the old checkpoint
+    is fenced → fresh-checkpoint maintenance resumes → compact the
+    shard layout → serve bit-identical to a from-scratch index.  (The
+    CLI face of both signals is asserted per family in
+    tests/test_cli.py::test_cli_index_pq_kind.)"""
+    import pytest
+
+    from mahjong_etl_spark.operators.similarity import (
+        ann_pq_topk,
+        read_pq_index,
+        write_pq_index,
+    )
+    from mahjong_etl_spark.plans.compaction import compact_table
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        compact_recommended,
+        rebuild_recommended,
+        run_pq_maintenance_stream,
+    )
+
+    e = _load_emb(spark, sf_dir)
+    n = e.count()
+    queries = e.where("vec_id < 5")
+
+    def drain(drop, ckpt):
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop))
+        )
+        q = run_pq_maintenance_stream(spark, stream, index_dir, str(ckpt))
+        assert q.awaitTermination(180)
+        q.stop()
+        time.sleep(0.2)
+
+    def served(books, codes, corpus):
+        return {
+            tuple(r)
+            for r in ann_pq_topk(
+                spark, queries, corpus, TOPK, books=books, codes=codes
+            ).collect()
+        }
+
+    # 1. build on the base corpus
+    index_dir = str(tmp_path / "pqindex")
+    write_pq_index(spark, e, index_dir)
+
+    # 2. maintain: one in-distribution batch, one the frozen books
+    # cannot represent (axis-aligned spikes, the calibrated shift)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    same = e.select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding", "label"
+    )
+    shifted = e.select(
+        (F.col("vec_id") + 2 * n).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "cast(CASE WHEN i = pmod(vec_id, 64) THEN 1.0 ELSE 0.0 END "
+            "as float))"
+        ).alias("embedding"),
+        "label",
+    )
+    _stage_arrival(same, tmp_path, drop, "same", 1_000)
+    _stage_arrival(shifted, tmp_path, drop, "shifted", 2_000)
+    ckpt = tmp_path / "ckpt"
+    drain(drop, ckpt)
+
+    union = e.unionByName(same).unionByName(shifted)
+    books, codes = read_pq_index(spark, index_dir)
+    # maintained code table == batch rebuild with the same books
+    scratch1 = str(tmp_path / "scratch1")
+    write_pq_index(spark, union, scratch1, books=books)
+    assert _pq_codes_set(spark, index_dir) == _pq_codes_set(spark, scratch1)
+    assert served(books, codes, union)
+
+    # 3. the books-stale batch flips the data-driven retrain signal
+    assert rebuild_recommended(spark, index_dir)["rebuild_recommended"]
+
+    # 4. retrain in place over the union corpus: fresh epoch + books
+    # with resolution where the shifted mass is
+    write_pq_index(spark, union, index_dir)
+
+    # 5. the old checkpoint is fenced out
+    with pytest.raises(RuntimeError, match="REBUILT"):
+        drain(drop, ckpt)
+
+    # 6. fresh-checkpoint maintenance resumes on the new epoch, then
+    # compaction folds the accumulated shard files
+    drop2 = tmp_path / "drop2"
+    drop2.mkdir()
+    more = e.select(
+        (F.col("vec_id") + 3 * n).alias("vec_id"), "embedding", "label"
+    )
+    parts = more.randomSplit([1.0] * 4, seed=5)
+    for i, p in enumerate(parts):
+        _stage_arrival(p, tmp_path, drop2, f"late{i}", 3_000 + i)
+    drain(drop2, tmp_path / "ckpt2")
+    full = union.unionByName(more)
+
+    before = compact_recommended(spark, index_dir, table="codes")["files"]
+    want_rows = _pq_codes_set(spark, index_dir)
+    rewritten = compact_table(
+        spark, index_dir, "codes", part_col="shard"
+    )
+    assert rewritten
+    after = compact_recommended(spark, index_dir, table="codes")["files"]
+    assert after < before
+    assert _pq_codes_set(spark, index_dir) == want_rows
+
+    # 7. serve: bit-identical to a from-scratch index over the full
+    # corpus with the retrained books
+    books2, codes2 = read_pq_index(spark, index_dir)
+    scratch2 = str(tmp_path / "scratch2")
+    write_pq_index(spark, full, scratch2, books=books2)
+    _, scodes = read_pq_index(spark, scratch2)
+    got = served(books2, codes2, full)
+    assert got == served(books2, scodes, full) and got
+
+
+def test_ivfpq_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
+    """The composed operator story for the IVFADC family (r12 verdict
+    item 4): build → maintain (in-distribution + cells-stale batches)
+    → rebuild_recommended flips → in-place retrain under a fresh
+    epoch → the old checkpoint is fenced → fresh-checkpoint
+    maintenance resumes → compact the cluster layout → serve
+    bit-identical to a from-scratch index.  (CLI face asserted in
+    tests/test_cli.py::test_cli_index_ivfpq_kind.)"""
+    import pytest
+
+    from mahjong_etl_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from mahjong_etl_spark.plans.compaction import compact_table
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        compact_recommended,
+        rebuild_recommended,
+        run_ivfpq_maintenance_stream,
+    )
+
+    e = _load_emb(spark, sf_dir)
+    n = e.count()
+    queries = e.where("vec_id < 5")
+
+    def drain(drop, ckpt):
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop))
+        )
+        q = run_ivfpq_maintenance_stream(
+            spark, stream, index_dir, str(ckpt)
+        )
+        assert q.awaitTermination(180)
+        q.stop()
+        time.sleep(0.2)
+
+    def served(index, corpus):
+        return {
+            tuple(r)
+            for r in ann_ivfpq_topk(
+                spark, queries, corpus, TOPK, index=index
+            ).collect()
+        }
+
+    # 1. build on the base corpus
+    index_dir = str(tmp_path / "ivfpq")
+    write_ivfpq_index(spark, e, index_dir)
+
+    # 2. maintain: one in-distribution batch, one cells-stale batch
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    same = e.select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding", "label"
+    )
+    shifted = e.select(
+        (F.col("vec_id") + 2 * n).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> cast(x + 5.0 as float))"
+        ).alias("embedding"),
+        "label",
+    )
+    _stage_arrival(same, tmp_path, drop, "same", 1_000)
+    _stage_arrival(shifted, tmp_path, drop, "shifted", 2_000)
+    ckpt = tmp_path / "ckpt"
+    drain(drop, ckpt)
+
+    union = e.unionByName(same).unionByName(shifted)
+    cents, books, codes = read_ivfpq_index(spark, index_dir)
+    # maintained code table == batch rebuild with the same components
+    scratch1 = str(tmp_path / "scratch1")
+    write_ivfpq_index(spark, union, scratch1, centroids=cents, books=books)
+    assert _ivfpq_codes_set(spark, index_dir) == _ivfpq_codes_set(
+        spark, scratch1
+    )
+    assert served((cents, books, codes), union)
+
+    # 3. the cells-stale batch flips the data-driven retrain signal
+    assert rebuild_recommended(spark, index_dir)["rebuild_recommended"]
+
+    # 4. retrain in place over the union corpus: fresh epoch, fresh
+    # coarse cells + residual books where the shifted mass is
+    write_ivfpq_index(spark, union, index_dir)
+
+    # 5. the old checkpoint is fenced out
+    with pytest.raises(RuntimeError, match="REBUILT"):
+        drain(drop, ckpt)
+
+    # 6. fresh-checkpoint maintenance resumes on the new epoch, then
+    # compaction folds the accumulated cluster files
+    drop2 = tmp_path / "drop2"
+    drop2.mkdir()
+    more = e.select(
+        (F.col("vec_id") + 3 * n).alias("vec_id"), "embedding", "label"
+    )
+    parts = more.randomSplit([1.0] * 4, seed=9)
+    for i, p in enumerate(parts):
+        _stage_arrival(p, tmp_path, drop2, f"late{i}", 3_000 + i)
+    drain(drop2, tmp_path / "ckpt2")
+    full = union.unionByName(more)
+
+    before = compact_recommended(spark, index_dir, table="codes")["files"]
+    want_rows = _ivfpq_codes_set(spark, index_dir)
+    rewritten = compact_table(
+        spark, index_dir, "codes", part_col="cluster"
+    )
+    assert rewritten
+    after = compact_recommended(spark, index_dir, table="codes")["files"]
+    assert after < before
+    assert _ivfpq_codes_set(spark, index_dir) == want_rows
+
+    # 7. serve: bit-identical to a from-scratch index over the full
+    # corpus with the retrained components
+    cents2, books2, codes2 = read_ivfpq_index(spark, index_dir)
+    scratch2 = str(tmp_path / "scratch2")
+    write_ivfpq_index(
+        spark, full, scratch2, centroids=cents2, books=books2
+    )
+    _, _, scodes = read_ivfpq_index(spark, scratch2)
+    got = served((cents2, books2, codes2), full)
+    assert got == served((cents2, books2, scodes), full) and got

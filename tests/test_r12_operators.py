@@ -154,8 +154,8 @@ def _pairset(df):
 
 
 def test_minhash_adaptive_fast_path_matches_expansion_semantics(spark):
-    """Regime 1 (zero duplicates): the collapse machinery is skipped;
-    regime 2 (few duplicates): copies must inherit their rep pair's
+    """Regime 1 (fewer than BUCKET_CAP copies, r13 — both corpora
+    here ride the skip path): copies must inherit their rep pair's
     exact Jaccard and add within-group 1.0 pairs — NOTHING else may
     change vs the dup-free output."""
     from mahjong_etl_spark.operators.dedup import minhash_lsh_pairs
@@ -215,6 +215,47 @@ def test_minhash_adaptive_heavy_regime_matches(spark):
             for y in ids(b):
                 expected.add((min(x, y), max(x, y), j))
     assert p3 == expected
+
+
+def test_minhash_all_three_regime_shapes_emit_identical_pairs(spark, monkeypatch):
+    """The one-output-contract invariant, pinned DIRECTLY (r13): the
+    r13 skip threshold (n_copies < BUCKET_CAP) means small corpora
+    never exercise the collapse shapes organically, so force each
+    shape by stubbing the deciding aggregate and demand the emitted
+    pair set is bit-identical across all three — skip (the new
+    default for these corpora), few-dups collapse (LEFT sliver
+    joins), and duplicate-heavy collapse (window + INNER joins)."""
+    from mahjong_etl_spark.operators import dedup as D
+
+    c = _mk_docs(
+        spark,
+        [
+            (i + off, t)
+            for i, t in enumerate(_BASE_TEXTS)
+            for off in (0, 100, 200)
+        ],
+    )
+
+    def fake(n_docs, n_texts):
+        class R:
+            pass
+
+        R.n_docs, R.n_texts = n_docs, n_texts
+        return lambda df: R
+
+    outs = {}
+    real = D._dup_stats
+    for name, stats in [
+        ("skip", real),  # 12 copies < BUCKET_CAP -> skip organically
+        # collapse needs n_copies >= BUCKET_CAP (256); few-dups also
+        # needs copies <= texts, heavy needs copies > texts
+        ("few", fake(600, 300)),  # 300 copies <= 300 texts -> LEFT
+        ("heavy", fake(1000, 6)),  # 994 copies > 6 texts -> INNER
+    ]:
+        monkeypatch.setattr(D, "_dup_stats", stats)
+        outs[name] = _pairset(D.minhash_lsh_pairs(c))
+    assert outs["skip"] == outs["few"] == outs["heavy"]
+    assert outs["skip"]  # non-empty: the planted families verified
 
 
 # ---------------------------------------------------------------------
