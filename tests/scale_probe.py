@@ -105,18 +105,20 @@ def time_query(reg, name, spark, sf_dir) -> tuple[float, float]:
 
 def main(base: str, out_json: str, copies: int = 10, probes=None) -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from pyspark.sql import SparkSession
+    from mahjong_etl_spark.session import get_spark
 
     from mahjong_etl_spark.plans.registry import registry
 
-    spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "48g")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
+    # r13: probe under the PRODUCTION session config (get_spark: AQE,
+    # 64 MiB broadcast threshold, Arrow), not a bespoke one — the
+    # bespoke local[16]/no-AQE session this script used through r12
+    # measured plans the shipped engine never produces (e.g. the
+    # minhash sliver joins fell from AQE-broadcast to sort-merge,
+    # inflating the sf0.1 row ~40%).  Cores come from
+    # SPARK_GRAFT_CPUS (default all), driver heap from
+    # SPARK_DRIVER_MEM — export SPARK_DRIVER_MEM=48g for 100x runs.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark("scale-probe")
     reg = registry()
     scratch = f"/tmp/scale_probe_{copies}x"
     if not os.path.exists(f"{scratch}/lineitem.parquet"):
