@@ -1328,3 +1328,34 @@ def test_ivfpq_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
     _, _, scodes = read_ivfpq_index(spark, scratch2)
     got = served((cents2, books2, codes2), full)
     assert got == served((cents2, books2, scodes), full) and got
+
+
+def test_drift_retention_prunes_oldest_by_stamp(spark, tmp_path, monkeypatch):
+    """Retention (r13 hysteresis): once the row count crosses the cap,
+    the prune trims the OLDEST rows by in-row arrival stamp down to
+    cap − slack — newest rows always survive, and the count stays
+    inside (cap − slack, cap]."""
+    import mahjong_etl_spark.streaming.ann_index_stream as ais
+
+    monkeypatch.setattr(ais, "DRIFT_LEDGER_MAX_ROWS", 8)
+    monkeypatch.setattr(ais, "DRIFT_LEDGER_PRUNE_SLACK", 3)
+    index_dir = str(tmp_path / "index")
+    row = {
+        "batch_id": 0, "n": 1, "cells_touched": 1, "top_cell_share": 0.1,
+        "mean_residual": 1.0, "baseline_residual": 1.0,
+        "residual_ratio": 1.0, "rebuild_recommended": False,
+    }
+    for b in range(12):
+        ais._append_drift(
+            spark, index_dir, {**row, "batch_id": b}, lineage="s"
+        )
+    rows = sorted(
+        ais.read_drift(spark, index_dir).collect(), key=lambda r: r.batch_id
+    )
+    # 12 appends against cap 8 / slack 3: prunes fired, the survivors
+    # are a suffix of the arrival order and the count is in-bound
+    assert 5 <= len(rows) <= 8
+    assert rows[-1].batch_id == 11  # newest always survives
+    ids = [r.batch_id for r in rows]
+    assert ids == list(range(12 - len(ids), 12))  # oldest went first
+    assert ais.rebuild_recommended(spark, index_dir)["last"]["batch_id"] == 11
