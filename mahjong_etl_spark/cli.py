@@ -151,6 +151,10 @@ def cmd_index(args: argparse.Namespace) -> int:
         "ivf": ("postings", "cluster", "centroids"),
         "pq": ("codes", "shard", "codebooks"),
         "ivfpq": ("codes", "cluster", "centroids"),
+        # the dedup plane's band index: no trained matrix — the
+        # postings table itself is the build artifact the maintain
+        # precheck looks for
+        "minhash": ("bands", "band", "bands"),
     }[args.kind]
     spark = _spark("mahjong-index")
     if args.compact:
@@ -177,6 +181,10 @@ def cmd_index(args: argparse.Namespace) -> int:
             write_pq_index(spark, vecs, args.index_dir)
         elif args.kind == "ivfpq":
             write_ivfpq_index(spark, vecs, args.index_dir)
+        elif args.kind == "minhash":
+            from .operators.minhash_index import write_minhash_index
+
+            write_minhash_index(spark, vecs, args.index_dir)
         else:
             write_ivf_index(
                 spark, vecs, args.index_dir, n_clusters=args.clusters
@@ -224,10 +232,13 @@ def cmd_index(args: argparse.Namespace) -> int:
         .option("maxFilesPerTrigger", args.max_files_per_trigger)
         .parquet(args.maintain)
     )
+    from .streaming.ann_index_stream import run_minhash_maintenance_stream
+
     run_stream = {
         "ivf": run_ivf_maintenance_stream,
         "pq": run_pq_maintenance_stream,
         "ivfpq": run_ivfpq_maintenance_stream,
+        "minhash": run_minhash_maintenance_stream,
     }[args.kind]
     q = run_stream(
         spark,
@@ -529,7 +540,8 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("-I", "--index-dir", required=True)
     ix.add_argument(
         "-V", "--vectors", default=None,
-        help="vector parquet to BUILD from (vec_id, embedding)",
+        help="parquet to BUILD from: (vec_id, embedding) for the ANN "
+        "kinds, (doc_id, text) for --kind minhash",
     )
     ix.add_argument(
         "-M", "--maintain", default=None,
@@ -548,12 +560,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ix.add_argument("--clusters", type=int, default=16)
     ix.add_argument(
-        "--kind", choices=["ivf", "pq", "ivfpq"], default="ivf",
+        "--kind", choices=["ivf", "pq", "ivfpq", "minhash"],
+        default="ivf",
         help="index family: ivf (centroids + cluster-partitioned "
-        "postings), pq (codebooks + shard-partitioned codes), or "
+        "postings), pq (codebooks + shard-partitioned codes), "
         "ivfpq (IVFADC: centroids + codebooks + cluster-partitioned "
-        "residual codes); build/maintain/compact and the "
-        "drift/compaction signals work identically on all three",
+        "residual codes), or minhash (the dedup plane's "
+        "band-partitioned LSH postings over documents); "
+        "build/maintain/compact and the drift/compaction signals "
+        "work identically on all four",
     )
     ix.add_argument("--max-files-per-trigger", type=int, default=16)
     ix.add_argument(

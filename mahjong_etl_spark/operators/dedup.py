@@ -458,6 +458,34 @@ def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = NUM_HASHES) 
     return df.select("doc_id", "text").mapInPandas(batches, schema)
 
 
+def band_rows(
+    sig: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> DataFrame:
+    """(doc_id, band, bh) — one row per (doc, band); ``bh`` is the
+    xxhash64 of the band's signature slice, the LSH bucket key.
+    Factored (r13) so the in-corpus pair path (minhash_lsh_pairs) and
+    the persisted band index (operators/minhash_index.py) band
+    IDENTICALLY — a doc collides with the same buckets whether it is
+    banded in one pass or written into the index and probed later."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[
+                    F.col(f"h{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("e")
+    ).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+
+
 def _bucket_pairs(
     df: DataFrame,
     keys: list[str],
@@ -718,18 +746,7 @@ def minhash_lsh_pairs(
         sig_in = eligible.select("doc_id", "text")
 
     sig = minhash_signatures(sig_in, n, bands * rows_per_band)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                "bh"
-            ),
-        )
-        for b in range(bands)
-    ]
-    buckets = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("e")).select(
-        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
-    )
+    buckets = band_rows(sig, bands, rows_per_band)
     cand = _bucket_pairs(buckets, ["band", "bh"], "doc_id", "rep_a", "rep_b")
     sh = shingle_sets(df, n) if sh is None else sh
     sha = sh.select(F.col("doc_id").alias("rep_a"), F.col("shingles").alias("sh_a"))

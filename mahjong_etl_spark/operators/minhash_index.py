@@ -1,0 +1,307 @@
+"""Persisted + stream-maintained MinHash band index — the dedup
+plane's membership index, on the same snapshot/maintain/drift/compact
+lifecycle as the ANN families (operators/similarity.py::write_*_index
++ streaming/ann_index_stream.py).
+
+Why an index: ``minhash_lsh_pairs`` answers "which docs in THIS corpus
+near-duplicate each other" with one banding pass.  The production
+question at 100 TB is incremental — "which of today's arrivals
+near-duplicate ANYTHING already ingested" — and re-banding the full
+corpus per arrival batch is exactly the cost an inverted structure
+exists to avoid.  The index persists the banding pass once per corpus
+snapshot as ``{path}/bands`` — (bh, doc_id) postings PARTITIONED BY
+``band`` — and a query batch then costs: sign the batch (batch-linear,
+the same vectorized mapInPandas signature pass the pair path uses),
+one equi-join on (band, bh) against the postings (touching only the
+matched buckets' rows), and an exact-Jaccard verify over the matched
+candidates.  Corpus-size-independent work per query batch, except the
+shuffle of the buckets the queries actually hit.
+
+Banding is SHARED with the pair path (``dedup.band_rows`` — same
+signature permutations, same band slice hash), so a doc collides with
+the same buckets whether banded in one pass or written into the index
+and probed later.  That is what lets ``dedup_minhash_lsh_persisted``
+share ``dedup_minhash_lsh``'s committed golden: querying the corpus
+against its own persisted index reproduces the pair path's output
+pair-for-pair wherever no band bucket exceeds ``BUCKET_CAP`` (the test
+corpora are far under it; an over-cap bucket degrades differently —
+the pair path links overflow members to the bucket representative,
+the query path simply bounds each bucket's candidate contribution to
+its first cap members by doc_id — both are the documented bounded-
+recall trade, never an unbounded fanout).
+
+Scale shape per query batch of M docs: signing is M-linear map-side
+work; the probe join moves only matched-bucket postings rows; the
+per-bucket rank cap bounds candidates at M × BANDS × BUCKET_CAP; the
+verify join is candidate-linear with exact precision.  Maintenance
+appends are batch-sized slices through the shared ``publish_batch``
+exactly-once contract; the drift ledger watches the arrival stream's
+exact-duplicate rate (a boilerplate surge is what degrades bucket
+geometry here, the analogue of IVF's cells going stale).
+
+Reference parity: the public reference (kackyt/mahjong-etl) delegates
+all querying to Athena (scrape.py:13-668 writes parquet; no index
+plane exists there) — this module is part of the SURVEY §7-step-6
+training-data-pipeline extension plane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import query
+from ..sources.tables import load_spread
+from .dedup import (
+    BANDS,
+    BUCKET_CAP,
+    JACCARD_THRESHOLD,
+    ROWS_PER_BAND,
+    _GOLDEN_DIR,
+    band_rows,
+    corpus_shingle_sets,
+    minhash_signatures,
+    shingle_sets,
+)
+
+
+def write_minhash_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    n: int = 3,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> None:
+    """Persist the banding pass: ``{path}/bands`` = (bh, doc_id)
+    partitioned by ``band`` — 16 hive partitions whose files the
+    maintenance stream appends into batch-keyed, exactly like the IVF
+    ``postings/cluster=`` layout.  Storage is corpus-LINEAR (one row
+    per (doc, band)); no quadratic term exists at rest — the pair
+    blowup is bounded at query time by the per-bucket rank cap.
+
+    Same lifecycle furniture as the ANN snapshots: a fresh
+    ``_index_epoch`` fences stale maintenance checkpoints, stale
+    commit markers are cleared, session caches for the path are
+    busted, and the build-time EXACT-DUPLICATE RATE of the corpus
+    lands in ``_drift/baseline.json`` — the reference the maintenance
+    drift monitor compares arrival batches against (a boilerplate
+    surge, not vector drift, is what degrades an LSH index: buckets
+    fill with copies and the cap starts costing recall)."""
+    import json as _json
+    import uuid as _uuid
+
+    from ..streaming.ann_index_stream import invalidate_centroids
+    from ..streaming.etl_stream import _meta_fs
+    from .dedup import _dup_stats
+
+    sig = minhash_signatures(
+        docs.select("doc_id", "text"), n, bands * rows_per_band
+    )
+    band_rows(sig, bands, rows_per_band).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(f"{path}/bands")
+    invalidate_centroids(path)  # busts the cached drift baseline too
+
+    fs = _meta_fs(spark, path)
+    if fs.kind(f"{fs.root}/_batch_commits") is not None:
+        fs.delete_dir(f"{fs.root}/_batch_commits")
+    fs.write_bytes(f"{fs.root}/_index_epoch", _uuid.uuid4().hex.encode())
+    stats = _dup_stats(docs)
+    n_docs = stats.n_docs or 0
+    n_texts = stats.n_texts or 0
+    fs.mkdirs(f"{fs.root}/_drift")
+    fs.write_bytes(
+        f"{fs.root}/_drift/baseline.json",
+        _json.dumps(
+            {
+                "n": n_docs,
+                "n_texts": n_texts,
+                "dup_rate": ((n_docs - n_texts) / n_docs) if n_docs else 0.0,
+                "kind": "minhash_dup_rate",
+            }
+        ).encode(),
+    )
+
+
+def read_minhash_index(spark: SparkSession, path: str) -> DataFrame:
+    """The persisted band postings — the shape
+    :func:`query_minhash_index` consumes."""
+    return spark.read.parquet(f"{path}/bands").select(
+        "band", "bh", "doc_id"
+    )
+
+
+def query_minhash_index(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    postings: DataFrame,
+    n: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    sh: DataFrame | None = None,
+    qsh: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, match_id, jaccard) — for each query doc, the indexed
+    docs it near-duplicates: candidates from the (band, bh) probe
+    join, precision made exact by a shingle-set Jaccard verify.
+
+    ``corpus_df`` supplies the candidate texts for the verify step
+    (the index stores postings, not shingle sets — the same
+    division of labor as the ANN family's exact rerank against the
+    corpus vectors); ``sh``/``qsh`` let a caller hand in
+    already-materialized shingle sets for either side (the
+    corpus-vs-self registry wrapper passes the session-cached corpus
+    relation for BOTH — one shingle pass per corpus per session
+    instead of two per call).  Per-bucket candidate contribution is bounded at
+    ``BUCKET_CAP`` postings (rank by doc_id over the MATCHED buckets
+    only — the window runs on the probe join's output, never the full
+    index), so a mega-duplicate bucket costs cap, not its size; the
+    bounded-recall trade is the pair path's, documented there
+    (_bucket_pairs).
+
+    ADAPTIVE QUERY COLLAPSE (the pair path's r12/r13 move, applied to
+    the probe side): a copy-heavy query batch would otherwise probe
+    the same buckets once PER COPY — on the 100× probe corpus (100
+    copies of every text) that is a quadratic (copies × bucket
+    members) candidate fanout.  The same cheap deciding aggregate
+    (count vs count-distinct over the query batch) triggers a
+    collapse past the pair path's bar: distinct-text REPS probe the
+    index, and the rep's matches expand back to every member —
+    output-preserving because copies share their rep's text, hence
+    its buckets, candidates and Jaccard values exactly; a member's
+    own match set differs from its rep's only by swapping itself out
+    and the rep in, which the expansion reconstructs (the (member,
+    rep) self-link rides a separate union, INNER joins throughout —
+    the LEFT-join build-side lesson of SCALE.md).  Below the bar the
+    direct shape runs unchanged (a handful of redundant probes is
+    cheaper than collapse stages — the r13 skip-regime measurement)."""
+    from .dedup import _dup_stats
+
+    stats = _dup_stats(queries_df)
+    n_copies = (stats.n_docs or 0) - (stats.n_texts or 0)
+    if n_copies >= BUCKET_CAP:
+        key = F.md5("text")
+        groups = (
+            queries_df.groupBy(key.alias("k"))
+            .agg(F.min("doc_id").alias("rep"))
+        )
+        members = (
+            queries_df.select("doc_id", key.alias("k"))
+            .join(groups, "k")
+            .select("rep", "doc_id")
+        )
+        reps = queries_df.join(
+            members.where(F.col("doc_id") == F.col("rep")).select(
+                "doc_id"
+            ),
+            "doc_id",
+        )
+        rep_matches = query_minhash_index(
+            spark, reps, corpus_df, postings, n, threshold, sh
+            # qsh deliberately NOT forwarded: the reps are a subset,
+            # and the direct path computes their shingles from the
+            # (already slivered) reps relation
+        ).withColumnRenamed("doc_id", "rep")
+        expanded = (
+            members.join(rep_matches, "rep")
+            .where(F.col("doc_id") != F.col("match_id"))
+            .select("doc_id", "match_id", "jaccard")
+        )
+        self_links = members.where(
+            F.col("doc_id") != F.col("rep")
+        ).select(
+            "doc_id",
+            F.col("rep").alias("match_id"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+        return expanded.unionByName(self_links)
+
+    q_bands = band_rows(
+        minhash_signatures(queries_df.select("doc_id", "text"), n)
+    ).withColumnRenamed("doc_id", "q_id")
+    # probe: only buckets some query hits flow into the rank window
+    hit = postings.join(
+        q_bands.select("band", "bh").distinct(), ["band", "bh"]
+    )
+    w = Window.partitionBy("band", "bh").orderBy("doc_id")
+    capped = (
+        hit.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= BUCKET_CAP)
+        .select("band", "bh", F.col("doc_id").alias("match_id"))
+    )
+    cand = (
+        q_bands.join(capped, ["band", "bh"])
+        .where(F.col("q_id") != F.col("match_id"))
+        .select(F.col("q_id").alias("doc_id"), "match_id")
+        .distinct()
+    )
+    qsh = (shingle_sets(queries_df, n) if qsh is None else qsh).select(
+        "doc_id", F.col("shingles").alias("sh_a")
+    )
+    csh = (shingle_sets(corpus_df, n) if sh is None else sh).select(
+        F.col("doc_id").alias("match_id"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(qsh, "doc_id")
+        .join(csh, "match_id")
+        .where(jac >= threshold)
+        .select("doc_id", "match_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_MINHASH_INDEX_DIR: dict[str, str] = {}
+
+
+def _ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    hit = _MINHASH_INDEX_DIR.get(sf_dir)
+    if hit is None:
+        import tempfile
+
+        hit = tempfile.mkdtemp(prefix="minhash_index_")
+        write_minhash_index(
+            spark, load_spread(spark, sf_dir, "documents"), hit
+        )
+        _MINHASH_INDEX_DIR[sf_dir] = hit
+    return hit
+
+
+@query(
+    "dedup_minhash_lsh_persisted",
+    oracle=f"""
+    SELECT doc_a, doc_b, jaccard
+    FROM read_parquet('{_GOLDEN_DIR}/dedup_minhash_golden.parquet')
+    WHERE corpus_sig = (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
+    """,
+)
+def dedup_minhash_lsh_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash band-index write→read→query lifecycle: the banding
+    pass persisted to band-partitioned parquet, read back cold, and
+    the corpus queried against its OWN persisted index — each doc's
+    matches fold to unordered (doc_a < doc_b) pairs, which must
+    reproduce ``dedup_minhash_lsh``'s output pair-for-pair (shared
+    banding, shared verify, no bucket near BUCKET_CAP at these
+    corpora), so it shares that query's committed corpus_sig-keyed
+    golden."""
+    docs = load_spread(spark, sf_dir, "documents")
+    postings = read_minhash_index(
+        spark, _ensure_minhash_index(spark, sf_dir)
+    )
+    cached_sh = corpus_shingle_sets(spark, sf_dir)
+    matches = query_minhash_index(
+        spark, docs, docs, postings, sh=cached_sh, qsh=cached_sh
+    )
+    return (
+        matches.select(
+            F.least("doc_id", "match_id").alias("doc_a"),
+            F.greatest("doc_id", "match_id").alias("doc_b"),
+            "jaccard",
+        )
+        .distinct()
+    )

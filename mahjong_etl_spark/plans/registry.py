@@ -105,6 +105,11 @@ _CHECK_WINDOW_HEAD = [
     "dedup_minhash_lsh",
     "dedup_ensemble",
     "similarity_ann_ivfpq_persisted",
+    # NEW in r13 — never driver-checked, so it MUST sit in the window
+    # (the never-checked invariant outranks evidence freshness); it
+    # displaces orc_roundtrip_stats from the BOTTOM of the head to
+    # the tail front, per the standing mid-round rule above
+    "dedup_minhash_lsh_persisted",
     # the declared r13 queue: the ten r8-floor queries — their board
     # rows retire the last sub-r9 evidence on the registry
     "q13_order_count_distribution",
@@ -155,13 +160,14 @@ _CHECK_WINDOW_HEAD = [
     "mahjong_han_fu_table",
     "mahjong_machi_distribution",
     "mahjong_paiyama_walls",
-    "orc_roundtrip_stats",
 ]
 
 _CHECK_WINDOW_TAIL = [
-    # r9-cohort members displaced by the r13 changed-code slots —
-    # they lead the r14 queue (evidence r9), followed by the r10
-    # cohort (the next section)
+    # r9-cohort members displaced by the r13 changed-code slots (and
+    # orc_roundtrip_stats by the mid-round dedup_minhash_lsh_persisted
+    # addition) — they lead the r14 queue (evidence r9), followed by
+    # the r10 cohort (the next section)
+    "orc_roundtrip_stats",
     "q10_returned_items",
     "q12_late_line_priority",
     "q14_promo_share",
@@ -339,6 +345,7 @@ def registry() -> dict[str, Query]:
         dedup,
         er,
         governance,
+        minhash_index,
         multimodal,
         rangejoin,
         sessionize,

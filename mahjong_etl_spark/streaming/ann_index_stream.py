@@ -87,6 +87,19 @@ DRIFT_RESIDUAL_RATIO = 1.5
 DRIFT_TOP_CELL_SHARE = 0.5
 DRIFT_MIN_BATCH = 64
 
+# MinHash band-index drift thresholds (r13).  What stales an LSH
+# index is not vector drift but a BOILERPLATE SURGE: the arrival
+# stream turning copy-heavy fills band buckets with identical
+# signatures, pushing buckets toward BUCKET_CAP (where the query
+# path's bounded fanout starts costing recall) and flipping the pair
+# path's regime economics.  A batch flags when its exact-duplicate
+# rate is BOTH material in absolute terms AND a multiple of the
+# build-time corpus rate — either bar alone misfires (a 2x ratio on
+# a 0.1% base is noise; a 25% rate on a 30% base is business as
+# usual).
+MINHASH_DRIFT_MIN_DUP_RATE = 0.2
+MINHASH_DRIFT_DUP_RATE_RATIO = 2.0
+
 # PQ drift threshold (r12).  PQ reconstruction error lives on the
 # unit sphere, so it is BOUNDED — unlike the unbounded IVF assignment
 # residual, a 1.5x ratio is nearly unreachable.  Calibration sweep on
@@ -852,6 +865,101 @@ def run_ivfpq_maintenance_stream(
 
     writer = (
         vectors_stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_minhash_maintenance_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Keep a persisted MinHash band index's postings current as new
+    documents arrive — the dedup plane on the same lifecycle as the
+    three ANN families (r13).  ``docs_stream`` carries (doc_id, text).
+
+    Per micro-batch: the arrivals are signed with the SAME vectorized
+    signature pass and banded with the SAME band-slice hash the batch
+    builder and the pair path use (operators/dedup.py::
+    minhash_signatures + band_rows — signatures are seed-fixed and
+    deterministic, so the maintained postings are BIT-IDENTICAL to a
+    batch ``write_minhash_index`` over the union corpus), appended
+    into the ``{index}/bands`` ``band=`` layout through
+    ``publish_batch`` (the one exactly-once contract), behind the
+    same start-time + per-batch epoch fence.
+
+    The drift row watches the signal that actually stales an LSH
+    index: the batch's EXACT-DUPLICATE RATE vs the build-time corpus
+    rate (constants above).  Field mapping onto the shared ledger
+    schema: ``mean_residual`` = batch dup rate, ``baseline_residual``
+    = build-time rate, ``residual_ratio`` = their ratio (null when
+    the build corpus was dup-free) — ``read_drift`` /
+    ``rebuild_recommended`` / ``compact_recommended`` / the CLI
+    ``index --kind minhash`` face work unchanged."""
+    from ..operators.dedup import band_rows, minhash_signatures
+
+    bound_epoch = _bind_index_epoch(spark, index_dir, checkpoint_dir)
+    lineage = _lineage_id(spark, checkpoint_dir)
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "text").persist()
+        try:
+            rows = band_rows(minhash_signatures(docs))
+            _check_epoch(session, index_dir, bound_epoch)
+            publish_batch(
+                session,
+                index_dir,
+                f"{lineage}-{batch_id}",
+                {"bands": rows},
+                part_col="band",
+            )
+            # drift row AFTER the publish (telemetry, same contract
+            # as the other families): one batch-sized aggregate
+            (srow,) = docs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.xxhash64("text")).alias("n_texts"),
+            ).collect()
+            n = srow.n or 0
+            rate = ((n - (srow.n_texts or 0)) / n) if n else 0.0
+            base = _index_baseline(session, index_dir).get("dup_rate")
+            ratio = (rate / base) if (base and base > 0) else None
+            flag = bool(
+                n >= DRIFT_MIN_BATCH
+                and rate > MINHASH_DRIFT_MIN_DUP_RATE
+                and (
+                    base is None
+                    or base == 0
+                    or rate > MINHASH_DRIFT_DUP_RATE_RATIO * base
+                )
+            )
+            _append_drift(
+                session,
+                index_dir,
+                {
+                    "batch_id": batch_id,
+                    "n": n,
+                    "cells_touched": None,
+                    "top_cell_share": None,
+                    "mean_residual": round(rate, 6),
+                    "baseline_residual": base,
+                    "residual_ratio": (
+                        round(ratio, 6) if ratio is not None else None
+                    ),
+                    "rebuild_recommended": flag,
+                },
+                lineage=lineage,
+            )
+        finally:
+            docs.unpersist()
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(maintain)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

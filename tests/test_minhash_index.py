@@ -1,0 +1,406 @@
+"""Persisted + maintained MinHash band index
+(operators/minhash_index.py + streaming/ann_index_stream.py::
+run_minhash_maintenance_stream): the maintained postings must be
+BIT-IDENTICAL to a batch write over the union corpus (deterministic
+signatures), the persisted query path must reproduce the in-corpus
+pair path pair-for-pair, and the lifecycle (epoch fence, replay
+idempotence, dup-rate drift, compaction) must mirror the ANN
+families'."""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mahjong_etl_spark.operators.minhash_index import (
+    query_minhash_index,
+    read_minhash_index,
+    write_minhash_index,
+)
+from mahjong_etl_spark.streaming.ann_index_stream import (
+    run_minhash_maintenance_stream,
+)
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _load_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _stage(df, tmp_path, drop, name, mtime):
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / f"stage_{name}")
+    )
+    (src,) = glob.glob(str(tmp_path / f"stage_{name}" / "part-*.parquet"))
+    dst = drop / f"{name}.parquet"
+    os.rename(src, dst)
+    os.utime(dst, (mtime, mtime))
+
+
+def _drain(spark, drop, index_dir, ckpt):
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = run_minhash_maintenance_stream(spark, stream, index_dir, str(ckpt))
+    assert q.awaitTermination(180), "maintenance stream did not drain"
+    q.stop()
+    time.sleep(0.2)
+
+
+def _bands_set(spark, index_dir):
+    return {
+        (r.band, r.bh, r.doc_id)
+        for r in read_minhash_index(spark, index_dir).collect()
+    }
+
+
+def _matches(spark, docs, index_dir):
+    return {
+        (r.doc_id, r.match_id, r.jaccard)
+        for r in query_minhash_index(
+            spark, docs, docs, read_minhash_index(spark, index_dir)
+        ).collect()
+    }
+
+
+def test_persisted_query_matches_pair_path(spark, sf_dir, tmp_path):
+    """Querying the corpus against its own persisted index reproduces
+    minhash_lsh_pairs pair-for-pair (shared banding + verify)."""
+    from mahjong_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _load_docs(spark, sf_dir)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, index_dir)
+    got = {
+        (min(a, b), max(a, b), j)
+        for a, b, j in (
+            (r.doc_id, r.match_id, r.jaccard)
+            for r in query_minhash_index(
+                spark, docs, docs, read_minhash_index(spark, index_dir)
+            ).collect()
+        )
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert got == want and got
+
+
+def test_maintained_bands_match_batch_rebuild(spark, sf_dir, tmp_path):
+    """Build on 60% of the corpus, stream the rest in as three files:
+    the maintained postings equal a from-scratch write over the FULL
+    corpus (signatures are deterministic), and queries served from
+    the maintained index return rows identical to the rebuild's."""
+    docs = _load_docs(spark, sf_dir)
+    cut = int(docs.count() * 0.6)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(
+        spark, docs.where(F.col("doc_id") < cut), index_dir
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    parts = docs.where(F.col("doc_id") >= cut).randomSplit(
+        [1.0] * 3, seed=7
+    )
+    for i, p in enumerate(parts):
+        _stage(p, tmp_path, drop, f"arrival{i}", 1_000 + i)
+    _drain(spark, drop, index_dir, tmp_path / "ckpt")
+
+    rebuilt = str(tmp_path / "rebuilt")
+    write_minhash_index(spark, docs, rebuilt)
+    assert _bands_set(spark, index_dir) == _bands_set(spark, rebuilt)
+    # every doc is indexed in every band exactly once
+    from mahjong_etl_spark.operators.dedup import BANDS
+
+    bands = read_minhash_index(spark, index_dir)
+    assert bands.count() == docs.count() * BANDS
+
+    got = _matches(spark, docs, index_dir)
+    want = _matches(spark, docs, rebuilt)
+    assert got == want and got
+
+
+def test_replay_does_not_duplicate_bands(spark, sf_dir, tmp_path):
+    """Crash-window replay (marker + checkpoint commit wiped): the
+    re-drain lands the SAME final postings set."""
+    docs = _load_docs(spark, sf_dir)
+    cut = int(docs.count() * 0.8)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(
+        spark, docs.where(F.col("doc_id") < cut), index_dir
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(
+        docs.where(F.col("doc_id") >= cut), tmp_path, drop, "arrival", 1_000
+    )
+    ckpt = tmp_path / "ckpt"
+    _drain(spark, drop, index_dir, ckpt)
+    want = _bands_set(spark, index_dir)
+
+    (marker,) = glob.glob(f"{index_dir}/_batch_commits/*-0")
+    os.remove(marker)
+    os.remove(os.path.join(str(ckpt), "commits", "0"))
+    crc = os.path.join(str(ckpt), "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _drain(spark, drop, index_dir, ckpt)
+    assert _bands_set(spark, index_dir) == want
+
+
+def test_rebuild_fences_stale_checkpoint(spark, sf_dir, tmp_path):
+    """An in-place write_minhash_index rebuild (fresh epoch) refuses
+    the old maintenance checkpoint."""
+    docs = _load_docs(spark, sf_dir)
+    cut = int(docs.count() * 0.8)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(
+        spark, docs.where(F.col("doc_id") < cut), index_dir
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(
+        docs.where(F.col("doc_id") >= cut), tmp_path, drop, "arrival", 1_000
+    )
+    ckpt = tmp_path / "ckpt"
+    _drain(spark, drop, index_dir, ckpt)
+
+    write_minhash_index(spark, docs, index_dir)
+    assert not os.path.exists(f"{index_dir}/_batch_commits")
+    with pytest.raises(RuntimeError, match="REBUILT"):
+        _drain(spark, drop, index_dir, ckpt)
+
+
+def test_drift_flags_boilerplate_surge(spark, sf_dir, tmp_path):
+    """The dup-rate drift signal: an in-distribution batch (the
+    corpus under fresh ids — dup-free) records without flagging; a
+    copy-heavy batch (every text triplicated) crosses the absolute +
+    ratio bars and flips the flag, surfaced through the SAME
+    read_drift / rebuild_recommended face as the ANN families."""
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        DRIFT_MIN_BATCH,
+        MINHASH_DRIFT_MIN_DUP_RATE,
+        read_drift,
+        rebuild_recommended,
+    )
+
+    docs = _load_docs(spark, sf_dir)
+    n = docs.count()
+    assert n >= DRIFT_MIN_BATCH
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    same = docs.select((F.col("doc_id") + n).alias("doc_id"), "text")
+    surge = docs.selectExpr(
+        f"explode(sequence(1, 3)) AS copy", f"doc_id", "text"
+    ).select(
+        (F.col("doc_id") + 2 * n + F.col("copy") * 10 * n).alias("doc_id"),
+        "text",
+    )
+    _stage(same, tmp_path, drop, "same", 1_000)
+    _stage(surge, tmp_path, drop, "surge", 2_000)
+    _drain(spark, drop, index_dir, tmp_path / "ckpt")
+
+    rows = sorted(
+        read_drift(spark, index_dir).collect(), key=lambda r: r.batch_id
+    )
+    assert len(rows) == 2
+    assert not rows[0].rebuild_recommended
+    assert rows[0].mean_residual == 0.0  # dup-free batch
+    assert rows[1].rebuild_recommended
+    assert rows[1].mean_residual > MINHASH_DRIFT_MIN_DUP_RATE
+    assert rebuild_recommended(spark, index_dir)["rebuild_recommended"]
+
+
+def test_minhash_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
+    """The composed walk, mirroring the ANN families': build →
+    maintain (dup-free + surge batches) → the flag flips → in-place
+    rebuild under a fresh epoch → old checkpoint fenced →
+    fresh-checkpoint maintenance resumes → compact the band layout →
+    query parity with a from-scratch index over the full corpus."""
+    from mahjong_etl_spark.plans.compaction import compact_table
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        compact_recommended,
+        rebuild_recommended,
+    )
+
+    docs = _load_docs(spark, sf_dir)
+    n = docs.count()
+
+    # 1. build
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, index_dir)
+
+    # 2. maintain: dup-free then surge
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    same = docs.select((F.col("doc_id") + n).alias("doc_id"), "text")
+    surge = docs.selectExpr(
+        "explode(sequence(1, 3)) AS copy", "doc_id", "text"
+    ).select(
+        (F.col("doc_id") + 2 * n + F.col("copy") * 10 * n).alias("doc_id"),
+        "text",
+    )
+    _stage(same, tmp_path, drop, "same", 1_000)
+    _stage(surge, tmp_path, drop, "surge", 2_000)
+    ckpt = tmp_path / "ckpt"
+    _drain(spark, drop, index_dir, ckpt)
+
+    union = docs.unionByName(same).unionByName(surge)
+    scratch1 = str(tmp_path / "scratch1")
+    write_minhash_index(spark, union, scratch1)
+    assert _bands_set(spark, index_dir) == _bands_set(spark, scratch1)
+
+    # 3. the surge flips the data-driven signal
+    assert rebuild_recommended(spark, index_dir)["rebuild_recommended"]
+
+    # 4-5. in-place rebuild fences the old checkpoint
+    write_minhash_index(spark, union, index_dir)
+    with pytest.raises(RuntimeError, match="REBUILT"):
+        _drain(spark, drop, index_dir, ckpt)
+
+    # 6. fresh-checkpoint maintenance resumes, then compaction
+    drop2 = tmp_path / "drop2"
+    drop2.mkdir()
+    more = docs.select((F.col("doc_id") + 40 * n).alias("doc_id"), "text")
+    parts = more.randomSplit([1.0] * 4, seed=5)
+    for i, p in enumerate(parts):
+        _stage(p, tmp_path, drop2, f"late{i}", 3_000 + i)
+    _drain(spark, drop2, index_dir, tmp_path / "ckpt2")
+    full = union.unionByName(more)
+
+    before = compact_recommended(spark, index_dir, table="bands")["files"]
+    want_rows = _bands_set(spark, index_dir)
+    rewritten = compact_table(spark, index_dir, "bands", part_col="band")
+    assert rewritten
+    assert compact_recommended(spark, index_dir, table="bands")[
+        "files"
+    ] < before
+    assert _bands_set(spark, index_dir) == want_rows
+
+    # 7. query parity with from-scratch over the full corpus
+    scratch2 = str(tmp_path / "scratch2")
+    write_minhash_index(spark, full, scratch2)
+    queries = docs.where("doc_id < 50")
+    got = {
+        tuple(r)
+        for r in query_minhash_index(
+            spark, queries, full, read_minhash_index(spark, index_dir)
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in query_minhash_index(
+            spark, queries, full, read_minhash_index(spark, scratch2)
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_cli_index_minhash_kind(spark, sf_dir, tmp_path, capsys):
+    """`index --kind minhash` drives the dedup-plane index through
+    the same lifecycle verbs: build (band-partitioned postings),
+    maintain (streaming sign-and-append with the dup-rate drift
+    summary + compact signal), compact."""
+    from mahjong_etl_spark.cli import main
+
+    docs = _load_docs(spark, sf_dir)
+    cut = int(docs.count() * 0.8)
+    base = str(tmp_path / "base_docs")
+    docs.where(F.col("doc_id") < cut).write.parquet(base)
+    index_dir = str(tmp_path / "mh")
+
+    rc = main(["index", "--kind", "minhash", "-I", index_dir, "-V", base])
+    assert rc == 0
+    assert "built MINHASH index" in capsys.readouterr().out
+    assert glob.glob(f"{index_dir}/bands/band=*")
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(
+        docs.where(F.col("doc_id") >= cut), tmp_path, drop, "arrival", 1_000
+    )
+    rc = main(
+        [
+            "index", "--kind", "minhash", "-I", index_dir,
+            "-M", str(drop),
+            "-C", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    from mahjong_etl_spark.operators.dedup import BANDS
+
+    assert f"{docs.count() * BANDS} bands" in out
+    assert "rebuild recommended: False" in out
+    assert "compact recommended" in out
+
+    rc = main(["index", "--kind", "minhash", "-I", index_dir, "--compact"])
+    assert rc == 0
+    assert "compacted" in capsys.readouterr().out
+    assert read_minhash_index(spark, index_dir).count() == docs.count() * BANDS
+
+
+def test_query_collapse_matches_direct_path(spark, tmp_path, monkeypatch):
+    """The adaptive query-side collapse (copy-heavy batches probe as
+    distinct-text reps, matches expand back) must emit EXACTLY the
+    direct path's rows when no bucket caps bind: 6 texts x 50 copies
+    (294 copies >= BUCKET_CAP) trips the collapse organically; the
+    direct shape is forced by stubbing the deciding aggregate."""
+    from mahjong_etl_spark.operators import dedup as D
+    from mahjong_etl_spark.operators import minhash_index as M
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu",
+        "one two three four five six seven eight nine ten eleven twelve",
+        "one two three four five six seven eight nine ten eleven thirteen",
+        "totally unrelated text about mahjong tiles and parquet files here",
+        "another completely different document mentioning spark and arrow",
+    ]
+    docs = spark.createDataFrame(
+        [(i * 1000 + c, t) for i, t in enumerate(texts) for c in range(50)],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, index_dir)
+    postings = read_minhash_index(spark, index_dir)
+
+    collapsed = {
+        tuple(r)
+        for r in query_minhash_index(
+            spark, docs, docs, postings
+        ).collect()
+    }
+
+    class R:
+        n_docs = 300
+        n_texts = 300  # forces the direct (no-collapse) shape
+
+    monkeypatch.setattr(M, "_dup_stats", None, raising=False)
+    monkeypatch.setattr(D, "_dup_stats", lambda df: R)
+    direct = {
+        tuple(r)
+        for r in query_minhash_index(
+            spark, docs, docs, postings
+        ).collect()
+    }
+    assert collapsed == direct and collapsed
+    # every copy finds its 49 siblings at jaccard exactly 1.0
+    sib = [m for q, m, j in collapsed if q == 0 and j == 1.0]
+    assert len([m for m in sib if m // 1000 == 0]) == 49
