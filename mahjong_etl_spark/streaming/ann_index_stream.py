@@ -965,3 +965,286 @@ def run_minhash_maintenance_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# Exact-verify admission default: flag at the dedup plane's standard
+# near-dup bar when the caller enables verification but names none.
+JACCARD_ADMIT_DEFAULT = 0.5
+
+# Near-dup admission: how many of the 16 bands an arrival must share
+# with some indexed doc before it is flagged.  An exact copy shares
+# ALL bands (identical signature); a true near-dup at Jaccard j hits
+# each band w.p. j^ROWS_PER_BAND (j=0.85 -> ~8 of 16 expected), so 2
+# is a low-noise default: unrelated texts virtually never share two
+# independent 4-row band slices.  Callers wanting exact precision
+# pass verify_docs and a threshold instead — band hits then only
+# nominate candidates and the flag follows the verified Jaccard.
+NEARDUP_MIN_BANDS = 2
+
+
+def run_neardup_admission_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    min_bands: int = NEARDUP_MIN_BANDS,
+    verify_docs: DataFrame | None = None,
+    threshold: float | None = None,
+    available_now: bool = True,
+):
+    """The MinHash band index made load-bearing (r13): a streaming
+    near-dup ADMISSION GATE over a document ingest.  Per micro-batch
+    of (doc_id, text) arrivals:
+
+    1. within-batch exact collapse — one rep (min doc_id) per
+       distinct text; the other copies are flagged immediately
+       (matched to their rep, Jaccard exactly 1.0 by identity);
+    2. reps probe the persisted index: band rows from the SAME
+       signature pass the whole dedup plane uses, joined against the
+       postings on (band, bh) with the per-bucket rank cap — an
+       arrival's ``n_band_hits`` against its best-matching indexed
+       doc (most shared bands, ties to the smallest id) decides the
+       flag at ``min_bands``; with ``verify_docs`` (the indexed
+       corpus texts) the band hits only NOMINATE and the flag follows
+       the exact Jaccard at ``threshold`` — the usual LSH
+       precision/cost dial, made explicit per deployment;
+    3. the CLEAN reps' band rows are appended into the index through
+       ``publish_batch`` — the gate is SELF-MAINTAINING: a copy of a
+       doc admitted three batches ago is flagged today without any
+       rebuild — and every decision lands in ``{index}/admissions``
+       (doc_id, n_band_hits, matched_id, jaccard, admitted,
+       batch_id), partitioned by a ``gate`` routing column
+       (``admit``/``quarantine``) so the downstream quarantine
+       reader prunes straight to its slice while ``admitted`` stays
+       a typed BOOLEAN data column (a hive partition value
+       round-trips as a string).
+
+    Exactly-once shape: bands and admissions publish as two
+    batch-keyed markers (`…-bands`, `…-adm`) — ``publish_batch``
+    partitions every table in one call by one column, and the two
+    tables partition differently (band vs gate).  Each marker
+    replays idempotently on its own; a crash between them re-lands
+    only the missing table into the same final file set, and the
+    stream never advances past a batch whose second publish failed.
+    Replay determinism: a replayed batch probes an index that may
+    still hold its own crashed attempt's band files (the erase runs
+    at publish time, after the decision) — but candidates exclude
+    the batch's own doc ids (see the probe comment), and leftover
+    files can only carry those ids, so a replay re-derives
+    bit-identical decisions from the identical effective index.
+
+    In-batch NEAR-dups (two non-identical near-dup texts arriving in
+    one batch) both probe the index and miss — they admit together
+    and the SECOND occurrence is only caught from the next batch on,
+    once the first's bands are postings.  The within-batch pass
+    collapses exact copies only; extending it to in-batch banding is
+    a policy choice deliberately left out (an ingest that needs it
+    runs the batch pair path on the quarantine slice).
+
+    Scale shape per batch of M arrivals: signing is M-linear, the
+    probe join touches matched buckets only (rank-capped), the
+    verify (when enabled) joins candidate texts by doc_id against
+    ``verify_docs`` — corpus-scan-priced unless that relation is
+    bucketed/pruned, which is why it is opt-in.  One drift row per
+    batch records the FLAG RATE (mean_residual) — a sustained high
+    rate is the boilerplate-surge signal in admission clothing."""
+    from ..operators.dedup import (
+        BANDS,
+        BUCKET_CAP,
+        band_rows,
+        minhash_signatures,
+        shingles_expr,
+    )
+    from pyspark.sql.window import Window
+
+    bound_epoch = _bind_index_epoch(spark, index_dir, checkpoint_dir)
+    lineage = _lineage_id(spark, checkpoint_dir)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "text").persist()
+        try:
+            # 1. within-batch exact collapse
+            key = F.md5("text")
+            groups = docs.groupBy(key.alias("k")).agg(
+                F.min("doc_id").alias("rep")
+            )
+            members = (
+                docs.select("doc_id", key.alias("k"))
+                .join(groups, "k")
+                .select("rep", "doc_id")
+            )
+            copies = members.where(F.col("doc_id") != F.col("rep")).select(
+                "doc_id",
+                F.lit(BANDS).alias("n_band_hits"),
+                F.col("rep").alias("matched_id"),
+                F.round(F.lit(1.0), 6).alias("jaccard"),
+                F.lit(False).alias("admitted"),
+            )
+            reps = docs.join(
+                members.where(F.col("doc_id") == F.col("rep")).select(
+                    "doc_id"
+                ),
+                "doc_id",
+            ).persist()
+
+            # 2. probe the index
+            postings = session.read.parquet(f"{index_dir}/bands").select(
+                "band", "bh", "doc_id"
+            )
+            q_bands = band_rows(
+                minhash_signatures(reps)
+            ).withColumnRenamed("doc_id", "q_id")
+            hit = postings.join(
+                q_bands.select("band", "bh").distinct(), ["band", "bh"]
+            )
+            wcap = Window.partitionBy("band", "bh").orderBy("doc_id")
+            capped = (
+                hit.withColumn("__rk", F.row_number().over(wcap))
+                .where(F.col("__rk") <= BUCKET_CAP)
+                .select("band", "bh", F.col("doc_id").alias("match_id"))
+            )
+            # candidates NEVER include the current batch's own ids:
+            # semantically the gate asks "does this near-dup anything
+            # ALREADY ingested", and operationally a crash-replayed
+            # batch probes an index that still holds its own crashed
+            # attempt's leftover band files (erase-before-republish
+            # runs at PUBLISH time, after this decision) — without
+            # the exclusion an admitted doc would match ITSELF on
+            # replay and flip to quarantined (caught by
+            # tests/test_minhash_index.py::
+            # test_neardup_admission_replay_lands_same_tables)
+            per_match = (
+                q_bands.join(capped, ["band", "bh"])
+                .join(
+                    docs.select(F.col("doc_id").alias("match_id")),
+                    "match_id",
+                    "left_anti",
+                )
+                .groupBy("q_id", "match_id")
+                .agg(F.count_distinct("band").alias("n_band_hits"))
+            )
+            if verify_docs is not None:
+                bar = JACCARD_ADMIT_DEFAULT if threshold is None else threshold
+                qsh = reps.select(
+                    F.col("doc_id").alias("q_id"),
+                    shingles_expr(3).alias("sh_a"),
+                )
+                csh = verify_docs.select(
+                    F.col("doc_id").alias("match_id"),
+                    shingles_expr(3).alias("sh_b"),
+                )
+                inter = F.size(F.array_intersect("sh_a", "sh_b"))
+                union = F.size("sh_a") + F.size("sh_b") - inter
+                jac = F.round(
+                    inter.cast("double") / union, 6
+                )
+                per_match = (
+                    per_match.join(qsh, "q_id")
+                    .join(csh, "match_id")
+                    .select(
+                        "q_id", "match_id", "n_band_hits",
+                        jac.alias("jaccard"),
+                    )
+                    .where(F.col("jaccard") >= F.lit(bar))
+                )
+            else:
+                per_match = per_match.where(
+                    F.col("n_band_hits") >= F.lit(min_bands)
+                ).withColumn("jaccard", F.lit(None).cast("double"))
+            wbest = Window.partitionBy("q_id").orderBy(
+                F.desc("n_band_hits"), F.asc("match_id")
+            )
+            best = (
+                per_match.withColumn("__r", F.row_number().over(wbest))
+                .where(F.col("__r") == 1)
+                .select("q_id", "match_id", "n_band_hits", "jaccard")
+            )
+            rep_decisions = (
+                reps.select("doc_id")
+                .join(
+                    best.withColumnRenamed("q_id", "doc_id"),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.coalesce("n_band_hits", F.lit(0)).alias(
+                        "n_band_hits"
+                    ),
+                    F.col("match_id").alias("matched_id"),
+                    "jaccard",
+                    F.col("match_id").isNull().alias("admitted"),
+                )
+            )
+            decisions = (
+                rep_decisions.unionByName(copies)
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .withColumn(
+                    "gate",
+                    F.when(F.col("admitted"), "admit").otherwise(
+                        "quarantine"
+                    ),
+                )
+                .persist()
+            )
+
+            # 3. publish: clean reps' bands (the probe pass's own band
+            # rows, filtered — no second signature pass), then the
+            # decision table
+            clean_bands = q_bands.withColumnRenamed(
+                "q_id", "doc_id"
+            ).join(decisions.where("admitted").select("doc_id"), "doc_id")
+            _check_epoch(session, index_dir, bound_epoch)
+            publish_batch(
+                session,
+                index_dir,
+                f"{lineage}-{batch_id}-bands",
+                {"bands": clean_bands.select("doc_id", "band", "bh")},
+                part_col="band",
+            )
+            publish_batch(
+                session,
+                index_dir,
+                f"{lineage}-{batch_id}-adm",
+                {"admissions": decisions},
+                part_col="gate",
+            )
+            (srow,) = decisions.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("admitted"), 0).otherwise(1)).alias(
+                    "flagged"
+                ),
+            ).collect()
+            n = srow.n or 0
+            rate = ((srow.flagged or 0) / n) if n else 0.0
+            _append_drift(
+                session,
+                index_dir,
+                {
+                    "batch_id": batch_id,
+                    "n": n,
+                    "cells_touched": None,
+                    "top_cell_share": None,
+                    "mean_residual": round(rate, 6),
+                    "baseline_residual": None,
+                    "residual_ratio": None,
+                    "rebuild_recommended": bool(
+                        n >= DRIFT_MIN_BATCH
+                        and rate > MINHASH_DRIFT_MIN_DUP_RATE
+                    ),
+                },
+                lineage=lineage,
+            )
+            decisions.unpersist()
+            reps.unpersist()
+        finally:
+            docs.unpersist()
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

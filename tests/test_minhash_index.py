@@ -404,3 +404,204 @@ def test_query_collapse_matches_direct_path(spark, tmp_path, monkeypatch):
     # every copy finds its 49 siblings at jaccard exactly 1.0
     sib = [m for q, m, j in collapsed if q == 0 and j == 1.0]
     assert len([m for m in sib if m // 1000 == 0]) == 49
+
+
+def test_neardup_admission_routes_and_self_maintains(spark, sf_dir, tmp_path):
+    """The admission gate over a persisted index: exact copies of
+    indexed docs are flagged (all 16 bands hit), fresh texts admit
+    and their bands JOIN THE INDEX, within-batch copies collapse to
+    their rep, and — the self-maintenance proof — a copy of a doc
+    admitted in batch 1 is flagged in batch 2 with no rebuild."""
+    from mahjong_etl_spark.operators.dedup import BANDS
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        run_neardup_admission_stream,
+    )
+
+    docs = _load_docs(spark, sf_dir)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, index_dir)
+    base_bands = _bands_set(spark, index_dir)
+
+    fresh_a = "a genuinely new document about spark admission gates"
+    fresh_b = "another brand new text that matches nothing indexed yet"
+    (copy_row,) = docs.where("doc_id = 7").collect()
+
+    # batch 1: fresh rep + its in-batch copy, an exact corpus copy,
+    # a second fresh text
+    b1 = spark.createDataFrame(
+        [
+            (10_001, fresh_a),
+            (10_002, fresh_a),          # in-batch copy -> rep 10_001
+            (10_003, copy_row.text),    # exact copy of indexed doc 7
+            (10_004, fresh_b),
+        ],
+        DOC_SCHEMA,
+    )
+    # batch 2: a copy of batch-1-admitted fresh_a (self-maintenance)
+    b2 = spark.createDataFrame([(20_001, fresh_a)], DOC_SCHEMA)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(b1, tmp_path, drop, "b1", 1_000)
+    _stage(b2, tmp_path, drop, "b2", 2_000)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = run_neardup_admission_stream(
+        spark, stream, index_dir, str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    time.sleep(0.2)
+
+    adm = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{index_dir}/admissions").collect()
+    }
+    assert set(adm) == {10_001, 10_002, 10_003, 10_004, 20_001}
+    assert adm[10_001].admitted and adm[10_001].n_band_hits == 0
+    assert adm[10_004].admitted
+    # in-batch copy: collapsed to its rep at jaccard exactly 1.0
+    assert not adm[10_002].admitted
+    assert adm[10_002].matched_id == 10_001
+    assert adm[10_002].jaccard == 1.0
+    # exact copy of an indexed doc: every band collides
+    assert not adm[10_003].admitted
+    assert adm[10_003].n_band_hits == BANDS
+    assert adm[10_003].matched_id == 7
+    # self-maintenance: batch 2's copy of the batch-1 admit flags
+    assert not adm[20_001].admitted
+    assert adm[20_001].n_band_hits == BANDS
+    assert adm[20_001].matched_id == 10_001
+
+    # only the admitted reps' bands joined the index
+    now = _bands_set(spark, index_dir)
+    added_ids = {d for _, _, d in now - base_bands}
+    assert added_ids == {10_001, 10_004}
+    assert len(now - base_bands) == 2 * BANDS
+
+    # the gate= partitioning lets the quarantine reader prune
+    import glob as g
+
+    assert g.glob(f"{index_dir}/admissions/gate=quarantine/*")
+    assert g.glob(f"{index_dir}/admissions/gate=admit/*")
+
+
+def test_neardup_admission_replay_lands_same_tables(spark, sf_dir, tmp_path):
+    """Crash-window replay of an admission batch (both markers + the
+    checkpoint commit wiped): the re-drain re-derives identical
+    decisions and the same final band set — the two-marker publish
+    replays each table idempotently."""
+    import glob as g
+
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        run_neardup_admission_stream,
+    )
+
+    docs = _load_docs(spark, sf_dir)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, index_dir)
+
+    (copy_row,) = docs.where("doc_id = 3").collect()
+    b1 = spark.createDataFrame(
+        [
+            (10_001, "one fresh admission replay probe text here"),
+            (10_002, copy_row.text),
+        ],
+        DOC_SCHEMA,
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(b1, tmp_path, drop, "b1", 1_000)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop))
+        )
+        q = run_neardup_admission_stream(spark, stream, index_dir, ckpt)
+        assert q.awaitTermination(180)
+        q.stop()
+        time.sleep(0.2)
+
+    drain()
+    want_bands = _bands_set(spark, index_dir)
+    want_adm = {
+        tuple(r)
+        for r in spark.read.parquet(f"{index_dir}/admissions").collect()
+    }
+
+    for marker in g.glob(f"{index_dir}/_batch_commits/*-0-bands") + g.glob(
+        f"{index_dir}/_batch_commits/*-0-adm"
+    ):
+        os.remove(marker)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+
+    assert _bands_set(spark, index_dir) == want_bands
+    got_adm = {
+        tuple(r)
+        for r in spark.read.parquet(f"{index_dir}/admissions").collect()
+    }
+    assert got_adm == want_adm
+
+
+def test_neardup_admission_verify_mode_is_exact(spark, sf_dir, tmp_path):
+    """With verify_docs, band hits only NOMINATE: a planted near-dup
+    of an indexed text flags with its exact Jaccard in the decision
+    row; an unrelated text that would never clear the verify admits."""
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        run_neardup_admission_stream,
+    )
+
+    docs = _load_docs(spark, sf_dir)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, index_dir)
+
+    (row,) = docs.where("doc_id = 11").collect()
+    toks = row.text.split(" ")
+    toks[-1] = "zzzneardupzzz"  # one-token edit: high-Jaccard near-dup
+    near = " ".join(toks)
+
+    b1 = spark.createDataFrame(
+        [
+            (10_001, near),
+            (10_002, "wholly unrelated admission text with no match"),
+        ],
+        DOC_SCHEMA,
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(b1, tmp_path, drop, "b1", 1_000)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = run_neardup_admission_stream(
+        spark,
+        stream,
+        index_dir,
+        str(tmp_path / "ckpt"),
+        verify_docs=docs,
+        threshold=0.5,
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    time.sleep(0.2)
+
+    adm = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{index_dir}/admissions").collect()
+    }
+    assert not adm[10_001].admitted
+    assert adm[10_001].matched_id == 11
+    assert adm[10_001].jaccard is not None and adm[10_001].jaccard >= 0.5
+    assert adm[10_002].admitted and adm[10_002].jaccard is None
