@@ -630,17 +630,26 @@ def minhash_lsh_pairs(
     ``count(*)`` vs ``count(distinct md5(text))`` over the eligible
     docs (map-side partial aggregation of 16-byte digests — a
     rounding error next to the shingle/signature passes).  Three
-    regimes, all emitting the SAME pair set by construction (so one
-    committed golden pins them all):
+    regimes, emitting the SAME pair set wherever no band bucket
+    crosses BUCKET_CAP in the skip shape (true of every committed
+    golden corpus — pinned empirically by the forced-regime identity
+    test and a three-SF cross-check; past the cap the shapes diverge
+    into their respective documented bounded-recall trades, see the
+    skip bullet):
 
     - fewer than BUCKET_CAP copies (r13 widened from "zero"; the
       common real-corpus case — sf0.1 carries 8 copies in 5000) →
       the collapse machinery is skipped entirely (no group window,
       no joins): every doc signs directly, copies collide through
       the band join itself (identical text ⇒ identical signature)
-      and the verified pairs ARE the output.  Output-identical
-      because the worst-case text group still fits one band bucket
-      uncapped — see the regime-pick comment below;
+      and the verified pairs ARE the output.  Identity caveat: a
+      band bucket whose DISTINCT near-dup texts plus copies exceed
+      BUCKET_CAP caps differently here (copies occupy member slots)
+      than under the collapse shapes (only reps are banded) — e.g.
+      200 copies of one text sharing a bucket with 60+ distinct
+      near-dups.  Both sides of that divergence are the standard
+      _bucket_pairs overflow trade, and no committed corpus is
+      within an order of magnitude of it;
     - few-to-many duplicates (BUCKET_CAP ≤ copies ≤ distinct texts)
       → the collapse runs, but the ranked subtree + expansion joins
       are built ONLY over multi-member text groups (dup-group-sized,
@@ -675,14 +684,16 @@ def minhash_lsh_pairs(
     # through the few-dups collapse pays ~2 s of sliver-join stages
     # for work the band join does for free — 4.6-5.8 s vs 2.4-2.6 s
     # warm, identical 256-row output.  The bound is BUCKET_CAP - 1:
-    # below it the worst-case text group (all copies in one group)
-    # still fits one band bucket uncapped, so the emitted pair set is
-    # IDENTICAL to the collapse regimes' by the same argument that
-    # made the r11 collapse output-preserving (the only divergence
-    # window is a band bucket already within n_copies of BUCKET_CAP,
-    # where the cap cut would land differently — boilerplate-heavy
-    # corpora that close to the cap carry far more than BUCKET_CAP
-    # copies and take the collapse path anyway).
+    # below it the worst-case text GROUP (all copies in one group)
+    # still fits one band bucket uncapped.  That makes the pair set
+    # identical to the collapse regimes' UNLESS a band bucket's
+    # distinct near-dup texts plus copies together cross BUCKET_CAP
+    # (the 200-copies-plus-60-near-dups shape) — there the skip
+    # shape's cap cut lands differently from the collapse shapes'
+    # reps-only banding; both are the documented _bucket_pairs
+    # overflow trade, and the docstring states the conditional
+    # precisely.  The committed goldens sit orders of magnitude
+    # under the cap and are pinned identical across all three shapes.
     collapse = n_copies >= BUCKET_CAP
     # heavy ⇔ copies dominate distinct texts (the 100×-probe regime):
     # the expansion maps are corpus-sized there, so the r11 inner-join

@@ -108,6 +108,16 @@ def write_minhash_index(
     if fs.kind(f"{fs.root}/_batch_commits") is not None:
         fs.delete_dir(f"{fs.root}/_batch_commits")
     fs.write_bytes(f"{fs.root}/_index_epoch", _uuid.uuid4().hex.encode())
+    # record the banding geometry: every later probe/append MUST band
+    # with the same (n, bands, rows_per_band) or the slice hashes
+    # disagree and the join silently matches nothing — the streams
+    # read this, batch queries fetch it via read_minhash_geometry
+    fs.write_bytes(
+        f"{fs.root}/_geometry.json",
+        _json.dumps(
+            {"n": n, "bands": bands, "rows_per_band": rows_per_band}
+        ).encode(),
+    )
     stats = _dup_stats(docs)
     n_docs = stats.n_docs or 0
     n_texts = stats.n_texts or 0
@@ -133,6 +143,91 @@ def read_minhash_index(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_minhash_geometry(spark: SparkSession, path: str) -> dict:
+    """The banding geometry an index was built with — query/maintain
+    MUST band with the same (n, bands, rows_per_band) or the probe
+    join silently matches nothing (band slice hashes disagree).  The
+    maintenance and admission streams read this themselves; batch
+    callers of :func:`query_minhash_index` pass it through.  A
+    pre-r13 index without the file gets the module defaults (the only
+    geometry that ever existed before the file did)."""
+    import json as _json
+
+    from ..streaming.etl_stream import _meta_fs
+
+    fs = _meta_fs(spark, path)
+    p = f"{fs.root}/_geometry.json"
+    if fs.kind(p) != "file":
+        return {"n": 3, "bands": BANDS, "rows_per_band": ROWS_PER_BAND}
+    return _json.loads(fs.read_bytes(p).decode())
+
+
+def probe_candidates(
+    postings: DataFrame,
+    q_bands: DataFrame,
+    exclude_ids: DataFrame | None = None,
+    cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Capped (q_id, match_id, n_band_hits) candidate pairs from the
+    (band, bh) probe join — the ONE implementation of the index
+    probe, shared by :func:`query_minhash_index` (which ignores the
+    hit count — its precision comes from the exact verify) and the
+    streaming admission gate (whose verify-free mode flags ON the
+    hit count).
+
+    Only buckets some query hits flow into the rank window, and each
+    bucket contributes at most ``cap`` postings (rank by doc_id) — a
+    mega-duplicate bucket costs cap, not its size (the pair path's
+    bounded-recall trade, _bucket_pairs).  ``exclude_ids`` (a doc_id
+    relation) removes postings BEFORE the cap window: an excluded
+    posting must not consume a cap slot — the admission stream's
+    replay determinism depends on this ordering, because a crashed
+    attempt's leftover own-batch rows would otherwise displace
+    genuine indexed docs past the cap and flip a replayed decision."""
+    hit = postings.join(
+        q_bands.select("band", "bh").distinct(), ["band", "bh"]
+    )
+    if exclude_ids is not None:
+        hit = hit.join(
+            exclude_ids.select("doc_id"), "doc_id", "left_anti"
+        )
+    w = Window.partitionBy("band", "bh").orderBy("doc_id")
+    capped = (
+        hit.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= cap)
+        .select("band", "bh", F.col("doc_id").alias("match_id"))
+    )
+    return (
+        q_bands.join(capped, ["band", "bh"])
+        .where(F.col("q_id") != F.col("match_id"))
+        .groupBy("q_id", "match_id")
+        .agg(F.count_distinct("band").alias("n_band_hits"))
+    )
+
+
+def verify_jaccard(
+    cand: DataFrame,
+    qsh: DataFrame,
+    csh: DataFrame,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Exact-Jaccard verification of (q_id, match_id) candidate rows
+    (extra columns pass through): joins the two shingle-set relations
+    — ``qsh`` keyed q_id/sh_a, ``csh`` keyed match_id/sh_b — appends
+    the rounded ``jaccard``, and filters at ``threshold`` when one is
+    given.  Shared by the batch query path and the admission gate's
+    verify mode."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    out = cand.join(qsh, "q_id").join(csh, "match_id")
+    if threshold is not None:
+        # filter on the UNROUNDED value (the pair path's semantics —
+        # a boundary pair must not flip in or out on the 6dp round)
+        out = out.where(jac >= F.lit(threshold))
+    return out.withColumn("jaccard", F.round(jac, 6)).drop("sh_a", "sh_b")
+
+
 def query_minhash_index(
     spark: SparkSession,
     queries_df: DataFrame,
@@ -142,10 +237,13 @@ def query_minhash_index(
     threshold: float = JACCARD_THRESHOLD,
     sh: DataFrame | None = None,
     qsh: DataFrame | None = None,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
     """(doc_id, match_id, jaccard) — for each query doc, the indexed
-    docs it near-duplicates: candidates from the (band, bh) probe
-    join, precision made exact by a shingle-set Jaccard verify.
+    docs it near-duplicates: candidates from the capped (band, bh)
+    probe join (:func:`probe_candidates`), precision made exact by a
+    shingle-set Jaccard verify (:func:`verify_jaccard`).
 
     ``corpus_df`` supplies the candidate texts for the verify step
     (the index stores postings, not shingle sets — the same
@@ -154,12 +252,10 @@ def query_minhash_index(
     already-materialized shingle sets for either side (the
     corpus-vs-self registry wrapper passes the session-cached corpus
     relation for BOTH — one shingle pass per corpus per session
-    instead of two per call).  Per-bucket candidate contribution is bounded at
-    ``BUCKET_CAP`` postings (rank by doc_id over the MATCHED buckets
-    only — the window runs on the probe join's output, never the full
-    index), so a mega-duplicate bucket costs cap, not its size; the
-    bounded-recall trade is the pair path's, documented there
-    (_bucket_pairs).
+    instead of two per call).  ``n``/``bands``/``rows_per_band`` MUST
+    match the index's build geometry — fetch it with
+    :func:`read_minhash_geometry` when it might not be the default
+    (mismatched geometry silently matches nothing).
 
     ADAPTIVE QUERY COLLAPSE (the pair path's r12/r13 move, applied to
     the probe side): a copy-heavy query batch would otherwise probe
@@ -172,9 +268,13 @@ def query_minhash_index(
     output-preserving because copies share their rep's text, hence
     its buckets, candidates and Jaccard values exactly; a member's
     own match set differs from its rep's only by swapping itself out
-    and the rep in, which the expansion reconstructs (the (member,
-    rep) self-link rides a separate union, INNER joins throughout —
-    the LEFT-join build-side lesson of SCALE.md).  Below the bar the
+    and the rep in, which the expansion reconstructs — the (member,
+    rep) self-link rides a separate union GATED on the rep actually
+    being IN the index (a semi-join against the postings): without
+    the gate, a batch of ≥ cap copies of a brand-NEW text would
+    fabricate matches to a fellow arrival the direct path never
+    emits (r13 review finding).  INNER joins throughout — the
+    LEFT-join build-side lesson of SCALE.md.  Below the bar the
     direct shape runs unchanged (a handful of redundant probes is
     cheaper than collapse stages — the r13 skip-regime measurement)."""
     from .dedup import _dup_stats
@@ -199,7 +299,8 @@ def query_minhash_index(
             "doc_id",
         )
         rep_matches = query_minhash_index(
-            spark, reps, corpus_df, postings, n, threshold, sh
+            spark, reps, corpus_df, postings, n, threshold, sh,
+            bands=bands, rows_per_band=rows_per_band,
             # qsh deliberately NOT forwarded: the reps are a subset,
             # and the direct path computes their shingles from the
             # (already slivered) reps relation
@@ -209,48 +310,42 @@ def query_minhash_index(
             .where(F.col("doc_id") != F.col("match_id"))
             .select("doc_id", "match_id", "jaccard")
         )
-        self_links = members.where(
-            F.col("doc_id") != F.col("rep")
-        ).select(
-            "doc_id",
-            F.col("rep").alias("match_id"),
-            F.round(F.lit(1.0), 6).alias("jaccard"),
+        self_links = (
+            members.where(F.col("doc_id") != F.col("rep"))
+            .select(
+                "doc_id",
+                F.col("rep").alias("match_id"),
+                F.round(F.lit(1.0), 6).alias("jaccard"),
+            )
+            # the rep is a legitimate MATCH only if it is itself
+            # indexed (postings carry ~bands rows per doc — a semi
+            # join neither multiplies nor needs a distinct)
+            .join(
+                postings.select(F.col("doc_id").alias("match_id")),
+                "match_id",
+                "left_semi",
+            )
         )
         return expanded.unionByName(self_links)
 
     q_bands = band_rows(
-        minhash_signatures(queries_df.select("doc_id", "text"), n)
+        minhash_signatures(
+            queries_df.select("doc_id", "text"), n, bands * rows_per_band
+        ),
+        bands,
+        rows_per_band,
     ).withColumnRenamed("doc_id", "q_id")
-    # probe: only buckets some query hits flow into the rank window
-    hit = postings.join(
-        q_bands.select("band", "bh").distinct(), ["band", "bh"]
-    )
-    w = Window.partitionBy("band", "bh").orderBy("doc_id")
-    capped = (
-        hit.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= BUCKET_CAP)
-        .select("band", "bh", F.col("doc_id").alias("match_id"))
-    )
-    cand = (
-        q_bands.join(capped, ["band", "bh"])
-        .where(F.col("q_id") != F.col("match_id"))
-        .select(F.col("q_id").alias("doc_id"), "match_id")
-        .distinct()
-    )
+    cand = probe_candidates(postings, q_bands)
     qsh = (shingle_sets(queries_df, n) if qsh is None else qsh).select(
-        "doc_id", F.col("shingles").alias("sh_a")
+        F.col("doc_id").alias("q_id"), F.col("shingles").alias("sh_a")
     )
     csh = (shingle_sets(corpus_df, n) if sh is None else sh).select(
         F.col("doc_id").alias("match_id"), F.col("shingles").alias("sh_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union
     return (
-        cand.join(qsh, "doc_id")
-        .join(csh, "match_id")
-        .where(jac >= threshold)
-        .select("doc_id", "match_id", F.round(jac, 6).alias("jaccard"))
+        verify_jaccard(cand, qsh, csh, threshold)
+        .withColumnRenamed("q_id", "doc_id")
+        .select("doc_id", "match_id", "jaccard")
     )
 
 

@@ -94,10 +94,13 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # beside the served path, but the write path changed, so it
 # re-proves) — then the declared queue: the ten r8-floor queries
 # (raising the evidence floor to r9 once this board lands), then the
-# r9-last-green cohort, whose last TEN members the changed-code slots
-# displace to the tail front (they lead the r14 queue; the standing
-# displacement precedent).  Any query added mid-round MUST displace
-# from the BOTTOM of the head — the never-checked invariant
+# r9-last-green cohort, of which the head keeps the FIRST 36 of 47:
+# ten displaced by the three changed-code slots plus the never-
+# checked dedup_minhash_lsh_persisted slot below, and an eleventh
+# (orc_roundtrip_stats) displaced when that new query landed
+# mid-round — all eleven lead the r14 queue at the tail front (the
+# standing displacement precedent).  Any query added mid-round MUST
+# displace from the BOTTOM of the head — the never-checked invariant
 # (test_head_leads_with_unproven_queries) outranks evidence freshness.
 
 _CHECK_WINDOW_HEAD = [
@@ -122,8 +125,8 @@ _CHECK_WINDOW_HEAD = [
     "text_c4_filters",
     "text_perplexity_proxy",
     "text_tfidf_topk",
-    # then the r9-last-green cohort (first 37 of 47; the last ten are
-    # displaced to the tail front by the changed-code slots above)
+    # then the r9-last-green cohort (first 36 of 47; the remaining
+    # eleven are displaced to the tail front — see the rotation note)
     "events_anomaly_mad_approx",
     "corpus_source_drift_js",
     "multimodal_audio_segments",

@@ -395,19 +395,35 @@ def _migrate_drift_layout(fs) -> None:
         fs.write_bytes(tmp, (json.dumps(row) + "\n").encode())
         fs.move(tmp, f"{rows_dir}/{name}")
 
+    # Every per-file read/land/delete below is individually guarded:
+    # TWO driver processes maintaining one index (the scenario the
+    # per-file ledger exists for) may both enter this migration after
+    # an upgrade, and the loser of any single-file race must SKIP
+    # (the winner migrated it) rather than fail the caller's
+    # micro-batch — the ledger is telemetry, never part of the
+    # exactly-once contract (r13 review finding).
     legacy = f"{drift}/ledger.jsonl"
     if fs.kind(legacy) == "file":
         fs.mkdirs(rows_dir)
-        lines = [
-            ln
-            for ln in fs.read_bytes(legacy).decode().splitlines()
-            if ln.strip()
-        ]
+        try:
+            lines = [
+                ln
+                for ln in fs.read_bytes(legacy).decode().splitlines()
+                if ln.strip()
+            ]
+        except Exception:
+            lines = []  # concurrent migrator finished it first
         for i, line in enumerate(lines):
-            row = json.loads(line)
-            row.setdefault("ts_ms", i)
-            land(row, f"legacy-{i:012d}.json")
-        fs.delete_file(legacy)
+            try:
+                row = json.loads(line)
+                row.setdefault("ts_ms", i)
+                land(row, f"legacy-{i:012d}.json")
+            except Exception:
+                pass  # torn row / target landed concurrently
+        try:
+            fs.delete_file(legacy)
+        except Exception:
+            pass  # already deleted by the other migrator
     for p in _drift_row_files(fs):
         name = p.rsplit("/", 1)[1]
         stamp, _, rest = name.partition("-")
@@ -418,7 +434,10 @@ def _migrate_drift_layout(fs) -> None:
         lineage, _, bid = rest.rpartition("-")
         if not (bid.isdigit() and lineage):
             continue
-        row = json.loads(fs.read_bytes(p).decode())
+        try:
+            row = json.loads(fs.read_bytes(p).decode())
+        except Exception:
+            continue  # concurrent migrator already moved this file
         row.setdefault("ts_ms", int(stamp))
         target = f"{rows_dir}/{lineage}-{int(bid):012d}.json"
         newest = True
@@ -428,9 +447,12 @@ def _migrate_drift_layout(fs) -> None:
                 newest = (row.get("ts_ms") or 0) >= (cur.get("ts_ms") or 0)
             except Exception:
                 newest = True
-        if newest:
-            land(row, f"{lineage}-{int(bid):012d}.json")
-        fs.delete_file(p)
+        try:
+            if newest:
+                land(row, f"{lineage}-{int(bid):012d}.json")
+            fs.delete_file(p)
+        except Exception:
+            pass  # lost the race; the winner's result stands
 
 
 def _read_drift_rows(fs) -> list[dict]:
@@ -902,15 +924,26 @@ def run_minhash_maintenance_stream(
     ``rebuild_recommended`` / ``compact_recommended`` / the CLI
     ``index --kind minhash`` face work unchanged."""
     from ..operators.dedup import band_rows, minhash_signatures
+    from ..operators.minhash_index import read_minhash_geometry
 
     bound_epoch = _bind_index_epoch(spark, index_dir, checkpoint_dir)
     lineage = _lineage_id(spark, checkpoint_dir)
+    # band with the INDEX's build geometry (recorded by
+    # write_minhash_index): hardcoding the defaults would make a
+    # non-default index silently un-probeable (r13 review finding)
+    geo = read_minhash_geometry(spark, index_dir)
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
         docs = batch_df.select("doc_id", "text").persist()
         try:
-            rows = band_rows(minhash_signatures(docs))
+            rows = band_rows(
+                minhash_signatures(
+                    docs, geo["n"], geo["bands"] * geo["rows_per_band"]
+                ),
+                geo["bands"],
+                geo["rows_per_band"],
+            )
             _check_epoch(session, index_dir, bound_epoch)
             publish_batch(
                 session,
@@ -1048,21 +1081,23 @@ def run_neardup_admission_stream(
     bucketed/pruned, which is why it is opt-in.  One drift row per
     batch records the FLAG RATE (mean_residual) — a sustained high
     rate is the boilerplate-surge signal in admission clothing."""
-    from ..operators.dedup import (
-        BANDS,
-        BUCKET_CAP,
-        band_rows,
-        minhash_signatures,
-        shingles_expr,
-    )
     from pyspark.sql.window import Window
+
+    from ..operators.dedup import band_rows, minhash_signatures, shingles_expr
+    from ..operators.minhash_index import (
+        probe_candidates,
+        read_minhash_geometry,
+        verify_jaccard,
+    )
 
     bound_epoch = _bind_index_epoch(spark, index_dir, checkpoint_dir)
     lineage = _lineage_id(spark, checkpoint_dir)
+    geo = read_minhash_geometry(spark, index_dir)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
         docs = batch_df.select("doc_id", "text").persist()
+        reps = decisions = None
         try:
             # 1. within-batch exact collapse
             key = F.md5("text")
@@ -1076,7 +1111,7 @@ def run_neardup_admission_stream(
             )
             copies = members.where(F.col("doc_id") != F.col("rep")).select(
                 "doc_id",
-                F.lit(BANDS).alias("n_band_hits"),
+                F.lit(geo["bands"]).alias("n_band_hits"),
                 F.col("rep").alias("matched_id"),
                 F.round(F.lit(1.0), 6).alias("jaccard"),
                 F.lit(False).alias("admitted"),
@@ -1088,66 +1123,41 @@ def run_neardup_admission_stream(
                 "doc_id",
             ).persist()
 
-            # 2. probe the index
-            postings = session.read.parquet(f"{index_dir}/bands").select(
-                "band", "bh", "doc_id"
-            )
-            q_bands = band_rows(
-                minhash_signatures(reps)
-            ).withColumnRenamed("doc_id", "q_id")
-            hit = postings.join(
-                q_bands.select("band", "bh").distinct(), ["band", "bh"]
-            )
-            wcap = Window.partitionBy("band", "bh").orderBy("doc_id")
-            capped = (
-                hit.withColumn("__rk", F.row_number().over(wcap))
-                .where(F.col("__rk") <= BUCKET_CAP)
-                .select("band", "bh", F.col("doc_id").alias("match_id"))
-            )
-            # candidates NEVER include the current batch's own ids:
+            # 2. probe the index with the batch's own ids EXCLUDED
+            # (probe_candidates removes them BEFORE its cap window):
             # semantically the gate asks "does this near-dup anything
             # ALREADY ingested", and operationally a crash-replayed
             # batch probes an index that still holds its own crashed
             # attempt's leftover band files (erase-before-republish
             # runs at PUBLISH time, after this decision) — without
             # the exclusion an admitted doc would match ITSELF on
-            # replay and flip to quarantined (caught by
-            # tests/test_minhash_index.py::
-            # test_neardup_admission_replay_lands_same_tables)
-            per_match = (
-                q_bands.join(capped, ["band", "bh"])
-                .join(
-                    docs.select(F.col("doc_id").alias("match_id")),
-                    "match_id",
-                    "left_anti",
-                )
-                .groupBy("q_id", "match_id")
-                .agg(F.count_distinct("band").alias("n_band_hits"))
+            # replay and flip to quarantined, and a leftover row
+            # consuming a cap slot could displace a genuine indexed
+            # doc and flip a decision the other way (r13 review)
+            postings = session.read.parquet(f"{index_dir}/bands").select(
+                "band", "bh", "doc_id"
+            )
+            q_bands = band_rows(
+                minhash_signatures(
+                    reps, geo["n"], geo["bands"] * geo["rows_per_band"]
+                ),
+                geo["bands"],
+                geo["rows_per_band"],
+            ).withColumnRenamed("doc_id", "q_id")
+            per_match = probe_candidates(
+                postings, q_bands, exclude_ids=docs
             )
             if verify_docs is not None:
                 bar = JACCARD_ADMIT_DEFAULT if threshold is None else threshold
                 qsh = reps.select(
                     F.col("doc_id").alias("q_id"),
-                    shingles_expr(3).alias("sh_a"),
+                    shingles_expr(geo["n"]).alias("sh_a"),
                 )
                 csh = verify_docs.select(
                     F.col("doc_id").alias("match_id"),
-                    shingles_expr(3).alias("sh_b"),
+                    shingles_expr(geo["n"]).alias("sh_b"),
                 )
-                inter = F.size(F.array_intersect("sh_a", "sh_b"))
-                union = F.size("sh_a") + F.size("sh_b") - inter
-                jac = F.round(
-                    inter.cast("double") / union, 6
-                )
-                per_match = (
-                    per_match.join(qsh, "q_id")
-                    .join(csh, "match_id")
-                    .select(
-                        "q_id", "match_id", "n_band_hits",
-                        jac.alias("jaccard"),
-                    )
-                    .where(F.col("jaccard") >= F.lit(bar))
-                )
+                per_match = verify_jaccard(per_match, qsh, csh, bar)
             else:
                 per_match = per_match.where(
                     F.col("n_band_hits") >= F.lit(min_bands)
@@ -1236,10 +1246,15 @@ def run_neardup_admission_stream(
                 },
                 lineage=lineage,
             )
-            decisions.unpersist()
-            reps.unpersist()
         finally:
+            # unpersist in finally (r13 review): a fence refusal or
+            # publish failure between persist and here must not leak
+            # cached relations across a crash/retry loop
             docs.unpersist()
+            if reps is not None:
+                reps.unpersist()
+            if decisions is not None:
+                decisions.unpersist()
 
     writer = (
         docs_stream.writeStream.foreachBatch(gate)

@@ -605,3 +605,118 @@ def test_neardup_admission_verify_mode_is_exact(spark, sf_dir, tmp_path):
     assert adm[10_001].matched_id == 11
     assert adm[10_001].jaccard is not None and adm[10_001].jaccard >= 0.5
     assert adm[10_002].admitted and adm[10_002].jaccard is None
+
+
+def test_query_collapse_novel_copy_group_matches_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """r13 review finding: a batch of >= BUCKET_CAP copies of a
+    brand-NEW text probed against an index that does NOT contain it
+    must return zero matches for that group — the collapse path's
+    (member, rep) self-links are gated on the rep being INDEXED, so
+    fellow arrivals are never fabricated as matches.  Copies of an
+    indexed text in the same batch still match normally, and the
+    collapsed output equals the forced direct shape row-for-row."""
+    from mahjong_etl_spark.operators import dedup as D
+    from mahjong_etl_spark.operators import minhash_index as M
+
+    indexed_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    )
+    novel_text = (
+        "completely novel arrival text never seen by this band index"
+    )
+    corpus = spark.createDataFrame(
+        [(0, indexed_text)], "doc_id long, text string"
+    )
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, corpus, index_dir)
+    postings = read_minhash_index(spark, index_dir)
+
+    queries = spark.createDataFrame(
+        [(1000 + i, novel_text) for i in range(300)]
+        + [(5000 + i, indexed_text) for i in range(10)],
+        "doc_id long, text string",
+    )
+    # 299 + 9 copies >= BUCKET_CAP -> the collapse path organically
+    collapsed = {
+        tuple(r)
+        for r in query_minhash_index(
+            spark, queries, corpus, postings
+        ).collect()
+    }
+    # no novel-group row anywhere: the rep is not indexed
+    assert not any(q >= 1000 and q < 5000 for q, _, _ in collapsed)
+    assert not any(m >= 1000 and m < 5000 for _, m, _ in collapsed)
+    # every indexed-text copy matches doc 0 at exactly 1.0
+    assert {(q, m, j) for q, m, j in collapsed} == {
+        (5000 + i, 0, 1.0) for i in range(10)
+    }
+
+    class R:
+        n_docs = 310
+        n_texts = 310  # force the direct shape
+
+    monkeypatch.setattr(D, "_dup_stats", lambda df: R)
+    direct = {
+        tuple(r)
+        for r in query_minhash_index(
+            spark, queries, corpus, postings
+        ).collect()
+    }
+    assert collapsed == direct
+
+
+def test_nondefault_geometry_recorded_and_honored(spark, tmp_path):
+    """r13 review finding: an index built with non-default banding
+    geometry must be probed and MAINTAINED with that geometry — the
+    build records it, the maintenance stream reads it, and a query
+    passing it finds the planted match (hardcoded defaults would
+    silently match nothing: different band slice hashes)."""
+    from mahjong_etl_spark.operators.minhash_index import (
+        read_minhash_geometry,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+    ]
+    corpus = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(
+        spark, corpus, index_dir, bands=8, rows_per_band=2
+    )
+    geo = read_minhash_geometry(spark, index_dir)
+    assert geo == {"n": 3, "bands": 8, "rows_per_band": 2}
+    # postings carry 8 bands per doc, not the default 16
+    assert read_minhash_index(spark, index_dir).count() == 2 * 8
+
+    # the maintenance stream bands arrivals with the INDEX's geometry
+    arrival = spark.createDataFrame(
+        [(100, "a third document with its own words entirely here")],
+        DOC_SCHEMA,
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(arrival, tmp_path, drop, "a0", 1_000)
+    _drain(spark, drop, index_dir, tmp_path / "ckpt")
+    assert read_minhash_index(spark, index_dir).count() == 3 * 8
+
+    # a query passing the recorded geometry finds an exact copy
+    probe = spark.createDataFrame(
+        [(500, texts[0])], "doc_id long, text string"
+    )
+    got = query_minhash_index(
+        spark,
+        probe,
+        corpus.unionByName(arrival),
+        read_minhash_index(spark, index_dir),
+        n=geo["n"],
+        bands=geo["bands"],
+        rows_per_band=geo["rows_per_band"],
+    ).collect()
+    assert [(r.doc_id, r.match_id, r.jaccard) for r in got] == [
+        (500, 0, 1.0)
+    ]
