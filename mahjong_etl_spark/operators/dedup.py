@@ -62,6 +62,15 @@ HAMMING_MAX = 3
 # cap²/2 pairs and per-row state at cap ids even when a boilerplate
 # page is duplicated 10⁶ times in a web corpus.
 BUCKET_CAP = 256
+# Early-warning bar for band-bucket occupancy (r14, r13 verdict item
+# 6): the skip-regime/collapse identity caveat and the probe path's
+# bounded-recall cap both start to matter only when some band bucket
+# approaches BUCKET_CAP.  A bucket at half the cap is "within 2x" —
+# close enough that a drifting corpus should be SEEN before it
+# crosses.  Surfaced as data, not prose: minhash_lsh_pairs fills an
+# opt-in diagnostics dict (and logs) past this bar, and
+# write_minhash_index records it in the index drift baseline.
+BUCKET_PRESSURE_BAR = BUCKET_CAP // 2
 # Default document-frequency cap for the inverted-index Jaccard join:
 # a shingle shared by k docs yields k²/2 candidate rows, and shingles
 # this common carry no dedup signal (boilerplate).  Slightly relaxes
@@ -586,6 +595,7 @@ def minhash_lsh_pairs(
     bands: int = BANDS,
     rows_per_band: int = ROWS_PER_BAND,
     sh: DataFrame | None = None,
+    diagnostics: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -660,6 +670,12 @@ def minhash_lsh_pairs(
     - duplicate-heavy (the 100× probe regime) → the full r11 shape:
       semi-join on reps, expansion over what is now most of the
       corpus.
+
+    ``diagnostics``: pass a dict to receive bucket-pressure counters
+    (regime taken, max band-bucket size, buckets within 2x of
+    BUCKET_CAP) — the cap-divergence caveat above surfaced as data
+    plus a loud log; costs one extra aggregate job, so it is opt-in
+    (see the inline comment).
     """
     from pyspark.sql.window import Window
 
@@ -758,6 +774,56 @@ def minhash_lsh_pairs(
 
     sig = minhash_signatures(sig_in, n, bands * rows_per_band)
     buckets = band_rows(sig, bands, rows_per_band)
+    if diagnostics is not None:
+        # Opt-in BUCKET-PRESSURE observability (r14, r13 verdict item
+        # 6): the skip-regime identity caveat above is prose until a
+        # corpus actually drifts toward it — this makes it DATA.  One
+        # extra aggregate job over the band rows (it re-runs the
+        # signing pass — which is why it is opt-in, never in the
+        # oracle/bench hot path; the persisted-index build gets the
+        # same counters for free from its written postings).  Fires a
+        # loud log once any band bucket is within 2x of BUCKET_CAP.
+        (prow,) = (
+            buckets.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.max("sz").alias("mx"),
+                F.sum(
+                    F.when(
+                        F.col("sz") >= BUCKET_PRESSURE_BAR, 1
+                    ).otherwise(0)
+                ).alias("near"),
+            )
+            .collect()
+        )
+        diagnostics.update(
+            {
+                "regime": (
+                    "collapse_heavy"
+                    if (collapse and heavy)
+                    else ("collapse_few" if collapse else "skip")
+                ),
+                "n_copies": int(n_copies),
+                "max_bucket": int(prow.mx or 0),
+                "near_cap_buckets": int(prow.near or 0),
+                "bucket_cap": BUCKET_CAP,
+                "pressure_bar": BUCKET_PRESSURE_BAR,
+            }
+        )
+        if diagnostics["near_cap_buckets"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: %d band bucket(s) within 2x of "
+                "BUCKET_CAP (max %d, bar %d, regime %s) — the "
+                "skip/collapse shapes start to diverge and recall "
+                "degrades to rep-links past the cap (docstring cap "
+                "discipline)",
+                diagnostics["near_cap_buckets"],
+                diagnostics["max_bucket"],
+                BUCKET_PRESSURE_BAR,
+                diagnostics["regime"],
+            )
     cand = _bucket_pairs(buckets, ["band", "bh"], "doc_id", "rep_a", "rep_b")
     sh = shingle_sets(df, n) if sh is None else sh
     sha = sh.select(F.col("doc_id").alias("rep_a"), F.col("shingles").alias("sh_a"))

@@ -66,6 +66,25 @@ from .dedup import (
 )
 
 
+# Hive shards of the persisted verify relation ({path}/shingles) —
+# the same deterministic doc_id-mod layout as the PQ ``codes/shard=``
+# table, so the maintenance/admission appends land in a stable
+# partition scheme and a candidate-side broadcast join can prune.
+SHINGLE_SHARDS = 64
+
+
+def _shingle_table(docs: DataFrame, n: int) -> DataFrame:
+    from ..functions.text import shingles_expr
+
+    return docs.select(
+        "doc_id",
+        shingles_expr(n).alias("shingles"),
+        F.pmod(F.col("doc_id"), F.lit(SHINGLE_SHARDS))
+        .cast("int")
+        .alias("shard"),
+    )
+
+
 def write_minhash_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -73,6 +92,7 @@ def write_minhash_index(
     n: int = 3,
     bands: int = BANDS,
     rows_per_band: int = ROWS_PER_BAND,
+    with_shingles: bool = True,
 ) -> None:
     """Persist the banding pass: ``{path}/bands`` = (bh, doc_id)
     partitioned by ``band`` — 16 hive partitions whose files the
@@ -81,20 +101,43 @@ def write_minhash_index(
     per (doc, band)); no quadratic term exists at rest — the pair
     blowup is bounded at query time by the per-bucket rank cap.
 
+    ``with_shingles`` (default, r14) additionally persists the VERIFY
+    relation ``{path}/shingles`` = (doc_id, shingles) sharded by
+    ``doc_id mod SHINGLE_SHARDS`` — the exact-Jaccard side the query
+    path and the admission gate's verify mode otherwise re-derive by
+    re-shingling the corpus text EVERY call/micro-batch (the r13
+    verdict's open cost).  The maintenance and admission streams
+    append arrivals into it through the same ``publish_batch``
+    contract, which is also what lets verify-mode admission stay
+    self-maintaining: a doc the GATE admitted three batches ago has
+    its shingles here, not only its bands (r13 ADVICE, medium).
+    Pass ``False`` for a bands-only index (band-hit flagging only —
+    verify mode then needs a caller-supplied ``verify_docs``).
+
     Same lifecycle furniture as the ANN snapshots: a fresh
     ``_index_epoch`` fences stale maintenance checkpoints, stale
     commit markers are cleared, session caches for the path are
-    busted, and the build-time EXACT-DUPLICATE RATE of the corpus
-    lands in ``_drift/baseline.json`` — the reference the maintenance
-    drift monitor compares arrival batches against (a boilerplate
-    surge, not vector drift, is what degrades an LSH index: buckets
-    fill with copies and the cap starts costing recall)."""
+    busted, the PRE-rebuild drift ledger is cleared (its rows
+    describe the index this rebuild replaces — r13 ADVICE), and the
+    build-time EXACT-DUPLICATE RATE of the corpus lands in
+    ``_drift/baseline.json`` — the reference the maintenance drift
+    monitor compares arrival batches against (a boilerplate surge,
+    not vector drift, is what degrades an LSH index: buckets fill
+    with copies and the cap starts costing recall).  The baseline
+    also records BUCKET PRESSURE (max band-bucket size + how many
+    buckets sit within 2x of BUCKET_CAP, measured from the
+    just-written postings — a metadata-cheap scan) and logs loudly
+    when any bucket is near the cap: past it the probe path's
+    bounded-recall cap starts to bind (r13 verdict item 6)."""
     import json as _json
     import uuid as _uuid
 
-    from ..streaming.ann_index_stream import invalidate_centroids
+    from ..streaming.ann_index_stream import (
+        invalidate_centroids,
+        reset_drift_ledger,
+    )
     from ..streaming.etl_stream import _meta_fs
-    from .dedup import _dup_stats
+    from .dedup import BUCKET_PRESSURE_BAR, _dup_stats
 
     sig = minhash_signatures(
         docs.select("doc_id", "text"), n, bands * rows_per_band
@@ -102,11 +145,16 @@ def write_minhash_index(
     band_rows(sig, bands, rows_per_band).write.mode(
         "overwrite"
     ).partitionBy("band").parquet(f"{path}/bands")
+    if with_shingles:
+        _shingle_table(docs, n).write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(f"{path}/shingles")
     invalidate_centroids(path)  # busts the cached drift baseline too
 
     fs = _meta_fs(spark, path)
     if fs.kind(f"{fs.root}/_batch_commits") is not None:
         fs.delete_dir(f"{fs.root}/_batch_commits")
+    reset_drift_ledger(fs)
     fs.write_bytes(f"{fs.root}/_index_epoch", _uuid.uuid4().hex.encode())
     # record the banding geometry: every later probe/append MUST band
     # with the same (n, bands, rows_per_band) or the slice hashes
@@ -121,6 +169,36 @@ def write_minhash_index(
     stats = _dup_stats(docs)
     n_docs = stats.n_docs or 0
     n_texts = stats.n_texts or 0
+    # bucket pressure from the just-written postings (one scan of the
+    # small (band, bh, doc_id) relation — never a second signing pass)
+    (prow,) = (
+        spark.read.parquet(f"{path}/bands")
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.max("sz").alias("mx"),
+            F.sum(
+                F.when(F.col("sz") >= BUCKET_PRESSURE_BAR, 1).otherwise(0)
+            ).alias("near"),
+        )
+        .collect()
+    )
+    max_bucket = int(prow.mx or 0)
+    near_cap = int(prow.near or 0)
+    if near_cap:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash index %s: %d band bucket(s) within 2x of "
+            "BUCKET_CAP (max bucket %d, bar %d) — the probe path's "
+            "per-bucket candidate cap is close to binding; recall "
+            "past the cap degrades to rep-links (see "
+            "operators/dedup.py::minhash_lsh_pairs cap discipline)",
+            path,
+            near_cap,
+            max_bucket,
+            BUCKET_PRESSURE_BAR,
+        )
     fs.mkdirs(f"{fs.root}/_drift")
     fs.write_bytes(
         f"{fs.root}/_drift/baseline.json",
@@ -129,6 +207,8 @@ def write_minhash_index(
                 "n": n_docs,
                 "n_texts": n_texts,
                 "dup_rate": ((n_docs - n_texts) / n_docs) if n_docs else 0.0,
+                "max_bucket": max_bucket,
+                "near_cap_buckets": near_cap,
                 "kind": "minhash_dup_rate",
             }
         ).encode(),
@@ -140,6 +220,28 @@ def read_minhash_index(spark: SparkSession, path: str) -> DataFrame:
     :func:`query_minhash_index` consumes."""
     return spark.read.parquet(f"{path}/bands").select(
         "band", "bh", "doc_id"
+    )
+
+
+def read_minhash_shingles(
+    spark: SparkSession, path: str
+) -> DataFrame | None:
+    """The persisted verify relation (doc_id, shingles), or ``None``
+    for a bands-only / pre-r14 index (callers then fall back to
+    shingling a corpus relation).  Self-maintained: the maintenance
+    and admission streams append arrivals' rows alongside the bands,
+    so it tracks the postings' membership (the one skew: a crash
+    between the two publishes leaves the just-published bands without
+    shingles until the replay lands — the admission gate's verify
+    mode falls back to band-hit flagging for exactly that window,
+    never fails open)."""
+    from ..streaming.etl_stream import _meta_fs
+
+    fs = _meta_fs(spark, path)
+    if fs.kind(f"{fs.root}/shingles") != "dir":
+        return None
+    return spark.read.parquet(f"{path}/shingles").select(
+        "doc_id", "shingles"
     )
 
 
@@ -239,6 +341,7 @@ def query_minhash_index(
     qsh: DataFrame | None = None,
     bands: int = BANDS,
     rows_per_band: int = ROWS_PER_BAND,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, match_id, jaccard) — for each query doc, the indexed
     docs it near-duplicates: candidates from the capped (band, bh)
@@ -252,7 +355,15 @@ def query_minhash_index(
     already-materialized shingle sets for either side (the
     corpus-vs-self registry wrapper passes the session-cached corpus
     relation for BOTH — one shingle pass per corpus per session
-    instead of two per call).  ``n``/``bands``/``rows_per_band`` MUST
+    instead of two per call).  ``index_dir`` (r14) points the verify
+    step at the index's own PERSISTED shingle relation
+    (:func:`read_minhash_shingles`) when no ``sh`` is handed in — a
+    caller outside the session cache then pays a parquet scan of
+    pre-computed arrays instead of re-shingling the corpus text per
+    call (caveat: mid-crash-window arrivals whose bands landed but
+    whose shingles have not yet replayed in are dropped by the
+    verify's inner join — pass ``corpus_df``-derived ``sh`` when
+    that window matters).  ``n``/``bands``/``rows_per_band`` MUST
     match the index's build geometry — fetch it with
     :func:`read_minhash_geometry` when it might not be the default
     (mismatched geometry silently matches nothing).
@@ -301,6 +412,7 @@ def query_minhash_index(
         rep_matches = query_minhash_index(
             spark, reps, corpus_df, postings, n, threshold, sh,
             bands=bands, rows_per_band=rows_per_band,
+            index_dir=index_dir,
             # qsh deliberately NOT forwarded: the reps are a subset,
             # and the direct path computes their shingles from the
             # (already slivered) reps relation
@@ -339,6 +451,8 @@ def query_minhash_index(
     qsh = (shingle_sets(queries_df, n) if qsh is None else qsh).select(
         F.col("doc_id").alias("q_id"), F.col("shingles").alias("sh_a")
     )
+    if sh is None and index_dir is not None:
+        sh = read_minhash_shingles(spark, index_dir)
     csh = (shingle_sets(corpus_df, n) if sh is None else sh).select(
         F.col("doc_id").alias("match_id"), F.col("shingles").alias("sh_b")
     )

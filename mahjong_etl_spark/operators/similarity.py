@@ -622,7 +622,10 @@ def write_ivf_index(
     # assigning against the pre-rebuild matrix (its cache assumes
     # landed snapshots are immutable — this write is the one
     # sanctioned mutation, so it busts the cache itself)
-    from ..streaming.ann_index_stream import invalidate_centroids
+    from ..streaming.ann_index_stream import (
+        invalidate_centroids,
+        reset_drift_ledger,
+    )
 
     invalidate_centroids(path)
     # postings are PARTITIONED by cluster (r10): a per-cluster read
@@ -656,6 +659,10 @@ def write_ivf_index(
     fs = _meta_fs(spark, path)
     if fs.kind(f"{fs.root}/_batch_commits") is not None:
         fs.delete_dir(f"{fs.root}/_batch_commits")
+    # the pre-rebuild drift ledger describes the index this rebuild
+    # replaces — clear it with the markers (r13 ADVICE; the fresh
+    # baseline below restarts the drift plane from this snapshot)
+    reset_drift_ledger(fs)
     fs.write_bytes(f"{fs.root}/_index_epoch", _uuid.uuid4().hex.encode())
     occ = _assign_clusters_res(c, centroids).groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1628,7 +1635,10 @@ def write_pq_index(
     if books is None:
         books = train_pq_codebooks(c)
     _write_ndarray(spark, books, f"{path}/codebooks")
-    from ..streaming.ann_index_stream import invalidate_centroids
+    from ..streaming.ann_index_stream import (
+        invalidate_centroids,
+        reset_drift_ledger,
+    )
 
     invalidate_centroids(path)
     pq_encode(c, books).withColumn(
@@ -1643,6 +1653,10 @@ def write_pq_index(
     fs = _meta_fs(spark, path)
     if fs.kind(f"{fs.root}/_batch_commits") is not None:
         fs.delete_dir(f"{fs.root}/_batch_commits")
+    # the pre-rebuild drift ledger describes the index this rebuild
+    # replaces — clear it with the markers (r13 ADVICE; the fresh
+    # baseline below restarts the drift plane from this snapshot)
+    reset_drift_ledger(fs)
     fs.write_bytes(f"{fs.root}/_index_epoch", _uuid.uuid4().hex.encode())
     (row,) = (
         pq_recon_partials(c, books)
@@ -2002,7 +2016,10 @@ def write_ivfpq_index(
     )
     _write_ndarray(spark, cents, f"{path}/centroids")
     _write_ndarray(spark, books, f"{path}/codebooks")
-    from ..streaming.ann_index_stream import invalidate_centroids
+    from ..streaming.ann_index_stream import (
+        invalidate_centroids,
+        reset_drift_ledger,
+    )
 
     invalidate_centroids(path)
     coded.write.mode("overwrite").partitionBy("cluster").parquet(
@@ -2017,6 +2034,10 @@ def write_ivfpq_index(
     fs = _meta_fs(spark, path)
     if fs.kind(f"{fs.root}/_batch_commits") is not None:
         fs.delete_dir(f"{fs.root}/_batch_commits")
+    # the pre-rebuild drift ledger describes the index this rebuild
+    # replaces — clear it with the markers (r13 ADVICE; the fresh
+    # baseline below restarts the drift plane from this snapshot)
+    reset_drift_ledger(fs)
     fs.write_bytes(f"{fs.root}/_index_epoch", _uuid.uuid4().hex.encode())
     ares = _assign_clusters_res(cn, cents)
     ares.persist()

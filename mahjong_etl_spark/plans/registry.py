@@ -82,94 +82,37 @@ def query(name: str, oracle: str | None = None, bench: bool = True):
 # ::test_head_leads_with_unproven_queries pins the rule against the
 # committed CORRECTNESS_r*.json history.
 #
-# r13 window (the rotation the r12 tail comment declared; r12 verdict
-# item 1): the changed-code slots lead — dedup_minhash_lsh (the skip
-# regime widened from zero copies to n_copies < BUCKET_CAP,
-# operators/dedup.py::minhash_lsh_pairs — output-identical by the
-# bucket-cap argument and pinned by the forced-regime identity test,
-# but the code changed, so it re-proves), dedup_ensemble (consumes
-# minhash_lsh_pairs), and similarity_ann_ivfpq_persisted (its
-# write_ivfpq_index now also measures + stores the build-time PQ
-# reconstruction baseline for the two-axis drift row — telemetry
-# beside the served path, but the write path changed, so it
-# re-proves) — then the declared queue: the ten r8-floor queries
-# (raising the evidence floor to r9 once this board lands), then the
-# r9-last-green cohort, of which the head keeps the FIRST 36 of 47:
-# ten displaced by the three changed-code slots plus the never-
-# checked dedup_minhash_lsh_persisted slot below, and an eleventh
-# (orc_roundtrip_stats) displaced when that new query landed
-# mid-round — all eleven lead the r14 queue at the tail front (the
-# standing displacement precedent).  Any query added mid-round MUST
-# displace from the BOTTOM of the head — the never-checked invariant
+# r14 window (the rotation the r13 tail comment declared; r13 verdict
+# item 1): the changed-code slots lead — dedup_minhash_lsh and
+# dedup_ensemble (minhash_lsh_pairs grew the opt-in bucket-pressure
+# diagnostics aggregate, r13 verdict item 6 — default path
+# output-identical, but the code changed, so they re-prove),
+# dedup_minhash_lsh_persisted (write_minhash_index now also persists
+# the {path}/shingles verify relation, clears the pre-rebuild drift
+# ledger, and records bucket-pressure counters in the baseline;
+# query_minhash_index grew the index_dir persisted-shingles path),
+# and the three ANN *_persisted queries (all three write_*_index
+# builders now clear the pre-rebuild drift ledger — r13 ADVICE low:
+# telemetry beside the served path, but the write paths changed, so
+# they re-prove) — then the declared queue: the eleven r9-floor
+# queries (their board rows retire the last sub-r10 evidence on the
+# registry, raising the floor to r10), then the FIRST 33 of the 44
+# r10-last-green cohort members; the remaining 11 are displaced to
+# the tail front and lead the r15 queue (the standing displacement
+# precedent).  Any query added mid-round MUST displace from the
+# BOTTOM of the head — the never-checked invariant
 # (test_head_leads_with_unproven_queries) outranks evidence freshness.
 
 _CHECK_WINDOW_HEAD = [
-    # changed-code in r13 (see the rotation note above)
+    # changed-code in r14 (see the rotation note above)
     "dedup_minhash_lsh",
     "dedup_ensemble",
-    "similarity_ann_ivfpq_persisted",
-    # NEW in r13 — never driver-checked, so it MUST sit in the window
-    # (the never-checked invariant outranks evidence freshness); it
-    # displaces orc_roundtrip_stats from the BOTTOM of the head to
-    # the tail front, per the standing mid-round rule above
     "dedup_minhash_lsh_persisted",
-    # the declared r13 queue: the ten r8-floor queries — their board
-    # rows retire the last sub-r9 evidence on the registry
-    "q13_order_count_distribution",
-    "q19_disjunctive_predicates",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "similarity_semantic_search",
-    "text_c4_filters",
-    "text_perplexity_proxy",
-    "text_tfidf_topk",
-    # then the r9-last-green cohort (first 36 of 47; the remaining
-    # eleven are displaced to the tail front — see the rotation note)
-    "events_anomaly_mad_approx",
-    "corpus_source_drift_js",
-    "multimodal_audio_segments",
-    "corpus_leakage_safe_split",
-    "events_session_paths",
-    "events_anomaly_mad",
-    "multimodal_phash_dedup",
-    "corpus_topic_clusters",
-    "events_heavy_hitters_cms",
-    "cdc_orders_scd2",
-    "classifier_train_eval",
-    "corpus_mixture",
-    "corpus_shard_manifest",
-    "corpus_version_diff",
-    "corpus_weighted_sample",
-    "dedup_containment",
-    "dedup_duplicate_spans",
-    "dq_constraint_suite",
-    "er_fuzzy_name_pairs",
-    "events_anomaly_prequential",
-    "events_dedup_consecutive",
-    "events_distinct_sketch_merge",
-    "events_hourly_gapfill",
-    "events_moving_avg",
-    "events_retention",
-    "events_rolling_mau_approx",
-    "events_rolling_wau",
-    "events_type_transitions",
-    "events_variant_stats",
-    "governance_forget_cascade",
-    "graph_pagerank",
-    "lineitem_copurchase_pairs",
-    "lineitem_quantile_bins",
-    "mahjong_han_fu_table",
-    "mahjong_machi_distribution",
-    "mahjong_paiyama_walls",
-]
-
-_CHECK_WINDOW_TAIL = [
-    # r9-cohort members displaced by the r13 changed-code slots (and
-    # orc_roundtrip_stats by the mid-round dedup_minhash_lsh_persisted
-    # addition) — they lead the r14 queue (evidence r9), followed by
-    # the r10 cohort (the next section)
+    "similarity_ann_ivf_persisted",
+    "similarity_ann_pq_persisted",
+    "similarity_ann_ivfpq_persisted",
+    # the declared r14 queue: the eleven r9-floor queries — their
+    # board rows raise the evidence floor to r10
     "orc_roundtrip_stats",
     "q10_returned_items",
     "q12_late_line_priority",
@@ -181,10 +124,8 @@ _CHECK_WINDOW_TAIL = [
     "similarity_ann_ivf_int8",
     "text_zipf_spectrum",
     "tpch_scalar_revenues",
-    # r10-last-green cohort (second in the r14 queue): the full r10
-    # check window minus the five members the r11 changed-code slots
-    # pulled back into the head, minus similarity_ann_ivf (re-entered
-    # the r12 head on the sampled-Lloyd trainer change)
+    # then the r10-last-green cohort (first 33 of 44; the remaining
+    # eleven are displaced to the tail front — see the rotation note)
     "text_vocab_coverage",
     "er_resolve_entities",
     "similarity_ann_lsh",
@@ -218,6 +159,13 @@ _CHECK_WINDOW_TAIL = [
     "q4_order_priority",
     "q7_volume_shipping",
     "top_customers",
+]
+
+_CHECK_WINDOW_TAIL = [
+    # r10-cohort members displaced by the r14 changed-code slots —
+    # they lead the r15 queue (evidence r10), followed by the r11
+    # cohort (the next section), then r12, then the r13-last-green
+    # cohort (the freshest evidence, rotates last)
     "corpus_canonical_docs",
     "corpus_decontaminate",
     "corpus_global_shuffle",
@@ -229,12 +177,11 @@ _CHECK_WINDOW_TAIL = [
     "decimal_revenue",
     "dedup_connected_components",
     "dedup_embedding_cosine",
-    # r11-last-green cohort (third in the r14 queue): the full r11
-    # check window minus the four members the r12 changed-code slots
-    # pulled back into the head (dedup_minhash_lsh, dedup_ensemble,
-    # dedup_semantic, dedup_semantic_persisted)
+    # r11-last-green cohort (second in the r15 queue): the full r11
+    # check window minus similarity_ann_ivf_persisted and
+    # similarity_ann_pq_persisted (pulled into the r14 head by the
+    # write_*_index ledger-reset change)
     "events_cusum_changepoint",
-    "similarity_ann_ivf_persisted",
     "tenhou_source_actions",
     "dedup_exact",
     "similarity_rrf_ensemble",
@@ -255,7 +202,6 @@ _CHECK_WINDOW_TAIL = [
     "xml_roundtrip_stats",
     "bloom_pruned_revenue",
     "similarity_ann_pq",
-    "similarity_ann_pq_persisted",
     "multimodal_jpeg_roundtrip",
     "multimodal_video_frames",
     "dedup_ngram_jaccard",
@@ -279,11 +225,7 @@ _CHECK_WINDOW_TAIL = [
     "part_string_stats",
     "q1_pricing_summary",
     "q22_global_sales_opportunity",
-    # r12-last-green cohort (freshest evidence, rotates last — the
-    # r14 queue's final section): the full r12 check window minus the
-    # three members the r13 changed-code slots pulled back into the
-    # head (dedup_minhash_lsh, dedup_ensemble,
-    # similarity_ann_ivfpq_persisted)
+    # r12-last-green cohort (third in the r15 queue)
     "dedup_semantic",
     "dedup_semantic_persisted",
     "similarity_ann_ivf",
@@ -331,6 +273,57 @@ _CHECK_WINDOW_TAIL = [
     "orders_grouping_sets",
     "q11_supplier_value_share",
     "similarity_ann_ivfpq",
+    # r13-last-green cohort (freshest evidence, rotates last — the
+    # r15 queue's final section): the full r13 check window minus
+    # the four members the r14 changed-code slots retained in the
+    # head (dedup_minhash_lsh, dedup_ensemble,
+    # dedup_minhash_lsh_persisted, similarity_ann_ivfpq_persisted)
+    "q13_order_count_distribution",
+    "q19_disjunctive_predicates",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "similarity_semantic_search",
+    "text_c4_filters",
+    "text_perplexity_proxy",
+    "text_tfidf_topk",
+    "events_anomaly_mad_approx",
+    "corpus_source_drift_js",
+    "multimodal_audio_segments",
+    "corpus_leakage_safe_split",
+    "events_session_paths",
+    "events_anomaly_mad",
+    "multimodal_phash_dedup",
+    "corpus_topic_clusters",
+    "events_heavy_hitters_cms",
+    "cdc_orders_scd2",
+    "classifier_train_eval",
+    "corpus_mixture",
+    "corpus_shard_manifest",
+    "corpus_version_diff",
+    "corpus_weighted_sample",
+    "dedup_containment",
+    "dedup_duplicate_spans",
+    "dq_constraint_suite",
+    "er_fuzzy_name_pairs",
+    "events_anomaly_prequential",
+    "events_dedup_consecutive",
+    "events_distinct_sketch_merge",
+    "events_hourly_gapfill",
+    "events_moving_avg",
+    "events_retention",
+    "events_rolling_mau_approx",
+    "events_rolling_wau",
+    "events_type_transitions",
+    "events_variant_stats",
+    "governance_forget_cascade",
+    "graph_pagerank",
+    "lineitem_copurchase_pairs",
+    "lineitem_quantile_bins",
+    "mahjong_han_fu_table",
+    "mahjong_machi_distribution",
+    "mahjong_paiyama_walls",
 ]
 
 

@@ -355,6 +355,24 @@ def _append_drift(
                 pass  # already pruned by a concurrent writer
 
 
+def reset_drift_ledger(fs) -> None:
+    """Clear the per-row drift ledger (every layout) at index REBUILD
+    time — called by all four ``write_*_index`` builders alongside
+    their ``_batch_commits`` clear (r13 ADVICE): the ledger's rows
+    describe the PRE-rebuild index, so ``rebuild_recommended``
+    reporting a stale last-row verdict immediately after the rebuild
+    that was supposed to address it is exactly the confusion a
+    rebuild must clear.  The builder rewrites ``_drift/baseline.json``
+    right after, so the drift plane restarts from the fresh
+    snapshot's reference with an empty history."""
+    rows_dir = f"{fs.root}/_drift/rows"
+    if fs.kind(rows_dir) == "dir":
+        fs.delete_dir(rows_dir)
+    legacy = f"{fs.root}/_drift/ledger.jsonl"
+    if fs.kind(legacy) == "file":
+        fs.delete_file(legacy)
+
+
 def _drift_row_files(fs) -> list[str]:
     rows_dir = f"{fs.root}/_drift/rows"
     if fs.kind(rows_dir) != "dir":
@@ -913,7 +931,15 @@ def run_minhash_maintenance_stream(
     batch ``write_minhash_index`` over the union corpus), appended
     into the ``{index}/bands`` ``band=`` layout through
     ``publish_batch`` (the one exactly-once contract), behind the
-    same start-time + per-batch epoch fence.
+    same start-time + per-batch epoch fence.  When the index carries
+    the persisted VERIFY relation (``{index}/shingles``, the r14
+    default build), the arrivals' shingle rows are appended there too
+    under a second batch-keyed marker (``…-sh``) — each marker
+    replays idempotently on its own, and the stream never advances
+    past a batch whose second publish failed (the admission gate's
+    two-marker argument); a reader in the crash window between the
+    two sees bands without shingles, which every verify consumer
+    treats as "fall back to band hits", never as admitted.
 
     The drift row watches the signal that actually stales an LSH
     index: the batch's EXACT-DUPLICATE RATE vs the build-time corpus
@@ -924,7 +950,10 @@ def run_minhash_maintenance_stream(
     ``rebuild_recommended`` / ``compact_recommended`` / the CLI
     ``index --kind minhash`` face work unchanged."""
     from ..operators.dedup import band_rows, minhash_signatures
-    from ..operators.minhash_index import read_minhash_geometry
+    from ..operators.minhash_index import (
+        _shingle_table,
+        read_minhash_geometry,
+    )
 
     bound_epoch = _bind_index_epoch(spark, index_dir, checkpoint_dir)
     lineage = _lineage_id(spark, checkpoint_dir)
@@ -932,6 +961,14 @@ def run_minhash_maintenance_stream(
     # write_minhash_index): hardcoding the defaults would make a
     # non-default index silently un-probeable (r13 review finding)
     geo = read_minhash_geometry(spark, index_dir)
+    # a bands-only / pre-r14 index never grows a shingles relation
+    # mid-stream — decided once at start, like the geometry
+    has_sh = (
+        _meta_fs(spark, index_dir).kind(
+            f"{_meta_fs(spark, index_dir).root}/shingles"
+        )
+        == "dir"
+    )
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
@@ -952,6 +989,14 @@ def run_minhash_maintenance_stream(
                 {"bands": rows},
                 part_col="band",
             )
+            if has_sh:
+                publish_batch(
+                    session,
+                    index_dir,
+                    f"{lineage}-{batch_id}-sh",
+                    {"shingles": _shingle_table(docs, geo["n"])},
+                    part_col="shard",
+                )
             # drift row AFTER the publish (telemetry, same contract
             # as the other families): one batch-sized aggregate
             (srow,) = docs.agg(
@@ -1023,6 +1068,7 @@ def run_neardup_admission_stream(
     min_bands: int = NEARDUP_MIN_BANDS,
     verify_docs: DataFrame | None = None,
     threshold: float | None = None,
+    within_batch: bool = False,
     available_now: bool = True,
 ):
     """The MinHash band index made load-bearing (r13): a streaming
@@ -1037,62 +1083,113 @@ def run_neardup_admission_stream(
        postings on (band, bh) with the per-bucket rank cap — an
        arrival's ``n_band_hits`` against its best-matching indexed
        doc (most shared bands, ties to the smallest id) decides the
-       flag at ``min_bands``; with ``verify_docs`` (the indexed
-       corpus texts) the band hits only NOMINATE and the flag follows
-       the exact Jaccard at ``threshold`` — the usual LSH
-       precision/cost dial, made explicit per deployment;
-    3. the CLEAN reps' band rows are appended into the index through
-       ``publish_batch`` — the gate is SELF-MAINTAINING: a copy of a
-       doc admitted three batches ago is flagged today without any
-       rebuild — and every decision lands in ``{index}/admissions``
-       (doc_id, n_band_hits, matched_id, jaccard, admitted,
-       batch_id), partitioned by a ``gate`` routing column
-       (``admit``/``quarantine``) so the downstream quarantine
-       reader prunes straight to its slice while ``admitted`` stays
-       a typed BOOLEAN data column (a hive partition value
-       round-trips as a string).
+       flag at ``min_bands``.  Verify mode (``threshold`` and/or
+       ``verify_docs`` given): band hits only NOMINATE and the flag
+       follows the exact Jaccard at the bar — the usual LSH
+       precision/cost dial, made explicit per deployment.  The
+       verify texts come from the index's own persisted shingle
+       relation (``{index}/shingles``, the r14 default build —
+       pre-computed arrays, no per-batch corpus re-shingling) when
+       it exists, falling back to ``verify_docs``; a candidate whose
+       match has shingles in NEITHER (a bands-only index with an
+       incomplete ``verify_docs``, or the crash window between the
+       bands and shingles publishes) falls back to the band-hit flag
+       at ``min_bands`` — fail-CLOSED, so verify mode can never
+       silently admit a doc the band evidence flagged (r13 ADVICE,
+       medium: the old inner-join verify dropped exactly the
+       candidates the gate itself had admitted in earlier batches).
+       ``threshold`` without any verify source raises ValueError at
+       start — a silently ignored precision bar is worse than a loud
+       one;
+    3. the CLEAN reps' band rows — and, when the index carries the
+       shingle relation, their shingle rows — are appended into the
+       index through ``publish_batch``: the gate is SELF-MAINTAINING
+       in both flagging modes (a copy of a doc admitted three
+       batches ago is flagged today without any rebuild, and in
+       verify mode its exact Jaccard is computable because its
+       shingles were published with its bands).  Every decision
+       lands in ``{index}/admissions`` (doc_id, n_band_hits,
+       matched_id, jaccard, admitted, batch_id), partitioned by a
+       ``gate`` routing column (``admit``/``quarantine``) so the
+       downstream quarantine reader prunes straight to its slice
+       while ``admitted`` stays a typed BOOLEAN data column (a hive
+       partition value round-trips as a string).
 
-    Exactly-once shape: bands and admissions publish as two
-    batch-keyed markers (`…-bands`, `…-adm`) — ``publish_batch``
-    partitions every table in one call by one column, and the two
-    tables partition differently (band vs gate).  Each marker
-    replays idempotently on its own; a crash between them re-lands
-    only the missing table into the same final file set, and the
-    stream never advances past a batch whose second publish failed.
-    Replay determinism: a replayed batch probes an index that may
-    still hold its own crashed attempt's band files (the erase runs
-    at publish time, after the decision) — but candidates exclude
-    the batch's own doc ids (see the probe comment), and leftover
-    files can only carry those ids, so a replay re-derives
-    bit-identical decisions from the identical effective index.
+    ``within_batch=True`` (r14, r13 verdict item 2) closes the
+    in-batch NEAR-dup hole: the batch's reps are banded against
+    THEMSELVES through the same capped ``probe_candidates`` shape
+    (the rep relation standing in as postings), keeping only
+    (earlier doc_id → later doc_id) directed candidates — the FIRST
+    occurrence by doc_id admits, later in-batch near-dups quarantine
+    against it (deterministically: the decision depends only on
+    batch content + the effective index, so replays re-derive it).
+    A later near-dup quarantines on its earlier match regardless of
+    that match's own fate — matching a just-quarantined arrival is
+    still evidence the text is not novel, and an order-dependent
+    "only if the match admitted" rule would make admission depend on
+    the index's verdict chain rather than the batch's content.  Off
+    by default: the extra self-join prices every batch, and a
+    bursty boilerplate surge is precisely when its bucket join is
+    biggest; the default path is unchanged (exact copies collapse,
+    in-batch near-dups admit together and are caught from the next
+    batch on).
 
-    In-batch NEAR-dups (two non-identical near-dup texts arriving in
-    one batch) both probe the index and miss — they admit together
-    and the SECOND occurrence is only caught from the next batch on,
-    once the first's bands are postings.  The within-batch pass
-    collapses exact copies only; extending it to in-batch banding is
-    a policy choice deliberately left out (an ingest that needs it
-    runs the batch pair path on the quarantine slice).
+    Exactly-once shape: bands, shingles (when maintained) and
+    admissions publish as batch-keyed markers (`…-bands`, `…-sh`,
+    `…-adm`) — ``publish_batch`` partitions every table in one call
+    by one column, and the tables partition differently (band /
+    shard / gate).  Each marker replays idempotently on its own; a
+    crash between them re-lands only the missing tables into the
+    same final file set, and the stream never advances past a batch
+    whose later publish failed.  Replay determinism: a replayed
+    batch probes an index that may still hold its own crashed
+    attempt's band (and shingle) files (the erase runs at publish
+    time, after the decision) — but candidates exclude the batch's
+    own doc ids (see the probe comment), leftover band files can
+    only carry those ids, and a leftover shingle row is only ever
+    joined for a candidate's match_id (never an own-batch id), so a
+    replay re-derives bit-identical decisions from the identical
+    effective index.
 
     Scale shape per batch of M arrivals: signing is M-linear, the
     probe join touches matched buckets only (rank-capped), the
-    verify (when enabled) joins candidate texts by doc_id against
-    ``verify_docs`` — corpus-scan-priced unless that relation is
-    bucketed/pruned, which is why it is opt-in.  One drift row per
-    batch records the FLAG RATE (mean_residual) — a sustained high
-    rate is the boilerplate-surge signal in admission clothing."""
+    within-batch pass (when enabled) adds one batch-sized self-join
+    under the same cap, and the verify join probes candidate
+    match_ids against the persisted shingle relation — a broadcast
+    of the candidate sliver against a column-pruned scan of
+    pre-computed arrays (vs. re-shingling the corpus TEXT per batch,
+    the pre-r14 cost; the scan is still corpus-file-sized, which the
+    SCALE.md admission-drain row prices).  One drift row per batch
+    records the FLAG RATE (mean_residual) rated against the index's
+    build-time dup-rate baseline (``baseline_residual`` /
+    ``residual_ratio``, the maintenance stream's two-bar shape — r13
+    ADVICE: an ingest whose expected dup rate matches its corpus
+    must not recommend rebuild forever)."""
     from pyspark.sql.window import Window
 
     from ..operators.dedup import band_rows, minhash_signatures, shingles_expr
     from ..operators.minhash_index import (
+        _shingle_table,
         probe_candidates,
         read_minhash_geometry,
-        verify_jaccard,
     )
 
     bound_epoch = _bind_index_epoch(spark, index_dir, checkpoint_dir)
     lineage = _lineage_id(spark, checkpoint_dir)
     geo = read_minhash_geometry(spark, index_dir)
+    ifs = _meta_fs(spark, index_dir)
+    has_sh = ifs.kind(f"{ifs.root}/shingles") == "dir"
+    verify = threshold is not None or verify_docs is not None
+    if threshold is not None and verify_docs is None and not has_sh:
+        raise ValueError(
+            f"neardup admission: threshold={threshold} given but the "
+            f"index at {index_dir} has no persisted shingle relation "
+            f"and no verify_docs was supplied — there is nothing to "
+            f"verify the exact Jaccard against, and silently flagging "
+            f"on band hits alone would ignore the caller's precision "
+            f"bar.  Rebuild the index with with_shingles=True, pass "
+            f"verify_docs, or drop the threshold for band-hit mode."
+        )
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
@@ -1147,17 +1244,91 @@ def run_neardup_admission_stream(
             per_match = probe_candidates(
                 postings, q_bands, exclude_ids=docs
             )
-            if verify_docs is not None:
-                bar = JACCARD_ADMIT_DEFAULT if threshold is None else threshold
+            if within_batch:
+                # in-batch near-dups (r14): the reps' band rows stand
+                # in as postings and probe THEMSELVES through the
+                # same capped shape; only (earlier -> later) directed
+                # rows survive, so the first occurrence by doc_id
+                # admits and later in-batch near-dups quarantine
+                # against it.  No exclude_ids: own-batch ids are the
+                # point here, and the relation never holds crashed-
+                # attempt leftovers (it is derived from the batch).
+                in_batch = probe_candidates(
+                    q_bands.select(
+                        "band", "bh", F.col("q_id").alias("doc_id")
+                    ),
+                    q_bands,
+                ).where(F.col("match_id") < F.col("q_id"))
+                per_match = per_match.unionByName(in_batch)
+            if verify:
+                bar = (
+                    JACCARD_ADMIT_DEFAULT if threshold is None else threshold
+                )
                 qsh = reps.select(
                     F.col("doc_id").alias("q_id"),
                     shingles_expr(geo["n"]).alias("sh_a"),
                 )
-                csh = verify_docs.select(
-                    F.col("doc_id").alias("match_id"),
-                    shingles_expr(geo["n"]).alias("sh_b"),
+                # sh_b sources, LEFT-joined in preference order: the
+                # index's persisted relation (self-maintained,
+                # pre-computed arrays), the caller's verify_docs, the
+                # batch's own reps (within-batch candidates' matches).
+                # Ids never conflict on VALUE across sources (same
+                # doc -> same shingles), so coalesce order is cost,
+                # not correctness.
+                srcs = []
+                if has_sh:
+                    srcs.append(
+                        session.read.parquet(
+                            f"{index_dir}/shingles"
+                        ).select(
+                            F.col("doc_id").alias("match_id"),
+                            F.col("shingles").alias("__shb0"),
+                        )
+                    )
+                if verify_docs is not None:
+                    srcs.append(
+                        verify_docs.select(
+                            F.col("doc_id").alias("match_id"),
+                            shingles_expr(geo["n"]).alias("__shb1"),
+                        )
+                    )
+                if within_batch:
+                    srcs.append(
+                        reps.select(
+                            F.col("doc_id").alias("match_id"),
+                            shingles_expr(geo["n"]).alias("__shb2"),
+                        )
+                    )
+                cand = per_match.join(qsh, "q_id")
+                cols = []
+                for s in srcs:
+                    cols.append(s.columns[-1])
+                    cand = cand.join(s, "match_id", "left")
+                sh_b = F.coalesce(*[F.col(c) for c in cols])
+                inter = F.size(F.array_intersect(F.col("sh_a"), sh_b))
+                union_sz = F.size("sh_a") + F.size(sh_b) - inter
+                jac = inter.cast("double") / union_sz
+                # verified candidates flag on the UNROUNDED exact
+                # Jaccard at the bar; unverifiable ones (no shingle
+                # source knows the match — a bands-only index with an
+                # incomplete verify_docs, or the bands/shingles crash
+                # window — or an empty shingle union) fall back to
+                # the band-hit flag: fail-CLOSED (r13 ADVICE medium —
+                # the old inner-join verify silently ADMITTED exactly
+                # the candidates the gate itself had admitted before)
+                keep = F.when(
+                    jac.isNotNull(), jac >= F.lit(bar)
+                ).otherwise(F.col("n_band_hits") >= F.lit(min_bands))
+                per_match = (
+                    cand.where(keep)
+                    .withColumn(
+                        "jaccard",
+                        F.when(jac.isNotNull(), F.round(jac, 6)).cast(
+                            "double"
+                        ),
+                    )
+                    .select("q_id", "match_id", "n_band_hits", "jaccard")
                 )
-                per_match = verify_jaccard(per_match, qsh, csh, bar)
             else:
                 per_match = per_match.where(
                     F.col("n_band_hits") >= F.lit(min_bands)
@@ -1213,6 +1384,27 @@ def run_neardup_admission_stream(
                 {"bands": clean_bands.select("doc_id", "band", "bh")},
                 part_col="band",
             )
+            if has_sh:
+                # the admitted reps' shingles join the verify relation
+                # with their bands — this is what keeps verify-mode
+                # self-maintenance true (docstring step 3)
+                publish_batch(
+                    session,
+                    index_dir,
+                    f"{lineage}-{batch_id}-sh",
+                    {
+                        "shingles": _shingle_table(
+                            docs.join(
+                                decisions.where("admitted").select(
+                                    "doc_id"
+                                ),
+                                "doc_id",
+                            ),
+                            geo["n"],
+                        )
+                    },
+                    part_col="shard",
+                )
             publish_batch(
                 session,
                 index_dir,
@@ -1228,6 +1420,13 @@ def run_neardup_admission_stream(
             ).collect()
             n = srow.n or 0
             rate = ((srow.flagged or 0) / n) if n else 0.0
+            # rated against the index's build-time dup-rate baseline —
+            # the maintenance stream's two-bar shape (r13 ADVICE): an
+            # ingest whose flag rate matches the dup rate of the very
+            # corpus the index was built from is business as usual,
+            # not drift, and must not recommend rebuild forever
+            base = _index_baseline(session, index_dir).get("dup_rate")
+            ratio = (rate / base) if (base and base > 0) else None
             _append_drift(
                 session,
                 index_dir,
@@ -1237,11 +1436,18 @@ def run_neardup_admission_stream(
                     "cells_touched": None,
                     "top_cell_share": None,
                     "mean_residual": round(rate, 6),
-                    "baseline_residual": None,
-                    "residual_ratio": None,
+                    "baseline_residual": base,
+                    "residual_ratio": (
+                        round(ratio, 6) if ratio is not None else None
+                    ),
                     "rebuild_recommended": bool(
                         n >= DRIFT_MIN_BATCH
                         and rate > MINHASH_DRIFT_MIN_DUP_RATE
+                        and (
+                            base is None
+                            or base == 0
+                            or rate > MINHASH_DRIFT_DUP_RATE_RATIO * base
+                        )
                     ),
                 },
                 lineage=lineage,

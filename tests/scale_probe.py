@@ -160,6 +160,129 @@ def main(base: str, out_json: str, copies: int = 10, probes=None) -> int:
         print(f"\nquery-count 10x ratio: {r10:.2f}")
         return 1 if r10 > 20 else 0
 
+    if probes and probes == ["neardup_gate"]:
+        # Admission-gate drain throughput (r13 verdict item 5): the
+        # gate is the newest load-bearing streaming path — drain ~10k
+        # arrivals (half fresh, half exact copies of indexed docs)
+        # against a {copies}x-sized persisted index in all three
+        # flagging modes.  The work to watch: band-hit probe cost is
+        # batch-linear + matched-bucket shuffle (corpus-size-
+        # independent), within_batch adds one batch-sized self-join,
+        # and verify mode prices the candidate join against the
+        # PERSISTED shingle relation (pre-computed arrays — the r14
+        # change; pre-r14 it re-shingled the corpus text per batch).
+        import shutil as _shutil
+
+        from pyspark.sql import functions as F
+
+        from mahjong_etl_spark.operators.minhash_index import (
+            write_minhash_index,
+        )
+        from mahjong_etl_spark.sources.tables import load
+        from mahjong_etl_spark.streaming.ann_index_stream import (
+            run_neardup_admission_stream,
+        )
+
+        dscratch = f"/tmp/scale_probe_docs_{copies}x"
+        if not os.path.exists(f"{dscratch}/documents.parquet"):
+            os.makedirs(dscratch, exist_ok=True)
+            df = load(spark, base, "documents")
+            parts = [
+                df.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+                )
+                for i in range(copies)
+            ]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionAll(p)
+            u.repartition(32).write.mode("overwrite").parquet(
+                f"{dscratch}/documents.parquet"
+            )
+        docs = spark.read.parquet(f"{dscratch}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        n_docs = docs.count()
+        index0 = f"{dscratch}/mh_index"
+        t0 = time.time()
+        if not os.path.exists(f"{index0}/bands"):
+            write_minhash_index(spark, docs, index0)
+            results["neardup_index_build"] = {
+                "n_docs": n_docs,
+                "t_sec": round(time.time() - t0, 3),
+            }
+        n_arr = 10_000
+        drop = f"{dscratch}/arrivals"
+        if not os.path.exists(drop):
+            fresh = spark.range(n_arr // 2).select(
+                (F.col("id") + 900_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"fr{j}x"), F.col("id"))
+                        for j in range(8)
+                    ],
+                ).alias("text"),
+            )
+            dup = (
+                docs.orderBy("doc_id")
+                .limit(n_arr // 2)
+                .select(
+                    (F.col("doc_id") + 800_000_000).alias("doc_id"), "text"
+                )
+            )
+            # 4 files -> 4 micro-batches of ~2500 arrivals each
+            fresh.unionByName(dup).repartition(4).write.mode(
+                "overwrite"
+            ).parquet(drop)
+
+        def drain(mode_kw: dict, tag: str) -> None:
+            idx = f"{dscratch}/mh_{tag}"
+            if os.path.exists(idx):
+                _shutil.rmtree(idx)
+            _shutil.copytree(index0, idx)
+            ckpt = f"{dscratch}/ckpt_{tag}"
+            if os.path.exists(ckpt):
+                _shutil.rmtree(ckpt)
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drop)
+            )
+            t0 = time.time()
+            q = run_neardup_admission_stream(
+                spark, stream, idx, ckpt, **mode_kw
+            )
+            ok = q.awaitTermination(1800)
+            q.stop()
+            wall = time.time() - t0
+            adm = spark.read.parquet(f"{idx}/admissions")
+            na = adm.count()
+            nq = adm.where("NOT admitted").count()
+            results[f"neardup_gate_{tag}"] = {
+                "n_docs_index": n_docs,
+                "n_arrivals": na,
+                "n_batches": 4,
+                "wall_sec": round(wall, 3),
+                "arrivals_per_sec": round(na / wall, 1),
+                "flag_rate": round(nq / na, 4) if na else None,
+                "drained": bool(ok),
+            }
+            print(
+                f"neardup_gate_{tag:12} {na} arrivals vs {n_docs}-doc "
+                f"index: {wall:7.2f}s  {na / wall:7.1f}/s  "
+                f"flag_rate={nq / max(na, 1):.3f}",
+                flush=True,
+            )
+
+        drain({}, "bandhit")
+        drain({"within_batch": True}, "withinbatch")
+        drain({"threshold": 0.5}, "verify")
+        results["load_run_end"] = [round(x, 2) for x in os.getloadavg()]
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=2)
+        return 0
+
     for name in probes or PROBES:
         # warm both paths once (JIT/IO cache), then measure
         t1, rss1 = time_query(reg, name, spark, base)

@@ -720,3 +720,457 @@ def test_nondefault_geometry_recorded_and_honored(spark, tmp_path):
     assert [(r.doc_id, r.match_id, r.jaccard) for r in got] == [
         (500, 0, 1.0)
     ]
+
+
+# ---------------------------------------------------------------------------
+# r14: persisted verify relation, within-batch gate, baseline-rated
+# admission drift, rebuild ledger reset, bucket-pressure counters
+# ---------------------------------------------------------------------------
+
+
+def _sh_rows(spark, index_dir):
+    return {
+        (r.doc_id, tuple(r.shingles))
+        for r in spark.read.parquet(f"{index_dir}/shingles")
+        .select("doc_id", "shingles")
+        .collect()
+    }
+
+
+def test_maintained_shingles_match_batch_rebuild(spark, sf_dir, tmp_path):
+    """The persisted verify relation is maintained alongside the
+    bands: after streaming arrivals in, {index}/shingles equals a
+    from-scratch write over the union corpus row-for-row."""
+    docs = _load_docs(spark, sf_dir)
+    cut = int(docs.count() * 0.6)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs.where(F.col("doc_id") < cut), index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(
+        docs.where(F.col("doc_id") >= cut), tmp_path, drop, "arrival", 1_000
+    )
+    _drain(spark, drop, index_dir, tmp_path / "ckpt")
+
+    rebuilt = str(tmp_path / "rebuilt")
+    write_minhash_index(spark, docs, rebuilt)
+    assert _sh_rows(spark, index_dir) == _sh_rows(spark, rebuilt)
+
+    # and read_minhash_shingles serves it / reports a bands-only
+    # index as None
+    from mahjong_etl_spark.operators.minhash_index import (
+        read_minhash_shingles,
+    )
+
+    assert read_minhash_shingles(spark, index_dir).count() == docs.count()
+    bare = str(tmp_path / "bare")
+    write_minhash_index(spark, docs, bare, with_shingles=False)
+    assert read_minhash_shingles(spark, bare) is None
+
+
+def test_maintenance_replay_covers_shingles_table(spark, sf_dir, tmp_path):
+    """Crash-window replay with BOTH markers (bands + shingles) wiped
+    re-lands identical band AND shingle sets — the third table rides
+    the same exactly-once contract."""
+    docs = _load_docs(spark, sf_dir)
+    cut = int(docs.count() * 0.8)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs.where(F.col("doc_id") < cut), index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(
+        docs.where(F.col("doc_id") >= cut), tmp_path, drop, "arrival", 1_000
+    )
+    ckpt = tmp_path / "ckpt"
+    _drain(spark, drop, index_dir, ckpt)
+    want_bands = _bands_set(spark, index_dir)
+    want_sh = _sh_rows(spark, index_dir)
+
+    for marker in glob.glob(f"{index_dir}/_batch_commits/*-0") + glob.glob(
+        f"{index_dir}/_batch_commits/*-0-sh"
+    ):
+        os.remove(marker)
+    os.remove(os.path.join(str(ckpt), "commits", "0"))
+    crc = os.path.join(str(ckpt), "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _drain(spark, drop, index_dir, ckpt)
+    assert _bands_set(spark, index_dir) == want_bands
+    assert _sh_rows(spark, index_dir) == want_sh
+
+
+def test_rebuild_clears_drift_ledger(spark, sf_dir, tmp_path):
+    """r13 ADVICE: after an in-place rebuild, rebuild_recommended
+    must NOT report the pre-rebuild flagged rows — the rebuild is
+    what those rows asked for."""
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        rebuild_recommended,
+    )
+
+    docs = _load_docs(spark, sf_dir)
+    n = docs.count()
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    surge = docs.selectExpr(
+        "explode(sequence(1, 3)) AS copy", "doc_id", "text"
+    ).select(
+        (F.col("doc_id") + 2 * n + F.col("copy") * 10 * n).alias("doc_id"),
+        "text",
+    )
+    _stage(surge, tmp_path, drop, "surge", 1_000)
+    _drain(spark, drop, index_dir, tmp_path / "ckpt")
+    assert rebuild_recommended(spark, index_dir)["rebuild_recommended"]
+
+    write_minhash_index(spark, docs.unionByName(surge), index_dir)
+    rec = rebuild_recommended(spark, index_dir)
+    assert rec == {
+        "rebuild_recommended": False,
+        "batches": 0,
+        "flagged": 0,
+    }
+
+
+def _drain_adm(spark, drop, index_dir, ckpt, **kw):
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        run_neardup_admission_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = run_neardup_admission_stream(spark, stream, index_dir, str(ckpt), **kw)
+    assert q.awaitTermination(240)
+    q.stop()
+    time.sleep(0.2)
+
+
+def _adm_rows(spark, index_dir):
+    return {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{index_dir}/admissions").collect()
+    }
+
+
+WB_TEXT = "qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8 qq9 qq10 qq11 qq12"
+WB_NEAR = "qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8 qq9 qq10 qq11 zz99"
+WB_OTHER = "rr1 rr2 rr3 rr4 rr5 rr6 rr7 rr8 rr9 rr10 rr11 rr12"
+
+
+def test_within_batch_neardup_quarantines(spark, sf_dir, tmp_path):
+    """r13 verdict item 2: with within_batch=True, the SECOND of two
+    non-identical near-dup texts arriving in ONE batch quarantines
+    with the first as matched_id; default-off both admit (the
+    documented hole, unchanged)."""
+    docs = _load_docs(spark, sf_dir)
+    b = spark.createDataFrame(
+        [(10_001, WB_TEXT), (10_002, WB_NEAR), (10_003, WB_OTHER)],
+        DOC_SCHEMA,
+    )
+
+    for mode, flagged in ((False, False), (True, True)):
+        index_dir = str(tmp_path / f"mh{int(mode)}")
+        write_minhash_index(spark, docs, index_dir)
+        base_bands = _bands_set(spark, index_dir)
+        drop = tmp_path / f"drop{int(mode)}"
+        drop.mkdir()
+        _stage(b, tmp_path, drop, "b1", 1_000)
+        _drain_adm(
+            spark,
+            drop,
+            index_dir,
+            tmp_path / f"ckpt{int(mode)}",
+            within_batch=mode,
+        )
+        adm = _adm_rows(spark, index_dir)
+        assert adm[10_001].admitted and adm[10_003].admitted
+        assert adm[10_002].admitted is (not flagged)
+        added = {d for _, _, d in _bands_set(spark, index_dir) - base_bands}
+        if flagged:
+            assert adm[10_002].matched_id == 10_001
+            assert adm[10_002].n_band_hits >= 2
+            assert added == {10_001, 10_003}
+        else:
+            assert added == {10_001, 10_002, 10_003}
+
+
+def test_within_batch_verify_records_exact_jaccard(spark, sf_dir, tmp_path):
+    """within_batch composes with verify mode: the in-batch match is
+    verified against the batch's own texts and the decision carries
+    the exact Jaccard."""
+    docs = _load_docs(spark, sf_dir)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, index_dir)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(
+        spark.createDataFrame(
+            [(10_001, WB_TEXT), (10_002, WB_NEAR)], DOC_SCHEMA
+        ),
+        tmp_path,
+        drop,
+        "b1",
+        1_000,
+    )
+    _drain_adm(
+        spark,
+        drop,
+        index_dir,
+        tmp_path / "ckpt",
+        within_batch=True,
+        threshold=0.5,
+    )
+    adm = _adm_rows(spark, index_dir)
+    assert adm[10_001].admitted
+    assert not adm[10_002].admitted
+    assert adm[10_002].matched_id == 10_001
+    assert adm[10_002].jaccard is not None and 0.5 <= adm[10_002].jaccard < 1
+
+
+def test_verify_mode_self_maintains_via_persisted_shingles(
+    spark, sf_dir, tmp_path
+):
+    """r13 ADVICE (medium) closed: verify mode WITHOUT verify_docs —
+    the persisted shingle relation is the verify side, it is appended
+    per batch, so a near-dup of a doc the GATE ITSELF admitted in an
+    earlier batch is flagged with its exact Jaccard."""
+    docs = _load_docs(spark, sf_dir)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, index_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(
+        spark.createDataFrame([(10_001, WB_TEXT)], DOC_SCHEMA),
+        tmp_path, drop, "b1", 1_000,
+    )
+    _stage(
+        spark.createDataFrame([(20_001, WB_NEAR)], DOC_SCHEMA),
+        tmp_path, drop, "b2", 2_000,
+    )
+    _drain_adm(
+        spark, drop, index_dir, tmp_path / "ckpt", threshold=0.5
+    )
+    adm = _adm_rows(spark, index_dir)
+    assert adm[10_001].admitted
+    assert not adm[20_001].admitted
+    assert adm[20_001].matched_id == 10_001
+    assert adm[20_001].jaccard is not None and 0.5 <= adm[20_001].jaccard < 1
+    # the admitted rep's shingles joined the verify relation
+    assert 10_001 in {d for d, _ in _sh_rows(spark, index_dir)}
+    assert 20_001 not in {d for d, _ in _sh_rows(spark, index_dir)}
+
+
+def test_verify_mode_fails_closed_without_shingle_source(
+    spark, sf_dir, tmp_path
+):
+    """A bands-only index + a verify_docs snapshot that does NOT
+    contain a gate-admitted doc: the near-dup's candidate cannot be
+    verified, so it falls back to the band-hit flag and QUARANTINES
+    (the pre-r14 inner-join verify silently admitted it)."""
+    docs = _load_docs(spark, sf_dir)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, index_dir, with_shingles=False)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(
+        spark.createDataFrame([(10_001, WB_TEXT)], DOC_SCHEMA),
+        tmp_path, drop, "b1", 1_000,
+    )
+    _stage(
+        spark.createDataFrame([(20_001, WB_NEAR)], DOC_SCHEMA),
+        tmp_path, drop, "b2", 2_000,
+    )
+    _drain_adm(
+        spark,
+        drop,
+        index_dir,
+        tmp_path / "ckpt",
+        verify_docs=docs,
+        threshold=0.5,
+    )
+    adm = _adm_rows(spark, index_dir)
+    assert adm[10_001].admitted
+    assert not adm[20_001].admitted
+    assert adm[20_001].matched_id == 10_001
+    assert adm[20_001].jaccard is None  # band-hit fallback, not verified
+    assert adm[20_001].n_band_hits >= 2
+
+
+def test_threshold_without_verify_source_raises(spark, sf_dir, tmp_path):
+    """r13 ADVICE (low): a threshold with nothing to verify against
+    must refuse loudly, not silently flag on band hits."""
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        run_neardup_admission_stream,
+    )
+
+    docs = _load_docs(spark, sf_dir)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, index_dir, with_shingles=False)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    with pytest.raises(ValueError, match="no persisted shingle relation"):
+        run_neardup_admission_stream(
+            spark, stream, index_dir, str(tmp_path / "ckpt"), threshold=0.5
+        )
+
+
+def test_admission_replay_covers_shingles_table(spark, sf_dir, tmp_path):
+    """Admission replay with all THREE markers wiped re-derives
+    identical decisions, bands AND shingle rows."""
+    import glob as g
+
+    docs = _load_docs(spark, sf_dir)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, index_dir)
+
+    (copy_row,) = docs.where("doc_id = 3").collect()
+    b1 = spark.createDataFrame(
+        [(10_001, WB_TEXT), (10_002, copy_row.text)], DOC_SCHEMA
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(b1, tmp_path, drop, "b1", 1_000)
+    ckpt = tmp_path / "ckpt"
+
+    _drain_adm(spark, drop, index_dir, ckpt)
+    want = (
+        _bands_set(spark, index_dir),
+        _sh_rows(spark, index_dir),
+        {tuple(r) for r in spark.read.parquet(f"{index_dir}/admissions").collect()},
+    )
+    for pat in ("*-0-bands", "*-0-sh", "*-0-adm"):
+        for marker in g.glob(f"{index_dir}/_batch_commits/{pat}"):
+            os.remove(marker)
+    os.remove(os.path.join(str(ckpt), "commits", "0"))
+    crc = os.path.join(str(ckpt), "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _drain_adm(spark, drop, index_dir, ckpt)
+    got = (
+        _bands_set(spark, index_dir),
+        _sh_rows(spark, index_dir),
+        {tuple(r) for r in spark.read.parquet(f"{index_dir}/admissions").collect()},
+    )
+    assert got == want
+
+
+def test_admission_drift_rates_against_baseline(spark, tmp_path):
+    """r13 verdict item 4 / ADVICE (low): an index built FROM a
+    high-dup corpus must not flag an arrival batch whose flag rate
+    matches that baseline (ratio ~1), and must still flag a genuine
+    surge (ratio over the bar)."""
+    from mahjong_etl_spark.streaming.ann_index_stream import (
+        MINHASH_DRIFT_MIN_DUP_RATE,
+        read_drift,
+    )
+
+    # 200 distinct + 86 copies -> build dup_rate ~0.30 (> the 0.2
+    # absolute bar, so the ratio bar is what decides)
+    distinct = [
+        (i, f"c{i}a c{i}b c{i}c c{i}d c{i}e c{i}f c{i}g c{i}h")
+        for i in range(200)
+    ]
+    copies = [(1000 + i, distinct[i][1]) for i in range(86)]
+    corpus = spark.createDataFrame(distinct + copies, DOC_SCHEMA)
+    index_dir = str(tmp_path / "mh")
+    write_minhash_index(spark, corpus, index_dir)
+
+    # batch 1: 30/100 arrivals duplicate indexed texts (rate ~ base)
+    b1 = spark.createDataFrame(
+        [(10_000 + i, distinct[i][1]) for i in range(30)]
+        + [
+            (11_000 + i, f"f{i}a f{i}b f{i}c f{i}d f{i}e f{i}f f{i}g")
+            for i in range(70)
+        ],
+        DOC_SCHEMA,
+    )
+    # batch 2: 80/100 duplicate (a genuine surge, ratio ~2.7)
+    b2 = spark.createDataFrame(
+        [(20_000 + i, distinct[100 + i][1]) for i in range(80)]
+        + [
+            (21_000 + i, f"g{i}a g{i}b g{i}c g{i}d g{i}e g{i}f g{i}g")
+            for i in range(20)
+        ],
+        DOC_SCHEMA,
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(b1, tmp_path, drop, "b1", 1_000)
+    _stage(b2, tmp_path, drop, "b2", 2_000)
+    _drain_adm(spark, drop, index_dir, tmp_path / "ckpt")
+
+    rows = sorted(
+        read_drift(spark, index_dir).collect(), key=lambda r: r.batch_id
+    )
+    assert len(rows) == 2
+    assert rows[0].baseline_residual == pytest.approx(86 / 286)
+    assert rows[0].mean_residual > MINHASH_DRIFT_MIN_DUP_RATE
+    assert rows[0].residual_ratio == pytest.approx(1.0, abs=0.25)
+    assert not rows[0].rebuild_recommended  # same-rate: ratio bar holds
+    assert rows[1].residual_ratio > 2.0
+    assert rows[1].rebuild_recommended
+
+
+def test_bucket_pressure_observable(spark, tmp_path, caplog):
+    """r13 verdict item 6: a band bucket within 2x of BUCKET_CAP is
+    surfaced as data — minhash_lsh_pairs' opt-in diagnostics dict +
+    a loud log in the skip regime, and the persisted index build's
+    baseline counters."""
+    import json
+    import logging
+
+    from mahjong_etl_spark.operators.dedup import (
+        BUCKET_PRESSURE_BAR,
+        minhash_lsh_pairs,
+    )
+
+    # 140 copies of one text: n_copies=139 < BUCKET_CAP -> the skip
+    # regime; every copy lands in the same band buckets -> bucket
+    # size 140 >= the 128 pressure bar
+    docs = spark.createDataFrame(
+        [(i, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10") for i in range(140)]
+        + [(1000, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")],
+        DOC_SCHEMA,
+    )
+    diag = {}
+    with caplog.at_level(logging.WARNING):
+        minhash_lsh_pairs(docs, diagnostics=diag).collect()
+    assert diag["regime"] == "skip"
+    assert diag["max_bucket"] == 140
+    assert diag["near_cap_buckets"] >= 1
+    assert diag["pressure_bar"] == BUCKET_PRESSURE_BAR
+    assert any("within 2x of" in r.message for r in caplog.records)
+
+    index_dir = str(tmp_path / "mh")
+    with caplog.at_level(logging.WARNING):
+        write_minhash_index(spark, docs, index_dir)
+    base = json.loads(
+        open(f"{index_dir}/_drift/baseline.json").read()
+    )
+    assert base["max_bucket"] == 140
+    assert base["near_cap_buckets"] >= 1
+
+    # a pressure-free corpus reports zeros and stays silent
+    calm = spark.createDataFrame(
+        [(i, f"c{i}a c{i}b c{i}c c{i}d c{i}e") for i in range(50)],
+        DOC_SCHEMA,
+    )
+    diag2 = {}
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        minhash_lsh_pairs(calm, diagnostics=diag2).collect()
+    assert diag2["near_cap_buckets"] == 0
+    assert not any("within 2x of" in r.message for r in caplog.records)
