@@ -159,6 +159,7 @@ def cmd_index(args: argparse.Namespace) -> int:
     spark = _spark("mahjong-index")
     if args.compact:
         from .plans.compaction import compact_table
+        from .streaming.etl_stream import _meta_fs
 
         rewritten = compact_table(
             spark, args.index_dir, rows_tbl, part_col=rows_part
@@ -168,6 +169,23 @@ def cmd_index(args: argparse.Namespace) -> int:
             f"compacted {len(rewritten)} {rows_part} partitions at "
             f"{args.index_dir}: {n} {rows_tbl}"
         )
+        # the minhash verify relation accumulates per-batch files the
+        # same way the bands do — fold it in the same pass (r14)
+        cfs = _meta_fs(spark, args.index_dir)
+        if (
+            args.kind == "minhash"
+            and cfs.kind(f"{cfs.root}/shingles") == "dir"
+        ):
+            sh_rewritten = compact_table(
+                spark, args.index_dir, "shingles", part_col="shard"
+            )
+            n_sh = spark.read.parquet(
+                f"{args.index_dir}/shingles"
+            ).count()
+            print(
+                f"compacted {len(sh_rewritten)} shard partitions at "
+                f"{args.index_dir}: {n_sh} shingles"
+            )
         return 0
     if args.maintain is None:
         from .operators.similarity import (

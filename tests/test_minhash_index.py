@@ -352,8 +352,13 @@ def test_cli_index_minhash_kind(spark, sf_dir, tmp_path, capsys):
 
     rc = main(["index", "--kind", "minhash", "-I", index_dir, "--compact"])
     assert rc == 0
-    assert "compacted" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "compacted" in out
+    assert f"{docs.count()} shingles" in out  # r14: verify relation too
     assert read_minhash_index(spark, index_dir).count() == docs.count() * BANDS
+    assert (
+        spark.read.parquet(f"{index_dir}/shingles").count() == docs.count()
+    )
 
 
 def test_query_collapse_matches_direct_path(spark, tmp_path, monkeypatch):
