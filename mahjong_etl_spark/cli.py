@@ -134,11 +134,11 @@ def cmd_index(args: argparse.Namespace) -> int:
     (operators/similarity.py::write_ivf_index +
     streaming/ann_index_stream.py)."""
     modes = [args.vectors is not None, args.maintain is not None,
-             args.compact]
+             args.compact, args.forget is not None]
     if sum(modes) != 1:
         print(
             "index: exactly one of --vectors (build), --maintain "
-            "(stream) or --compact is required",
+            "(stream), --compact or --forget is required",
             file=sys.stderr,
         )
         return 2
@@ -157,6 +157,32 @@ def cmd_index(args: argparse.Namespace) -> int:
         "minhash": ("bands", "band", "bands"),
     }[args.kind]
     spark = _spark("mahjong-index")
+    if args.forget is not None:
+        from .streaming.ann_index_stream import forget_from_index
+
+        ids = spark.read.parquet(args.forget)
+        rep = forget_from_index(
+            spark, args.index_dir, ids.select(ids.columns[0]),
+            kind=args.kind,
+        )
+        parts = sum(
+            len(t["partitions_rewritten"]) for t in rep["tables"].values()
+        )
+        print(
+            f"forgot {rep['rows_deleted']} rows across "
+            f"{len(rep['tables'])} tables ({parts} partitions "
+            f"rewritten) at {args.index_dir}"
+        )
+        if rep["skipped_in_flight"]:
+            print(
+                f"WARNING: partitions holding in-flight streaming "
+                f"batches were skipped and still hold the ids — "
+                f"drain the maintenance stream and re-run: "
+                f"{rep['skipped_in_flight']}",
+                file=sys.stderr,
+            )
+            return 3
+        return 0
     if args.compact:
         from .plans.compaction import compact_table
         from .streaming.etl_stream import _meta_fs
@@ -575,6 +601,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--compact", action="store_true",
         help="compact accumulated maintenance posting files "
         "(snapshot-file swap; safe beside a live stream)",
+    )
+    ix.add_argument(
+        "--forget", default=None, metavar="IDS_PARQUET",
+        help="delete the ids in this parquet's first column from the "
+        "index's maintained tables (bands/shingles/admissions for "
+        "minhash, postings/codes for the ANN kinds) without a "
+        "rebuild — the derived-store half of the governance forget "
+        "cascade; exits 3 if in-flight streaming partitions had to "
+        "be skipped (drain and re-run)",
     )
     ix.add_argument("--clusters", type=int, default=16)
     ix.add_argument(

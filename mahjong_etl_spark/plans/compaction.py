@@ -181,7 +181,19 @@ def _release_lease(fs, token: str) -> None:
     if _read_lease(fs).get("token") == token:
         fs.delete_file(f"{fs.root}/_compaction/_lease")
 
-# b{lineage}-{batch}- prefix of the streaming publish (etl_stream.py)
+# b{key}- prefix of the streaming publish (etl_stream.py).  A key is
+# {lineage:12hex}-{batch}, optionally SUFFIXED — the admission gate
+# and the minhash shingle appends publish under b{lineage}-{batch}-
+# bands / -sh / -adm with per-table markers.  The staged file base
+# always starts with "part-" (a Spark part file), so the key is
+# everything between the leading "b" and the "-part-" separator;
+# the narrow legacy pattern stays as a fallback for files whose base
+# is not a part file.  (r14 fix: the legacy pattern alone truncated
+# suffixed keys to {lineage}-{batch}, whose marker never exists, so
+# committed admission/shingle batches looked in-flight FOREVER and
+# their partitions were silently never compacted — conservative, but
+# wrong.)
+_BATCH_KEY_RE = re.compile(r"^b(.+?)-part-")
 _BATCH_PREFIX_RE = re.compile(r"^b([0-9a-f]{12}-\d+)-")
 
 
@@ -229,7 +241,8 @@ def _uncommitted_batch_keys(
     keys = {
         m.group(1)
         for f in file_names
-        if (m := _BATCH_PREFIX_RE.match(f)) is not None
+        if (m := _BATCH_KEY_RE.match(f) or _BATCH_PREFIX_RE.match(f))
+        is not None
     }
     if not keys:
         return set()
@@ -429,3 +442,137 @@ def _compact_locked(
         fs.delete_file(f"{fs.root}/_compaction/{key}")
         rewritten[part] = want
     return rewritten
+
+
+def forget_rows(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    ids,
+    id_col: str,
+    part_col: str = "dt",
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    lease_ttl_sec: float = DEFAULT_LEASE_TTL_SEC,
+) -> dict:
+    """Delete every row whose ``id_col`` is in ``ids`` (a one-column
+    DataFrame — the bounded forget-request list, broadcast into every
+    join) from a hive-partitioned table, rewriting ONLY the affected
+    partitions via the same journaled snapshot-file swap as
+    :func:`compact_table` — the storage half of the right-to-be-
+    forgotten cascade (operators/governance.py is the computation
+    half; this reaches the MAINTAINED derived stores, where "rewrite
+    the table" is not a plan but a file operation).
+
+    Inherits every safety property of the compaction swap, one copy
+    of each: the single-compactor lease (forget and compaction
+    serialize against each other — they share the manifest dir, so a
+    crash in either is converged by the same ``repair_compaction``),
+    manifest-journaled crash-safe swaps (all replacements land before
+    any original is deleted), snapshot-exact deletes (a file a
+    streaming batch publishes between listing and swap is neither
+    read nor deleted), and the in-flight skip — a partition holding
+    an UNCOMMITTED streaming batch's files is left alone and
+    REPORTED in ``skipped_in_flight``: its crash-replay erases by
+    filename prefix, which folding into anonymous files would break.
+    Forget is therefore point-in-time: run it with the table's
+    maintenance stream drained (or re-run after), both because of
+    the skip and because a pending unmarked batch replaying AFTER
+    the forget re-lands whatever rows it carried.  Idempotent — a
+    re-run finds zero affected partitions.
+
+    Scale shape: one broadcast semi-join scan finds the affected
+    partitions and the delete count (row-group stats on ``id_col``
+    prune where the layout allows); each affected partition is then
+    rewritten snapshot-exact with a broadcast anti-join.  Work is
+    (affected partitions' bytes), never table bytes, and the request
+    list is queue-bounded by assumption (same contract as
+    governance_forget_cascade)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.etl_stream import _meta_fs, _par_files
+
+    fs = _meta_fs(spark, root)
+    out = {
+        "table": table,
+        "rows_deleted": 0,
+        "partitions_rewritten": {},
+        "skipped_in_flight": [],
+    }
+    if fs.kind(f"{fs.root}/{table}") != "dir":
+        return out
+    idf = ids.toDF(id_col) if ids.columns != [id_col] else ids
+    hits = (
+        spark.read.parquet(f"{root}/{table}")
+        .join(F.broadcast(idf), id_col, "left_semi")
+        .groupBy(part_col)
+        .count()
+        .collect()
+    )
+    if not hits:
+        return out
+    affected = {str(r[part_col]): int(r["count"]) for r in hits}
+
+    token = _acquire_lease(fs, lease_ttl_sec)
+    try:
+        _repair_locked(fs, _par_files)
+        stats = partition_stats(spark, root, table, part_col)
+        for part, n_rows in affected.items():
+            n_files, total_bytes, names = stats.get(part, (0, 0, []))
+            if not names:
+                continue
+            if _uncommitted_batch_keys(spark, root, names):
+                out["skipped_in_flight"].append(part)
+                continue
+            _renew_lease(fs, token, lease_ttl_sec)
+            key = uuid.uuid4().hex[:12]
+            pdir = f"{fs.root}/{table}/{part_col}={part}"
+            staging = f"{fs.root}/_compact_staging/{key}"
+            want = max(1, math.ceil(total_bytes / target_file_bytes))
+            # snapshot-files read: direct file paths carry the data
+            # columns (id_col among them); the partition column comes
+            # from the directory the replacements move back into
+            (
+                spark.read.parquet(
+                    *[f"{root}/{table}/{part_col}={part}/{n}" for n in names]
+                )
+                .join(F.broadcast(idf), id_col, "left_anti")
+                .repartition(want)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            staged = [
+                p
+                for p in fs.list_files(staging)
+                if not p.rsplit("/", 1)[1].startswith(("_", "."))
+            ]
+            adds = [f"c{key}-{p.rsplit('/', 1)[1]}" for p in staged]
+            try:
+                _renew_lease(fs, token, lease_ttl_sec)
+            except CompactionLeaseHeld:
+                fs.delete_dir(staging)
+                raise
+            fs.mkdirs(f"{fs.root}/_compaction")
+            fs.write_bytes(
+                f"{fs.root}/_compaction/{key}",
+                json.dumps(
+                    {
+                        "table": table,
+                        "part_col": part_col,
+                        "part": part,
+                        "delete": names,
+                        "add": adds,
+                    }
+                ).encode(),
+            )
+            _par_files(
+                lambda pa: fs.move(pa[0], pa[1]),
+                [(p, f"{pdir}/{a}") for p, a in zip(staged, adds)],
+            )
+            _par_files(fs.delete_file, [f"{pdir}/{n}" for n in names])
+            fs.delete_dir(staging)
+            fs.delete_file(f"{fs.root}/_compaction/{key}")
+            out["partitions_rewritten"][part] = len(adds)
+            out["rows_deleted"] += n_rows
+    finally:
+        _release_lease(fs, token)
+    return out

@@ -591,6 +591,109 @@ def compact_recommended(
     }
 
 
+def forget_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    kind: str | None = None,
+    target_file_bytes: int = 8 * 1024 * 1024,
+) -> dict:
+    """Right-to-be-forgotten for the four persisted index families
+    (r14): delete every row belonging to the ids from the index's
+    maintained tables WITHOUT a rebuild — the derived-store half of
+    the governance cascade (operators/governance.py scrubs the fact
+    tables; a deletion request must also reach the stores DERIVED
+    from the deleted content: MinHash bands and shingle sets encode
+    the document's text, PQ codes encode the vector — leaving them
+    behind is retention, not deletion).
+
+    ``ids``: a one-column DataFrame (or a Python list) of doc_ids
+    (minhash) / vec_ids (ANN families) — the bounded request list.
+    ``kind`` is auto-detected from the index layout when omitted.
+
+    Per family, the tables scrubbed (each via
+    ``plans/compaction.py::forget_rows`` — the journaled snapshot
+    swap, so crash/lease/in-flight-batch safety is ONE copy shared
+    with compaction):
+
+    - minhash: ``bands/band=`` postings, the ``shingles/shard=``
+      verify relation, and the ``admissions/gate=`` decision rows
+      whose ``doc_id`` is forgotten.  Decision rows of OTHER docs
+      that carry a forgotten id as ``matched_id`` are kept: they
+      record that some admission matched *something*, reference the
+      id only (no content), and rewriting them would falsify the
+      audit trail — the documented retention choice;
+    - ivf: ``postings/cluster=`` (vec_id membership);
+    - pq: ``codes/shard=`` (the quantized vector IS derived
+      content);
+    - ivfpq: ``codes/cluster=``.
+
+    The index stays live throughout: centroids/codebooks/geometry
+    are untouched (they are corpus-level aggregates, the same
+    residual the batch forget leaves in any trained model), the
+    epoch is NOT bumped (membership-only change — exactly what
+    maintenance appends do), and a standing maintenance stream keeps
+    appending.  Run it with the stream drained or re-run after:
+    partitions holding an uncommitted batch are skipped-and-reported
+    (``skipped_in_flight``), and a pending unmarked batch replaying
+    after the forget re-lands whatever rows it carried (the
+    point-in-time contract of ``forget_rows``).
+
+    Returns the per-table reports plus ``kind``; idempotent."""
+    from ..plans.compaction import forget_rows
+
+    fs = _meta_fs(spark, index_dir)
+    if kind is None:
+        if fs.kind(f"{fs.root}/bands") == "dir":
+            kind = "minhash"
+        elif fs.kind(f"{fs.root}/codes") == "dir":
+            kind = (
+                "ivfpq"
+                if fs.kind(f"{fs.root}/centroids") == "dir"
+                else "pq"
+            )
+        elif fs.kind(f"{fs.root}/postings") == "dir":
+            kind = "ivf"
+        else:
+            raise ValueError(
+                f"forget_from_index: {index_dir} has no recognizable "
+                f"index layout (bands/codes/postings)"
+            )
+    id_col = "doc_id" if kind == "minhash" else "vec_id"
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    tables = {
+        "minhash": [("bands", "band"), ("shingles", "shard"), ("admissions", "gate")],
+        "ivf": [("postings", "cluster")],
+        "pq": [("codes", "shard")],
+        "ivfpq": [("codes", "cluster")],
+    }[kind]
+    report: dict = {"kind": kind, "tables": {}}
+    for table, part_col in tables:
+        if fs.kind(f"{fs.root}/{table}") != "dir":
+            continue  # optional relation (bands-only index, no gate)
+        report["tables"][table] = forget_rows(
+            spark,
+            index_dir,
+            table,
+            ids,
+            id_col,
+            part_col=part_col,
+            target_file_bytes=target_file_bytes,
+        )
+    report["rows_deleted"] = sum(
+        t["rows_deleted"] for t in report["tables"].values()
+    )
+    report["skipped_in_flight"] = {
+        t: r["skipped_in_flight"]
+        for t, r in report["tables"].items()
+        if r["skipped_in_flight"]
+    }
+    return report
+
+
 def run_ivf_maintenance_stream(
     spark: SparkSession,
     vectors_stream: DataFrame,

@@ -521,3 +521,40 @@ def test_repair_rolls_back_pre_r11_manifest_with_dt_key(spark, tmp_path):
     assert pc.compact_table(spark, root, "t", target_file_bytes=10**9) == {
         "2024-01-02": 1
     }
+
+
+def test_compaction_recognizes_suffixed_batch_keys(spark, tmp_path):
+    """r14 fix: the admission gate and the minhash shingle appends
+    publish under SUFFIXED keys (b{lineage}-{batch}-bands / -sh /
+    -adm).  The old prefix regex truncated them to {lineage}-{batch},
+    whose marker never exists, so COMMITTED batches looked in-flight
+    forever and their partitions were silently never compacted.  The
+    key is now everything before '-part-'; an uncommitted suffixed
+    batch still skips."""
+    import os
+
+    root = str(tmp_path)
+    df = spark.range(200).select(
+        F.lit("admit").alias("gate"), F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(8).write.partitionBy("gate").parquet(f"{root}/admissions")
+    pdir = f"{root}/admissions/gate=admit"
+    plain = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    key = "abcdef012345-0-adm"
+    os.rename(f"{pdir}/{plain[0]}", f"{pdir}/b{key}-{plain[0]}")
+
+    # no marker: in-flight, skipped
+    assert (
+        compact_table(
+            spark, root, "admissions", target_file_bytes=10**9,
+            part_col="gate",
+        )
+        == {}
+    )
+    # the SUFFIXED marker commits the batch -> compaction folds it
+    os.makedirs(f"{root}/_batch_commits", exist_ok=True)
+    open(f"{root}/_batch_commits/{key}", "w").close()
+    assert compact_table(
+        spark, root, "admissions", target_file_bytes=10**9, part_col="gate"
+    ) == {"admit": 1}
+    assert spark.read.parquet(f"{root}/admissions").count() == 200
