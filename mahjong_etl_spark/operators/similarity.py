@@ -1820,34 +1820,31 @@ def corpus_ivfpq(spark: SparkSession, sf_dir: str):
     return built
 
 
-def ann_ivfpq_topk(
+def ivfpq_adc_shortlist(
     spark: SparkSession,
     queries_df: DataFrame,
-    corpus_df: DataFrame,
-    k: int = TOPK,
+    index,
     nprobe: int = IVFPQ_NPROBE,
     rerank: int = PQ_RERANK,
-    index=None,
+    exclude_ids=None,
 ) -> DataFrame:
-    """IVFADC ANN: probe each query's ``nprobe`` nearest coarse cells,
-    ADC-score ONLY the probed cells' residual codes, exact-cosine
-    rerank the per-query shortlist.
-
-    On the unit sphere the scored quantity decomposes exactly:
-    q̂·x̂ = q̂·centroid[cell] + q̂·residual ≈ q̂·c + Σ_s ⟨q̂_s, book[s][code_s]⟩
-    — with inner-product scoring the ADC tables are CELL-INDEPENDENT
-    (unlike L2-IVFADC, where each probed cell needs its own table),
-    so one (nq, m, ksub) einsum per query block serves every cell.
-
-    Scale shape — the best of both parents: like IVF, each batch
-    touches only rows whose cell some query probes (≈ nprobe/k of the
-    corpus does real work; the mask is one boolean gather); like PQ,
-    the scored payload is 4 bits a subspace and each batch emits only
-    its local per-query top-``rerank``, so the shuffle is bounded by
-    partitions × nq × rerank no matter the corpus size.  Queries ride
-    the same LOUD PQ_Q_CAP / PQ_Q_BLOCK / PQ_Q_CHUNK bounds as
-    ann_pq_topk, and the same stable composite sort keeps every batch
-    cut deterministic under any partitioning."""
+    """(q_id, neighbor_id, adc) — the IVFADC NOMINATION stage of
+    :func:`ann_ivfpq_topk`, factored out (r14) so the semantic
+    admission gate can score arrivals against the persisted codes
+    WITHOUT the exact-rerank's corpus join: probe each query's
+    ``nprobe`` nearest coarse cells, ADC-score only those cells'
+    residual codes, keep the global per-query top-``rerank`` by
+    (adc desc, neighbor_id asc).  ``adc`` approximates the unit-
+    sphere cosine q̂·x̂, biased by the PQ reconstruction error —
+    callers needing exactness rerank the shortlist against real
+    vectors (ann_ivfpq_topk against its corpus; the gate against the
+    index's persisted vector relation).  ``index`` is the
+    (centroids, codebooks, codes) triple of read_ivfpq_index.
+    ``exclude_ids`` (a bounded Python id collection, broadcast into
+    the scorer) removes neighbors BEFORE the per-partition shortlist
+    cut — the admission stream's replay determinism depends on a
+    crashed attempt's leftover own-batch codes not displacing
+    genuine neighbors past the cut."""
     from functools import reduce
 
     import numpy as np
@@ -1856,13 +1853,15 @@ def ann_ivfpq_topk(
     from pyspark.sql.window import Window
 
     q = with_norm(queries_df)
-    c = with_norm(corpus_df)
-    if index is None:
-        index = ivfpq_build(spark, c)
     cents, books, coded = index
     m, ksub, dsub = books.shape
     n_cells = len(cents)
     nprobe = min(nprobe, n_cells)
+    excl = (
+        np.asarray(sorted(exclude_ids), dtype=np.int64)
+        if exclude_ids
+        else None
+    )
 
     q_rows = (
         q.select("vec_id", "emb_d", "norm").limit(PQ_Q_CAP + 1).collect()
@@ -1894,7 +1893,7 @@ def ann_ivfpq_topk(
 
     def block_shortlist(bc):
         def score_batches(it):
-            qi, tb, qc, pm = bc.value
+            qi, tb, qc, pm, ex = bc.value
             s_idx = np.arange(m)
             for pdf in it:
                 if len(pdf) == 0:
@@ -1902,6 +1901,18 @@ def ann_ivfpq_topk(
                 vids = pdf["vec_id"].to_numpy(dtype=np.int64)
                 cls = pdf["cluster"].to_numpy(dtype=np.int64)
                 cds = np.asarray(list(pdf["code"].values), dtype=np.int64)
+                if ex is not None:
+                    # excluded neighbors leave BEFORE the batch cut:
+                    # a crashed attempt's leftover own-batch codes
+                    # must not displace genuine neighbors past the
+                    # shortlist (the probe_candidates ordering
+                    # argument, replayed here for the ADC plane)
+                    keep_v = ~np.isin(vids, ex)
+                    if not keep_v.any():
+                        continue
+                    vids = vids[keep_v]
+                    cls = cls[keep_v]
+                    cds = cds[keep_v]
                 top = min(len(vids), rerank)
                 # deterministic batch cut (see ann_pq_topk): pre-sort
                 # by neighbor id, stable descending-score sort
@@ -1947,6 +1958,7 @@ def ann_ivfpq_topk(
                     tables[b0 : b0 + PQ_Q_BLOCK],
                     qcent[b0 : b0 + PQ_Q_BLOCK],
                     probe_mask[b0 : b0 + PQ_Q_BLOCK],
+                    excl,
                 )
             )
         )
@@ -1958,11 +1970,52 @@ def ann_ivfpq_topk(
     w0 = Window.partitionBy("q_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
     )
-    cand = (
+    return (
         shortlist.withColumn("r0", F.row_number().over(w0))
         .where(F.col("r0") <= rerank)
-        .select("q_id", "neighbor_id")
+        .select("q_id", "neighbor_id", "adc")
     )
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = TOPK,
+    nprobe: int = IVFPQ_NPROBE,
+    rerank: int = PQ_RERANK,
+    index=None,
+) -> DataFrame:
+    """IVFADC ANN: probe each query's ``nprobe`` nearest coarse cells,
+    ADC-score ONLY the probed cells' residual codes, exact-cosine
+    rerank the per-query shortlist.
+
+    On the unit sphere the scored quantity decomposes exactly:
+    q̂·x̂ = q̂·centroid[cell] + q̂·residual ≈ q̂·c + Σ_s ⟨q̂_s, book[s][code_s]⟩
+    — with inner-product scoring the ADC tables are CELL-INDEPENDENT
+    (unlike L2-IVFADC, where each probed cell needs its own table),
+    so one (nq, m, ksub) einsum per query block serves every cell.
+
+    Scale shape — the best of both parents: like IVF, each batch
+    touches only rows whose cell some query probes (≈ nprobe/k of the
+    corpus does real work; the mask is one boolean gather); like PQ,
+    the scored payload is 4 bits a subspace and each batch emits only
+    its local per-query top-``rerank``, so the shuffle is bounded by
+    partitions × nq × rerank no matter the corpus size.  Queries ride
+    the same LOUD PQ_Q_CAP / PQ_Q_BLOCK / PQ_Q_CHUNK bounds as
+    ann_pq_topk, and the same stable composite sort keeps every batch
+    cut deterministic under any partitioning."""
+    from pyspark.sql.window import Window
+
+    q = with_norm(queries_df)
+    c = with_norm(corpus_df)
+    if index is None:
+        index = ivfpq_build(spark, c)
+    # nomination: the factored ADC shortlist (identical rows to the
+    # pre-r14 inline stage — same blocks, same deterministic cuts)
+    cand = ivfpq_adc_shortlist(
+        spark, queries_df, index, nprobe=nprobe, rerank=rerank
+    ).select("q_id", "neighbor_id")
     qv = q.select(F.col("vec_id").alias("q_id"), "emb_d", "norm").alias("q")
     cv = c.select(
         F.col("vec_id").alias("neighbor_id"), "emb_d", "norm"
@@ -1988,12 +2041,45 @@ def ann_ivfpq_topk(
     )
 
 
+# Hive shards of the optional persisted vector relation
+# ({path}/vectors) — the exact-verify side of the semantic admission
+# gate, the same doc_id-mod layout as the minhash shingle relation.
+VECTOR_SHARDS = 64
+
+
+def _vector_table(vecs: DataFrame) -> DataFrame:
+    return vecs.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(VECTOR_SHARDS))
+        .cast("int")
+        .alias("shard"),
+    )
+
+
+def read_ivfpq_vectors(spark: SparkSession, path: str) -> DataFrame | None:
+    """The persisted exact-verify relation (vec_id, embedding), or
+    ``None`` for an index built without one (the gate then flags on
+    the quantized ADC score, or a caller-supplied verify relation).
+    Self-maintained: the ivfpq maintenance stream and the semantic
+    admission gate append arrivals' rows alongside the codes."""
+    from ..streaming.etl_stream import _meta_fs
+
+    fs = _meta_fs(spark, path)
+    if fs.kind(f"{fs.root}/vectors") != "dir":
+        return None
+    return spark.read.parquet(f"{path}/vectors").select(
+        "vec_id", "embedding"
+    )
+
+
 def write_ivfpq_index(
     spark: SparkSession,
     corpus_df: DataFrame,
     path: str,
     centroids=None,
     books=None,
+    with_vectors: bool = False,
 ) -> None:
     """Persist an IVFADC index: ``{path}/centroids`` + ``{path}/
     codebooks`` (both chunked-binary, exact under round-trip) and
@@ -2008,7 +2094,17 @@ def write_ivfpq_index(
     the mean PQ reconstruction error of the corpus residuals
     (``mean_recon``), because a shift that keeps cell geometry while
     rotating within-cell structure degrades ADC precision without
-    moving the coarse signal (r12 verdict item 5)."""
+    moving the coarse signal (r12 verdict item 5).
+
+    ``with_vectors=True`` (r14) additionally persists the raw
+    ``{path}/vectors`` relation (vec_id, embedding, ``shard =
+    vec_id mod VECTOR_SHARDS``) — the EXACT-verify side of the
+    semantic admission gate (the minhash shingle-relation move,
+    applied to the embedding plane: codes are the compressed serving
+    payload, vectors the uncompressed verify payload).  Off by
+    default: the ANN serve path never needs it and it costs raw
+    corpus storage; the gate falls back to quantized-ADC flagging on
+    an index without it."""
     c = with_norm(corpus_df)
     cn = _unit_corpus(c)
     cents, books, coded = ivfpq_build(
@@ -2016,6 +2112,12 @@ def write_ivfpq_index(
     )
     _write_ndarray(spark, cents, f"{path}/centroids")
     _write_ndarray(spark, books, f"{path}/codebooks")
+    if with_vectors:
+        _vector_table(
+            corpus_df.select("vec_id", "embedding")
+        ).repartition(F.col("shard")).write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(f"{path}/vectors")
     from ..streaming.ann_index_stream import (
         invalidate_centroids,
         reset_drift_ledger,

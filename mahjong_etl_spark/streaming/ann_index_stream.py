@@ -626,7 +626,10 @@ def forget_from_index(
     - ivf: ``postings/cluster=`` (vec_id membership);
     - pq: ``codes/shard=`` (the quantized vector IS derived
       content);
-    - ivfpq: ``codes/cluster=``.
+    - ivfpq: ``codes/cluster=``, plus — when present — the
+      ``vectors/shard=`` raw verify relation (the vector itself)
+      and the semantic gate's ``admissions/gate=`` rows (same
+      doc-own-rows / matched_id-kept policy as minhash).
 
     The index stays live throughout: centroids/codebooks/geometry
     are untouched (they are corpus-level aggregates, the same
@@ -668,7 +671,14 @@ def forget_from_index(
         "minhash": [("bands", "band"), ("shingles", "shard"), ("admissions", "gate")],
         "ivf": [("postings", "cluster")],
         "pq": [("codes", "shard")],
-        "ivfpq": [("codes", "cluster")],
+        # the optional raw-vector verify relation holds the vector
+        # itself and the semantic gate's decision rows reference it —
+        # both go with the codes (skipped when absent)
+        "ivfpq": [
+            ("codes", "cluster"),
+            ("vectors", "shard"),
+            ("admissions", "gate"),
+        ],
     }[kind]
     report: dict = {"kind": kind, "tables": {}}
     for table, part_col in tables:
@@ -911,11 +921,18 @@ def run_ivfpq_maintenance_stream(
     Frozen centroids + frozen books ⇒ deterministic encoding ⇒ the
     maintained code table is BIT-IDENTICAL to a batch
     ``write_ivfpq_index`` over the union corpus with the same
-    components — pinned by tests/test_ann_index_stream.py."""
+    components — pinned by tests/test_ann_index_stream.py.  When the
+    index carries the persisted exact-verify relation
+    (``{index}/vectors``, r14 ``with_vectors=True`` build), arrivals'
+    raw vectors are appended there too under a second ``…-vec``
+    marker — the minhash shingle-append contract on the embedding
+    plane."""
     from pyspark.sql import functions as F  # noqa: F811
 
     bound_epoch = _bind_index_epoch(spark, index_dir, checkpoint_dir)
     lineage = _lineage_id(spark, checkpoint_dir)
+    _vfs = _meta_fs(spark, index_dir)
+    has_vec = _vfs.kind(f"{_vfs.root}/vectors") == "dir"
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.similarity import (
@@ -961,6 +978,21 @@ def run_ivfpq_maintenance_stream(
                 .select("cluster", "vec_id", "code")
             )
             _check_epoch(session, index_dir, bound_epoch)
+            # vectors before codes — the gate's crash-window argument
+            if has_vec:
+                from ..operators.similarity import _vector_table
+
+                publish_batch(
+                    session,
+                    index_dir,
+                    f"{lineage}-{batch_id}-vec",
+                    {
+                        "vectors": _vector_table(
+                            batch_df.select("vec_id", "embedding")
+                        )
+                    },
+                    part_col="shard",
+                )
             publish_batch(
                 session,
                 index_dir,
@@ -1567,6 +1599,482 @@ def run_neardup_admission_stream(
 
     writer = (
         docs_stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# Semantic admission (r14): exact-cosine bar for the verified path —
+# the SemDeDup-style "semantically redundant" threshold; arrivals at
+# or above it against any indexed vector are quarantined.
+SEMANTIC_ADMIT_COSINE = 0.92
+# There is deliberately NO default quantized-score bar: measured on
+# the test corpus, the ADC of an EXACT COPY ranges 0.37-0.75 (median
+# 0.50) while the non-match shortlist p95 sits at ~0.26 — the PQ
+# reconstruction error swamps any fixed margin under a cosine
+# threshold, so ADC is nomination evidence, never a decision.  The
+# gate therefore REQUIRES an exact verify source (the persisted
+# vector relation or verify_vecs); a caller who has calibrated the
+# separation on their own corpus may pass an explicit ``adc_bar``
+# instead (decision: adc >= adc_bar for candidates no vector source
+# can verify).
+# Self-baseline warmup: the semantic drift row rates the batch flag
+# rate against the TRAILING MEDIAN of this lineage's own prior rows
+# (an IVFADC build records no "expected semantic-dup rate" the way
+# the minhash build records its exact-dup rate) — before this many
+# rows exist, the absolute bar alone decides, so a steady high-dup
+# ingest flags during warmup and then goes quiet once its own rate
+# IS the baseline.
+SEMANTIC_DRIFT_WARMUP = 3
+SEMANTIC_DRIFT_MIN_FLAG_RATE = 0.2
+SEMANTIC_DRIFT_FLAG_RATE_RATIO = 2.0
+
+
+def _lineage_trailing_baseline(
+    fs, lineage: str, warmup: int = SEMANTIC_DRIFT_WARMUP
+) -> float | None:
+    """Median ``mean_residual`` of THIS lineage's prior drift rows
+    (file names are ``{lineage}-{batch:012d}.json``, one metadata
+    listing + a handful of tiny reads) — the self-baseline for
+    streams whose index records no build-time rate to compare
+    against.  None until ``warmup`` rows exist."""
+    rows = []
+    for p in _drift_row_files(fs):
+        if not p.rsplit("/", 1)[1].startswith(f"{lineage}-"):
+            continue
+        try:
+            r = json.loads(fs.read_bytes(p).decode())
+        except Exception:
+            continue
+        if r.get("mean_residual") is not None:
+            rows.append((r.get("batch_id") or 0, float(r["mean_residual"])))
+    if len(rows) < warmup:
+        return None
+    vals = sorted(v for _, v in rows)
+    mid = len(vals) // 2
+    return (
+        vals[mid]
+        if len(vals) % 2
+        else (vals[mid - 1] + vals[mid]) / 2.0
+    )
+
+
+def run_semantic_admission_stream(
+    spark: SparkSession,
+    vectors_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    threshold: float = SEMANTIC_ADMIT_COSINE,
+    nprobe: int | None = None,
+    rerank: int | None = None,
+    verify_vecs: DataFrame | None = None,
+    adc_bar: float | None = None,
+    within_batch: bool = False,
+    available_now: bool = True,
+):
+    """Streaming SEMANTIC admission gate over an embedding ingest —
+    the embedding-plane twin of :func:`run_neardup_admission_stream`
+    (r14), completing the admission family: exact/near-dup text
+    (minhash), semantic redundancy (this), token budget
+    (streaming/admission.py).  Per micro-batch of (vec_id, embedding)
+    arrivals against a persisted IVFADC index:
+
+    1. within-batch exact collapse — one rep (min vec_id) per
+       BIT-identical embedding (xxhash64 over the array); copies are
+       quarantined against their rep at cosine exactly 1.0;
+    2. reps probe the index through the factored ADC nomination
+       stage (operators/similarity.py::ivfpq_adc_shortlist — probe
+       the nprobe nearest frozen cells, score ONLY those cells'
+       residual codes, per-query top-``rerank`` shortlist; own-batch
+       ids excluded BEFORE the cut, the replay-determinism ordering
+       of the minhash gate's probe).  Each candidate is then decided
+       by EXACT cosine where a vector source knows the match — the
+       index's persisted ``vectors`` relation (self-maintained, the
+       preferred source), the caller's ``verify_vecs``, or (for
+       within-batch candidates) the batch itself.  At least one
+       exact source is REQUIRED (ValueError otherwise): unlike
+       minhash band hits, the ADC shortlist always nominates
+       top-``rerank`` rows and its quantized score cannot carry a
+       cosine bar (module calibration note: an exact copy's ADC is
+       0.37-0.75 on the test corpus), so nomination never decides.
+       A candidate NO source can verify flags only under a
+       caller-calibrated ``adc_bar`` — and with the persisted
+       relation such a candidate cannot arise from the gate's own
+       operation, because vectors publish BEFORE codes (crash
+       window produces the inert vector-without-code, never a
+       nominating code row without its verify vector);
+    3. ``within_batch=True`` additionally blocks the batch's reps by
+       their top-1 coarse cell and exact-cosines each pair inside a
+       cell — the first occurrence by vec_id admits, later in-batch
+       semantic dups quarantine against it (same-cell blocking is
+       the pair path's trade: a ≥-threshold pair straddling a cell
+       boundary is missed here and caught from the next batch on);
+    4. the CLEAN reps' residual codes join the index through
+       ``publish_batch`` (the SAME frozen-component encode the
+       maintenance stream uses — maintained-equals-rebuilt
+       determinism holds), their raw vectors join the persisted
+       verify relation when the index carries one, and every
+       decision lands in ``{index}/admissions`` (vec_id, adc,
+       matched_id, cosine, admitted, batch_id) partitioned by
+       ``gate=admit/quarantine``.
+
+    Exactly-once: up to three batch-keyed markers (``…-codes``,
+    ``…-vec``, ``…-adm``), each replaying idempotently — the
+    neardup gate's argument verbatim; decisions are deterministic in
+    (batch content, effective index) because own-batch leftovers are
+    excluded from nomination and frozen components make encoding
+    deterministic.  Batch size is bounded by the loud PQ_Q_CAP
+    (131072) of the driver-side ADC tables — size
+    ``maxFilesPerTrigger`` accordingly.
+
+    Drift: one row per batch records the FLAG RATE, rated against
+    the TRAILING MEDIAN of this lineage's own prior rows
+    (``_lineage_trailing_baseline``) — an IVFADC build records no
+    expected semantic-dup rate, so the stream learns its own: a
+    steady 30%-dup ingest flags only during the
+    ``SEMANTIC_DRIFT_WARMUP`` cold-start and then goes quiet, while
+    a genuine surge doubles the trailing median and flags (the r13
+    ADVICE two-bar lesson, without a build-time baseline to lean
+    on)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import (
+        IVFPQ_NPROBE,
+        PQ_RERANK,
+        _assign_clusters,
+        _unit_corpus,
+        _vector_table,
+        cosine_expr,
+        ivfpq_adc_shortlist,
+        pq_encode,
+        with_norm,
+    )
+
+    nprobe = IVFPQ_NPROBE if nprobe is None else nprobe
+    rerank = PQ_RERANK if rerank is None else rerank
+    bound_epoch = _bind_index_epoch(spark, index_dir, checkpoint_dir)
+    lineage = _lineage_id(spark, checkpoint_dir)
+    ifs = _meta_fs(spark, index_dir)
+    has_vec = ifs.kind(f"{ifs.root}/vectors") == "dir"
+    if not has_vec and verify_vecs is None and adc_bar is None:
+        raise ValueError(
+            f"semantic admission: the index at {index_dir} has no "
+            f"persisted vector relation and no verify_vecs was "
+            f"supplied — the ADC shortlist alone cannot DECIDE "
+            f"admission (it always nominates top-{rerank} candidates "
+            f"and the quantized score of even an exact copy is far "
+            f"below the cosine bar — see the module calibration "
+            f"note).  Rebuild with with_vectors=True, pass "
+            f"verify_vecs, or pass an adc_bar you calibrated on "
+            f"your own corpus."
+        )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        from ..session import local_rows_df
+
+        session = batch_df.sparkSession
+        vecs = batch_df.select("vec_id", "embedding").persist()
+        reps = decisions = None
+        try:
+            # 1. within-batch exact collapse (bit-identical arrays)
+            key = F.xxhash64("embedding")
+            groups = vecs.groupBy(key.alias("k")).agg(
+                F.min("vec_id").alias("rep")
+            )
+            members = (
+                vecs.select("vec_id", key.alias("k"))
+                .join(groups, "k")
+                .select("rep", "vec_id")
+            )
+            copies = members.where(
+                F.col("vec_id") != F.col("rep")
+            ).select(
+                "vec_id",
+                F.lit(None).cast("double").alias("adc"),
+                F.col("rep").alias("matched_id"),
+                F.round(F.lit(1.0), 6).alias("cosine"),
+                F.lit(False).alias("admitted"),
+            )
+            reps = vecs.join(
+                members.where(F.col("vec_id") == F.col("rep")).select(
+                    "vec_id"
+                ),
+                "vec_id",
+            ).persist()
+            batch_ids = [r.vec_id for r in reps.select("vec_id").collect()]
+
+            # 2. ADC nomination against the persisted index, own ids
+            # excluded before the shortlist cut
+            cents = _index_centroids(session, index_dir)
+            books = _index_books(session, index_dir)
+            coded = session.read.parquet(f"{index_dir}/codes").select(
+                "cluster", "vec_id", "code"
+            )
+            cand = ivfpq_adc_shortlist(
+                session,
+                reps,
+                (cents, books, coded),
+                nprobe=nprobe,
+                rerank=rerank,
+                exclude_ids=batch_ids,
+            )
+            if within_batch:
+                # 3. same-cell exact-cosine pairs among the reps;
+                # earlier vec_id admits (deterministic, batch-only)
+                assigned = _assign_clusters(with_norm(reps), cents)
+                rn = with_norm(reps).join(
+                    assigned.select("vec_id", "cluster"), "vec_id"
+                ).select("vec_id", "cluster", "emb_d", "norm")
+                a = rn.alias("a")
+                b = rn.alias("b")
+                in_batch = (
+                    a.join(b, F.col("a.cluster") == F.col("b.cluster"))
+                    .where(F.col("b.vec_id") < F.col("a.vec_id"))
+                    .select(
+                        F.col("a.vec_id").alias("q_id"),
+                        F.col("b.vec_id").alias("neighbor_id"),
+                        cosine_expr("a", "b").alias("adc"),
+                    )
+                    .where(F.col("adc") >= F.lit(threshold))
+                )
+                cand = cand.unionByName(in_batch)
+
+            # exact verification in preference order: persisted
+            # vectors -> verify_vecs -> the batch's own reps
+            srcs = []
+            if has_vec:
+                srcs.append(
+                    session.read.parquet(f"{index_dir}/vectors").select(
+                        F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("__emb0"),
+                    )
+                )
+            if verify_vecs is not None:
+                srcs.append(
+                    verify_vecs.select(
+                        F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("__emb1"),
+                    )
+                )
+            if within_batch:
+                srcs.append(
+                    reps.select(
+                        F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("__emb2"),
+                    )
+                )
+            qn = with_norm(reps).select(
+                F.col("vec_id").alias("q_id"), "emb_d", "norm"
+            )
+            jc = cand.join(qn.alias("q"), "q_id")
+            cols = []
+            for s in srcs:
+                cols.append(s.columns[-1])
+                jc = jc.join(s, "neighbor_id", "left")
+            if cols:
+                # b-side prepared EXPLICITLY — with_norm would
+                # short-circuit on the query side's emb_d column and
+                # silently score q against itself
+                emb_b = F.transform(
+                    F.coalesce(*[F.col(c) for c in cols]),
+                    lambda x: x.cast("double"),
+                )
+                norm_b = F.sqrt(
+                    F.aggregate(
+                        emb_b, F.lit(0.0), lambda acc, x: acc + x * x
+                    )
+                )
+                dot = F.aggregate(
+                    F.zip_with(
+                        F.col("emb_d"), emb_b, lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                scored = jc.withColumn(
+                    "__cos", dot / (F.col("norm") * norm_b)
+                )
+            else:
+                scored = jc.withColumn(
+                    "__cos", F.lit(None).cast("double")
+                )
+            # verified candidates decide on the exact cosine at the
+            # bar; unverifiable ones only flag when the caller gave a
+            # calibrated adc_bar (with the persisted relation and the
+            # vectors-before-codes publish order, an unverifiable
+            # candidate cannot arise from the gate's own operation —
+            # only from an incomplete verify_vecs or a legacy index)
+            keep = F.when(
+                F.col("__cos").isNotNull(),
+                F.col("__cos") >= F.lit(threshold),
+            ).otherwise(
+                F.lit(False)
+                if adc_bar is None
+                else F.col("adc") >= F.lit(adc_bar)
+            )
+            flagged = (
+                scored.where(keep)
+                .select(
+                    "q_id",
+                    F.col("neighbor_id").alias("matched_id"),
+                    F.round("adc", 6).alias("adc"),
+                    F.when(
+                        F.col("__cos").isNotNull(),
+                        F.round(F.col("__cos"), 6),
+                    ).cast("double").alias("cosine"),
+                )
+            )
+            wbest = Window.partitionBy("q_id").orderBy(
+                F.desc_nulls_last("cosine"),
+                F.desc_nulls_last("adc"),
+                F.asc("matched_id"),
+            )
+            best = (
+                flagged.withColumn("__r", F.row_number().over(wbest))
+                .where(F.col("__r") == 1)
+                .select("q_id", "matched_id", "adc", "cosine")
+            )
+            rep_decisions = (
+                reps.select("vec_id")
+                .join(
+                    best.withColumnRenamed("q_id", "vec_id"),
+                    "vec_id",
+                    "left",
+                )
+                .select(
+                    "vec_id",
+                    "adc",
+                    "matched_id",
+                    "cosine",
+                    F.col("matched_id").isNull().alias("admitted"),
+                )
+            )
+            decisions = (
+                rep_decisions.unionByName(copies)
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .withColumn(
+                    "gate",
+                    F.when(F.col("admitted"), "admit").otherwise(
+                        "quarantine"
+                    ),
+                )
+                .persist()
+            )
+
+            # 4. publish: clean reps' residual codes (the maintenance
+            # stream's exact encode — frozen components), optional raw
+            # vectors, then the decision table
+            clean = reps.join(
+                decisions.where("admitted").select("vec_id"), "vec_id"
+            )
+            cn = _unit_corpus(with_norm(clean))
+            assigned = _assign_clusters(cn, cents).select(
+                "vec_id", "cluster"
+            )
+            cent_df = local_rows_df(
+                session,
+                [
+                    (int(i), [float(v) for v in cents[i]])
+                    for i in range(len(cents))
+                ],
+                "cluster int, carr array<double>",
+            )
+            res = (
+                cn.join(assigned, "vec_id")
+                .join(F.broadcast(cent_df), "cluster")
+                .select(
+                    "vec_id",
+                    F.zip_with(
+                        "emb_d", "carr", lambda x, c: x - c
+                    ).alias("emb_d"),
+                    F.lit(1.0).alias("norm"),
+                )
+            )
+            coded_out = (
+                pq_encode(res, books)
+                .join(assigned, "vec_id")
+                .select("cluster", "vec_id", "code")
+            )
+            _check_epoch(session, index_dir, bound_epoch)
+            # vectors land BEFORE codes: a code row is what nominates
+            # candidates, so the crash window can only produce the
+            # inert "vector without code", never a code row whose
+            # exact verification is impossible (the minhash
+            # bands-before-shingles argument, direction REVERSED to
+            # match which table drives nomination here)
+            if has_vec:
+                publish_batch(
+                    session,
+                    index_dir,
+                    f"{lineage}-{batch_id}-vec",
+                    {
+                        "vectors": _vector_table(
+                            clean.select("vec_id", "embedding")
+                        )
+                    },
+                    part_col="shard",
+                )
+            publish_batch(
+                session,
+                index_dir,
+                f"{lineage}-{batch_id}-codes",
+                {"codes": coded_out},
+                part_col="cluster",
+            )
+            publish_batch(
+                session,
+                index_dir,
+                f"{lineage}-{batch_id}-adm",
+                {"admissions": decisions},
+                part_col="gate",
+            )
+            (srow,) = decisions.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("admitted"), 0).otherwise(1)).alias(
+                    "flagged"
+                ),
+            ).collect()
+            n = srow.n or 0
+            rate = ((srow.flagged or 0) / n) if n else 0.0
+            base = _lineage_trailing_baseline(ifs, lineage)
+            ratio = (rate / base) if (base and base > 0) else None
+            _append_drift(
+                session,
+                index_dir,
+                {
+                    "batch_id": batch_id,
+                    "n": n,
+                    "cells_touched": None,
+                    "top_cell_share": None,
+                    "mean_residual": round(rate, 6),
+                    "baseline_residual": base,
+                    "residual_ratio": (
+                        round(ratio, 6) if ratio is not None else None
+                    ),
+                    "rebuild_recommended": bool(
+                        n >= DRIFT_MIN_BATCH
+                        and rate > SEMANTIC_DRIFT_MIN_FLAG_RATE
+                        and (
+                            base is None
+                            or base == 0
+                            or rate
+                            > SEMANTIC_DRIFT_FLAG_RATE_RATIO * base
+                        )
+                    ),
+                },
+                lineage=lineage,
+            )
+        finally:
+            vecs.unpersist()
+            if reps is not None:
+                reps.unpersist()
+            if decisions is not None:
+                decisions.unpersist()
+
+    writer = (
+        vectors_stream.writeStream.foreachBatch(gate)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
