@@ -45,9 +45,15 @@ COMBINED_SIG_SQL = """(
   + (SELECT CAST(round(sum(value) * 100) AS BIGINT) FROM events)
   + (SELECT count(*) FROM lineitem)
   + (SELECT count(*) FROM embeddings)
-  + (SELECT CAST(sum(CAST(round(embedding[1] * 1000000) AS BIGINT)) AS BIGINT)
+  + (SELECT CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000)
+                          AS BIGINT)) AS BIGINT)
      FROM embeddings)
 )"""
+# ^ the DOUBLE cast on the embedding term is load-bearing (r14, same
+# fix as classifier._SIG_SQL): Spark promotes float*int to double,
+# DuckDB multiplied in float32, and a handful of sf0.1 values round
+# apart across that precision line.  Spark-side combined_sig is
+# untouched — committed goldens keep their keys.
 
 
 def combined_sig(spark: SparkSession, sf_dir: str) -> int:

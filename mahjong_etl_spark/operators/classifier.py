@@ -144,9 +144,17 @@ def corpus_classifier(spark: SparkSession, sf_dir: str) -> np.ndarray:
 
 
 _SIG_SQL = """(SELECT CAST(count(*)
-                      + sum(CAST(round(embedding[1] * 1000000) AS BIGINT))
+                      + sum(CAST(round(CAST(embedding[1] AS DOUBLE)
+                                       * 1000000) AS BIGINT))
                       AS BIGINT)
                FROM embeddings)"""
+# ^ the DOUBLE cast is load-bearing (r14): Spark promotes float*int
+# to double, DuckDB multiplies in float32 — without it the two
+# engines round a handful of boundary values apart at sf0.1
+# (1532821 vs 1532817; they happen to agree at sf0.001/0.01, which
+# is why every driver board was green while the divergence sat
+# latent).  Spark-side corpus_sig is untouched, so every committed
+# golden keeps its key.
 
 
 def corpus_sig(spark: SparkSession, sf_dir: str) -> int:

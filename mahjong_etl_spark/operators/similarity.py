@@ -48,6 +48,9 @@ def _ann_golden_oracle(key: str) -> str:
 
 TOPK = 5
 N_QUERIES_PRED = "vec_id < 5"
+# arrival-set size for the semantic-admission batch twin: wide enough
+# that both decisions occur at every committed sf
+N_ARRIVALS = 25
 LSH_TABLES = 8
 LSH_BITS = 4
 MULTIPROBE_RADIUS = 1
@@ -2273,6 +2276,98 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         TOPK,
         index=corpus_ivfpq(spark, sf_dir),
+    )
+
+
+# Batch twin of the streaming semantic admission gate.  The redundancy
+# bar is sf-calibrated: the synthetic corpus's planted near-dup scale
+# tops out at cosine ~0.51 (max pair) with a ~0.37 median row-max, so
+# 0.4 separates "has a planted semantic neighbor" from ambient (the
+# dedup_embedding_cosine threshold); the production gate default
+# (SEMANTIC_ADMIT_COSINE = 0.92, the SemDeDup bar) sits above this
+# corpus's entire spectrum and would admit everything.
+SEM_ADMIT_T = 0.4
+
+
+def _semadm_golden_oracle() -> str:
+    return f"""
+    SELECT vec_id, matched_id, cosine, admitted
+    FROM read_parquet('{_GOLDEN_DIR}/semantic_admission_golden.parquet')
+    WHERE corpus_sig = {_SIG_SQL}
+    """
+
+
+@query(
+    "similarity_semantic_admission", oracle=_semadm_golden_oracle()
+)
+def similarity_semantic_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of the streaming semantic admission gate
+    (streaming/ann_index_stream.py::run_semantic_admission_stream):
+    would each arrival be ADMITTED against an IVFADC-indexed corpus?
+
+    Arrivals are the standard probe set (vec_id < 25); the corpus is
+    every other vector.  Decision path = the gate's, stage for stage:
+    ADC nomination through the factored ``ivfpq_adc_shortlist``
+    (probed cells only, per-query top-``rerank``, deterministic cuts)
+    over the session index's codes RESTRICTED to the corpus slice,
+    then exact-cosine verification of every nominated candidate, then
+    top-1 by (cosine desc, matched_id) at the ``SEM_ADMIT_T`` bar —
+    ADC nominates, never decides.  Approximate in recall (a >=bar
+    neighbor outside every probed cell is missed), exact in bytes
+    (fixed-point training, stable cuts), so the oracle is a committed
+    corpus_sig-keyed golden of its own output
+    (tests/regen_ann_goldens.py); decision agreement vs the
+    brute-force verdict is pinned separately in
+    tests/test_semantic_admission.py."""
+    from pyspark.sql.window import Window
+
+    e = corpus_embeddings(spark, sf_dir)
+    arrivals = e.where(f"vec_id < {N_ARRIVALS}")
+    cents, books, coded = corpus_ivfpq(spark, sf_dir)
+    cand = ivfpq_adc_shortlist(
+        spark,
+        arrivals,
+        (cents, books, coded.where(F.col("vec_id") >= N_ARRIVALS)),
+    )
+    a = e.select(F.col("vec_id").alias("q_id"), "emb_d", "norm").alias(
+        "a"
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"), "emb_d", "norm"
+    ).alias("b")
+    scored = (
+        cand.join(a, "q_id")
+        .join(b, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            cosine_expr("a", "b").alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(SEM_ADMIT_T))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    best = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("neighbor_id").alias("matched_id"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+    return (
+        arrivals.select("vec_id")
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            "matched_id",
+            "cosine",
+            F.col("matched_id").isNull().alias("admitted"),
+        )
     )
 
 

@@ -111,6 +111,11 @@ _CHECK_WINDOW_HEAD = [
     "similarity_ann_ivf_persisted",
     "similarity_ann_pq_persisted",
     "similarity_ann_ivfpq_persisted",
+    # NEW in r14 (never checked — the invariant puts it in the head;
+    # top_customers displaced to the tail front per the bottom-
+    # displacement rule): the semantic-admission batch twin over the
+    # factored ADC nomination stage
+    "similarity_semantic_admission",
     # the declared r14 queue: the eleven r9-floor queries — their
     # board rows raise the evidence floor to r10
     "orc_roundtrip_stats",
@@ -158,14 +163,16 @@ _CHECK_WINDOW_HEAD = [
     "q18_large_orders",
     "q4_order_priority",
     "q7_volume_shipping",
-    "top_customers",
 ]
 
 _CHECK_WINDOW_TAIL = [
     # r10-cohort members displaced by the r14 changed-code slots —
     # they lead the r15 queue (evidence r10), followed by the r11
     # cohort (the next section), then r12, then the r13-last-green
-    # cohort (the freshest evidence, rotates last)
+    # cohort (the freshest evidence, rotates last).  top_customers
+    # was displaced mid-round by the similarity_semantic_admission
+    # head insertion (bottom-displacement rule) and leads.
+    "top_customers",
     "corpus_canonical_docs",
     "corpus_decontaminate",
     "corpus_global_shuffle",

@@ -16,7 +16,11 @@ the corpora:
 
     python tests/regen_ann_goldens.py [sf_dir ...]
 
-Writes tests/fixtures/ann_{lsh,ivf,pq,ivfpq}_golden.parquet; commit them.
+Writes tests/fixtures/ann_{lsh,ivf,pq,ivfpq}_golden.parquet plus
+semantic_admission_golden.parquet (the ADC-nominated admission batch
+twin — same exact-in-bytes argument; its decision agreement vs the
+brute-force verdict is pinned in tests/test_semantic_admission.py);
+commit them.
 """
 
 from __future__ import annotations
@@ -43,29 +47,42 @@ def main(sf_dirs: list[str]) -> None:
         similarity_ann_ivfpq,
         similarity_ann_lsh,
         similarity_ann_pq,
+        similarity_semantic_admission,
     )
     from mahjong_etl_spark.session import get_spark
 
     spark = get_spark("regen-ann-goldens")
-    out = {"lsh": [], "ivf": [], "pq": [], "ivfpq": []}
+    out = {"lsh": [], "ivf": [], "pq": [], "ivfpq": [], "semadm": []}
     fns = {
         "lsh": similarity_ann_lsh,
         "ivf": similarity_ann_ivf,
         "pq": similarity_ann_pq,
         "ivfpq": similarity_ann_ivfpq,
+        "semadm": similarity_semantic_admission,
     }
+    files = {
+        key: f"ann_{key}_golden.parquet"
+        for key in ("lsh", "ivf", "pq", "ivfpq")
+    }
+    files["semadm"] = "semantic_admission_golden.parquet"
     for sf_dir in sf_dirs:
         sig = corpus_sig(spark, sf_dir)
         for key, fn in fns.items():
             pdf = fn(spark, sf_dir).toPandas()
+            if key == "semadm":
+                # admitted rows carry NULL matched_id; pandas widens
+                # nullable int64 to float64, which would stringify
+                # '137.0' against Spark's '137' in the driver's
+                # canon hash — keep the parquet type BIGINT
+                pdf["matched_id"] = pdf["matched_id"].astype("Int64")
             pdf["corpus_sig"] = sig
             out[key].append(pdf)
             print(f"{sf_dir} {key}: {len(pdf)} rows (corpus_sig={sig})")
     for key, frames in out.items():
         pd.concat(frames, ignore_index=True).to_parquet(
-            os.path.join(FIXTURES, f"ann_{key}_golden.parquet"), index=False
+            os.path.join(FIXTURES, files[key]), index=False
         )
-    print("wrote ann_{lsh,ivf,pq}_golden.parquet")
+    print("wrote " + ", ".join(sorted(files.values())))
 
 
 if __name__ == "__main__":

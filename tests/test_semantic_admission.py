@@ -357,6 +357,194 @@ def test_ivfpq_maintained_vectors_match_rebuild(spark, sf_dir, tmp_path):
     assert read_ivfpq_vectors(spark, bare) is None
 
 
+def test_batch_twin_decisions_agree_with_brute_force(spark, sf_dir):
+    """similarity_semantic_admission (the registry batch twin, ADC-
+    nominated + exact-verified) against the brute-force verdict: at
+    the default test sf the ADC shortlist recalls every >=bar
+    neighbor, so admitted flags must be IDENTICAL; at larger sfs
+    recall < 1 is the documented ANN trade (measured 21/25 at sf0.1)
+    and the bar is >= 0.8 agreement.  Every quarantine row's cosine
+    must be the exact cosine of (arrival, matched) regardless — the
+    golden oracle pins bytes, this pins decision quality (the
+    regen-ann-goldens contract: a regenerated golden cannot hide a
+    recall break)."""
+    import numpy as np
+
+    from mahjong_etl_spark.operators.similarity import (
+        N_ARRIVALS,
+        SEM_ADMIT_T,
+        similarity_semantic_admission,
+    )
+
+    got = {
+        r.vec_id: r
+        for r in similarity_semantic_admission(spark, sf_dir).collect()
+    }
+    rows = sorted(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in rows])
+    E = np.array([[float(x) for x in r.embedding] for r in rows])
+    U = E / np.linalg.norm(E, axis=1, keepdims=True)
+    A, C = U[ids < N_ARRIVALS], U[ids >= N_ARRIVALS]
+    cids = ids[ids >= N_ARRIVALS]
+    cos = A @ C.T
+    assert set(got) == set(ids[ids < N_ARRIVALS].tolist())
+    n_q = agree = 0
+    for i, vid in enumerate(ids[ids < N_ARRIVALS]):
+        r = got[int(vid)]
+        want_admit = bool(cos[i].max() < SEM_ADMIT_T)
+        agree += r.admitted == want_admit
+        # a quarantine can only ever be a TRUE >=bar pair (exact
+        # verify), recall losses only ever admit
+        if not r.admitted:
+            n_q += 1
+            j = int(np.where(cids == r.matched_id)[0][0])
+            assert abs(r.cosine - cos[i, j]) < 1e-5
+            assert r.cosine >= SEM_ADMIT_T
+    n = len(A)
+    if sf_dir.rstrip("/").endswith("sf0.001"):
+        assert agree == n, f"{agree}/{n}"
+    else:
+        assert agree >= 0.8 * n, f"{agree}/{n}"
+    assert n_q > 0  # both decisions occur at every committed sf
+
+
+def test_cli_ivfpq_with_vectors_build_and_compact(
+    spark, sf_dir, tmp_path, capsys
+):
+    """`index --kind ivfpq --with-vectors` builds the verify relation,
+    and `--compact` folds the per-batch vector/admission files beside
+    the codes; the flag on a non-ivfpq kind refuses."""
+    from mahjong_etl_spark.cli import main
+
+    base = str(tmp_path / "base_vecs")
+    _vecs(spark, sf_dir).write.parquet(base)
+    index_dir = str(tmp_path / "pq")
+
+    rc = main(
+        ["index", "--kind", "minhash", "-I", index_dir, "-V", base,
+         "--with-vectors"]
+    )
+    assert rc == 2
+    assert "only to --kind ivfpq" in capsys.readouterr().err
+
+    rc = main(
+        ["index", "--kind", "ivfpq", "-I", index_dir, "-V", base,
+         "--with-vectors"]
+    )
+    assert rc == 0
+    assert "built IVFPQ index" in capsys.readouterr().out
+    n_base = spark.read.parquet(f"{index_dir}/vectors").count()
+    assert n_base == spark.read.parquet(base).count()
+
+    # gate a batch through so vectors/admissions accumulate batch files
+    vecs = _vecs(spark, sf_dir)
+    (v4,) = vecs.where("vec_id = 4").collect()
+    b1 = spark.createDataFrame(
+        [(10_001, _emb(v4)), (10_002, [-x for x in _emb(v4)])], VEC_SCHEMA
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _stage(b1, tmp_path, drop, "b1", 1_000)
+    _drain(spark, drop, index_dir, tmp_path / "ckpt")
+    n_vec = spark.read.parquet(f"{index_dir}/vectors").count()
+    n_adm = spark.read.parquet(f"{index_dir}/admissions").count()
+    assert n_vec == n_base + 1 and n_adm == 2
+
+    rc = main(["index", "--kind", "ivfpq", "-I", index_dir, "--compact"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"{n_vec} vectors" in out
+    assert f"{n_adm} admissions" in out
+    assert spark.read.parquet(f"{index_dir}/vectors").count() == n_vec
+    assert spark.read.parquet(f"{index_dir}/admissions").count() == n_adm
+    adm = _adm(spark, index_dir)
+    assert adm[10_001].admitted is False and adm[10_002].admitted is True
+
+
+def test_cli_gate_verb_both_kinds(spark, sf_dir, tmp_path, capsys):
+    """`gate --kind semantic|minhash` drains an arrival drop through
+    the matching admission stream and prints the decision + drift
+    summary; --adc-bar on minhash refuses; an unverifiable semantic
+    config surfaces the gate's ValueError as exit 2."""
+    from mahjong_etl_spark.cli import main
+    from mahjong_etl_spark.operators.minhash_index import (
+        write_minhash_index,
+    )
+
+    vecs = _vecs(spark, sf_dir)
+    sidx = str(tmp_path / "pq")
+    write_ivfpq_index(spark, vecs, sidx, with_vectors=True)
+    (v6,) = vecs.where("vec_id = 6").collect()
+    sdrop = tmp_path / "sdrop"
+    sdrop.mkdir()
+    _stage(
+        spark.createDataFrame(
+            [(10_001, _emb(v6)), (10_002, [-x for x in _emb(v6)])],
+            VEC_SCHEMA,
+        ),
+        tmp_path, sdrop, "b1", 1_000,
+    )
+    rc = main(
+        ["gate", "--kind", "minhash", "-I", sidx, "-A", str(sdrop),
+         "-C", str(tmp_path / "ck0"), "--adc-bar", "0.3"]
+    )
+    assert rc == 2
+    assert "only to --kind semantic" in capsys.readouterr().err
+
+    rc = main(
+        ["gate", "--kind", "semantic", "-I", sidx, "-A", str(sdrop),
+         "-C", str(tmp_path / "ck1")]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "2 decisions on record, 1 quarantined (50.0%)" in out
+    assert "rebuild recommended:" in out
+    adm = _adm(spark, sidx)
+    assert not adm[10_001].admitted and adm[10_002].admitted
+
+    # a vectors-less index with neither threshold nor adc_bar refuses
+    bare = str(tmp_path / "bare")
+    write_ivfpq_index(spark, vecs, bare)
+    rc = main(
+        ["gate", "--kind", "semantic", "-I", bare, "-A", str(sdrop),
+         "-C", str(tmp_path / "ck2")]
+    )
+    assert rc == 2
+    assert "no persisted vector relation" in capsys.readouterr().err
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    midx = str(tmp_path / "mh")
+    write_minhash_index(spark, docs, midx)
+    (d0,) = docs.where("doc_id = 0").collect()
+    mdrop = tmp_path / "mdrop"
+    mdrop.mkdir()
+    _stage(
+        spark.createDataFrame(
+            [(900_001, d0.text), (900_002, "a genuinely novel text " * 8)],
+            "doc_id long, text string",
+        ),
+        tmp_path, mdrop, "b1", 1_000,
+    )
+    rc = main(
+        ["gate", "--kind", "minhash", "-I", midx, "-A", str(mdrop),
+         "-C", str(tmp_path / "ck3")]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "2 decisions on record, 1 quarantined (50.0%)" in out
+    madm = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{midx}/admissions").collect()
+    }
+    assert not madm[900_001].admitted and madm[900_001].matched_id == 0
+    assert madm[900_002].admitted
+
+
 def test_forget_reaches_semantic_gate_tables(spark, sf_dir, tmp_path):
     """forget_from_index on an ivfpq index with the verify relation
     and admissions scrubs codes + vectors + the doc's own admission
