@@ -195,22 +195,27 @@ def cmd_index(args: argparse.Namespace) -> int:
             f"compacted {len(rewritten)} {rows_part} partitions at "
             f"{args.index_dir}: {n} {rows_tbl}"
         )
-        # the minhash verify relation accumulates per-batch files the
-        # same way the bands do — fold it in the same pass (r14)
+        # the verify relations (minhash shingles, ivfpq raw vectors)
+        # and the admission gates' decision tables accumulate
+        # per-batch files exactly like the postings — fold whichever
+        # exist in the same pass (r14)
         cfs = _meta_fs(spark, args.index_dir)
-        if (
-            args.kind == "minhash"
-            and cfs.kind(f"{cfs.root}/shingles") == "dir"
-        ):
-            sh_rewritten = compact_table(
-                spark, args.index_dir, "shingles", part_col="shard"
+        aux = {
+            "minhash": [("shingles", "shard"), ("admissions", "gate")],
+            "ivfpq": [("vectors", "shard"), ("admissions", "gate")],
+        }.get(args.kind, [])
+        for aux_tbl, aux_part in aux:
+            if cfs.kind(f"{cfs.root}/{aux_tbl}") != "dir":
+                continue
+            aux_rewritten = compact_table(
+                spark, args.index_dir, aux_tbl, part_col=aux_part
             )
-            n_sh = spark.read.parquet(
-                f"{args.index_dir}/shingles"
+            n_aux = spark.read.parquet(
+                f"{args.index_dir}/{aux_tbl}"
             ).count()
             print(
-                f"compacted {len(sh_rewritten)} shard partitions at "
-                f"{args.index_dir}: {n_sh} shingles"
+                f"compacted {len(aux_rewritten)} {aux_part} partitions "
+                f"at {args.index_dir}: {n_aux} {aux_tbl}"
             )
         return 0
     if args.maintain is None:
@@ -220,11 +225,20 @@ def cmd_index(args: argparse.Namespace) -> int:
             write_pq_index,
         )
 
+        if args.with_vectors and args.kind != "ivfpq":
+            print(
+                "index: --with-vectors applies only to --kind ivfpq",
+                file=sys.stderr,
+            )
+            return 2
         vecs = spark.read.parquet(args.vectors)
         if args.kind == "pq":
             write_pq_index(spark, vecs, args.index_dir)
         elif args.kind == "ivfpq":
-            write_ivfpq_index(spark, vecs, args.index_dir)
+            write_ivfpq_index(
+                spark, vecs, args.index_dir,
+                with_vectors=args.with_vectors,
+            )
         elif args.kind == "minhash":
             from .operators.minhash_index import write_minhash_index
 
@@ -326,6 +340,87 @@ def cmd_index(args: argparse.Namespace) -> int:
         f"{rows_part} partitions (max {comp['max_partition_files']}/part, "
         f"knee {comp['knee']}) -> "
         f"compact recommended: {comp['compact_recommended']}"
+    )
+    return 0
+
+
+def cmd_gate(args: argparse.Namespace) -> int:
+    """Run a streaming admission gate over a persisted index — the
+    CLI face of the admission family (r13/r14): ``--kind minhash``
+    routes (doc_id, text) arrivals through the near-dup gate against
+    a band index; ``--kind semantic`` routes (vec_id, embedding)
+    arrivals through the semantic gate against an IVFADC index built
+    ``--with-vectors`` (or pass --adc-bar for a calibrated
+    quantized-score decision on a vectors-less index).  Decisions
+    land in {index}/admissions partitioned by gate=admit/quarantine;
+    clean arrivals' bands/codes (and vectors) join the index, so the
+    gate is self-maintaining."""
+    if args.adc_bar is not None and args.kind != "semantic":
+        print("gate: --adc-bar applies only to --kind semantic",
+              file=sys.stderr)
+        return 2
+    from .streaming.ann_index_stream import (
+        run_neardup_admission_stream,
+        run_semantic_admission_stream,
+    )
+
+    spark = _spark("mahjong-gate")
+    if args.schema is not None:
+        schema = args.schema
+    else:
+        try:
+            schema = spark.read.parquet(args.arrivals).schema
+        except Exception:
+            print(
+                f"gate: cannot infer a schema from {args.arrivals} "
+                f"(empty?) — pass --schema",
+                file=sys.stderr,
+            )
+            return 2
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .parquet(args.arrivals)
+    )
+    kw: dict = {"within_batch": args.within_batch}
+    if args.threshold is not None:
+        kw["threshold"] = args.threshold
+    if args.adc_bar is not None:
+        kw["adc_bar"] = args.adc_bar
+    runner = (
+        run_neardup_admission_stream
+        if args.kind == "minhash"
+        else run_semantic_admission_stream
+    )
+    try:
+        q = runner(
+            spark, stream, args.index_dir, args.checkpoint,
+            available_now=not args.follow, **kw,
+        )
+    except ValueError as e:
+        print(f"gate: {e}", file=sys.stderr)
+        return 2
+    if args.follow:
+        print("admission gate running; ctrl-c to stop")
+        q.awaitTermination()
+        return 0
+    q.awaitTermination()
+    q.stop()
+    adm = spark.read.parquet(f"{args.index_dir}/admissions")
+    n = adm.count()
+    nq = adm.where("NOT admitted").count()
+    print(
+        f"gated arrivals at {args.index_dir}: {n} decisions on record, "
+        f"{nq} quarantined ({nq / max(n, 1):.1%})"
+    )
+    from .streaming.ann_index_stream import rebuild_recommended
+
+    drift = rebuild_recommended(spark, args.index_dir)
+    last = drift.get("last") or {}
+    print(
+        f"drift: {drift['flagged']}/{drift['batches']} batches flagged; "
+        f"last batch flag-rate ratio={last.get('residual_ratio')} -> "
+        f"rebuild recommended: {drift['rebuild_recommended']}"
     )
     return 0
 
@@ -611,6 +706,13 @@ def build_parser() -> argparse.ArgumentParser:
         "cascade; exits 3 if in-flight streaming partitions had to "
         "be skipped (drain and re-run)",
     )
+    ix.add_argument(
+        "--with-vectors", action="store_true",
+        help="(--kind ivfpq builds only) also persist the raw "
+        "{index}/vectors relation — the exact-verify side of the "
+        "semantic admission gate; costs raw corpus storage, off by "
+        "default",
+    )
     ix.add_argument("--clusters", type=int, default=16)
     ix.add_argument(
         "--kind", choices=["ivf", "pq", "ivfpq", "minhash"],
@@ -629,6 +731,49 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep maintaining as new files land (default: drain once)",
     )
     ix.set_defaults(fn=cmd_index)
+
+    ga = sub.add_parser(
+        "gate",
+        help="run a streaming admission gate (near-dup or semantic) "
+        "over a persisted index",
+    )
+    ga.add_argument("-I", "--index-dir", required=True)
+    ga.add_argument(
+        "-A", "--arrivals", required=True,
+        help="parquet drop dir of arrivals: (doc_id, text) for "
+        "--kind minhash, (vec_id, embedding) for --kind semantic",
+    )
+    ga.add_argument("-C", "--checkpoint", required=True)
+    ga.add_argument(
+        "--kind", choices=["minhash", "semantic"], default="minhash",
+    )
+    ga.add_argument(
+        "-s", "--schema", default=None,
+        help="drop-file schema DDL (default: inferred from files "
+        "already in the drop dir)",
+    )
+    ga.add_argument(
+        "--threshold", type=float, default=None,
+        help="exact-similarity bar (Jaccard for minhash — needs the "
+        "index's persisted shingle relation; cosine for semantic, "
+        "default 0.92)",
+    )
+    ga.add_argument(
+        "--within-batch", action="store_true",
+        help="also flag near-dups arriving in the SAME micro-batch "
+        "(first occurrence admits)",
+    )
+    ga.add_argument(
+        "--adc-bar", type=float, default=None,
+        help="(--kind semantic) calibrated quantized-score bar for "
+        "candidates no vector source can verify",
+    )
+    ga.add_argument("--max-files-per-trigger", type=int, default=16)
+    ga.add_argument(
+        "--follow", action="store_true",
+        help="keep gating as new files land (default: drain once)",
+    )
+    ga.set_defaults(fn=cmd_gate)
 
     sq = sub.add_parser("sql", help="Spark SQL over the written tables")
     sq.add_argument("-D", "--data-dir", required=True)

@@ -283,6 +283,154 @@ def main(base: str, out_json: str, copies: int = 10, probes=None) -> int:
             json.dump(results, f, indent=2)
         return 0
 
+    if probes and probes == ["semantic_gate"]:
+        # Semantic-gate drain throughput (r14): the embedding-plane
+        # admission gate against a {copies}x-sized IVFADC index —
+        # same shape as the neardup_gate probe (10k arrivals, half
+        # fresh seeded gaussians / half exact copies of indexed
+        # vectors, 4 AvailableNow micro-batches).  The work to watch:
+        # per batch, the ADC nomination scans the codes table once
+        # (corpus-linear scan, batch-bounded driver tables) and the
+        # exact verify joins <= rerank candidates/query against the
+        # persisted vector relation's matched shards — no term grows
+        # faster than the index itself.  Modes: persisted-vector
+        # verify (the default decision path), + within_batch
+        # self-pairs, and adc_bar over a vectors-less copy of the
+        # same index (the calibrated-bar escape hatch: nomination
+        # scan only, no verify join).
+        import shutil as _shutil
+
+        import numpy as _np
+        from pyspark.sql import functions as F
+
+        from mahjong_etl_spark.operators.similarity import (
+            write_ivfpq_index,
+        )
+        from mahjong_etl_spark.streaming.ann_index_stream import (
+            run_semantic_admission_stream,
+        )
+
+        escratch = f"/tmp/scale_probe_embs_{copies}x"
+        if not os.path.exists(f"{escratch}/embeddings.parquet"):
+            os.makedirs(escratch, exist_ok=True)
+            e = spark.read.parquet(f"{base}/embeddings.parquet").select(
+                "vec_id",
+                F.expr(
+                    "transform(embedding, x -> cast(x AS double))"
+                ).alias("embedding"),
+            )
+            parts = [
+                e.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * 1_000_000)
+                )
+                for i in range(copies)
+            ]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionAll(p)
+            u.repartition(32).write.mode("overwrite").parquet(
+                f"{escratch}/embeddings.parquet"
+            )
+        vecs = spark.read.parquet(f"{escratch}/embeddings.parquet")
+        n_vecs = vecs.count()
+        index0 = f"{escratch}/pq_index"
+        t0 = time.time()
+        if not os.path.exists(f"{index0}/codes"):
+            write_ivfpq_index(spark, vecs, index0, with_vectors=True)
+            results["semantic_index_build"] = {
+                "n_vecs": n_vecs,
+                "t_sec": round(time.time() - t0, 3),
+            }
+        n_arr = 10_000
+        drop = f"{escratch}/arrivals"
+        if not os.path.exists(drop):
+            dim = len(vecs.select("embedding").first().embedding)
+            rng = _np.random.default_rng(7)
+            fresh_rows = [
+                (
+                    int(900_000_000 + i),
+                    [float(x) for x in rng.standard_normal(dim)],
+                )
+                for i in range(n_arr // 2)
+            ]
+            fresh = spark.createDataFrame(
+                fresh_rows, "vec_id long, embedding array<double>"
+            )
+            dup = (
+                vecs.orderBy("vec_id")
+                .limit(n_arr // 2)
+                .select(
+                    (F.col("vec_id") + 800_000_000).alias("vec_id"),
+                    "embedding",
+                )
+            )
+            fresh.unionByName(dup).repartition(4).write.mode(
+                "overwrite"
+            ).parquet(drop)
+
+        drop1 = f"{escratch}/arrivals_1file"
+        if not os.path.exists(drop1):
+            spark.read.parquet(drop).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(drop1)
+
+        def sdrain(
+            mode_kw: dict, tag: str, strip_vectors=False, src=None
+        ) -> None:
+            idx = f"{escratch}/pq_{tag}"
+            if os.path.exists(idx):
+                _shutil.rmtree(idx)
+            _shutil.copytree(index0, idx)
+            if strip_vectors:
+                _shutil.rmtree(f"{idx}/vectors")
+            ckpt = f"{escratch}/ckpt_{tag}"
+            if os.path.exists(ckpt):
+                _shutil.rmtree(ckpt)
+            stream = (
+                spark.readStream.schema(
+                    "vec_id long, embedding array<double>"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src or drop)
+            )
+            t0 = time.time()
+            q = run_semantic_admission_stream(
+                spark, stream, idx, ckpt, **mode_kw
+            )
+            ok = q.awaitTermination(1800)
+            q.stop()
+            wall = time.time() - t0
+            adm = spark.read.parquet(f"{idx}/admissions")
+            na = adm.count()
+            nq = adm.where("NOT admitted").count()
+            results[f"semantic_gate_{tag}"] = {
+                "n_vecs_index": n_vecs,
+                "n_arrivals": na,
+                "n_batches": 1 if src else 4,
+                "wall_sec": round(wall, 3),
+                "arrivals_per_sec": round(na / wall, 1),
+                "flag_rate": round(nq / na, 4) if na else None,
+                "drained": bool(ok),
+            }
+            print(
+                f"semantic_gate_{tag:12} {na} arrivals vs {n_vecs}-vec "
+                f"index: {wall:7.2f}s  {na / wall:7.1f}/s  "
+                f"flag_rate={nq / max(na, 1):.3f}",
+                flush=True,
+            )
+
+        sdrain({}, "verify")
+        sdrain({"within_batch": True}, "withinbatch")
+        sdrain({"adc_bar": 0.3}, "adcbar", strip_vectors=True)
+        # amortization check: per-batch cost is scan-dominated (one
+        # codes pass + publishes), so one 10k-arrival batch should
+        # beat 4x 2.5k batches on arrivals/s
+        sdrain({}, "verify_1batch", src=drop1)
+        results["load_run_end"] = [round(x, 2) for x in os.getloadavg()]
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=2)
+        return 0
+
     for name in probes or PROBES:
         # warm both paths once (JIT/IO cache), then measure
         t1, rss1 = time_query(reg, name, spark, base)
