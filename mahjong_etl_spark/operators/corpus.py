@@ -1215,12 +1215,29 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     base = d.select("doc_id", "source", ws.alias("ws"))
-    s1 = base.where(F.size("ws") >= FUNNEL_MIN_WORDS)
-    s2 = s1.where(
+    # r14: the two row-local gates become FLAGS computed in one pass,
+    # so the three leading funnel counters (all / min_words /
+    # repetition) come out of ONE whole-row aggregate instead of three
+    # separate scan+count subtrees — the before-plan scanned the
+    # corpus five times for five counters (plans/r14/
+    # corpus_pipeline_funnel_before.txt: 21 exchanges).  The chunk-
+    # dedup and quota stages still run over the survivor relation
+    # exactly as before; their two counters collapse the same way.
+    p1 = F.size("ws") >= FUNNEL_MIN_WORDS
+    p2 = (
         F.lit(1.0)
         - F.size(F.array_distinct("ws")).cast("double") / F.size("ws")
         <= FUNNEL_MAX_DUP
     )
+    flagged = base.select(
+        "doc_id", "source", "ws", p1.alias("p1"), (p1 & p2).alias("p2")
+    )
+    early = flagged.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("p1"), 1)).alias("n_s1"),
+        F.count(F.when(F.col("p2"), 1)).alias("n_s2"),
+    )
+    s2 = flagged.where(F.col("p2")).select("doc_id", "source", "ws")
     w = CHUNK_W
     chunk_arr = F.expr(
         f"""
@@ -1245,20 +1262,15 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
     )
-    s4 = s3.withColumn("rk", rk).where(F.col("rk") <= FUNNEL_QUOTA)
-
-    def stage(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
-
-    return (
-        stage("00_all", base)
-        .unionByName(stage("10_min_words", s1))
-        .unionByName(stage("20_repetition", s2))
-        .unionByName(stage("30_chunk_dedup", s3))
-        .unionByName(stage("40_source_quota", s4))
+    late = s3.withColumn("rk", rk).agg(
+        F.count(F.lit(1)).alias("n_s3"),
+        F.count(F.when(F.col("rk") <= FUNNEL_QUOTA, 1)).alias("n_s4"),
+    )
+    # two 1-row aggregates -> the five (stage, n_docs) rows
+    return early.crossJoin(late).selectExpr(
+        "stack(5, '00_all', n_all, '10_min_words', n_s1,"
+        " '20_repetition', n_s2, '30_chunk_dedup', n_s3,"
+        " '40_source_quota', n_s4) AS (stage, n_docs)"
     )
 
 
@@ -1802,6 +1814,13 @@ def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") >= VOCAB_MIN_COUNT)
         .select("source", "term")
     )
+    # Materialize the cut vocabulary once (r14): ``v`` feeds THREE
+    # consumers (sizes + both self-join sides) and each reference
+    # re-ran the token explode + count aggregate — three full corpus
+    # scans for one vocab-bounded relation.  After the min-count cut
+    # the table is vocabulary-sized (Zipf: far below corpus size), so
+    # the materialization is small and the scan count drops 3 -> 1.
+    v = v.localCheckpoint()
     sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("vsz"))
     a, b = v.alias("a"), v.alias("b")
     inter = (
@@ -1946,6 +1965,13 @@ def corpus_source_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("c0") > 0) | (F.col("c1") > 0))
     )
+    # Materialize the cut contingency table once (r14): ``ct`` is
+    # referenced by the totals aggregate AND (via terms -> contrib) by
+    # both the JS sum and the top-drift window — the before-plan ran
+    # the token explode + (source, term) aggregate three times.  After
+    # the min-count cut ct is vocabulary-sized; one materialization
+    # turns three corpus scans into one.
+    ct = ct.localCheckpoint()
     tot = ct.groupBy("source").agg(
         F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
     )

@@ -94,52 +94,83 @@ def governance_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     events = load(spark, sf_dir, "events")
 
-    del_keys = forget_keys(customer)
-    del_orders = orders.join(
-        del_keys, orders.o_custkey == del_keys.c_custkey, "left_semi"
-    ).select("o_orderkey")
-
-    post_orders = orders.join(
-        del_orders, "o_orderkey", "left_anti"
-    )
-    orders_orphans = post_orders.join(
-        del_keys, post_orders.o_custkey == del_keys.c_custkey, "left_semi"
-    )
-    li_deleted = lineitem.join(del_orders, lineitem.l_orderkey == del_orders.o_orderkey, "left_semi")
-    post_li = lineitem.join(
-        del_orders, lineitem.l_orderkey == del_orders.o_orderkey, "left_anti"
-    )
-    # dangling-FK audit: remaining line items with no surviving order
-    li_orphans = post_li.join(
-        post_orders.select("o_orderkey"),
-        post_li.l_orderkey == F.col("o_orderkey"),
-        "left_anti",
-    )
-    ev_deleted = events.join(
-        del_keys, events.user_id == del_keys.c_custkey, "left_semi"
-    )
-
-    def row(tbl, before_df, deleted_df, orphans_df):
-        b = before_df.agg(F.count(F.lit(1)).alias("n_before"))
-        d = deleted_df.agg(F.count(F.lit(1)).alias("n_deleted"))
-        if orphans_df is None:
-            o = spark.range(1).select(F.lit(0).cast("long").alias("n_orphans_after"))
-        else:
-            o = orphans_df.agg(F.count(F.lit(1)).alias("n_orphans_after"))
-        return (
-            b.crossJoin(d)
-            .crossJoin(o)
-            .select(
-                F.lit(tbl).alias("tbl"),
-                "n_before",
-                "n_deleted",
-                "n_orphans_after",
-            )
+    # r14 single-pass rewrite (guide "aggregate before you shuffle" /
+    # one scan per fact table): the before-plan ran every semi/anti
+    # audit as its own subtree — 12 one-row aggregates, customer
+    # scanned twice, orders four times, lineitem three times (plans/
+    # r14/governance_forget_cascade_before.txt).  Each delete/orphan
+    # membership is now a LEFT join against the (unique-keyed) delete
+    # list that marks rows instead of filtering them, and each table's
+    # three counters come out of ONE whole-row aggregate.  The marker
+    # joins are the same joins the cascade's rewrite pass performs, so
+    # the orphan audits stay COMPUTED (through the same two relations
+    # as before: the delete-key list and the deleted-order list) —
+    # they are not folded to constants.  The two delete lists are
+    # key-only and request-bounded, so they materialize once
+    # (localCheckpoint) and broadcast into every marker join.
+    del_keys = forget_keys(customer).localCheckpoint()
+    del_orders = (
+        orders.join(
+            del_keys, orders.o_custkey == del_keys.c_custkey, "left_semi"
         )
+        .select("o_orderkey")
+        .localCheckpoint()
+    )
+    dk = F.broadcast(del_keys.withColumn("f_dc", F.lit(1)))
+    do = F.broadcast(del_orders.withColumn("f_do", F.lit(1)))
 
+    cust_row = (
+        customer.join(dk, "c_custkey", "left")
+        .agg(
+            F.lit("customer").alias("tbl"),
+            F.count(F.lit(1)).alias("n_before"),
+            F.count(F.when(F.col("f_dc").isNotNull(), 1)).alias("n_deleted"),
+        )
+        .withColumn("n_orphans_after", F.lit(0).cast("long"))
+    )
+    orders_row = (
+        orders.join(do, "o_orderkey", "left")
+        .join(dk, orders.o_custkey == F.col("c_custkey"), "left")
+        .agg(
+            F.lit("orders").alias("tbl"),
+            F.count(F.lit(1)).alias("n_before"),
+            F.count(F.when(F.col("f_do").isNotNull(), 1)).alias("n_deleted"),
+            # orphan: survives the order delete yet belongs to a
+            # deleted customer — same two relations as the r13 shape
+            F.count(
+                F.when(F.col("f_do").isNull() & F.col("f_dc").isNotNull(), 1)
+            ).alias("n_orphans_after"),
+        )
+    )
+    # one key+flag relation carries both lineitem audits: membership
+    # in the deleted-order list, and (dangling-FK check) whether ANY
+    # parent order exists at all — absent parent == survives neither
+    # the delete list nor the post-delete orders table
+    ok = orders.select("o_orderkey").join(do, "o_orderkey", "left")
+    li_row = (
+        lineitem.select("l_orderkey")
+        .join(ok, lineitem.l_orderkey == F.col("o_orderkey"), "left")
+        .agg(
+            F.lit("lineitem").alias("tbl"),
+            F.count(F.lit(1)).alias("n_before"),
+            F.count(F.when(F.col("f_do").isNotNull(), 1)).alias("n_deleted"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias(
+                "n_orphans_after"
+            ),
+        )
+    )
+    ev_row = (
+        events.select("user_id")
+        .join(dk, events.user_id == F.col("c_custkey"), "left")
+        .agg(
+            F.lit("events").alias("tbl"),
+            F.count(F.lit(1)).alias("n_before"),
+            F.count(F.when(F.col("f_dc").isNotNull(), 1)).alias("n_deleted"),
+        )
+        .withColumn("n_orphans_after", F.lit(0).cast("long"))
+    )
     return (
-        row("customer", customer, del_keys, None)
-        .unionByName(row("orders", orders, del_orders, orders_orphans))
-        .unionByName(row("lineitem", lineitem, li_deleted, li_orphans))
-        .unionByName(row("events", events, ev_deleted, None))
+        cust_row.unionByName(orders_row)
+        .unionByName(li_row)
+        .unionByName(ev_row)
     )

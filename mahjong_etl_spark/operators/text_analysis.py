@@ -852,8 +852,18 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # r14: the model tables come from ONE bigram pass — c2 is the
+    # (w1, w2) count aggregate (bigram-type-bounded: Zipf keeps it far
+    # below the token stream), materialized once; c1 is its per-w1
+    # rollup (Σ_w2 c2(w1,w2) ≡ count of bigrams starting at w1), so
+    # the before-plan's second full explode+aggregate over the corpus
+    # disappears.  Scoring still streams the bigrams once.
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vsz = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
         .agg(F.countDistinct("term").alias("vsz"))
@@ -1253,14 +1263,29 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    # r14: doc lengths are 2 ints per doc — materialize once and share
+    # between the corpus stats and the scoring join (both consumed it
+    # via separate scan+split subtrees before; the broadcast side also
+    # paid a pointless load_spread round-robin).  4 corpus scans -> 3.
+    dl = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+        .localCheckpoint()
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
     wt = Window.orderBy(F.desc("df"), F.asc("term"))
+    # df straight from an in-row distinct (r14): one explode + ONE
+    # term-keyed aggregate replaces the chained (term, doc) -> term
+    # double aggregate — array_distinct dedupes within the row, so
+    # counting occurrences IS the document frequency.
     qterms = (
-        postings.groupBy("term")
+        d.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+        )
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("r", F.row_number().over(wt))
         .where(F.col("r").isin(*BM25_QUERY_RANKS))

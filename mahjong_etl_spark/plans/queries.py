@@ -1556,33 +1556,48 @@ def events_anomaly_prequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 COPURCHASE_TOP_PAIRS = 20
 
 
-def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (order, part) baskets — duplicate line items must not
-    inflate co-occurrence support."""
+def _basket_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, parts) — each order's DISTINCT sorted part basket,
+    built with ONE order-keyed exchange (collect_set dedupes in the
+    aggregate, so no separate distinct pass).  Duplicate line items
+    must not inflate co-occurrence support."""
     return (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
 
 
-def _copurchase_pairs(items: DataFrame, top_n: int = COPURCHASE_TOP_PAIRS) -> DataFrame:
+def _copurchase_pairs(baskets: DataFrame, top_n: int = COPURCHASE_TOP_PAIRS) -> DataFrame:
     """Top-N co-purchase pairs by support: the pair enumeration is a
     SELF-EQUI-JOIN on the order key, never a cross join — cost is
     Σ items_per_order², bounded by basket size, linear in orders; the
     top-N cut is TakeOrderedAndProject.  Shared by
     lineitem_copurchase_pairs (the a-priori pass) and
-    orders_association_rules (its confidence/lift consumer)."""
-    a, b = items.alias("a"), items.alias("b")
+    orders_association_rules (its confidence/lift consumer).
+
+    r14 shape: in-basket enumeration instead of the items self-join —
+    one order-keyed collect_set builds each basket once, and the a < b
+    pairs explode from the sorted basket array in-row (the
+    _bucket_pairs idiom).  The self-join paid the distinct's
+    (order, part) exchange PLUS an order-keyed exchange per join side;
+    this shape pays ONE exchange on the order key then goes straight
+    to the pair aggregate.  Output identical: the sorted-array upper
+    triangle IS the a < b equi-join pair set, and per-order part
+    multiplicity is collapsed by collect_set exactly as distinct did.
+    Per-task expansion is bounded by basket size (the same Σ per-order
+    k² cost the join paid, now materialized in-row)."""
+    baskets = baskets.where(F.size("parts") > 1)
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        "  transform(slice(parts, i + 2, size(parts)),"
+        "            y -> struct(x AS a, y AS b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        baskets.select(F.explode(pair_expr).alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
@@ -1622,8 +1637,12 @@ def lineitem_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials; top-20 is TakeOrderedAndProject (per-partition heads,
     driver merge — no global sort).  A pathological mega-basket is the
     hot-key risk; the cap discipline of the dedup plane (enumerate
-    first K, link the rest) applies unchanged if baskets are unbounded."""
-    return _copurchase_pairs(_basket_items(spark, sf_dir))
+    first K, link the rest) applies unchanged if baskets are unbounded.
+
+    r14: the distinct + self-join became the in-basket enumeration
+    over ``_basket_arrays`` — see ``_copurchase_pairs``; same pair
+    set, one exchange instead of three."""
+    return _copurchase_pairs(_basket_arrays(spark, sf_dir))
 
 
 @query(
@@ -3726,22 +3745,27 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle keeps the classic a<b<c formulation.  Per-node
     counts are an explode + groupBy; top-k is TakeOrderedAndProject.
     """
-    items = (
+    # r14: the thresholded co-purchase edge set is built with the
+    # in-basket enumeration (_copurchase_pairs' shape) — one
+    # order-keyed exchange + the pair aggregate, where the old
+    # distinct + self-equi-join paid three exchanges over the fact
+    # projection.  Pair set and support counts are identical (sorted
+    # basket upper triangle ≡ the a < b equi-join).
+    baskets = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") > 1)
     )
-    a = items.alias("a")
-    b = items.alias("b")
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        "  transform(slice(parts, i + 2, size(parts)),"
+        "            y -> struct(x AS a, y AS b))))"
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
-        )
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("s"))
         .where(F.col("s") >= TRIANGLE_SUPPORT)
         .select("a", "b")
@@ -3755,16 +3779,25 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # functions/ranks.py; the edge list after support-thresholding is
     # a small fraction of the input.
     edges = edges.localCheckpoint()
-    oriented = orient_edges_by_degree(edges)
+    # Materialize the oriented edge list too (r14): it feeds THREE
+    # consumers (both wedge sides and the closure probe) and each
+    # reference re-derived the degree aggregation + two rank joins —
+    # the before-plan held 9 copies of the orientation subtree and 18
+    # of the degree aggregate (plans/r14/graph_triangle_counts_*.txt).
+    # The oriented list is exactly edge-sized, so the materialization
+    # is as cheap as the edges checkpoint above.
+    oriented = orient_edges_by_degree(edges).localCheckpoint()
     w1 = oriented.select("src", F.col("dst").alias("v"), F.col("rk_dst").alias("rk_v"))
     w2 = oriented.select("src", F.col("dst").alias("w"), F.col("rk_dst").alias("rk_w"))
     wedges = w1.join(w2, "src").where(F.col("rk_v") < F.col("rk_w"))
     closure = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     tri = wedges.join(closure, ["v", "w"])
-    nodes = (
-        tri.select(F.col("src").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+    # One explode instead of a 3-way union of projections of ``tri``
+    # (r14): unionAll re-planned the ENTIRE wedge-join subtree once
+    # per corner, tripling every stage above; explode emits the same
+    # three corner rows from ONE pass over the triangle stream.
+    nodes = tri.select(
+        F.explode(F.array("src", "v", "w")).alias("node")
     )
     return (
         nodes.groupBy("node")
@@ -4036,7 +4069,7 @@ def part_bom_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Association rules (the confidence/lift pass over the co-purchase
 # support mining of lineitem_copurchase_pairs — both queries share
-# _basket_items/_copurchase_pairs and the COPURCHASE_TOP_PAIRS cut)
+# _basket_arrays/_copurchase_pairs and the COPURCHASE_TOP_PAIRS cut)
 # ---------------------------------------------------------------------------
 
 
@@ -4078,19 +4111,27 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just individually popular).
 
     Exactness: support and item counts are exact ints; each reported
-    metric is ONE rounded double division of integer operands.  Plan:
-    the pair enumeration is the basket-bounded self-equi-join, the
+    metric is ONE rounded double division of integer operands.  Plan
+    (r14): ONE order-keyed exchange builds the distinct basket arrays
+    (_basket_arrays), materialized once (order-count-sized rows with
+    basket-bounded arrays) and consumed THREE ways — the basket count
+    n (≡ countDistinct order), the per-part order counts (explode +
+    count ≡ the old distinct-items per-part count), and the in-basket
+    pair enumeration — where the before-plan re-derived the distinct
+    (order, part) relation once per consumer (4 subtree copies).  The
     top-20 cut is TakeOrderedAndProject, and the confidence/lift
     joins run with the 20-row side BROADCAST against the part-
     cardinality count table plus a 1-row basket-count scalar — at
     100 TB the expensive part remains the support pass; the rule
     metrics are free."""
-    items = _basket_items(spark, sf_dir)
-    n = items.agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
+    baskets = _basket_arrays(spark, sf_dir).localCheckpoint()
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    cnt = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    pairs = _copurchase_pairs(items)
+    pairs = _copurchase_pairs(baskets)
     ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
     cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
     return (
@@ -4239,6 +4280,13 @@ def events_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id")
         .distinct()
     )
+    # Materialize the distinct (type, user) membership once (r14): it
+    # feeds FOUR consumers (sketch hashing, exact counts, both sides
+    # of the exact-overlap self-join) and each re-ran the events scan
+    # + distinct.  It is the smallest relation the exact legs can run
+    # from (segment membership), and the sketch leg shares it for
+    # free; 4 scans + 4 distincts -> 1.
+    seg = seg.localCheckpoint()
     hashed = seg.select(
         "event_type", F.xxhash64("user_id").alias("h")
     ).distinct()
@@ -4248,6 +4296,9 @@ def events_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r") <= KMV_K)
         .select("event_type", "h")
     )
+    # KMV_K rows per segment — tiny; both union legs reference it, so
+    # one materialization halves the sketch-build window work (r14).
+    sk = sk.localCheckpoint()
     exact = seg.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_n")
     )
