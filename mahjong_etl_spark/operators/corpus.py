@@ -954,25 +954,37 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             i -> concat_ws(' ', slice(split(text, ' '), i * {w} + 1, {w})))
         """
     )
-    chunks = (
-        d.select("doc_id", F.posexplode(chunk_arr).alias("ci", "chunk"))
-        .withColumn("ci", F.col("ci").cast("long"))
-    )
-    n_chunks = d.select(
+    # r14 single-pass shape: the before-plan scanned+chunked the
+    # corpus THREE times (hot-set aggregate, anti-join left side,
+    # n_chunks) and removed hot chunks with an anti join.  Now the
+    # chunk rows carry the doc's total chunk count (size of the same
+    # array — free in-row), per-(chunk, doc) occurrences collapse
+    # first (state bounded by WITHIN-doc repetition of one chunk, so
+    # no hot-key blowup), and hotness (>= 2 DISTINCT docs) is a count
+    # over the chunk-partitioned window of those collapsed rows —
+    # 1 corpus pass, no join.  Doc-total carried in the keys keeps
+    # the all-chunks-hot dropout semantics (no surviving rows == no
+    # output row, exactly the old inner join).
+    chunks = d.select(
         "doc_id",
         F.expr(f"cast(ceil(size(split(text, ' ')) / {w}.0) as bigint)").alias(
             "n_chunks"
         ),
+        F.posexplode(chunk_arr).alias("ci", "chunk"),
+    ).withColumn("ci", F.col("ci").cast("long"))
+    per_cd = chunks.groupBy("chunk", "doc_id", "n_chunks").agg(
+        F.collect_list("ci").alias("cis")
     )
-    hot = (
-        chunks.groupBy("chunk")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("chunk")
+    wc = Window.partitionBy("chunk")
+    kept = (
+        per_cd.withColumn("nd", F.count(F.lit(1)).over(wc))
+        .where(F.col("nd") < 2)
+        .select(
+            "doc_id", "n_chunks", F.explode("cis").alias("ci"), "chunk"
+        )
     )
-    kept = chunks.join(hot, "chunk", "left_anti")
     return (
-        kept.groupBy("doc_id")
+        kept.groupBy("doc_id", "n_chunks")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.md5(
@@ -987,7 +999,6 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("cleaned_md5"),
         )
-        .join(n_chunks, "doc_id")
         .select(
             "doc_id",
             "n_chunks",
@@ -1711,9 +1722,22 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
         .where(F.col("term") != "")
     )
-    vocab = tok.groupBy("term").agg(
-        F.count(F.lit(1)).alias("c_s"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_t"),
+    # r14: ONE token explode — the (doc, lang, term) count relation is
+    # materialized once and feeds BOTH the vocabulary rollup (Σ_doc c
+    # ≡ the corpus term counts, conditional sum ≡ the target counts)
+    # and the scoring join (per-doc weight = Σ c·lr_nano — summing c
+    # identical int64s IS multiplication, bit-exact).  The before-plan
+    # exploded the corpus twice (vocab aggregate + scoring join).
+    dt = (
+        tok.groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    vocab = dt.groupBy("term").agg(
+        F.sum("c").alias("c_s"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias(
+            "c_t"
+        ),
     )
     total = vocab.agg(
         F.sum("c_s").alias("s_tok"),
@@ -1735,11 +1759,11 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lr_nano"),
     )
     return (
-        tok.join(lr, "term")
+        dt.join(lr, "term")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("lr_nano").alias("w_nano"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lr_nano")).alias("w_nano"),
         )
         .orderBy(F.desc("w_nano"), F.asc("doc_id"))
         .limit(DSIR_TOP_K)

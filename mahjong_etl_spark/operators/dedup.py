@@ -1238,6 +1238,15 @@ def _sem_dedup(spark: SparkSession, e: DataFrame, centroids) -> DataFrame:
     # landing on each executor once.
     b_cents = spark.sparkContext.broadcast(cents)
 
+    # r14 (guide §8): the assignment pass EMITS the payload with its
+    # cells instead of returning bare (vec_id, cluster) rows and
+    # re-attaching emb_d/norm with an equi-join — the join shuffled
+    # the full embedding payload by vec_id (plus the assignment rows)
+    # only to shuffle it AGAIN by cluster for the pair stage.  The
+    # pass-through shape moves the heavy bytes exactly once (the
+    # cluster exchange); duplication ×2 happens inside the Arrow
+    # batch, not across the network.  Rows are identical to the
+    # join's output, so everything downstream is bit-unchanged.
     def soft_assign(it):
         cents = b_cents.value
         half_sq = 0.5 * (cents * cents).sum(axis=1)
@@ -1249,18 +1258,18 @@ def _sem_dedup(spark: SparkSession, e: DataFrame, centroids) -> DataFrame:
             )
             score = mat @ cents.T - half_sq  # argmax == nearest (L2)
             top2 = np.argpartition(-score, 1, axis=1)[:, :2]
+            idx = np.repeat(np.arange(len(pdf)), 2)
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].values, 2),
                     "cluster": top2.reshape(-1).astype("int32"),
+                    "vec_id": pdf["vec_id"].values[idx],
+                    "emb_d": pdf["emb_d"].values[idx],
+                    "norm": pdf["norm"].values[idx],
                 }
             )
 
-    cells = e.select("vec_id", "emb_d").mapInPandas(
-        soft_assign, "vec_id long, cluster int"
-    )
-    assigned = e.join(cells, "vec_id").select(
-        "cluster", "vec_id", "emb_d", "norm"
+    assigned = e.select("vec_id", "emb_d", "norm").mapInPandas(
+        soft_assign, "cluster int, vec_id long, emb_d array<double>, norm double"
     )
 
     # Within-cell pair enumeration as ONE normalized matmul per cell
@@ -1541,13 +1550,23 @@ def duplicate_span_stats(df: DataFrame, k: int = SPAN_K) -> DataFrame:
             ).alias("pos", "gram"),
         )
     )
-    dup = (
-        sites.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("occ"))
+    # r14 single-pass shape (guide §2.4): the aggregate-then-semi-join
+    # form planned the posexplode+md5 site subtree TWICE — every
+    # k-gram of the corpus was hashed once under the gram count and
+    # again as the semi-join probe, and the probe side shuffled the
+    # full site relation by gram anyway.  A count over the
+    # gram-partitioned window marks duplicated sites in the SAME
+    # single shuffle of the sites (identical rows survive: count>1 ==
+    # the semi join against the HAVING>1 gram list), halving the
+    # dominant map cost (the md5 pass) and dropping one exchange.
+    # Skew exposure is unchanged — the semi join's probe exchange
+    # hash-partitioned sites by gram exactly as the window does.
+    wg = Window.partitionBy("gram")
+    marked = (
+        sites.withColumn("occ", F.count(F.lit(1)).over(wg))
         .where(F.col("occ") > 1)
-        .select("gram")
+        .select("doc_id", "n_words", "pos")
     )
-    marked = sites.join(dup, "gram", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
     lagpos = F.lag("pos").over(w)
     new_span = F.when(

@@ -656,20 +656,37 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    total = toks.agg(
-        F.log2(F.count(F.lit(1)).cast("double")).alias("lg_t")
+    # r14 single-pass shape: ONE explode -> (doc, term) count
+    # aggregate, materialized once ((doc, term)-type-bounded — far
+    # below the token stream), and everything else derives from it:
+    # tf is its per-term rollup (Σ_doc c ≡ the corpus term count),
+    # T is Σ tf, and the per-doc sum of per-TOKEN log-counts is
+    # c · lg_nano per (doc, term) — summing c identical int64s IS
+    # multiplication, bit-exact.  The before-plan re-ran the corpus
+    # explode three times (tf aggregate, total count, scoring join).
+    dt = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
-    per_tok = toks.join(tf, "term").select(
+    tf = dt.groupBy("term").agg(F.sum("c").alias("tf"))
+    total = tf.agg(
+        F.log2(F.sum("tf").cast("double")).alias("lg_t")
+    )
+    per_dt = dt.join(tf, "term").select(
         "doc_id",
-        F.round(F.log2(F.col("tf").cast("double")) * 1e9)
-        .cast("long")
-        .alias("lg_nano"),
+        "c",
+        (
+            F.col("c")
+            * F.round(F.log2(F.col("tf").cast("double")) * 1e9).cast(
+                "long"
+            )
+        ).alias("lg_nano"),
     )
     return (
-        per_tok.groupBy("doc_id")
+        per_dt.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("n_tokens"),
             F.sum("lg_nano").alias("_s"),
         )
         .crossJoin(F.broadcast(total))
@@ -743,11 +760,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 cut line cannot move — and the one float division happens
     after the cut, rounded at 6dp on both engines."""
     d = load_spread(spark, sf_dir, "documents")
+    # r14: tf feeds BOTH the df rollup and the scoring join — each
+    # reference re-ran the corpus explode + (doc, term) aggregate.
+    # One materialization of the (doc, term)-bounded relation halves
+    # the heavy token work (2 corpus explodes -> 1).
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .where(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     df = (
@@ -1150,20 +1172,25 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # r14: the per-term stats (df, cf) and the argmax posting come out
+    # of ONE term-partitioned window pass — before, the rollup and the
+    # row_number window each re-ran the explode + (term, doc)
+    # aggregate and met again in a join (2 corpus passes + a join ->
+    # 1 pass, no join).  Same exchange key, so the rank window and the
+    # whole-partition aggregate windows share a single shuffle+sort.
     wt = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
-    tops = (
-        postings.withColumn("rr", F.row_number().over(wt))
-        .where(F.col("rr") == 1)
-        .select(
+    wp = Window.partitionBy("term")
+    terms = (
+        postings.select(
             "term",
             F.col("doc_id").alias("top_doc_id"),
             F.col("tf").cast("long").alias("max_tf"),
+            F.row_number().over(wt).alias("rr"),
+            F.count(F.lit(1)).over(wp).alias("df"),
+            F.sum("tf").over(wp).cast("long").alias("cf"),
         )
+        .where(F.col("rr") == 1)
     )
-    terms = postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
-    ).join(tops, "term")
     w = Window.orderBy(F.desc("df"), F.asc("term"))
     return (
         terms.withColumn("r", F.row_number().over(w))
@@ -1491,14 +1518,21 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("b.w1", "b.w2")
     )
-    c2 = (
+    # r14: ONE bigram pass — the unfiltered pair-count table is
+    # bigram-type-bounded (Zipf), materialized once, and BOTH
+    # marginals plus the N scalar are its integer rollups
+    # (Σ_w2 c(a,·) ≡ count of bigrams starting at a, etc. — bit-exact
+    # int sums).  The before-plan re-ran the corpus explode four
+    # times (pair counts, two marginals, total).
+    c2u = (
         bg.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cab"))
-        .where(F.col("cab") >= PMI_MIN_PAIR)
+        .localCheckpoint()
     )
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("ca"))
-    cr = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("cb"))
-    n = bg.agg(F.count(F.lit(1)).alias("nb"))
+    c2 = c2u.where(F.col("cab") >= PMI_MIN_PAIR)
+    c1 = c2u.groupBy("w1").agg(F.sum("cab").alias("ca"))
+    cr = c2u.groupBy("w2").agg(F.sum("cab").alias("cb"))
+    n = c2u.agg(F.sum("cab").alias("nb"))
     pmi = F.round(
         F.log(F.col("cab").cast("double"))
         + F.log(F.col("nb").cast("double"))

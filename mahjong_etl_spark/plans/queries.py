@@ -3184,7 +3184,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") / F.col("l_quantity") * 10000)
         .cast("long")
     )
-    ps = l.groupBy("l_partkey", "l_suppkey").agg(F.min(cost_u).alias("cost_u"))
     eur = (
         load(spark, sf_dir, "supplier")
         .join(
@@ -3201,6 +3200,28 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "part")
         .where((F.col("p_type") == "LARGE") & (F.col("p_size") <= 15))
         .select("p_partkey", "p_name")
+    )
+    # r14 (guide §3.2): semi-prune the fact scan by BOTH dimension
+    # filters BEFORE the (part, supplier) aggregate — the before-plan
+    # aggregated the FULL lineitem table and only then dropped
+    # non-qualifying parts/suppliers in the attribute joins.  The
+    # broadcast semi joins are map-side (bounded dims), so the
+    # aggregate's shuffle shrinks by the part-filter selectivity; the
+    # per-(part, supplier) MIN is computed within each group, so
+    # dropping whole groups early cannot change any surviving value.
+    ps = (
+        l.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(eur.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cost_u).alias("cost_u"))
     )
     cand = ps.join(eur, ps.l_suppkey == eur.s_suppkey).join(
         p, ps.l_partkey == p.p_partkey
@@ -3283,17 +3304,25 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qty_u = F.round(F.col("l_quantity") * 100).cast("long")
     qty97_u = F.when(F.year("l_shipdate") == 1997, qty_u).otherwise(F.lit(0))
+    # r14 single-pass shape (guide §2.4): per_pair fed two consumers
+    # (the per-part 1997 total and the qualification join), so the
+    # pruned fact scan + pair aggregate were planned twice and met
+    # again in a join.  The part total is a part-partitioned rollup of
+    # the SAME pair relation, so it comes out of one window over the
+    # aggregate's own l_partkey-prefixed partitioning — one scan, one
+    # pair aggregate, no join; the HAVING > 0 gate and the 2*avail >
+    # tot cut become one row-local filter (inner-join semantics
+    # preserved: every pair row's partkey exists in the rollup by
+    # construction).
+    from pyspark.sql.window import Window
+
     per_pair = l.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(qty_u).alias("avail_u"), F.sum(qty97_u).alias("pair97_u")
     )
-    tot97 = (
-        per_pair.groupBy("l_partkey")
-        .agg(F.sum("pair97_u").alias("tot_u"))
-        .where(F.col("tot_u") > 0)
-    )
+    wp = Window.partitionBy("l_partkey")
     qual = (
-        per_pair.join(tot97, "l_partkey")
-        .where(2 * F.col("avail_u") > F.col("tot_u"))
+        per_pair.withColumn("tot_u", F.sum("pair97_u").over(wp))
+        .where((F.col("tot_u") > 0) & (2 * F.col("avail_u") > F.col("tot_u")))
         .select("l_suppkey")
         .distinct()
     )
@@ -3397,23 +3426,45 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
-    j = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+    # r14 single-pass shape (guide §2.4): the aggregate-then-semi-join
+    # form planned the lineitem⋈orders subtree TWICE (once under the
+    # per-order countDistinct aggregate, once as the late-line probe —
+    # two lineitem scans, two orders broadcasts, plus the semi join's
+    # exchange).  The per-order supplier counts are order-partitioned
+    # facts, so they come out of ONE window over the SAME l_orderkey
+    # exchange the join already produced: size(collect_set(...)) ==
+    # countDistinct (collect_set drops NULLs exactly as countDistinct
+    # does), and the qualifying-order test becomes a row-local filter.
+    # Orders are line-bounded (~7 lines), so the per-partition set is
+    # O(1) — no skew risk at any scale.
+    from pyspark.sql.window import Window
+
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "_late",
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 60),
+        )
+        .select("l_orderkey", "l_suppkey", "_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    jj = j.select(
+        "l_suppkey",
         "_late",
-        F.col("l_shipdate").cast("date")
-        > F.date_add(F.col("o_orderdate").cast("date"), 60),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("_n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("_late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("_n_late_supp"),
     )
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
-            "_n_late_supp"
-        ),
-    )
-    qual_orders = per_order.where(
-        (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)
-    ).select("l_orderkey")
     return (
-        j.where(F.col("_late"))
-        .join(qual_orders, "l_orderkey", "left_semi")
+        jj.where(
+            F.col("_late")
+            & (F.col("_n_supp") > 1)
+            & (F.col("_n_late_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -305,6 +305,12 @@ _ALLOWED_NESTED_LOOP = {
     # construction; the deletion joins themselves are anti/semi
     # equi-joins
     "governance_forget_cascade",
+    # funnel assembly: the early-gate and late-gate counters are each
+    # ONE 1-row whole-corpus aggregate (the r14 single-pass collapse);
+    # the two rows are cross-joined and stacked into the five
+    # (stage, n_docs) rows — both nested-loop sides are a single row
+    # by construction
+    "corpus_pipeline_funnel",
 }
 
 
