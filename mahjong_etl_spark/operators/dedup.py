@@ -1018,6 +1018,13 @@ def simhash_pairs(df: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("c", "chunk").orderBy("doc_id")
+    # r14 (guide §3.3): ranked feeds TWO consumers (capped in-block
+    # grouping and the overflow star links), so without materialization
+    # the whole signature subtree — the Python SipHash pass over every
+    # token of the corpus — executed twice.  The ranked relation is 4
+    # rows/doc of 5 small fixed-width columns (~2 orders of magnitude
+    # narrower than the text it derives from), so one localCheckpoint
+    # trades a tiny write for the second full signature pass.
     ranked = blocks.select(
         "doc_id",
         "simhash",
@@ -1026,7 +1033,7 @@ def simhash_pairs(df: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
         F.row_number().over(w).alias("__rk"),
         F.first("doc_id").over(w).alias("__rep_id"),
         F.first("simhash").over(w).alias("__rep_sig"),
-    )
+    ).localCheckpoint()
     grouped = (
         ranked.where(F.col("__rk") <= BUCKET_CAP)
         .groupBy("c", "chunk")

@@ -1156,14 +1156,15 @@ def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves IVF/int8/semantic-dedup/this), assigns documents via the
     same one-matmul-per-batch pass, joins the documents table on the
     cross-modal doc_id = vec_id key, and aggregates EVERYTHING off a
-    single (cluster, source) rollup: per-cluster totals re-aggregate
-    that |clusters|×|sources|-bounded relation and the dominant
-    source is a (count DESC, source ASC) row_number over it.  Both
-    consumers therefore build the IDENTICAL hash(cluster, source)
-    exchange, which Spark's ReuseExchange collapses — the expensive
+    single (cluster, source) rollup: per-cluster totals are
+    whole-partition window sums over that |clusters|×|sources|-bounded
+    relation and the dominant source is a (count DESC, source ASC)
+    row_number sharing the same cluster-keyed exchange — the expensive
     assign-matmul + corpus join subtree executes ONCE (the pre-r9
     shape aggregated the join on two different keys, so the whole
-    subtree ran twice; that was the r8 bench drift).  Rows-only
+    subtree ran twice — the r8 bench drift; the r9-r13 shape relied on
+    ReuseExchange, which never fired because the two consumers'
+    subplans diverge below the exchange).  Rows-only
     driver check (k-means is not SQL-expressible); cluster-count
     conservation and determinism are pytest-pinned."""
     from pyspark.sql.window import Window
@@ -1182,27 +1183,40 @@ def corpus_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_src"),
         )
     )
-    per_cluster = cs.groupBy("cluster").agg(
-        F.sum("n_src").alias("n_docs"),
-        (
-            F.sum("chars_src").cast("double")
-            / F.sum("n_src").cast("double")
-        ).alias("mean_chars"),
-    )
-    w = Window.partitionBy("cluster").orderBy(
+    # r14 single-pass shape (guide §2.4): the docstring's promised
+    # ReuseExchange never fired (compile-time reuse needs IDENTICAL
+    # plans; the aggregate and the window consumer diverge before the
+    # exchange), so the assign-matmul + corpus-join + rollup subtree
+    # executed TWICE and the two cluster-keyed halves met in a
+    # sort-merge join.  The per-cluster totals are whole-partition
+    # window aggregates over the SAME cluster-keyed exchange the
+    # row_number rank needs — one subtree execution, one exchange, no
+    # join; the sums are the identical int64 adds, divided once, so
+    # the golden rows are bit-unchanged.
+    w_rank = Window.partitionBy("cluster").orderBy(
         F.desc("n_src"), F.asc("source")
     )
-    top_src = (
-        cs.withColumn("rk", F.row_number().over(w))
+    w_all = Window.partitionBy("cluster")
+    return (
+        cs.select(
+            "cluster",
+            "source",
+            "n_src",
+            F.row_number().over(w_rank).alias("rk"),
+            F.sum("n_src").over(w_all).alias("n_docs"),
+            (
+                F.sum("chars_src").over(w_all).cast("double")
+                / F.sum("n_src").over(w_all).cast("double")
+            ).alias("mean_chars"),
+        )
         .where(F.col("rk") == 1)
-        .select("cluster", F.col("source").alias("top_source"), "n_src")
-    )
-    return per_cluster.join(top_src, "cluster").select(
-        "cluster",
-        "n_docs",
-        "mean_chars",
-        "top_source",
-        F.col("n_src").cast("long").alias("top_source_docs"),
+        .select(
+            "cluster",
+            "n_docs",
+            "mean_chars",
+            F.col("source").alias("top_source"),
+            F.col("n_src").cast("long").alias("top_source_docs"),
+        )
     )
 
 

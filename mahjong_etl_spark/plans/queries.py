@@ -5004,8 +5004,10 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     float division happens once, in the final per-type aggregate.
 
     Plan: one fact-scale shuffle (the (event_type, ts) window sort);
-    the per-type stats are a tiny aggregate broadcast back; the final
-    rollup groups a handful of types.  Both window specs share the
+    the per-type stats are whole-partition window aggregates over the
+    SAME exchange (r14 — previously a separate aggregate broadcast
+    back, which cost a second full events scan); the final rollup
+    groups a handful of types.  The cumulative window specs share the
     partitioning AND ordering, so Spark chains them in one Window
     operator — no second exchange, no second sort.  At 100 TB the
     int64 headroom is the knob: n·vc·|series| must stay under 2^63,
@@ -5026,10 +5028,21 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("vc"),
     )
-    s = v.groupBy("event_type").agg(
-        F.sum("vc").cast("long").alias("sum_v"),
-        F.count(F.lit(1)).alias("n"),
-        F.max(F.abs("vc")).alias("max_abs_vc"),
+    # r14 single-pass shape (guide §2.4): the per-type stats were a
+    # separate aggregate broadcast-joined back onto v — a SECOND full
+    # events scan for three numbers per type.  They are whole-partition
+    # window aggregates over the SAME event_type exchange the CUSUM
+    # windows need anyway, so the join and the extra scan disappear;
+    # the int64 sums are identical adds over identical rows.
+    wt = Window.partitionBy("event_type")
+    s_cols = v.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "vc",
+        F.sum("vc").over(wt).cast("long").alias("sum_v"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.max(F.abs("vc")).over(wt).alias("max_abs_vc"),
     )
     # int64 headroom guard (r10 advice): every window accumulator is
     # bounded by |pv| <= n·(n·(max|vc|+slack) + |sum_v|) and
@@ -5051,8 +5064,11 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.abs(F.col("sum_v")).cast("double")
         )
     )
-    s = s.select(
+    guarded = s_cols.select(
         "event_type",
+        "ts",
+        "event_id",
+        "vc",
         "sum_v",
         F.when(
             headroom >= F.lit(float(2**62)),
@@ -5083,7 +5099,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("sum_v")
         - F.col("n") * F.lit(CUSUM_SLACK_CENTI)
     )
-    p = v.join(F.broadcast(s), "event_type").select(
+    p = guarded.select(
         "event_type", "ts", "event_id", "n", F.sum(y).over(w).alias("pv")
     )
     c = p.select(
