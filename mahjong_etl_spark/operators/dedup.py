@@ -165,27 +165,57 @@ def corpus_shingle_sets(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFra
     return sh
 
 
-# (sf_dir) -> (owning SparkSession, persisted verified Jaccard pairs) —
-# the production-parameter pairs relation (n=3, default threshold,
-# MAX_SHINGLE_DF cap) shared by the pair-listing query and
-# connected-components clustering.
+# (sf_dir) -> (owning SparkSession, persisted co-occurrence counts) —
+# the PRE-threshold (doc_a, doc_b, common, n_a, n_b) relation at the
+# production parameters (n=3, MAX_SHINGLE_DF cap).  r14 (guide §2.4 /
+# §5): the Jaccard pair listing, connected-components clustering,
+# canonical selection, the ensemble's jaccard leg AND the containment
+# query all run the IDENTICAL explode → postings-keyed shuffle →
+# in-bucket pair enumeration → pair-keyed count subtree, differing
+# only in the final predicate (symmetric union ratio vs one-sided
+# containment).  Caching the post-threshold pairs (the r10-r13 shape)
+# shared it among the Jaccard consumers but left dedup_containment
+# re-running the whole postings pipeline — its candidates (containment
+# >= 0.8, Jaccard possibly < 0.5) are cut away by the Jaccard filter.
+# Persisting the common-counts relation ONE level earlier serves both
+# families from one pass.  Size discipline: this relation is exactly
+# the pair-count shuffle output every consumer already materializes
+# (bounded by Σ k·(k-1)/2 over shingle postings, k <= MAX_SHINGLE_DF;
+# 1.13M thin rows at sf0.1), so the persist stores what one shuffle
+# wrote instead of shuffling it twice.
+_COMMON_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+# (sf_dir) -> (owning SparkSession, derived verified Jaccard pairs) —
+# a thin filter over the persisted common relation (no second
+# persist: the parent is materialized, the filter is narrow).
 _PAIRS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
+def corpus_common_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached, persisted pre-threshold co-occurrence counts
+    for the documents corpus at the production parameters."""
+    hit = _COMMON_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    common = _common_shingle_pairs(
+        corpus_shingle_sets(spark, sf_dir), MAX_SHINGLE_DF
+    ).persist()
+    _COMMON_CACHE[sf_dir] = (spark, common)
+    return common
+
+
 def corpus_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached, persisted near-dup pairs for the documents
-    corpus at the production parameters.  Clustering consumes exactly
-    the pairs the pair query emits — computing them once per session
-    both saves the second postings pass and makes the reuse a stated
-    invariant rather than a coincidence of equal parameters."""
+    """Session-cached near-dup pairs for the documents corpus at the
+    production parameters.  Clustering consumes exactly the pairs the
+    pair query emits — deriving both from the shared persisted
+    common-counts relation makes the reuse a stated invariant rather
+    than a coincidence of equal parameters."""
     hit = _PAIRS_CACHE.get(sf_dir)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    pairs = ngram_jaccard_pairs(
-        load_spread(spark, sf_dir, "documents"),
-        max_shingle_df=MAX_SHINGLE_DF,
-        sh=corpus_shingle_sets(spark, sf_dir),
-    ).persist()
+    pairs = _jaccard_from_common(
+        corpus_common_pairs(spark, sf_dir), JACCARD_THRESHOLD
+    )
     _PAIRS_CACHE[sf_dir] = (spark, pairs)
     return pairs
 
@@ -219,6 +249,17 @@ def ngram_jaccard_pairs(
     yields k²/2 pair rows — ``max_shingle_df`` is the hot-key cap.
     """
     sh = shingle_sets(df, n) if sh is None else sh
+    return _jaccard_from_common(
+        _common_shingle_pairs(sh, max_shingle_df), threshold
+    )
+
+
+def _common_shingle_pairs(
+    sh: DataFrame, max_shingle_df: int | None
+) -> DataFrame:
+    """(doc_a, doc_b, common, n_a, n_b) for every unordered pair
+    sharing >= 1 shingle (with document frequency <= the cap) — the
+    ONE postings pipeline behind the Jaccard and containment cuts."""
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s0")).select(
         "doc_id", F.xxhash64("s0").alias("s")
@@ -238,12 +279,13 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def _jaccard_from_common(common: DataFrame, threshold: float) -> DataFrame:
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return common.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -318,55 +360,42 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     why corpus-dedup stacks run a containment pass beside them
     (Broder's original distinction).
 
-    Same inverted-index plan as ``dedup_ngram_jaccard`` — and the same
-    postings pass, shared through the session shingle cache: one
-    explode, one shingle-keyed shuffle to enumerate co-occurrences, one
-    pair-keyed count, then two size joins.  Only the final predicate
-    differs (max of the two one-sided ratios vs the symmetric union
-    ratio).  Exactness: common and both sizes are exact ints; each
-    containment is ONE double division of identical integers on both
-    engines, rounded at 6dp for output after the (drift-free) cut."""
-    return containment_pairs(sh=corpus_shingle_sets(spark, sf_dir))
+    Same inverted-index plan as ``dedup_ngram_jaccard`` — and since
+    r14 the same MATERIALIZED pass, shared through the session
+    common-pairs cache (guide §2.4: the explode, the shingle-keyed
+    shuffle, the in-bucket pair enumeration, the pair-keyed count and
+    the two size joins are one persisted relation serving both cuts).
+    Only the final predicate differs (max of the two one-sided ratios
+    vs the symmetric union ratio).  Exactness: common and both sizes
+    are exact ints; each containment is ONE double division of
+    identical integers on both engines, rounded at 6dp for output
+    after the (drift-free) cut."""
+    return containment_pairs(common=corpus_common_pairs(spark, sf_dir))
 
 
 def containment_pairs(
     df: DataFrame | None = None,
     threshold: float = CONTAINMENT_THRESHOLD,
     sh: DataFrame | None = None,
+    common: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, common, contain_a, contain_b) for pairs where
-    either one-sided shingle containment reaches ``threshold``."""
-    sh = shingle_sets(df) if sh is None else sh
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s0")).select(
-        "doc_id", F.xxhash64("s0").alias("s")
-    )
-    postings = ex.groupBy("s").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
-    )
-    # same hot-shingle guard as the Jaccard path (and the same
-    # test-scale equivalence: df cannot exceed the corpus size there,
-    # so the capped plan still matches the uncapped oracle)
-    postings = postings.where(F.size("ids") <= MAX_SHINGLE_DF)
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) ->"
-        "  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
-    )
-    common = (
-        postings.where(F.size("ids") > 1)
-        .select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    either one-sided shingle containment reaches ``threshold``.
+
+    ``common`` short-circuits the postings pipeline with an
+    already-computed pre-threshold co-occurrence relation (the r14
+    session-shared ``corpus_common_pairs`` — same hot-shingle guard as
+    the Jaccard path, and the same test-scale equivalence: df cannot
+    exceed the corpus size there, so the capped plan still matches the
+    uncapped oracle)."""
+    if common is None:
+        sh = shingle_sets(df) if sh is None else sh
+        common = _common_shingle_pairs(sh, MAX_SHINGLE_DF)
     ca = F.col("common").cast("double") / F.col("n_a")
     cb = F.col("common").cast("double") / F.col("n_b")
     t = F.lit(threshold)
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where((ca >= t) | (cb >= t))
+        common.where((ca >= t) | (cb >= t))
         .select(
             "doc_a",
             "doc_b",

@@ -547,10 +547,15 @@ def decode_png_pixels(payload: bytes):
             rec = row
         elif ftype == 2:  # Up
             rec = (row + prev) & 0xFF
-        elif ftype == 1:  # Sub (sequential recurrence)
-            rec = row.copy()
-            for x in range(c, stride):
-                rec[x] = (rec[x] + rec[x - c]) & 0xFF
+        elif ftype == 1:  # Sub — the recurrence rec[x] = (row[x] +
+            # rec[x-c]) & 0xFF telescopes to a per-channel-lane prefix
+            # sum mod 256 ((a+b) mod 256 + d ≡ a+b+d mod 256), so one
+            # int64 cumsum replaces the per-pixel loop, bit-exactly
+            rec = (
+                (np.cumsum(row.reshape(-1, c), axis=0, dtype=np.int64) & 0xFF)
+                .astype(np.int32)
+                .reshape(-1)
+            )
         elif ftype == 3:  # Average
             rec = row.copy()
             for x in range(stride):
@@ -673,6 +678,11 @@ def encode_png(px, filters=(0, 1, 2, 3, 4)):
     flat = px.reshape(h, w * c).astype(np.int32)
     raw = bytearray()
     prev = np.zeros(w * c, dtype=np.int32)
+    # All four non-trivial filters predict from the ORIGINAL row /
+    # prior row only (the spec's "Raw(x-bpp)" is the unfiltered byte),
+    # so encoding has no within-row recurrence — each row is one
+    # vectorized numpy expression, byte-identical to the per-pixel
+    # loop it replaces (int32 arithmetic, & 0xFF), r14 guide §4.2.
     for y in range(h):
         row = flat[y]
         f = filters[y % len(filters)]
@@ -681,26 +691,25 @@ def encode_png(px, filters=(0, 1, 2, 3, 4)):
             enc = row
         elif f == 2:
             enc = (row - prev) & 0xFF
-        elif f == 1:
-            enc = row.copy()
-            for x in range(w * c - 1, c - 1, -1):
-                enc[x] = (enc[x] - row[x - c]) & 0xFF
-        elif f == 3:
-            enc = row.copy()
-            for x in range(w * c - 1, -1, -1):
-                a = row[x - c] if x >= c else 0
-                enc[x] = (enc[x] - ((a + prev[x]) >> 1)) & 0xFF
-        else:  # Paeth
-            enc = row.copy()
-            for x in range(w * c - 1, -1, -1):
-                a = row[x - c] if x >= c else 0
-                b = prev[x]
-                cc = prev[x - c] if x >= c else 0
-                p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                enc[x] = (enc[x] - pred) & 0xFF
-        raw.extend(int(v) & 0xFF for v in enc)
+        else:
+            a = np.zeros(w * c, dtype=np.int32)
+            a[c:] = row[:-c]
+            if f == 1:
+                enc = (row - a) & 0xFF
+            elif f == 3:
+                enc = (row - ((a + prev) >> 1)) & 0xFF
+            else:  # Paeth
+                cc = np.zeros(w * c, dtype=np.int32)
+                cc[c:] = prev[:-c]
+                p = a + prev - cc
+                pa = np.abs(p - a)
+                pb = np.abs(p - prev)
+                pc = np.abs(p - cc)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, cc)
+                )
+                enc = (row - pred) & 0xFF
+        raw += enc.astype(np.uint8).tobytes()
         prev = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     return (
@@ -1927,14 +1936,25 @@ PHASH_LOWF = 8        # low-frequency block kept (8x8; 63 AC bits hashed)
 PHASH_GROUPS = 40     # distinct base patterns in the synthetic corpus
 
 
+_DCT_CACHE: dict = {}
+
+
 def _dct_matrix(n: int):
-    """Orthonormal DCT-II basis (the JPEG/pHash transform)."""
+    """Orthonormal DCT-II basis (the JPEG/pHash transform).  Cached —
+    phash64 asked for the same 32x32 basis twice per image (r14,
+    guide §4.5: heavyweight init once, not per call); callers treat
+    it as read-only."""
+    got = _DCT_CACHE.get(n)
+    if got is not None:
+        return got
     import numpy as np
 
     k = np.arange(n, dtype=np.float64)
     mat = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
     mat[0] *= 1.0 / np.sqrt(2.0)
-    return mat * np.sqrt(2.0 / n)
+    mat = mat * np.sqrt(2.0 / n)
+    _DCT_CACHE[n] = mat
+    return mat
 
 
 def synth_image(doc_id: int):

@@ -78,10 +78,14 @@ def test_no_unconditional_broadcast_hints_on_fact_sides():
     # orders_association_rules, and the event-type pair enumeration
     # (~C(5,2) rows at any scale factor) in events_kmv_segment_overlap
     # "med"/"mad" are per-event-type aggregates in events_anomaly_mad —
-    # bounded by the event-type domain (~5 rows), the same class as "t"
+    # bounded by the event-type domain (~5 rows), the same class as "t";
+    # "eur" is q2's region-filtered supplier⋈nation⋈region key list —
+    # supplier-bounded (a true dimension per this guard's own charter),
+    # used as a broadcast semi-join prune of the lineitem scan
     allowed = {
         "s", "n", "r", "n1", "n2", "ns", "nc", "p",
         "avg_bal", "qa", "total", "exact", "t", "pairs", "med", "mad",
+        "eur",
     }
     assert set(hinted) <= allowed, f"unexpected broadcast hints: {set(hinted) - allowed}"
 
@@ -515,15 +519,20 @@ def test_source_quota_single_exchange(reg, spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_chunk_dedup_anti_join_and_no_token_explosion(reg, spark, sf_dir):
-    """Hot-chunk removal must be a LEFT ANTI join; chunking must come
-    from the chunk-array transform (one generator), never a per-token
-    explode."""
+def test_chunk_dedup_single_pass_and_no_token_explosion(reg, spark, sf_dir):
+    """r14 shape: hot-chunk removal is a count-over-chunk-partitioned
+    WINDOW on the collapsed (chunk, doc) relation — ONE corpus
+    scan+chunking pass, no join at all (the pre-r14 plan re-chunked
+    the corpus three times and anti-joined).  Chunking must still
+    come from the chunk-array transform (one generator), never a
+    per-token explode."""
     plan = plan_of(_run(reg, "corpus_chunk_dedup", spark, sf_dir))
-    assert "LeftAnti" in plan
-    # the chunk relation has exactly two consumers (hot-set aggregate,
-    # anti-join probe) -> two Generates over the CHUNK array; a
-    # per-token design would generate over the token split instead
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Window" in plan
+    # exactly two Generates: posexplode of the CHUNK array, then the
+    # re-explode of the per-(chunk, doc) position list; a per-token
+    # design would generate over the token split instead
     n_gen = plan.count("Generate explode") + plan.count("Generate posexplode")
     assert n_gen == 2
     assert "transform(sequence(" in plan  # chunk-array generator, not tokens
@@ -625,13 +634,16 @@ def test_topk_windows_use_group_limit_pushdown(reg, spark, sf_dir):
 
 def test_duplicate_spans_no_pair_blowup_and_pushdown(reg, spark, sf_dir):
     """The span finder must stay linear: duplicate marking is a
-    count-filtered aggregate + (broadcast'able) semi join on the gram
-    digest — never a self-join that enumerates occurrence pairs, and
-    never a Python eval in the pipeline."""
+    count-over-digest-partitioned WINDOW on the gram rows (r14 shape —
+    the pre-r14 plan aggregated then semi-joined back, paying the
+    digest exchange twice), never a self-join that enumerates
+    occurrence pairs, and never a Python eval in the pipeline."""
     plan = plan_of(_run(reg, "dedup_duplicate_spans", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert "LeftSemi" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Window" in plan
 
 
 def test_shard_manifest_no_single_task_sort(reg, spark, sf_dir):
@@ -788,16 +800,17 @@ def test_ndcg_labels_join_broadcasts_topk_not_corpus(reg, spark, sf_dir):
 
 
 def test_vocab_overlap_cuts_before_pair_join(reg, spark, sf_dir):
-    """The min-count HAVING must run inside the (source, term)
-    aggregate BEFORE the term-keyed self-join, and the size tables
-    broadcast onto the |sources|^2 pair result."""
+    """The min-count cut must run BEFORE the term-keyed self-join.
+    r14 shape: the cut vocabulary is materialized once
+    (localCheckpoint — the cut is inside the materialized relation by
+    construction), so the pair-join plan must consume the
+    vocab-bounded ExistingRDD and NEVER rescan the corpus parquet;
+    the size tables broadcast onto the |sources|^2 pair result."""
     df = _run(reg, "corpus_vocab_overlap", spark, sf_dir)
     df.collect()
     plan = plan_of(df).split("== Initial Plan ==")[0]
-    lines = plan.splitlines()
-    first_join = min(i for i, ln in enumerate(lines) if "Join" in ln)
-    cut = [i for i, ln in enumerate(lines) if "Filter" in ln and "c#" in ln]
-    assert cut and all(i > first_join for i in cut)
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
 
 
