@@ -166,6 +166,73 @@ def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int
     return codes
 
 
+# The four standard encoder tables are constants — build their code
+# tables once per process instead of once per encode call (r14, guide
+# §4.5: heavyweight init hoisted out of the per-record path).  The
+# fast form is a 256-slot list indexed by the symbol, holding
+# (code << size, code_len + size): since a symbol's magnitude-bit
+# count IS its low nibble (or the whole symbol, for DC), the Huffman
+# code can be pre-shifted so emission is one shift-or per symbol.
+def _fast_enc_table(codes: dict[int, tuple[int, int]]) -> list:
+    out: list = [None] * 256
+    for sym, (code, ln) in codes.items():
+        size = sym & 0x0F
+        out[sym] = (code << size, ln + size)
+    return out
+
+
+_STD_CODES: tuple | None = None
+
+
+def _std_codes() -> tuple:
+    global _STD_CODES
+    if _STD_CODES is None:
+        _STD_CODES = (
+            [
+                _fast_enc_table(_build_codes(*STD_DC_LUMA)),
+                _fast_enc_table(_build_codes(*STD_DC_CHROMA)),
+            ],
+            [
+                _fast_enc_table(_build_codes(*STD_AC_LUMA)),
+                _fast_enc_table(_build_codes(*STD_AC_CHROMA)),
+            ],
+        )
+    return _STD_CODES
+
+
+# DHT bytes -> flat peek-16 decode table.  Every baseline Huffman code
+# is <= 16 bits, so a 2^16-entry table indexed by the next 16 bits of
+# the stream resolves any symbol in ONE lookup: entry = (length << 8)
+# | symbol for every index whose high bits equal the code (prefix
+# property — padding bits beyond the code length cannot change the
+# match), 0 where no code of any length matches (invalid stream).
+# Keyed by the raw DHT payload so repeated images carrying the same
+# tables (every file our encoder writes) build it once per process
+# (r14, guide §4.5); replaces the bit-at-a-time tree walk that cost
+# up to 16 Python-level reads per symbol.
+_DEC_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
+def _build_decode_lut(bits: list[int], vals: list[int] | bytes) -> list[int]:
+    key = bytes(bits) + bytes(vals)
+    got = _DEC_LUT_CACHE.get(key)
+    if got is not None:
+        return got
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            lut[base : base + (1 << (16 - length))] = (length << 8) | vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    out = lut.tolist()
+    _DEC_LUT_CACHE[key] = out
+    return out
+
+
 # --- DCT -----------------------------------------------------------------
 
 _C = np.array(
@@ -220,15 +287,20 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, code: int, length: int) -> None:
+        # whole-bytes emission is chunked: one C-level to_bytes plus
+        # one C-level replace() performs the byte split and the 0xFF00
+        # stuffing the old per-byte Python loop did, bit-identically
+        # (stuffing appends 0x00 after EVERY 0xFF, which is exactly
+        # what replace does, consecutive 0xFFs included) — r14, the
+        # callers now hand whole blocks (~10²-10³ bits) per call
         self.acc = (self.acc << length) | (code & ((1 << length) - 1))
         self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.nbits -= 8
+        nbytes = self.nbits >> 3
+        if nbytes:
+            self.nbits &= 7
+            chunk = (self.acc >> self.nbits).to_bytes(nbytes, "big")
             self.acc &= (1 << self.nbits) - 1
-            self.out.append(byte)
-            if byte == 0xFF:
-                self.out.append(0x00)  # byte stuffing
+            self.out += chunk.replace(b"\xff", b"\xff\x00")
 
     def pad_align(self) -> None:
         """Pad to a byte boundary with 1s (spec F.1.2.3) — the state
@@ -292,12 +364,59 @@ class _BitReader:
                 return sym
         raise _Corrupt
 
+    def peek_symbol(self, lut: list[int]) -> int:
+        """One-lookup Huffman decode against a ``_build_decode_lut``
+        table: peek (up to) the next 16 bits, resolve (length,
+        symbol), consume ``length`` bits.  Identical accept/reject
+        behavior to the bit-at-a-time ``read_symbol``: near the
+        segment end the peek is padded (prefix property — pad bits
+        can never alter which code the REAL bits match), and a match
+        longer than the real bits remaining raises exactly where the
+        old per-bit read would have (r14, guide §4.2)."""
+        nbits = self.nbits
+        while nbits < 16 and not self.done:
+            if self.pos >= len(self.data):
+                self.done = True
+                break
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else None
+                )
+                if nxt == 0x00:
+                    self.pos += 2
+                else:  # marker: no more real bits in this segment
+                    self.done = True
+                    break
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            nbits += 8
+        if nbits >= 16:
+            entry = lut[(self.acc >> (nbits - 16)) & 0xFFFF]
+        else:
+            pad = 16 - nbits
+            entry = lut[((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF]
+        length = entry >> 8
+        if length == 0 or length > nbits:
+            raise _Corrupt
+        nbits -= length
+        self.nbits = nbits
+        self.acc &= (1 << nbits) - 1
+        return entry & 0xFF
+
     def restart(self, n: int) -> None:
         """Consume an RSTn marker at the next byte boundary (leftover
         buffered bits are the encoder's 1-padding — reads always leave
-        <8 bits, so ``pos`` already sits on the marker)."""
+        <8 bits, so ``pos`` already sits on the marker).  ``done`` is
+        cleared: peek_symbol sets it as a NORMAL state on reaching the
+        marker (unlike _fill, which raises), and entropy data resumes
+        right after the marker."""
         self.acc = 0
         self.nbits = 0
+        self.done = False
         d = self.data
         if (
             self.pos + 2 > len(d)
@@ -384,45 +503,57 @@ def encode_jpeg(
         )
         coefs = _fdct(blocks)
         quant = np.round(coefs / q).astype(np.int64)
-        comp_coefs.append(quant.reshape(cbh, cbw, 8, 8))
+        # zigzag once per plane (vectorized) instead of per block; the
+        # nonzero positions drive the AC loop below so the Python-level
+        # work per block is proportional to the (few) surviving
+        # coefficients, not all 63 (r14, guide §4.2)
+        comp_coefs.append(quant.reshape(cbh, cbw, 64)[:, :, ZIGZAG])
 
-    dc_codes = [_build_codes(*STD_DC_LUMA), _build_codes(*STD_DC_CHROMA)]
-    ac_codes = [_build_codes(*STD_AC_LUMA), _build_codes(*STD_AC_CHROMA)]
+    dc_codes, ac_codes = _std_codes()
 
     bw_out = _BitWriter()
+    bw_write = bw_out.write
     prev_dc = [0] * len(planes)
 
     def emit_block(ci: int, by: int, bx: int) -> None:
+        # the whole block's bit string is packed into one local
+        # (acc, nbits) accumulator — pure int shifts, no per-symbol
+        # method call — and flushed with ONE BitWriter.write: the
+        # MSB-first concatenation is associative, so the emitted
+        # stream is bit-identical to the old per-symbol writes
         t = min(ci, 1)
-        zz = comp_coefs[ci][by, bx].reshape(64)[ZIGZAG]
+        zz = comp_coefs[ci][by, bx]
         dc = int(zz[0])
         diff = dc - prev_dc[ci]
         prev_dc[ci] = dc
-        size = _size_cat(diff)
-        code, ln = dc_codes[t][size]
-        bw_out.write(code, ln)
-        if size:
-            v = diff if diff >= 0 else diff + (1 << size) - 1
-            bw_out.write(v, size)
-        run = 0
-        for k in range(1, 64):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
+        size = abs(diff).bit_length()
+        pre, tot = dc_codes[t][size]
+        v = 0 if size == 0 else (diff if diff >= 0 else diff + (1 << size) - 1)
+        acc = pre | v
+        nbits = tot
+        act = ac_codes[t]
+        zrl_pre, zrl_len = act[0xF0]
+        nz = np.nonzero(zz)[0]
+        prev_k = 0
+        for k, v in zip(nz.tolist(), zz[nz].tolist()):
+            if k == 0:
                 continue
+            run = k - prev_k - 1
+            prev_k = k
             while run > 15:
-                code, ln = ac_codes[t][0xF0]  # ZRL
-                bw_out.write(code, ln)
+                acc = (acc << zrl_len) | zrl_pre  # ZRL
+                nbits += zrl_len
                 run -= 16
-            size = _size_cat(v)
-            code, ln = ac_codes[t][(run << 4) | size]
-            bw_out.write(code, ln)
+            size = abs(v).bit_length()
+            pre, tot = act[(run << 4) | size]
             bits = v if v >= 0 else v + (1 << size) - 1
-            bw_out.write(bits, size)
-            run = 0
-        if run:
-            code, ln = ac_codes[t][0x00]  # EOB
-            bw_out.write(code, ln)
+            acc = (acc << tot) | pre | bits
+            nbits += tot
+        if prev_k != 63:
+            pre, tot = act[0x00]  # EOB
+            acc = (acc << tot) | pre
+            nbits += tot
+        bw_write(acc, nbits)
 
     mcu_n = 0
     rst_n = 0
@@ -446,7 +577,10 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for ti, q in enumerate(qtabs):
-        out += seg(0xDB, bytes([ti]) + bytes(int(v) for v in q.reshape(64)[ZIGZAG]))
+        out += seg(
+            0xDB,
+            bytes([ti]) + q.reshape(64)[ZIGZAG].astype(np.uint8).tobytes(),
+        )
     ncomp = 1 if gray else 3
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
@@ -494,7 +628,7 @@ def _decode(payload: bytes):
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     qtabs: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], list[int]] = {}
     frame = None
     restart_interval = 0
     pos = 2
@@ -531,16 +665,7 @@ def _decode(payload: bytes):
                 vals = list(body[i + 17 : i + 17 + nv])
                 if len(vals) != nv:
                     return None
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                k = 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        table[(length, code)] = vals[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = table
+                huff[(tc, th)] = _build_decode_lut(bits, vals)
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             prec, fh, fw, nc = (
@@ -589,74 +714,207 @@ def _decode(payload: bytes):
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 sel.append((tt >> 4, tt & 0x0F))
-            reader = _BitReader(payload, pos + 2 + seg_len)
             hmax = max(hs for _, _, hs, _ in comps)
             vmax = max(vs for _, _, _, vs in comps)
             # MCU grid (spec A.2.3): each MCU holds hs x vs blocks of
             # every component, raster order, components interleaved.
             mrows = (fh + 8 * vmax - 1) // (8 * vmax)
             mcols = (fw + 8 * hmax - 1) // (8 * hmax)
-            planes = [
-                np.zeros((mrows * vs * 8, mcols * hs * 8), dtype=np.float64)
+            prev_dc = [0] * len(comps)
+            # per-component table set hoisted out of the MCU loop (it
+            # is loop-invariant; missing tables returned None on the
+            # first MCU before, so checking up front is identical),
+            # and one zigzag-coefficient row buffer per data unit so
+            # dequantization + IDCT run BATCHED per component after
+            # entropy decode (r14, guide §4.2: thousands of 8x8
+            # matmuls and 64-element scatters collapse into a few
+            # whole-plane numpy ops; same per-block arithmetic).
+            tabs = []
+            for ci, (cid, tq, hs, vs) in enumerate(comps):
+                dct_t = huff.get((0, sel[ci][0]))
+                act = huff.get((1, sel[ci][1]))
+                q = qtabs.get(tq)
+                if dct_t is None or act is None or q is None:
+                    return None
+                tabs.append((dct_t, act))
+            coef_zz = [
+                np.zeros((mrows * mcols * hs * vs, 64), dtype=np.int64)
                 for _, _, hs, vs in comps
             ]
-            prev_dc = [0] * len(comps)
-
-            def read_block(dct_t, act, q):
-                zz = np.zeros(64, dtype=np.int64)
-                size = reader.read_symbol(dct_t)
-                if size > 15:  # baseline DC categories stop at 11
-                    raise _Corrupt
-                diff = _extend(reader.read(size), size) if size else 0
-                zz_dc = diff
-                k = 1
-                while k < 64:
-                    sym = reader.read_symbol(act)
-                    if sym == 0x00:  # EOB
+            # Entropy area pre-split into restart segments at C speed:
+            # each segment is the byte run up to the next real marker
+            # (anything but stuffed FF00), unstuffed with ONE
+            # bytes.replace.  The old _BitReader walked the same bytes
+            # one at a time in Python, re-testing for 0xFF per byte;
+            # the bit-level read order and every accept/reject outcome
+            # are unchanged (r14, guide §4.2).  term records the
+            # marker byte that cut the segment (None = ran off the
+            # end), so the restart check below can verify RSTn order
+            # exactly as _BitReader.restart did.
+            start = pos + 2 + seg_len
+            ndata = len(payload)
+            segs = []
+            p0 = start
+            while True:
+                q = p0
+                term = None
+                end = ndata
+                while True:
+                    f = payload.find(b"\xff", q)
+                    if f == -1:
                         break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise _Corrupt
-                        k += 16  # ZRL
+                    if f + 1 >= ndata:
+                        end = f
+                        break
+                    nxt = payload[f + 1]
+                    if nxt == 0x00:
+                        q = f + 2
                         continue
-                    k += run
-                    if k > 63:
-                        raise _Corrupt
-                    zz[k] = _extend(reader.read(size), size)
-                    k += 1
-                return zz_dc, zz
-
-            mcu_n = 0
+                    end = f
+                    term = nxt
+                    break
+                segs.append(
+                    (payload[p0:end].replace(b"\xff\x00", b"\xff"), term)
+                )
+                if term is not None and 0xD0 <= term <= 0xD7:
+                    p0 = end + 2
+                else:
+                    break
+            # decode schedule: per MCU, each component's vs*hs data
+            # units in raster order (loop-invariant, hoisted)
+            sched = []
+            for ci, (cid, tq, hs, vs) in enumerate(comps):
+                for _ in range(vs * hs):
+                    sched.append((ci, tabs[ci][0], tabs[ci][1], coef_zz[ci]))
+            nseen = [0] * len(comps)
+            seg_i = 0
+            seg, seg_term = segs[0]
+            nseg = len(seg)
+            spos = 0
+            acc = 0
+            nbits = 0
             rst_n = 0
-            for my in range(mrows):
-                for mx in range(mcols):
+            for mcu_n in range(mrows * mcols):
+                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                    # only the encoder's pad bits (<8) may remain, the
+                    # cutting marker must be the expected RSTn, and
+                    # decoding resumes in the next segment — the same
+                    # three checks _BitReader.restart performed
                     if (
-                        restart_interval
-                        and mcu_n
-                        and mcu_n % restart_interval == 0
+                        (nseg - spos) * 8 + nbits >= 8
+                        or seg_term != 0xD0 + (rst_n & 7)
                     ):
-                        reader.restart(rst_n)
-                        rst_n = (rst_n + 1) & 7
-                        prev_dc = [0] * len(comps)
-                    mcu_n += 1
-                    for ci, (cid, tq, hs, vs) in enumerate(comps):
-                        dct_t = huff.get((0, sel[ci][0]))
-                        act = huff.get((1, sel[ci][1]))
-                        q = qtabs.get(tq)
-                        if dct_t is None or act is None or q is None:
-                            return None
-                        for bv in range(vs):
-                            for bu in range(hs):
-                                dc_diff, zz = read_block(dct_t, act, q)
-                                prev_dc[ci] += dc_diff
-                                zz[0] = prev_dc[ci]
-                                coefs = np.zeros(64, dtype=np.float64)
-                                coefs[ZIGZAG] = zz * q.reshape(64)[ZIGZAG]
-                                block = _idct(coefs.reshape(8, 8)) + 128.0
-                                y0 = (my * vs + bv) * 8
-                                x0 = (mx * hs + bu) * 8
-                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                        raise _Corrupt
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise _Corrupt
+                    seg, seg_term = segs[seg_i]
+                    nseg = len(seg)
+                    spos = 0
+                    acc = 0
+                    nbits = 0
+                    rst_n = (rst_n + 1) & 7
+                    prev_dc = [0] * len(comps)
+                for ci, dct_t, act, rows in sched:
+                    row = rows[nseen[ci]]
+                    nseen[ci] += 1
+                    # --- DC: one LUT lookup + magnitude bits ---
+                    while nbits < 32 and spos < nseg:
+                        acc = (acc << 8) | seg[spos]
+                        spos += 1
+                        nbits += 8
+                    if nbits >= 16:
+                        entry = dct_t[(acc >> (nbits - 16)) & 0xFFFF]
+                    else:
+                        pad = 16 - nbits
+                        entry = dct_t[((acc << pad) | ((1 << pad) - 1)) & 0xFFFF]
+                    ln = entry >> 8
+                    if ln == 0 or ln > nbits:
+                        raise _Corrupt
+                    nbits -= ln
+                    acc &= (1 << nbits) - 1
+                    size = entry & 0xFF
+                    if size > 15:  # baseline DC categories stop at 11
+                        raise _Corrupt
+                    if size:
+                        while nbits < size:
+                            if spos >= nseg:
+                                raise _Corrupt
+                            acc = (acc << 8) | seg[spos]
+                            spos += 1
+                            nbits += 8
+                        nbits -= size
+                        v = (acc >> nbits) & ((1 << size) - 1)
+                        acc &= (1 << nbits) - 1
+                        dcv = (
+                            v
+                            if v >= (1 << (size - 1))
+                            else v - (1 << size) + 1
+                        ) + prev_dc[ci]
+                    else:
+                        dcv = prev_dc[ci]
+                    prev_dc[ci] = dcv
+                    row[0] = dcv
+                    # --- AC run-length loop ---
+                    k = 1
+                    while k < 64:
+                        while nbits < 32 and spos < nseg:
+                            acc = (acc << 8) | seg[spos]
+                            spos += 1
+                            nbits += 8
+                        if nbits >= 16:
+                            entry = act[(acc >> (nbits - 16)) & 0xFFFF]
+                        else:
+                            pad = 16 - nbits
+                            entry = act[
+                                ((acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+                            ]
+                        ln = entry >> 8
+                        if ln == 0 or ln > nbits:
+                            raise _Corrupt
+                        nbits -= ln
+                        acc &= (1 << nbits) - 1
+                        sym = entry & 0xFF
+                        if sym == 0x00:  # EOB
+                            break
+                        size = sym & 0x0F
+                        if size == 0:
+                            if (sym >> 4) != 15:
+                                raise _Corrupt
+                            k += 16  # ZRL
+                            continue
+                        k += sym >> 4
+                        if k > 63:
+                            raise _Corrupt
+                        while nbits < size:
+                            if spos >= nseg:
+                                raise _Corrupt
+                            acc = (acc << 8) | seg[spos]
+                            spos += 1
+                            nbits += 8
+                        nbits -= size
+                        v = (acc >> nbits) & ((1 << size) - 1)
+                        acc &= (1 << nbits) - 1
+                        row[k] = (
+                            v
+                            if v >= (1 << (size - 1))
+                            else v - (1 << size) + 1
+                        )
+                        k += 1
+            # batched dequantize -> unzigzag -> IDCT -> plane assembly
+            # (block order in coef_zz is (my, mx, bv, bu) raster —
+            # exactly the positions the per-block loop wrote)
+            planes = []
+            for ci, (cid, tq, hs, vs) in enumerate(comps):
+                qzig = qtabs[tq].reshape(64)[ZIGZAG]
+                deq = np.zeros((mrows * mcols * hs * vs, 64), dtype=np.float64)
+                deq[:, ZIGZAG] = coef_zz[ci] * qzig
+                blocks = _idct(deq.reshape(-1, 8, 8)) + 128.0
+                planes.append(
+                    blocks.reshape(mrows, mcols, vs, hs, 8, 8)
+                    .transpose(0, 2, 4, 1, 3, 5)
+                    .reshape(mrows * vs * 8, mcols * hs * 8)
+                )
             # upsample subsampled components to full resolution by
             # sample replication, then crop to the frame
             full = []
