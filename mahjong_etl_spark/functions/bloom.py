@@ -169,4 +169,12 @@ def bloom_prune(
         bits = (bm[pos // 64] >> (pos % np.uint64(64))) & np.uint64(1)
         return pd.Series(bits.all(axis=1))
 
-    return df.where(member(F.col(col)))
+    # Non-deterministic marking (r14, guide §4.4): the function IS
+    # deterministic, but declared so the optimizer's constraint
+    # propagation would INFER the membership predicate across a later
+    # equi-join onto the OTHER side — observed as a second
+    # ArrowEvalPython evaluating the Python UDF over the entire
+    # broadcast build side, where membership is true by construction
+    # (its keys built the filter; no false negatives).  Marking it
+    # non-deterministic pins the prune to the side the caller chose.
+    return df.where(member.asNondeterministic()(F.col(col)))

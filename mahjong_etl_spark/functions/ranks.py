@@ -82,6 +82,69 @@ def with_percent_rank(
     ).drop("_pid")
 
 
+def with_value_percent_rank(
+    vc: DataFrame,
+    col: str,
+    cnt_col: str,
+    out_col: str = "pr",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact percent_rank over a VALUE-COUNT relation.
+
+    ``vc`` holds one row per distinct value of ``col`` with its row
+    count in ``cnt_col``; ``out_col`` receives the percent_rank every
+    underlying row of that value would get from
+    ``percent_rank() OVER (ORDER BY col)`` on the un-aggregated
+    relation.  Ties share the min rank, so every row of a value group
+    has rank 1 + (number of strictly smaller rows) and
+    pr = (rank − 1)/(n − 1) = (rows strictly below)/(n − 1) — both
+    terms exact int64 sums here.
+
+    Why this shape exists (r14, guide §2.3 "aggregate before you
+    shuffle"): the row-level :func:`with_percent_rank` range-shuffles
+    and checkpoints EVERY row, but a rank consumer that only needs
+    per-value (or binned) output can aggregate first — the range
+    shuffle then moves one row per distinct value, value-DOMAIN-bounded
+    at any corpus scale, while the groupBy feeding it partial-aggregates
+    map-side.  Same range-partition + per-partition-window + offset
+    construction, same localCheckpoint pinning (see with_percent_rank),
+    with the per-partition counts summing ``cnt_col`` instead of
+    counting rows.
+    """
+    parts = (
+        vc.repartitionByRange(num_partitions, F.col(col))
+        if num_partitions
+        else vc.repartitionByRange(F.col(col))
+    ).withColumn("_pid", F.spark_partition_id())
+    parts = parts.localCheckpoint(eager=True)
+    counts = {
+        r._pid: r.n
+        for r in parts.groupBy("_pid").agg(F.sum(cnt_col).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    if n_total <= 1:
+        return vc.withColumn(out_col, F.lit(0.0))
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr: Column = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    below = off_expr + F.sum(cnt_col).over(w) - F.col(cnt_col)
+    return parts.withColumn(
+        out_col,
+        below.cast("double") / F.lit(float(n_total - 1)),
+    ).drop("_pid")
+
+
 def with_global_row_number(
     df: DataFrame,
     order_cols: list[Column],

@@ -553,11 +553,18 @@ def _bucket_pairs(
     needs >cap near-identical-but-not-identical docs sharing one
     bucket key; we take the recall trade-off and document it.)
 
-    Physical shape: one exchange on the bucket key, reused by both the
-    window (rank + representative) and the capped collect_list —
-    Spark's ReuseExchange collapses the two branches onto one shuffle.
-    The window sort spills to disk, so a 10⁶-member bucket never has
-    to fit in executor memory.
+    Physical shape (r14): the ranked relation is ``localCheckpoint``ed
+    — its two consumers (the capped in-bucket enumeration and the
+    overflow rep-links) otherwise re-plan the ENTIRE upstream subtree,
+    including the Python signing pass feeding the band rows (the
+    compile-time ReuseExchange the previous shape relied on never
+    fires; measured r14: the bucket stage cost 2.07 s against 0.63 s
+    for the bands themselves because the mapInPandas signatures ran
+    once per branch).  The checkpoint stores bands-per-doc thin rows
+    (the same corpus-linear class as the simhash ranked checkpoint,
+    batch 3) — exactly what the bucket-key shuffle wrote anyway.  The
+    window sort spills to disk, so a 10⁶-member bucket never has to
+    fit in executor memory.
     """
     from pyspark.sql.window import Window
 
@@ -567,7 +574,7 @@ def _bucket_pairs(
         id_col,
         F.row_number().over(w).alias("__rk"),
         F.first(id_col).over(w).alias("__rep"),
-    )
+    ).localCheckpoint()
     grouped = (
         ranked.where(F.col("__rk") <= cap)
         .groupBy(*keys)

@@ -57,7 +57,15 @@ def fuzzy_name_pairs(names: DataFrame) -> DataFrame:
 
     The distance predicate sits in the join condition so it is
     evaluated during the sort-merge/hash join probe — no intermediate
-    all-pairs materialization."""
+    all-pairs materialization.  r14 (guide §1.2 per-task work): the
+    predicate uses the THRESHOLD form ``levenshtein(a, b, LEV_T)``
+    (banded O(n·k) DP with early exit, -1 past the bound) instead of
+    the full O(n·m) distance — the block join compares Σ block_size²
+    candidate pairs and nearly all of them are far apart, so the
+    banded form does a small fraction of the cell work.  Equivalent by
+    construction: banded ≥ 0 ⇔ full ≤ LEV_T, and for every surviving
+    pair the banded value IS the exact distance (only values ≤ the
+    bound are emitted)."""
     a = names.select(
         F.col("p_name").alias("name_a"),
         F.col("name_key").alias("key_a"),
@@ -74,11 +82,11 @@ def fuzzy_name_pairs(names: DataFrame) -> DataFrame:
         b,
         (F.col("block") == F.col("block_b"))
         & (F.col("name_a") < F.col("name_b"))
-        & (F.levenshtein("name_a", "name_b") <= LEV_T),
+        & (F.levenshtein("name_a", "name_b", LEV_T) >= 0),
     ).select(
         "name_a",
         "name_b",
-        F.levenshtein("name_a", "name_b").alias("dist"),
+        F.levenshtein("name_a", "name_b", LEV_T).alias("dist"),
         "key_a",
         "key_b",
         "parts_a",

@@ -4051,30 +4051,41 @@ def lineitem_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (equal values share a rank, hence a bin — no cut can
     split a tie group).
 
-    The rank comes from functions/ranks.py::with_percent_rank — range
-    shuffle + parallel per-partition windows + broadcast offsets —
-    NOT from an unpartitioned window (which Spark executes as ONE
-    task: the naive form measured 48× at the 100×-probe; the
-    distributed form keeps the same bit-exact result, pinned by
-    tests/test_ranks.py, at range-shuffle cost).  Approx cut points
-    (events_approx_quantiles) remain the cheaper sketch path when
-    exactness is negotiable."""
-    from ..functions.ranks import with_percent_rank
+    The rank comes from functions/ranks.py (range shuffle + parallel
+    per-partition windows + broadcast offsets) — NOT from an
+    unpartitioned window (which Spark executes as ONE task: the naive
+    form measured 48× at the 100×-probe; the distributed form keeps
+    the same bit-exact result, pinned by tests/test_ranks.py, at
+    range-shuffle cost).  r14 (guide §2.3): every output column is a
+    per-VALUE aggregate, so the rows are value-counted BEFORE the
+    range shuffle (with_value_percent_rank) — a tie group's shared
+    rank is 1 + (rows strictly below), so the count relation carries
+    the exact percent_rank of every member row, the range exchange
+    moves one row per distinct price (value-domain-bounded at any
+    scale; the groupBy feeding it partial-aggregates map-side), and
+    the bin rollup weights by the counts (count·round(price·100) is
+    the same exact int64 sum the per-row aggregate computed).  Approx
+    cut points (events_approx_quantiles) remain the cheaper sketch
+    path when exactness is negotiable."""
+    from ..functions.ranks import with_value_percent_rank
 
     li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
-    ranked = with_percent_rank(li, "l_extendedprice", "pr")
+    vc = li.groupBy("l_extendedprice").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = with_value_percent_rank(vc, "l_extendedprice", "cnt", "pr")
     binned = ranked.select(
         "l_extendedprice",
+        "cnt",
         F.least(F.floor(F.col("pr") * 4).cast("int"), F.lit(3)).alias("bin"),
     )
     return binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cnt").alias("n_rows"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         (
-            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).cast(
-                "double"
-            )
+            F.sum(
+                F.col("cnt")
+                * F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            ).cast("double")
             / F.lit(100.0)
         ).alias("bin_revenue"),
     )

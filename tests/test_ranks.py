@@ -6,7 +6,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mahjong_etl_spark.functions.ranks import with_percent_rank
+from mahjong_etl_spark.functions.ranks import (
+    with_percent_rank,
+    with_value_percent_rank,
+)
 from mahjong_etl_spark.sources.tables import load
 
 
@@ -55,3 +58,26 @@ def test_partitioning_invariant(spark):
 def test_degenerate_sizes(spark):
     one = spark.createDataFrame([(42,)], ["x"])
     assert with_percent_rank(one, "x", "pr").collect()[0].pr == 0.0
+
+
+def test_value_weighted_matches_row_level(spark):
+    """The r14 value-count form must assign every distinct value the
+    exact pr its member rows get from the single-window row-level
+    form (ties share the min rank — the aggregated relation carries
+    the group rank exactly)."""
+    rows = [((i * 7) % 23,) for i in range(911)]  # ragged tie groups
+    df = spark.createDataFrame(rows, ["x"]).repartition(11)
+    vc = df.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    got = sorted(
+        (r.x, r.pr)
+        for r in with_value_percent_rank(vc, "x", "cnt", "pr").collect()
+    )
+    want = sorted(
+        {(r.v, r.pr) for r in _naive(df, "x").collect()}
+    )  # one entry per distinct value: ties share one pr
+    assert got == want
+    # degenerate: one value, one row -> pr 0.0
+    one = spark.createDataFrame([(42, 1)], ["x", "cnt"])
+    assert (
+        with_value_percent_rank(one, "x", "cnt", "pr").collect()[0].pr == 0.0
+    )
