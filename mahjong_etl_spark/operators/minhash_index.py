@@ -447,13 +447,23 @@ def query_minhash_index(
         )
         return expanded.unionByName(self_links)
 
-    q_bands = band_rows(
-        minhash_signatures(
-            queries_df.select("doc_id", "text"), n, bands * rows_per_band
-        ),
-        bands,
-        rows_per_band,
-    ).withColumnRenamed("doc_id", "q_id")
+    # localCheckpoint (r14, guide §2.4): probe_candidates consumes
+    # q_bands TWICE (the bucket-hit join and the re-attach join after
+    # the cap window) and each consumer re-plans the Python signing
+    # pass over the query corpus — the same duplicated-subtree shape
+    # _bucket_pairs fixed on the pair path.  Bands-per-doc thin rows,
+    # exactly what the probe shuffle ships anyway.
+    q_bands = (
+        band_rows(
+            minhash_signatures(
+                queries_df.select("doc_id", "text"), n, bands * rows_per_band
+            ),
+            bands,
+            rows_per_band,
+        )
+        .withColumnRenamed("doc_id", "q_id")
+        .localCheckpoint()
+    )
     cand = probe_candidates(postings, q_bands)
     qsh = (shingle_sets(queries_df, n) if qsh is None else qsh).select(
         F.col("doc_id").alias("q_id"), F.col("shingles").alias("sh_a")

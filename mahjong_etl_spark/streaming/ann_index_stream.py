@@ -1329,7 +1329,7 @@ def run_neardup_admission_stream(
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
         docs = batch_df.select("doc_id", "text").persist()
-        reps = decisions = None
+        reps = decisions = q_bands = None
         try:
             # 1. within-batch exact collapse
             key = F.md5("text")
@@ -1369,13 +1369,23 @@ def run_neardup_admission_stream(
             postings = session.read.parquet(f"{index_dir}/bands").select(
                 "band", "bh", "doc_id"
             )
-            q_bands = band_rows(
-                minhash_signatures(
-                    reps, geo["n"], geo["bands"] * geo["rows_per_band"]
-                ),
-                geo["bands"],
-                geo["rows_per_band"],
-            ).withColumnRenamed("doc_id", "q_id")
+            # persisted (r14, guide §2.4): q_bands has up to FIVE
+            # consumers per batch (two inside the index probe's
+            # probe_candidates, two more in the within-batch self
+            # probe, and the clean-bands publish) and each otherwise
+            # re-plans the Python signing pass; reps being persisted
+            # caches only the signing's INPUT, not its output
+            q_bands = (
+                band_rows(
+                    minhash_signatures(
+                        reps, geo["n"], geo["bands"] * geo["rows_per_band"]
+                    ),
+                    geo["bands"],
+                    geo["rows_per_band"],
+                )
+                .withColumnRenamed("doc_id", "q_id")
+                .persist()
+            )
             per_match = probe_candidates(
                 postings, q_bands, exclude_ids=docs
             )
@@ -1594,6 +1604,8 @@ def run_neardup_admission_stream(
             docs.unpersist()
             if reps is not None:
                 reps.unpersist()
+            if q_bands is not None:
+                q_bands.unpersist()
             if decisions is not None:
                 decisions.unpersist()
 
