@@ -2138,32 +2138,34 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VAD-style audio segmentation: each clip rides the real WAV
     encode→RIFF→decode path, per-frame RMS energy (one vectorized
     numpy pass per Arrow batch) thresholds into voiced/silence flags,
-    and a relational gap-and-islands pass turns the flags into
-    segment statistics — voiced frame count, number of voiced runs,
-    the longest run, voiced ratio.  This is the speech-curation cut
-    ("keep clips with >= X s of contiguous speech") every audio
-    pretraining mixture applies, expressed Spark-first: DSP in the
-    Arrow batch, run detection in windows/aggregates the optimizer
-    can see.
+    and a vectorized gap-and-islands pass over the same (batch,
+    frame) matrix turns the flags into segment statistics — voiced
+    frame count, number of voiced runs, the longest run, voiced
+    ratio.  This is the speech-curation cut ("keep clips with >= X s
+    of contiguous speech") every audio pretraining mixture applies.
 
-    Plan: the mapInPandas emits 16 (doc, frame, voiced) rows per clip;
-    ONE doc_id exchange feeds the lag window, the cumulative-sum
-    window and both aggregates (frame state is bounded at SEG_FRAMES
-    rows per doc).  Oracle: the planted envelope is int64 bit
-    arithmetic a SQL oracle re-derives EXACTLY, so the hash-match
-    proves the full encode→decode→RMS→threshold→islands path
-    reproduces ground truth bit-for-bit — no golden needed; the
-    three-orders RMS margin makes the threshold decision
-    libm-independent."""
+    Plan: the clip's frame axis never leaves the Arrow batch — the
+    mapInPandas emits ONE (doc, n_voiced, n_segments, longest_run)
+    row per clip instead of SEG_FRAMES flag rows, so the per-frame
+    rows neither cross the Python boundary nor get re-shuffled by
+    doc_id for lag/cumsum windows (the pre-r14 shape paid one
+    exchange of 16 rows/doc plus two windows and two aggregates; run
+    detection over a frame axis that is born batch-local in the
+    generator is a numpy expression, guide §4.2, and collapsing it
+    there shrinks the Python→JVM transfer 16x, §2.3).  Oracle: the
+    planted envelope is int64 bit arithmetic a SQL oracle re-derives
+    EXACTLY, so the hash-match proves the full
+    encode→decode→RMS→threshold→islands path reproduces ground truth
+    bit-for-bit — no golden needed; the three-orders RMS margin makes
+    the threshold decision libm-independent."""
     from ..shipping import ensure_shipped
     from ..sources.tables import load_spread
-    from pyspark.sql.window import Window
 
     ensure_shipped(spark)
     n_f, flen, thr = SEG_FRAMES, SEG_FRAME_LEN, SEG_RMS_THRESHOLD
     enc, dec, synth = encode_wav, decode_wav_samples, synth_voiced_clip
 
-    def _flags(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _seg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
@@ -2178,39 +2180,38 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             frames = mat.reshape(len(ids), n_f, flen)
             rms = np.sqrt((frames * frames).mean(axis=2))  # (B, n_f)
             voiced = (rms > thr).astype(np.int64)
+            # gap-and-islands over the frame axis, whole batch at once:
+            # a segment starts on every silence->voiced transition
+            starts = voiced.copy()
+            starts[:, 1:] &= 1 - voiced[:, :-1]
+            run = np.zeros(len(ids), dtype=np.int64)
+            longest = np.zeros(len(ids), dtype=np.int64)
+            for f in range(n_f):
+                run = (run + 1) * voiced[:, f]
+                np.maximum(longest, run, out=longest)
             yield pd.DataFrame(
                 {
-                    "doc_id": np.repeat(np.asarray(ids, dtype=np.int64), n_f),
-                    "frame": np.tile(np.arange(n_f, dtype=np.int32), len(ids)),
-                    "voiced": voiced.reshape(-1),
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "n_voiced": voiced.sum(axis=1),
+                    "n_segments": starts.sum(axis=1),
+                    "longest_run": longest,
                 }
             )
 
-    flags = (
+    stats = (
         load_spread(spark, sf_dir, "documents")
         .select("doc_id")
-        .mapInPandas(_flags, "doc_id long, frame int, voiced long")
-    )
-    w = Window.partitionBy("doc_id").orderBy("frame")
-    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    new_seg = F.when(
-        (F.col("voiced") == 1)
-        & (F.coalesce(F.lag("voiced").over(w), F.lit(0)) == 0),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    seg = flags.withColumn("seg_id", F.sum(new_seg).over(wrun))
-    runs = seg.groupBy("doc_id", "seg_id").agg(F.sum("voiced").alias("n_v"))
-    return (
-        runs.groupBy("doc_id")
-        .agg(
-            F.sum("n_v").alias("n_voiced"),
-            F.sum(F.when(F.col("n_v") > 0, 1).otherwise(0)).alias(
-                "n_segments"
-            ),
-            F.max("n_v").alias("longest_run"),
-            F.round(F.sum("n_v") / float(SEG_FRAMES), 6).alias(
-                "voiced_ratio"
-            ),
+        .mapInPandas(
+            _seg_stats,
+            "doc_id long, n_voiced long, n_segments long, longest_run long",
         )
-        .orderBy("doc_id")
     )
+    return stats.select(
+        "doc_id",
+        "n_voiced",
+        "n_segments",
+        "longest_run",
+        F.round(F.col("n_voiced") / float(SEG_FRAMES), 6).alias(
+            "voiced_ratio"
+        ),
+    ).orderBy("doc_id")

@@ -52,10 +52,14 @@ def local_rows_df(spark: SparkSession, rows: list, schema: str):
 
 def get_spark(app_name: str = "mahjong-etl-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # scale-adaptive shuffle sizing: local default == local cores (AQE
+    # coalescing trims the rest); the cluster twin of this knob is
+    # conf/cluster-defaults.conf (10k partitions for 4000 cores).
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -277,8 +277,10 @@ def test_audio_segments_recover_planted_envelope(spark, tmp_path):
 
 
 def test_audio_segments_one_doc_exchange(spark, sf_dir):
-    """Windows and both aggregates must share ONE doc_id exchange;
-    per-doc state is bounded at SEG_FRAMES rows."""
+    """r14 shape: the frame axis never leaves the Arrow batch — one
+    row per doc out of the generator, so NO doc_id hash exchange and
+    no window nodes remain (the only exchange is the final orderBy's
+    range partitioning)."""
     from mahjong_etl_spark.operators.multimodal import (
         multimodal_audio_segments,
     )
@@ -291,7 +293,8 @@ def test_audio_segments_one_doc_exchange(spark, sf_dir):
         .toString()
         .split("== Initial Plan ==")[0]
     )
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Window") == 0
     assert plan.count("MapInPandas") == 1
 
 
