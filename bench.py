@@ -34,6 +34,12 @@ def main() -> None:
 
     reg = {n: q for n, q in registry().items() if q.bench}
 
+    # r15 (r14 verdict item 1): everything the bench does before the
+    # timed loop is CLOCKED and reported as warmup_sec in the JSON
+    # line, so untimed warm-up work is visible in the artifact instead
+    # of silently absorbed.
+    t_warm0 = time.perf_counter()
+
     # warm-up: JVM + parquet footer caches, one tiny job, and the
     # Python worker fleet (first Arrow-UDF stage otherwise pays ~32
     # concurrent interpreter+numpy imports — a once-per-executor cost
@@ -85,13 +91,6 @@ def main() -> None:
         from mahjong_etl_spark.operators.similarity import corpus_ivfpq
 
         corpus_ivfpq(spark, sf_dir)[2].count()
-        # the text-dedup family's shared relations (shingle sets +
-        # verified Jaccard pairs) — persisted lazily, so force the
-        # materialization here instead of on the alphabetically-first
-        # consumer (corpus_canonical_docs in r11's board)
-        from mahjong_etl_spark.operators.dedup import corpus_jaccard_pairs
-
-        corpus_jaccard_pairs(spark, sf_dir).count()
         # the adaptive-minhash deciding aggregate (r12): cached per
         # (applicationId, plan semanticHash), so one untimed warm
         # here serves dedup_minhash_lsh AND dedup_ensemble — the
@@ -103,6 +102,28 @@ def main() -> None:
     except Exception as exc:  # a missing embeddings table must not
         # kill the whole bench — the queries themselves will report it
         print(f"warm-up: quantizer prewarm skipped: {exc}", file=sys.stderr)
+    warmup_sec = time.perf_counter() - t_warm0
+
+    # The text-dedup family's shared relations (shingle sets + the
+    # r14 pre-threshold co-occurrence counts + verified Jaccard
+    # pairs): persisted lazily, so force the materialization here —
+    # but as a NAMED TIMED LINE, not inside the untimed warm-up
+    # (r14 verdict item 1: batch 4 moved the shingle pipeline's cache
+    # one level earlier, so this fill had silently absorbed work that
+    # was timed inside dedup_containment through r13; the fill is a
+    # once-per-corpus-snapshot cost by design, and charging it to its
+    # own line keeps BOTH it and the steady-state family numbers
+    # honest).  Runs before the loop so no family consumer's number
+    # depends on alphabetical position, exactly like the quantizers.
+    dedup_fill_sec = None
+    try:
+        from mahjong_etl_spark.operators.dedup import corpus_jaccard_pairs
+
+        t0 = time.perf_counter()
+        corpus_jaccard_pairs(spark, sf_dir).count()
+        dedup_fill_sec = time.perf_counter() - t0
+    except Exception as exc:
+        print(f"dedup family cache fill skipped: {exc}", file=sys.stderr)
 
     def run_one(name: str) -> float:
         t0 = time.perf_counter()
@@ -130,9 +151,18 @@ def main() -> None:
     # doesn't know about yet.
     med = sorted(timings.values())[len(timings) // 2]
     first = sorted(timings)[0]
+    n_retimed = 0
     for name, t in list(timings.items()):
         if name == first or t >= max(2.0, 3 * med):
             timings[name] = min(t, run_one(name))
+            n_retimed += 1
+
+    # the family-cache fill joins the per-query map AFTER the outlier
+    # pass: it is a one-off cache fill, so a "re-time and keep the
+    # min" would deliberately measure the warm cache instead (r14
+    # verdict item 2 — the re-time rule must not erase fill costs)
+    if dedup_fill_sec is not None:
+        timings["dedup_family_cache_fill"] = dedup_fill_sec
 
     # --- mahjong plane throughput (SURVEY §6 "games parsed/sec") ----
     # A deterministic synthetic 1k-game corpus (generation untimed,
@@ -284,6 +314,12 @@ def main() -> None:
     out["load_run_start"] = load_run_start
     out["load_run_end"] = [round(x, 2) for x in os.getloadavg()]
     out["load_pairs"] = pair_loads
+    # r15 additions (r14 verdict items 1-2), additive-only: the
+    # untimed pre-loop work and the outlier re-time count are part of
+    # the artifact, so what the warm-up absorbs is adjudicable from
+    # the line itself.
+    out["warmup_sec"] = round(warmup_sec, 3)
+    out["n_retimed"] = n_retimed
     # mechanical filter for round comparisons (r12 verdict item 7):
     # a run that STARTED on a loaded host (1-min loadavg > 4 before
     # any Spark work of its own) is flagged so driver-side
@@ -389,7 +425,7 @@ def main() -> None:
         }
         out_c["n_queries"] = len(timings)
         out_c["qvals"] = [round(timings[n], 2) for n in names]
-        out_c["qorder"] = "sorted(bench-names+mahjong_*_1k)"
+        out_c["qorder"] = "sorted(bench-names+mahjong_*_1k+cache-fill)"
         out_c["qnames_sha1"] = hashlib.sha1(
             ",".join(names).encode()
         ).hexdigest()[:12]

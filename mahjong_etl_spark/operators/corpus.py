@@ -2142,11 +2142,20 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("naive_split"),
     )
+    # naive_leak: the label is 2-valued, so "count(DISTINCT) > 1" is
+    # exactly "min != max" — the r14 countDistinct form planned as
+    # Spark's two-level distinct-aggregate rewrite, whose FIRST
+    # exchange keys on (grp, naive_split) and whose partial aggregate
+    # cannot combine rows of one group with different labels; min/max
+    # keeps one single-exchange hash aggregate with full map-side
+    # combining (guide §2.3 "aggregate before you shuffle").
     reps = g.groupBy("grp").agg(
         F.min("doc_id").alias("rep"),
         F.count(F.lit(1)).alias("n_docs_g"),
         F.sum("n_chars").alias("chars_g"),
-        (F.countDistinct("naive_split") > 1).cast("int").alias("naive_leak"),
+        (F.min("naive_split") != F.max("naive_split"))
+        .cast("int")
+        .alias("naive_leak"),
     )
     assigned = deterministic_split(reps, id_col="rep")
     return (

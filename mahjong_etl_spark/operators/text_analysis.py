@@ -1429,10 +1429,16 @@ def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     class ChunkWindows:
         def eval(self, text):
-            words = (text or "").split(" ")
-            for i in range(0, len(words), UDTF_CHUNK_WORDS):
-                w = words[i : i + UDTF_CHUNK_WORDS]
-                yield i // UDTF_CHUNK_WORDS + 1, len(" ".join(w)), len(w)
+            # r15 (guide §4.2 batch-local work): chunk chars come from
+            # the word-length vector — len(" ".join(w)) for n words is
+            # exactly sum(len) + (n-1) separators — so no per-chunk
+            # joined string is ever allocated; the words list is split
+            # once and only its length vector is re-sliced.
+            lens = [len(x) for x in (text or "").split(" ")]
+            W = UDTF_CHUNK_WORDS
+            for i in range(0, len(lens), W):
+                cl = lens[i : i + W]
+                yield i // W + 1, sum(cl) + len(cl) - 1, len(cl)
 
     spark.udtf.register("chunk_windows", ChunkWindows)
     d = load(spark, sf_dir, "documents").select("doc_id", "text")

@@ -56,13 +56,15 @@ from ..schemas import TABLE_SCHEMAS
 
 _EPOCH = datetime.date(1970, 1, 1)
 
-# Micro-batch sink path (run_etl): when every table's row count —
-# known for free from the bookkeeping aggregate — is at or below
-# SMALL_SINK_ROWS, sinks coalesce to ceil(rows / SINK_ROWS_PER_TASK)
+# Micro-batch sink path (run_etl): a table whose row count — known
+# for free from the bookkeeping aggregate — is at or below
+# SMALL_SINK_ROWS coalesces to ceil(rows / SINK_ROWS_PER_TASK)
 # narrow tasks instead of paying a REBALANCE(dt) exchange + AQE
-# re-plan per sink.  A daily incremental or streaming micro-batch
-# rides this; any real backfill exceeds the threshold and keeps the
-# scale path.
+# re-plan for its sink.  Decided per table (r15): a daily
+# incremental or streaming micro-batch rides the narrow path for
+# every table, a real backfill exceeds the threshold everywhere and
+# keeps the scale path, and a mixed run (one wide fact table, eight
+# small ones) shuffles only the table that needs splitting.
 SMALL_SINK_ROWS = 262_144
 SINK_ROWS_PER_TASK = 131_072
 
@@ -283,25 +285,27 @@ def run_etl(
         # without the persist each job re-runs the window shuffle
         offsets = _with_offsets(good).persist()
         sizes = {t: sum(int(r[t]) for r in per_dt) for t in TABLE_SCHEMAS}
-        # Sink sizing comes FREE from the bookkeeping aggregate: a
-        # micro-batch (every table under SMALL_SINK_ROWS) takes the
-        # narrow path — coalesce to ceil(rows / SINK_ROWS_PER_TASK)
-        # tasks, no exchange, so each sink is ONE classic stage with
-        # no AQE re-planning round-trip; nine of those submitted
-        # concurrently collapse the fanout's job-latency floor (the
-        # ~1.6 s/2.2 s share of mahjong_etl_1k at r8).  File count
-        # stays tasks x dates with tasks ~ 1-2.  A real backfill
-        # (any table over the threshold) keeps the REBALANCE(dt)
-        # shuffle, which clusters rows by date AND splits a hot date
-        # across writers by shuffle-block size.
-        tiny = max(sizes.values(), default=0) <= SMALL_SINK_ROWS
 
         def write_one(table: str) -> None:
             # agaris/nagares may be empty for a date — Spark simply
             # writes no partition directory (the reference skips the
             # file too, scrape.py:651-660).
+            #
+            # Sink sizing comes FREE from the bookkeeping aggregate
+            # and is decided PER TABLE (r15: the r9-r14 global flag
+            # sent every sink through the REBALANCE exchange as soon
+            # as ONE table crossed the threshold — a 1k-game corpus
+            # has 411k action rows, so nine 1k-411k-row sinks each
+            # paid a shuffle + AQE re-plan).  A table under
+            # SMALL_SINK_ROWS takes the narrow path — coalesce to
+            # ceil(rows / SINK_ROWS_PER_TASK) tasks, no exchange, ONE
+            # classic stage with no AQE round-trip; file count stays
+            # tasks x dates with tasks ~ 1-2.  A table over the
+            # threshold (any real backfill) keeps the REBALANCE(dt)
+            # shuffle, which clusters rows by date AND splits a hot
+            # date across writers by shuffle-block size.
             df = table_df(good, offsets, table)
-            if tiny:
+            if sizes[table] <= SMALL_SINK_ROWS:
                 df = df.coalesce(
                     max(1, -(-sizes[table] // SINK_ROWS_PER_TASK))
                 )

@@ -4772,12 +4772,13 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type paths (first 8 events per session, '>'-joined), with
     how many sessions and events each path accounts for.
 
-    Plan: the gap-and-island sessionization shares ONE shuffle on
-    user_id (the session window, the rank window and the per-session
-    groupBy all reuse the hash(user_id) partitioning — the rank
-    window's (user_id, session_num) clustering is satisfied by it, so
-    only a re-sort is inserted); the 8-event prefix is selected by a
-    row_number BEFORE aggregation, so the per-session aggregation
+    Plan: the gap-and-island sessionization shares ONE shuffle AND one
+    sort on user_id — two chained Window nodes over the same
+    (user_id; ts, event_id) spec (lag + row_number, then the running
+    session_num sum + running session-start max that yields the
+    in-session rank), so the old third window's full-data re-sort on
+    (user_id, session_num) is gone; the 8-event prefix is selected by
+    that rank BEFORE aggregation, so the per-session aggregation
     buffer holds at most 8 (rn, event_type) structs no matter how
     long the session — a months-long bot "session" with millions of
     events contributes millions of rows to the sort but never more
@@ -4796,17 +4797,37 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_us.isNull() | (gap_us > 1800 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    numbered = e.select(
+    # r15 (guide §2.4/§1.2-2): the in-session rank used to be a third
+    # window keyed (user_id, session_num) — same exchange, but a
+    # SECOND full-data sort.  Rows of a session are contiguous in the
+    # (user_id, ts, event_id) order that defines session_num, so the
+    # rank is derivable inside the SAME sort: rn_user (row_number over
+    # the user window, shares the first Window node with the lag) and
+    # start_rn (running max of rn_user at session starts, shares the
+    # second node with the running session_num sum) give
+    # rn = rn_user - start_rn + 1 — identical values, one sort fewer.
+    flagged = e.select(
         "user_id",
         "ts",
         "event_id",
         "event_type",
-        F.sum(is_new).over(wrun).alias("session_num"),
+        is_new.alias("is_new"),
+        F.row_number().over(w).alias("rn_user"),
     )
-    wsess = Window.partitionBy("user_id", "session_num").orderBy(
-        "ts", "event_id"
+    ranked = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_new").over(wrun).alias("session_num"),
+        (
+            F.col("rn_user")
+            - F.max(
+                F.when(F.col("is_new") == 1, F.col("rn_user"))
+            ).over(wrun)
+            + 1
+        ).alias("rn"),
     )
-    ranked = numbered.withColumn("rn", F.row_number().over(wsess))
     per_session = ranked.groupBy("user_id", "session_num").agg(
         F.concat_ws(
             ">",

@@ -18,14 +18,16 @@ def main() -> None:
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     qb, qa = before["queries"], after["queries"]
     shared = sorted(set(qb) & set(qa))
-    ratios = {n: (qa[n] / qb[n]) if qb[n] > 0 else float("nan")
-              for n in shared if qb[n] > 0}
+    ratios = {n: qa[n] / qb[n] for n in shared if qb[n] > 0}
     print(f"before wall {before['value']:.1f}s ({len(qb)} q, "
           f"host_loaded={before.get('host_loaded')}, "
           f"load_start={before.get('load_run_start')})")
     print(f"after  wall {after['value']:.1f}s ({len(qa)} q, "
           f"host_loaded={after.get('host_loaded')}, "
           f"load_start={after.get('load_run_start')})")
+    if not ratios:
+        print("no shared queries with before-time > 0 — nothing to compare")
+        return
     med = statistics.median(ratios.values())
     print(f"median per-query ratio {med:.3f} over {len(ratios)} shared")
     movers = sorted(shared, key=lambda n: qb[n] - qa[n], reverse=True)
