@@ -1928,7 +1928,10 @@ def sql_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     to this engine relies on."""
     from ..sources.tables import register_views
 
-    register_views(spark, sf_dir)
+    # r15: only the four tables the SQL text references — each view
+    # registration is a driver-side footer read, and the other six
+    # bought nothing (guide §1.2-2).
+    register_views(spark, sf_dir, ["region", "nation", "customer", "orders"])
     return spark.sql(_ROUNDTRIP_SQL)
 
 
@@ -2012,16 +2015,23 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the sorted layout (row groups prune by min/max like parquet —
     pinned in tests/test_plans_r4.py's pushdown suite conventions).
 
-    Scale notes: the write is a range shuffle on the cluster key (the
-    write-once/read-many trade from plans/layout.py); the read is a
-    pushed-down scan + one map-side-combined aggregate."""
+    Scale notes: the write clusters by HASH on the high-cardinality
+    (status, date) pair + a within-partition sort (r15, guide §6/§2.4:
+    ``repartitionByRange`` first runs a separate range-boundary
+    SAMPLING job over the input, so the orders scan ran TWICE per
+    write; a hash exchange needs no boundaries, keeps every row group
+    sorted on the filter columns — min/max pruning is per row group,
+    not per file, so the read-back prunes identically — and its key
+    cardinality scales with the data instead of serializing one hot
+    status onto one writer); the read is a pushed-down scan + one
+    map-side-combined aggregate."""
     import tempfile
 
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
     )
     path = tempfile.mkdtemp(prefix="orc_roundtrip_")
-    o.repartitionByRange(4, "o_orderstatus", "o_orderdate").sortWithinPartitions(
+    o.repartition(4, "o_orderstatus", "o_orderdate").sortWithinPartitions(
         "o_orderstatus", "o_orderdate"
     ).write.mode("overwrite").orc(path)
     back = spark.read.orc(path).where(F.col("o_orderstatus") == "F")
@@ -3596,7 +3606,9 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB runs."""
     from ..sources.tables import register_views
 
-    register_views(spark, sf_dir)
+    # r15: the SQL references only orders (guide §1.2-2 — see
+    # sql_text_roundtrip).
+    register_views(spark, sf_dir, ["orders"])
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,

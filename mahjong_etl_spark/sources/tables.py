@@ -87,9 +87,17 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for spark.sql access."""
-    for name in TABLE_NAMES:
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> None:
+    """Register tables as temp views for spark.sql access.
+
+    ``names`` limits registration to the tables a query's SQL text
+    actually references (r15, guide §1.2-2 per-task work): each
+    registration is a driver-side parquet footer read for schema
+    inference, so a 4-table query paid 10 footer reads per call —
+    pure per-call overhead at any scale.  Default stays all tables."""
+    for name in names if names is not None else TABLE_NAMES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
