@@ -29,6 +29,14 @@ def _load_emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+
+def _prebuilt_ann(index_cache, kind, builder, dst, tag="full"):
+    """Copy of a pristine prebuilt index (conftest.index_cache —
+    deterministic builds trained once per session); ``tag``
+    distinguishes base-corpus cuts so each (kind, corpus) trains
+    exactly once."""
+    return index_cache.fresh(f"annidx_{kind}_{tag}", builder, dst)
+
 def _drain(spark, drop_dir, index_dir, ckpt):
     schema = "vec_id long, embedding array<float>, label int"
     stream = (
@@ -111,7 +119,7 @@ def test_maintained_index_matches_batch_rebuild(spark, sf_dir, tmp_path):
     assert from_maintained == from_rebuilt and from_maintained
 
 
-def test_replay_does_not_duplicate_postings(spark, sf_dir, tmp_path):
+def test_replay_does_not_duplicate_postings(spark, sf_dir, tmp_path, index_cache):
     """Crash-window replay: wipe a committed batch's marker AND its
     checkpoint commit (the crash-before-marker state) — the re-drain
     must erase its own leftovers and re-publish into the SAME final
@@ -119,7 +127,13 @@ def test_replay_does_not_duplicate_postings(spark, sf_dir, tmp_path):
     e = _load_emb(spark, sf_dir)
     cut = int(e.count() * 0.8)
     index_dir = str(tmp_path / "index")
-    write_ivf_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+    _prebuilt_ann(
+        index_cache, "ivf",
+        lambda d: write_ivf_index(
+            spark, e.where(F.col("vec_id") < cut), d
+        ),
+        index_dir, tag=f"cut{cut}",
+    )
 
     drop = tmp_path / "drop"
     drop.mkdir()
@@ -157,7 +171,7 @@ def _stage_arrival(df, tmp_path, drop, name, mtime):
     os.utime(dst, (mtime, mtime))
 
 
-def test_drift_ledger_flags_distribution_shift(spark, sf_dir, tmp_path):
+def test_drift_ledger_flags_distribution_shift(spark, sf_dir, tmp_path, index_cache):
     """The data-driven retrain signal (r10 verdict item 3): arrivals
     drawn from the index's own distribution record ledger rows but do
     NOT flag; a shifted batch (every component +5 — mass the frozen
@@ -173,7 +187,10 @@ def test_drift_ledger_flags_distribution_shift(spark, sf_dir, tmp_path):
     n = e.count()
     assert n >= DRIFT_MIN_BATCH  # both arrival batches clear the bar
     index_dir = str(tmp_path / "index")
-    write_ivf_index(spark, e, index_dir)
+    _prebuilt_ann(
+        index_cache, "ivf",
+        lambda d: write_ivf_index(spark, e, d), index_dir,
+    )
 
     drop = tmp_path / "drop"
     drop.mkdir()
@@ -206,7 +223,7 @@ def test_drift_ledger_flags_distribution_shift(spark, sf_dir, tmp_path):
     assert summary["batches"] == 2 and summary["flagged"] == 1
 
 
-def test_rebuild_fences_stale_checkpoint(spark, sf_dir, tmp_path):
+def test_rebuild_fences_stale_checkpoint(spark, sf_dir, tmp_path, index_cache):
     """An in-place rebuild (fresh _index_epoch) must make a restart
     against the OLD checkpoint refuse loudly (r10 advice: a crashed
     unmarked batch replaying against the new centroids would append
@@ -216,7 +233,13 @@ def test_rebuild_fences_stale_checkpoint(spark, sf_dir, tmp_path):
     e = _load_emb(spark, sf_dir)
     cut = int(e.count() * 0.8)
     index_dir = str(tmp_path / "index")
-    write_ivf_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+    _prebuilt_ann(
+        index_cache, "ivf",
+        lambda d: write_ivf_index(
+            spark, e.where(F.col("vec_id") < cut), d
+        ),
+        index_dir, tag=f"cut{cut}",
+    )
 
     drop = tmp_path / "drop"
     drop.mkdir()
@@ -243,7 +266,7 @@ def test_rebuild_fences_stale_checkpoint(spark, sf_dir, tmp_path):
 
 def test_compact_postings_preserves_rows_and_replay_safety(
     spark, sf_dir, tmp_path
-):
+, index_cache):
     """The cluster-scoped compactor (r10 verdict item 4): after many
     tiny maintenance batches, compaction must (a) cut the posting file
     count, (b) leave the posting ROWS bit-identical, (c) keep served
@@ -257,7 +280,13 @@ def test_compact_postings_preserves_rows_and_replay_safety(
     e = _load_emb(spark, sf_dir)
     cut = int(e.count() * 0.6)
     index_dir = str(tmp_path / "index")
-    write_ivf_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+    _prebuilt_ann(
+        index_cache, "ivf",
+        lambda d: write_ivf_index(
+            spark, e.where(F.col("vec_id") < cut), d
+        ),
+        index_dir, tag=f"cut{cut}",
+    )
 
     drop = tmp_path / "drop"
     drop.mkdir()
@@ -343,7 +372,7 @@ def test_frozen_centroids_read_once_per_session(spark, sf_dir, tmp_path):
     assert a1 == a2 == want
 
 
-def test_compact_recommended_flags_past_knee(spark, sf_dir, tmp_path, monkeypatch):
+def test_compact_recommended_flags_past_knee(spark, sf_dir, tmp_path, monkeypatch, index_cache):
     """The small-file twin of the drift flag (r11 verdict item 5):
     accumulate maintenance batches past the (lowered) knee and the
     summary must flag; compacting clears it."""
@@ -352,7 +381,13 @@ def test_compact_recommended_flags_past_knee(spark, sf_dir, tmp_path, monkeypatc
     e = _load_emb(spark, sf_dir)
     cut = int(e.count() * 0.6)
     index_dir = str(tmp_path / "index")
-    write_ivf_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+    _prebuilt_ann(
+        index_cache, "ivf",
+        lambda d: write_ivf_index(
+            spark, e.where(F.col("vec_id") < cut), d
+        ),
+        index_dir, tag=f"cut{cut}",
+    )
 
     drop = tmp_path / "drop"
     drop.mkdir()
@@ -431,7 +466,7 @@ def test_drift_rows_are_per_batch_files_no_lost_updates(spark, tmp_path):
     assert summary["rebuild_recommended"] is True  # newest row wins
 
 
-def test_live_rebuild_fence_blocks_mid_stream_batch(spark, sf_dir, tmp_path, monkeypatch):
+def test_live_rebuild_fence_blocks_mid_stream_batch(spark, sf_dir, tmp_path, monkeypatch, index_cache):
     """ADVICE r12: the start-time fence cannot see a rebuild landing
     under a LIVE stream — the per-batch _check_epoch must refuse the
     publish.  Simulated by bypassing the start gate (monkeypatched to
@@ -444,7 +479,13 @@ def test_live_rebuild_fence_blocks_mid_stream_batch(spark, sf_dir, tmp_path, mon
     e = _load_emb(spark, sf_dir)
     cut = int(e.count() * 0.8)
     index_dir = str(tmp_path / "index")
-    write_ivf_index(spark, e.where(F.col("vec_id") < cut), index_dir)
+    _prebuilt_ann(
+        index_cache, "ivf",
+        lambda d: write_ivf_index(
+            spark, e.where(F.col("vec_id") < cut), d
+        ),
+        index_dir, tag=f"cut{cut}",
+    )
     with open(f"{index_dir}/_index_epoch") as f:
         stale = f.read().strip()
 
@@ -480,7 +521,7 @@ def test_live_rebuild_fence_blocks_mid_stream_batch(spark, sf_dir, tmp_path, mon
     assert _postings_set(spark, index_dir) == before
 
 
-def test_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
+def test_index_lifecycle_end_to_end(spark, sf_dir, tmp_path, index_cache):
     """The composed operator story (r11 verdict item 6): build →
     maintain (drift accumulates) → rebuild_recommended flips →
     rebuild under a new epoch → the old checkpoint is fenced →
@@ -510,7 +551,10 @@ def test_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
 
     # 1. build on the base corpus
     index_dir = str(tmp_path / "index")
-    write_ivf_index(spark, e, index_dir)
+    _prebuilt_ann(
+        index_cache, "ivf",
+        lambda d: write_ivf_index(spark, e, d), index_dir,
+    )
 
     # 2. maintain: one in-distribution batch, one shifted batch
     drop = tmp_path / "drop"
@@ -699,7 +743,7 @@ def test_pq_maintenance_replay_and_fence(spark, sf_dir, tmp_path):
         drain()
 
 
-def test_pq_drift_flags_reconstruction_shift(spark, sf_dir, tmp_path):
+def test_pq_drift_flags_reconstruction_shift(spark, sf_dir, tmp_path, index_cache):
     """Arrivals the frozen codebooks can represent record ledger rows
     without flagging; arrivals from a shifted distribution (per-
     component +5 before normalization changes the DIRECTION profile)
@@ -717,7 +761,10 @@ def test_pq_drift_flags_reconstruction_shift(spark, sf_dir, tmp_path):
     n = e.count()
     assert n >= DRIFT_MIN_BATCH
     index_dir = str(tmp_path / "pqindex")
-    write_pq_index(spark, e, index_dir)
+    _prebuilt_ann(
+        index_cache, "pq",
+        lambda d: write_pq_index(spark, e, d), index_dir,
+    )
 
     drop = tmp_path / "drop"
     drop.mkdir()
@@ -975,7 +1022,7 @@ def test_drift_legacy_layouts_migrate_to_single_layout(spark, tmp_path):
 
 def test_ivfpq_drift_distinguishes_cells_stale_from_books_stale(
     spark, sf_dir, tmp_path
-):
+, index_cache):
     """r12 verdict item 5: the IVFADC drift row carries BOTH staleness
     axes.  Three arrival batches against a frozen index: (a) the
     corpus itself — neither axis moves; (b) a BOOKS-stale shift —
@@ -1004,7 +1051,10 @@ def test_ivfpq_drift_distinguishes_cells_stale_from_books_stale(
     n = e.count()
     assert n >= DRIFT_MIN_BATCH
     index_dir = str(tmp_path / "ivfpq")
-    write_ivfpq_index(spark, e, index_dir)
+    _prebuilt_ann(
+        index_cache, "ivfpq",
+        lambda d: write_ivfpq_index(spark, e, d), index_dir,
+    )
     cents = _read_ndarray(spark, f"{index_dir}/centroids")
 
     rows = e.collect()
@@ -1078,7 +1128,7 @@ def test_ivfpq_drift_distinguishes_cells_stale_from_books_stale(
     assert cells.recon_ratio < 1.2  # invisible to the books axis
 
 
-def test_pq_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
+def test_pq_index_lifecycle_end_to_end(spark, sf_dir, tmp_path, index_cache):
     """The composed operator story for the PQ family (r12 verdict item
     4, mirroring test_index_lifecycle_end_to_end): build → maintain
     (in-distribution + books-stale batches) → rebuild_recommended
@@ -1128,7 +1178,10 @@ def test_pq_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
 
     # 1. build on the base corpus
     index_dir = str(tmp_path / "pqindex")
-    write_pq_index(spark, e, index_dir)
+    _prebuilt_ann(
+        index_cache, "pq",
+        lambda d: write_pq_index(spark, e, d), index_dir,
+    )
 
     # 2. maintain: one in-distribution batch, one the frozen books
     # cannot represent (axis-aligned spikes, the calibrated shift)
@@ -1203,7 +1256,7 @@ def test_pq_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
     assert got == served(books2, scodes, full) and got
 
 
-def test_ivfpq_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
+def test_ivfpq_index_lifecycle_end_to_end(spark, sf_dir, tmp_path, index_cache):
     """The composed operator story for the IVFADC family (r12 verdict
     item 4): build → maintain (in-distribution + cells-stale batches)
     → rebuild_recommended flips → in-place retrain under a fresh
@@ -1254,7 +1307,10 @@ def test_ivfpq_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
 
     # 1. build on the base corpus
     index_dir = str(tmp_path / "ivfpq")
-    write_ivfpq_index(spark, e, index_dir)
+    _prebuilt_ann(
+        index_cache, "ivfpq",
+        lambda d: write_ivfpq_index(spark, e, d), index_dir,
+    )
 
     # 2. maintain: one in-distribution batch, one cells-stale batch
     drop = tmp_path / "drop"

@@ -48,7 +48,7 @@ def _rows(spark, path, cols):
 
 
 def test_forget_minhash_scrubs_bands_shingles_admissions(
-    spark, sf_dir, tmp_path
+    spark, sf_dir, tmp_path, index_cache
 ):
     """Forget a mix of build-time docs and a GATE-admitted doc: every
     bands/shingles/admissions row of theirs goes, every other row is
@@ -56,7 +56,13 @@ def test_forget_minhash_scrubs_bands_shingles_admissions(
     second run is a no-op."""
     docs = _docs(spark, sf_dir)
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir)
+    # shared prebuilt full-corpus index (conftest.index_cache; same
+    # key as test_minhash_index's — identical deterministic bytes)
+    index_cache.fresh(
+        "mhidx_full",
+        lambda d: write_minhash_index(spark, docs, d),
+        index_dir,
+    )
 
     fresh = "forget me gate admitted text with unique tokens zz1 zz2"
     b1 = spark.createDataFrame([(10_001, fresh)], DOC_SCHEMA)
@@ -122,7 +128,7 @@ def test_forget_minhash_scrubs_bands_shingles_admissions(
     ]
 
 
-def test_forget_ann_families(spark, sf_dir, tmp_path):
+def test_forget_ann_families(spark, sf_dir, tmp_path, index_cache):
     """vec_id membership leaves the postings/codes of all three ANN
     families; untouched rows survive byte-for-byte."""
     from mahjong_etl_spark.operators.similarity import (
@@ -141,7 +147,11 @@ def test_forget_ann_families(spark, sf_dir, tmp_path):
         ("ivfpq", write_ivfpq_index, "codes"),
     ):
         idx = str(tmp_path / kind)
-        writer(spark, vecs, idx)
+        index_cache.fresh(
+            f"annidx_{kind}_full",
+            lambda d, w=writer: w(spark, vecs, d),
+            idx,
+        )
         before = _rows(spark, f"{idx}/{table}", ["vec_id"])
         rep = forget_from_index(spark, idx, forget)
         assert rep["kind"] == kind, kind
@@ -216,14 +226,20 @@ def test_forget_skips_in_flight_partitions_and_reports(
     )
 
 
-def test_cli_index_forget(spark, sf_dir, tmp_path, capsys):
+def test_cli_index_forget(spark, sf_dir, tmp_path, capsys, index_cache):
     """`index --kind minhash --forget ids.parquet` drives the same
     cascade and reports the verb."""
     from mahjong_etl_spark.cli import main
 
     docs = _docs(spark, sf_dir)
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir)
+    # shared prebuilt full-corpus index (conftest.index_cache; same
+    # key as test_minhash_index's — identical deterministic bytes)
+    index_cache.fresh(
+        "mhidx_full",
+        lambda d: write_minhash_index(spark, docs, d),
+        index_dir,
+    )
     ids_pq = str(tmp_path / "ids")
     spark.createDataFrame([(2,), (4,)], "doc_id long").write.parquet(ids_pq)
 

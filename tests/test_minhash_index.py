@@ -34,6 +34,20 @@ def _load_docs(spark, sf_dir):
     )
 
 
+
+def _prebuilt_mh(index_cache, spark, sf_dir, dst, bare=False):
+    """Pristine full-corpus minhash index, built ONCE per session
+    (conftest.index_cache) and copied per test; ``bare`` strips the
+    shingles relation from the copy — equivalent to a
+    with_shingles=False build (readers detect the relation by
+    directory existence only)."""
+    return index_cache.fresh(
+        "mhidx_full",
+        lambda d: write_minhash_index(spark, _load_docs(spark, sf_dir), d),
+        dst,
+        strip=("shingles",) if bare else (),
+    )
+
 def _stage(df, tmp_path, drop, name, mtime):
     df.coalesce(1).write.mode("overwrite").parquet(
         str(tmp_path / f"stage_{name}")
@@ -72,14 +86,14 @@ def _matches(spark, docs, index_dir):
     }
 
 
-def test_persisted_query_matches_pair_path(spark, sf_dir, tmp_path):
+def test_persisted_query_matches_pair_path(spark, sf_dir, tmp_path, index_cache):
     """Querying the corpus against its own persisted index reproduces
     minhash_lsh_pairs pair-for-pair (shared banding + verify)."""
     from mahjong_etl_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _load_docs(spark, sf_dir)
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir)
+    _prebuilt_mh(index_cache, spark, sf_dir, index_dir)
     got = {
         (min(a, b), max(a, b), j)
         for a, b, j in (
@@ -184,7 +198,7 @@ def test_rebuild_fences_stale_checkpoint(spark, sf_dir, tmp_path):
         _drain(spark, drop, index_dir, ckpt)
 
 
-def test_drift_flags_boilerplate_surge(spark, sf_dir, tmp_path):
+def test_drift_flags_boilerplate_surge(spark, sf_dir, tmp_path, index_cache):
     """The dup-rate drift signal: an in-distribution batch (the
     corpus under fresh ids — dup-free) records without flagging; a
     copy-heavy batch (every text triplicated) crosses the absolute +
@@ -201,7 +215,7 @@ def test_drift_flags_boilerplate_surge(spark, sf_dir, tmp_path):
     n = docs.count()
     assert n >= DRIFT_MIN_BATCH
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir)
+    _prebuilt_mh(index_cache, spark, sf_dir, index_dir)
 
     drop = tmp_path / "drop"
     drop.mkdir()
@@ -227,7 +241,7 @@ def test_drift_flags_boilerplate_surge(spark, sf_dir, tmp_path):
     assert rebuild_recommended(spark, index_dir)["rebuild_recommended"]
 
 
-def test_minhash_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
+def test_minhash_index_lifecycle_end_to_end(spark, sf_dir, tmp_path, index_cache):
     """The composed walk, mirroring the ANN families': build →
     maintain (dup-free + surge batches) → the flag flips → in-place
     rebuild under a fresh epoch → old checkpoint fenced →
@@ -244,7 +258,7 @@ def test_minhash_index_lifecycle_end_to_end(spark, sf_dir, tmp_path):
 
     # 1. build
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir)
+    _prebuilt_mh(index_cache, spark, sf_dir, index_dir)
 
     # 2. maintain: dup-free then surge
     drop = tmp_path / "drop"
@@ -411,7 +425,7 @@ def test_query_collapse_matches_direct_path(spark, tmp_path, monkeypatch):
     assert len([m for m in sib if m // 1000 == 0]) == 49
 
 
-def test_neardup_admission_routes_and_self_maintains(spark, sf_dir, tmp_path):
+def test_neardup_admission_routes_and_self_maintains(spark, sf_dir, tmp_path, index_cache):
     """The admission gate over a persisted index: exact copies of
     indexed docs are flagged (all 16 bands hit), fresh texts admit
     and their bands JOIN THE INDEX, within-batch copies collapse to
@@ -424,7 +438,7 @@ def test_neardup_admission_routes_and_self_maintains(spark, sf_dir, tmp_path):
 
     docs = _load_docs(spark, sf_dir)
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir)
+    _prebuilt_mh(index_cache, spark, sf_dir, index_dir)
     base_bands = _bands_set(spark, index_dir)
 
     fresh_a = "a genuinely new document about spark admission gates"
@@ -494,7 +508,7 @@ def test_neardup_admission_routes_and_self_maintains(spark, sf_dir, tmp_path):
     assert g.glob(f"{index_dir}/admissions/gate=admit/*")
 
 
-def test_neardup_admission_replay_lands_same_tables(spark, sf_dir, tmp_path):
+def test_neardup_admission_replay_lands_same_tables(spark, sf_dir, tmp_path, index_cache):
     """Crash-window replay of an admission batch (both markers + the
     checkpoint commit wiped): the re-drain re-derives identical
     decisions and the same final band set — the two-marker publish
@@ -507,7 +521,7 @@ def test_neardup_admission_replay_lands_same_tables(spark, sf_dir, tmp_path):
 
     docs = _load_docs(spark, sf_dir)
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir)
+    _prebuilt_mh(index_cache, spark, sf_dir, index_dir)
 
     (copy_row,) = docs.where("doc_id = 3").collect()
     b1 = spark.createDataFrame(
@@ -558,7 +572,7 @@ def test_neardup_admission_replay_lands_same_tables(spark, sf_dir, tmp_path):
     assert got_adm == want_adm
 
 
-def test_neardup_admission_verify_mode_is_exact(spark, sf_dir, tmp_path):
+def test_neardup_admission_verify_mode_is_exact(spark, sf_dir, tmp_path, index_cache):
     """With verify_docs, band hits only NOMINATE: a planted near-dup
     of an indexed text flags with its exact Jaccard in the decision
     row; an unrelated text that would never clear the verify admits."""
@@ -568,7 +582,7 @@ def test_neardup_admission_verify_mode_is_exact(spark, sf_dir, tmp_path):
 
     docs = _load_docs(spark, sf_dir)
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir)
+    _prebuilt_mh(index_cache, spark, sf_dir, index_dir)
 
     (row,) = docs.where("doc_id = 11").collect()
     toks = row.text.split(" ")
@@ -806,7 +820,7 @@ def test_maintenance_replay_covers_shingles_table(spark, sf_dir, tmp_path):
     assert _sh_rows(spark, index_dir) == want_sh
 
 
-def test_rebuild_clears_drift_ledger(spark, sf_dir, tmp_path):
+def test_rebuild_clears_drift_ledger(spark, sf_dir, tmp_path, index_cache):
     """r13 ADVICE: after an in-place rebuild, rebuild_recommended
     must NOT report the pre-rebuild flagged rows — the rebuild is
     what those rows asked for."""
@@ -817,7 +831,7 @@ def test_rebuild_clears_drift_ledger(spark, sf_dir, tmp_path):
     docs = _load_docs(spark, sf_dir)
     n = docs.count()
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir)
+    _prebuilt_mh(index_cache, spark, sf_dir, index_dir)
 
     drop = tmp_path / "drop"
     drop.mkdir()
@@ -868,7 +882,7 @@ WB_NEAR = "qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8 qq9 qq10 qq11 zz99"
 WB_OTHER = "rr1 rr2 rr3 rr4 rr5 rr6 rr7 rr8 rr9 rr10 rr11 rr12"
 
 
-def test_within_batch_neardup_quarantines(spark, sf_dir, tmp_path):
+def test_within_batch_neardup_quarantines(spark, sf_dir, tmp_path, index_cache):
     """r13 verdict item 2: with within_batch=True, the SECOND of two
     non-identical near-dup texts arriving in ONE batch quarantines
     with the first as matched_id; default-off both admit (the
@@ -881,7 +895,7 @@ def test_within_batch_neardup_quarantines(spark, sf_dir, tmp_path):
 
     for mode, flagged in ((False, False), (True, True)):
         index_dir = str(tmp_path / f"mh{int(mode)}")
-        write_minhash_index(spark, docs, index_dir)
+        _prebuilt_mh(index_cache, spark, sf_dir, index_dir)
         base_bands = _bands_set(spark, index_dir)
         drop = tmp_path / f"drop{int(mode)}"
         drop.mkdir()
@@ -905,13 +919,13 @@ def test_within_batch_neardup_quarantines(spark, sf_dir, tmp_path):
             assert added == {10_001, 10_002, 10_003}
 
 
-def test_within_batch_verify_records_exact_jaccard(spark, sf_dir, tmp_path):
+def test_within_batch_verify_records_exact_jaccard(spark, sf_dir, tmp_path, index_cache):
     """within_batch composes with verify mode: the in-batch match is
     verified against the batch's own texts and the decision carries
     the exact Jaccard."""
     docs = _load_docs(spark, sf_dir)
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir)
+    _prebuilt_mh(index_cache, spark, sf_dir, index_dir)
     drop = tmp_path / "drop"
     drop.mkdir()
     _stage(
@@ -940,14 +954,14 @@ def test_within_batch_verify_records_exact_jaccard(spark, sf_dir, tmp_path):
 
 def test_verify_mode_self_maintains_via_persisted_shingles(
     spark, sf_dir, tmp_path
-):
+, index_cache):
     """r13 ADVICE (medium) closed: verify mode WITHOUT verify_docs —
     the persisted shingle relation is the verify side, it is appended
     per batch, so a near-dup of a doc the GATE ITSELF admitted in an
     earlier batch is flagged with its exact Jaccard."""
     docs = _load_docs(spark, sf_dir)
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir)
+    _prebuilt_mh(index_cache, spark, sf_dir, index_dir)
 
     drop = tmp_path / "drop"
     drop.mkdir()
@@ -974,14 +988,14 @@ def test_verify_mode_self_maintains_via_persisted_shingles(
 
 def test_verify_mode_fails_closed_without_shingle_source(
     spark, sf_dir, tmp_path
-):
+, index_cache):
     """A bands-only index + a verify_docs snapshot that does NOT
     contain a gate-admitted doc: the near-dup's candidate cannot be
     verified, so it falls back to the band-hit flag and QUARANTINES
     (the pre-r14 inner-join verify silently admitted it)."""
     docs = _load_docs(spark, sf_dir)
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir, with_shingles=False)
+    _prebuilt_mh(index_cache, spark, sf_dir, index_dir, bare=True)
 
     drop = tmp_path / "drop"
     drop.mkdir()
@@ -1009,7 +1023,7 @@ def test_verify_mode_fails_closed_without_shingle_source(
     assert adm[20_001].n_band_hits >= 2
 
 
-def test_threshold_without_verify_source_raises(spark, sf_dir, tmp_path):
+def test_threshold_without_verify_source_raises(spark, sf_dir, tmp_path, index_cache):
     """r13 ADVICE (low): a threshold with nothing to verify against
     must refuse loudly, not silently flag on band hits."""
     from mahjong_etl_spark.streaming.ann_index_stream import (
@@ -1018,7 +1032,7 @@ def test_threshold_without_verify_source_raises(spark, sf_dir, tmp_path):
 
     docs = _load_docs(spark, sf_dir)
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir, with_shingles=False)
+    _prebuilt_mh(index_cache, spark, sf_dir, index_dir, bare=True)
     drop = tmp_path / "drop"
     drop.mkdir()
     stream = (
@@ -1032,14 +1046,14 @@ def test_threshold_without_verify_source_raises(spark, sf_dir, tmp_path):
         )
 
 
-def test_admission_replay_covers_shingles_table(spark, sf_dir, tmp_path):
+def test_admission_replay_covers_shingles_table(spark, sf_dir, tmp_path, index_cache):
     """Admission replay with all THREE markers wiped re-derives
     identical decisions, bands AND shingle rows."""
     import glob as g
 
     docs = _load_docs(spark, sf_dir)
     index_dir = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, index_dir)
+    _prebuilt_mh(index_cache, spark, sf_dir, index_dir)
 
     (copy_row,) = docs.where("doc_id = 3").collect()
     b1 = spark.createDataFrame(

@@ -33,6 +33,22 @@ def _vecs(spark, sf_dir):
     )
 
 
+
+def _prebuilt_ivfpq(index_cache, spark, sf_dir, dst, bare=False):
+    """Pristine full-corpus with_vectors IVFADC index, trained ONCE
+    per session (conftest.index_cache) and copied per test; ``bare``
+    strips the vectors relation from the copy — equivalent to a
+    with_vectors=False build (the gate detects vectors by directory
+    existence only)."""
+    return index_cache.fresh(
+        "semadm_ivfpq_vec",
+        lambda d: write_ivfpq_index(
+            spark, _vecs(spark, sf_dir), d, with_vectors=True
+        ),
+        dst,
+        strip=("vectors",) if bare else (),
+    )
+
 def _stage(df, tmp_path, drop, name, mtime):
     df.coalesce(1).write.mode("overwrite").parquet(
         str(tmp_path / f"stage_{name}")
@@ -77,14 +93,14 @@ def _emb(row):
     return [float(x) for x in row.embedding]
 
 
-def test_semantic_gate_routes_and_self_maintains(spark, sf_dir, tmp_path):
+def test_semantic_gate_routes_and_self_maintains(spark, sf_dir, tmp_path, index_cache):
     """Exact copy of an indexed vector quarantines with cosine 1.0,
     a fresh (negated) vector admits and its codes AND raw vector join
     the index, and a batch-2 copy of the batch-1 admit is flagged via
     the SELF-maintained verify relation — no rebuild."""
     vecs = _vecs(spark, sf_dir)
     index_dir = str(tmp_path / "ivfpq")
-    write_ivfpq_index(spark, vecs, index_dir, with_vectors=True)
+    _prebuilt_ivfpq(index_cache, spark, sf_dir, index_dir)
     base_codes = _ids(spark, index_dir, "codes")
 
     (v7,) = vecs.where("vec_id = 7").collect()
@@ -123,7 +139,7 @@ def test_semantic_gate_routes_and_self_maintains(spark, sf_dir, tmp_path):
 
 
 def test_semantic_gate_requires_exact_source_or_calibrated_bar(
-    spark, sf_dir, tmp_path
+    spark, sf_dir, tmp_path, index_cache
 ):
     """ADC nomination cannot DECIDE (an exact copy's quantized score
     is far below any cosine bar — the measured 0.37-0.75 range): a
@@ -134,7 +150,7 @@ def test_semantic_gate_requires_exact_source_or_calibrated_bar(
 
     vecs = _vecs(spark, sf_dir)
     index_dir = str(tmp_path / "ivfpq")
-    write_ivfpq_index(spark, vecs, index_dir)  # with_vectors=False
+    _prebuilt_ivfpq(index_cache, spark, sf_dir, index_dir, bare=True)
 
     drop = tmp_path / "drop"
     drop.mkdir()
@@ -206,12 +222,12 @@ def test_semantic_gate_within_batch(spark, sf_dir, tmp_path):
             assert adm[10_002].cosine >= 0.92
 
 
-def test_semantic_gate_replay_lands_same_tables(spark, sf_dir, tmp_path):
+def test_semantic_gate_replay_lands_same_tables(spark, sf_dir, tmp_path, index_cache):
     """Crash-window replay (all three markers + checkpoint commit
     wiped) re-derives identical decisions, codes and vectors."""
     vecs = _vecs(spark, sf_dir)
     index_dir = str(tmp_path / "ivfpq")
-    write_ivfpq_index(spark, vecs, index_dir, with_vectors=True)
+    _prebuilt_ivfpq(index_cache, spark, sf_dir, index_dir)
 
     (v9,) = vecs.where("vec_id = 9").collect()
     b1 = spark.createDataFrame(
@@ -248,7 +264,7 @@ def test_semantic_gate_replay_lands_same_tables(spark, sf_dir, tmp_path):
     assert snap() == want
 
 
-def test_semantic_drift_trailing_self_baseline(spark, sf_dir, tmp_path):
+def test_semantic_drift_trailing_self_baseline(spark, sf_dir, tmp_path, index_cache):
     """The drift row learns its own rate: steady ~50%-dup batches
     flag only during the 3-row warmup (no build-time baseline
     exists), then go quiet; a surge doubling the trailing median
@@ -257,7 +273,7 @@ def test_semantic_drift_trailing_self_baseline(spark, sf_dir, tmp_path):
 
     vecs = _vecs(spark, sf_dir)
     index_dir = str(tmp_path / "ivfpq")
-    write_ivfpq_index(spark, vecs, index_dir, with_vectors=True)
+    _prebuilt_ivfpq(index_cache, spark, sf_dir, index_dir)
 
     rows = vecs.where("vec_id < 200").collect()
     dim = len(rows[0].embedding)
@@ -464,7 +480,7 @@ def test_cli_ivfpq_with_vectors_build_and_compact(
     assert adm[10_001].admitted is False and adm[10_002].admitted is True
 
 
-def test_cli_gate_verb_both_kinds(spark, sf_dir, tmp_path, capsys):
+def test_cli_gate_verb_both_kinds(spark, sf_dir, tmp_path, capsys, index_cache):
     """`gate --kind semantic|minhash` drains an arrival drop through
     the matching admission stream and prints the decision + drift
     summary; --adc-bar on minhash refuses; an unverifiable semantic
@@ -476,7 +492,7 @@ def test_cli_gate_verb_both_kinds(spark, sf_dir, tmp_path, capsys):
 
     vecs = _vecs(spark, sf_dir)
     sidx = str(tmp_path / "pq")
-    write_ivfpq_index(spark, vecs, sidx, with_vectors=True)
+    _prebuilt_ivfpq(index_cache, spark, sf_dir, sidx)
     (v6,) = vecs.where("vec_id = 6").collect()
     sdrop = tmp_path / "sdrop"
     sdrop.mkdir()
@@ -507,7 +523,7 @@ def test_cli_gate_verb_both_kinds(spark, sf_dir, tmp_path, capsys):
 
     # a vectors-less index with neither threshold nor adc_bar refuses
     bare = str(tmp_path / "bare")
-    write_ivfpq_index(spark, vecs, bare)
+    _prebuilt_ivfpq(index_cache, spark, sf_dir, bare, bare=True)
     rc = main(
         ["gate", "--kind", "semantic", "-I", bare, "-A", str(sdrop),
          "-C", str(tmp_path / "ck2")]
@@ -519,7 +535,11 @@ def test_cli_gate_verb_both_kinds(spark, sf_dir, tmp_path, capsys):
         "doc_id", "text"
     )
     midx = str(tmp_path / "mh")
-    write_minhash_index(spark, docs, midx)
+    index_cache.fresh(
+        "semadm_minhash",
+        lambda d: write_minhash_index(spark, docs, d),
+        midx,
+    )
     (d0,) = docs.where("doc_id = 0").collect()
     mdrop = tmp_path / "mdrop"
     mdrop.mkdir()
@@ -545,7 +565,7 @@ def test_cli_gate_verb_both_kinds(spark, sf_dir, tmp_path, capsys):
     assert madm[900_002].admitted
 
 
-def test_forget_reaches_semantic_gate_tables(spark, sf_dir, tmp_path):
+def test_forget_reaches_semantic_gate_tables(spark, sf_dir, tmp_path, index_cache):
     """forget_from_index on an ivfpq index with the verify relation
     and admissions scrubs codes + vectors + the doc's own admission
     rows."""
@@ -555,7 +575,7 @@ def test_forget_reaches_semantic_gate_tables(spark, sf_dir, tmp_path):
 
     vecs = _vecs(spark, sf_dir)
     index_dir = str(tmp_path / "ivfpq")
-    write_ivfpq_index(spark, vecs, index_dir, with_vectors=True)
+    _prebuilt_ivfpq(index_cache, spark, sf_dir, index_dir)
 
     (v2,) = vecs.where("vec_id = 2").collect()
     b1 = spark.createDataFrame([(10_001, _emb(v2))], VEC_SCHEMA)
